@@ -1,0 +1,221 @@
+"""Container (demux) contracts: tracks, format readers, seeking.
+
+Analog of symphonia-core/src/formats/mod.rs:
+
+* ``Track`` — formats/mod.rs:234 (id, codec params, timebase, frame counts,
+  gapless delay/padding).
+* ``FormatReader`` — formats/mod.rs:551-652 (next_packet / seek / tracks /
+  metadata / chapters).
+* ``SeekIndex`` — formats/mod.rs:687-795 (sorted seek points, binary search).
+* ``FormatOptions`` — formats/mod.rs:123-156.
+
+The batch-native extension: ``packet_table()`` returns the *whole* packet
+layout of a track in one shot (offsets/sizes/timestamps as numpy arrays) so
+the TPU pipeline can gather and pack thousands of frames without a
+pull-loop. The default derivation walks ``next_packet`` once and caches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .codecs import AudioCodecParameters
+from .errors import EndOfStream, SeekError
+from .packet import Packet
+from .units import Time, TimeBase
+
+
+@dataclass
+class Track:
+    """A single media track (formats/mod.rs:234)."""
+
+    id: int
+    codec_params: Optional[AudioCodecParameters]
+    time_base: Optional[TimeBase] = None
+    num_frames: Optional[int] = None  # total duration in timebase ticks
+    start_ts: int = 0
+    delay: int = 0  # gapless leading frames to trim (formats/mod.rs:269)
+    padding: int = 0  # gapless trailing frames to trim
+    language: Optional[str] = None
+
+
+@dataclass
+class FormatOptions:
+    """Demuxer options (formats/mod.rs:123-156)."""
+
+    prebuild_seek_index: bool = False
+    seek_index_fill_rate: int = 20  # seconds between seek points
+    enable_gapless: bool = True
+
+
+class SeekMode:
+    COARSE = "coarse"
+    ACCURATE = "accurate"
+
+
+@dataclass
+class SeekTo:
+    """Seek target: a Time or a timestamp in track ticks."""
+
+    time: Optional[Time] = None
+    ts: Optional[int] = None
+    track_id: Optional[int] = None
+
+
+@dataclass
+class SeekedTo:
+    track_id: int
+    required_ts: int
+    actual_ts: int
+
+
+@dataclass(order=True)
+class SeekPoint:
+    """A (timestamp, byte offset, frames) seek anchor (formats/mod.rs:687)."""
+
+    ts: int
+    byte_offset: int
+    num_frames: int = 0
+
+
+class SeekIndex:
+    """Sorted seek point index with binary search (formats/mod.rs:687-795)."""
+
+    def __init__(self):
+        self._points: List[SeekPoint] = []
+
+    def insert(self, ts: int, byte_offset: int, num_frames: int = 0) -> None:
+        pt = SeekPoint(ts, byte_offset, num_frames)
+        # Keep sorted; most inserts are appends.
+        if not self._points or ts > self._points[-1].ts:
+            self._points.append(pt)
+            return
+        import bisect
+
+        i = bisect.bisect_left([p.ts for p in self._points], ts)
+        if i < len(self._points) and self._points[i].ts == ts:
+            return
+        self._points.insert(i, pt)
+
+    def search(self, ts: int) -> Tuple[Optional[SeekPoint], Optional[SeekPoint]]:
+        """Return (lower, upper) seek points bracketing ts."""
+        import bisect
+
+        keys = [p.ts for p in self._points]
+        i = bisect.bisect_right(keys, ts)
+        lower = self._points[i - 1] if i > 0 else None
+        upper = self._points[i] if i < len(self._points) else None
+        return lower, upper
+
+    def is_empty(self) -> bool:
+        return not self._points
+
+    def __len__(self) -> int:
+        return len(self._points)
+
+
+@dataclass
+class PacketTable:
+    """Batch-native packet layout for one track.
+
+    Column arrays describing every packet: absolute byte ``offsets`` and
+    ``sizes`` into the source, ``ts``/``dur`` in track ticks, and gapless
+    ``trim_start``/``trim_end``. This is what the TPU batch pipeline packs
+    into padded tensors (SURVEY.md §7 Phase A).
+    """
+
+    track_id: int
+    offsets: np.ndarray  # int64 [N] (absolute in source; -1 if data inline)
+    sizes: np.ndarray  # int64 [N]
+    ts: np.ndarray  # int64 [N]
+    dur: np.ndarray  # int64 [N]
+    trim_start: np.ndarray  # int32 [N]
+    trim_end: np.ndarray  # int32 [N]
+    data: Optional[List[bytes]] = None  # inline payloads when offsets == -1
+
+    def __len__(self) -> int:
+        return len(self.offsets)
+
+
+class FormatReader:
+    """Demuxer contract (formats/mod.rs:551-652)."""
+
+    def __init__(self, mss, options: Optional[FormatOptions] = None):
+        self.mss = mss
+        self.options = options or FormatOptions()
+
+    # -- required ----------------------------------------------------------
+
+    def tracks(self) -> List[Track]:
+        raise NotImplementedError
+
+    def next_packet(self) -> Optional[Packet]:
+        """Return the next packet, or None at end of stream
+        (formats/mod.rs:646; None replaces the reference's EOF error)."""
+        raise NotImplementedError
+
+    def seek(self, mode: str, to: SeekTo) -> SeekedTo:
+        raise SeekError(SeekError.UNSEEKABLE)
+
+    # -- optional ----------------------------------------------------------
+
+    def metadata(self):
+        """Current MetadataLog (may be empty)."""
+        from .meta import MetadataLog
+
+        return getattr(self, "_metadata", None) or MetadataLog()
+
+    def chapters(self):
+        return getattr(self, "_chapters", None)
+
+    def attachments(self):
+        return getattr(self, "_attachments", []) or []
+
+    def default_track(self) -> Optional[Track]:
+        t = self.tracks()
+        return t[0] if t else None
+
+    def into_inner(self):
+        return self.mss
+
+    # -- batch-native ------------------------------------------------------
+
+    def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
+        """Whole-stream packet layout for the batch pipeline.
+
+        Default implementation drains ``next_packet`` (readers with native
+        tables — MP4 stts/stsc, CAF pakt, WAV byte math — override this
+        with O(1)/O(table) versions).
+        """
+        if track_id is None:
+            track = self.default_track()
+            if track is None:
+                raise ValueError("no tracks")
+            track_id = track.id
+        offs, sizes, ts, dur, t0, t1, payloads = [], [], [], [], [], [], []
+        while True:
+            pkt = self.next_packet()
+            if pkt is None:
+                break
+            if pkt.track_id != track_id:
+                continue
+            offs.append(-1)
+            sizes.append(len(pkt.data))
+            ts.append(pkt.ts)
+            dur.append(pkt.dur)
+            t0.append(pkt.trim_start)
+            t1.append(pkt.trim_end)
+            payloads.append(pkt.data)
+        return PacketTable(
+            track_id=track_id,
+            offsets=np.asarray(offs, dtype=np.int64),
+            sizes=np.asarray(sizes, dtype=np.int64),
+            ts=np.asarray(ts, dtype=np.int64),
+            dur=np.asarray(dur, dtype=np.int64),
+            trim_start=np.asarray(t0, dtype=np.int32),
+            trim_end=np.asarray(t1, dtype=np.int32),
+            data=payloads,
+        )

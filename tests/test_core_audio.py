@@ -1,0 +1,119 @@
+"""Tests for audio buffers, sample conversion, channels, units, checksums."""
+
+import numpy as np
+import pytest
+
+from symphonia_tpu.core.audio import (
+    AudioBuffer,
+    AudioSpec,
+    Channels,
+    Position,
+    SampleFormat,
+    float_to_int,
+    int_to_float,
+)
+from symphonia_tpu.core.checksum import Crc8, Crc16, Crc32, Md5, crc32_buf
+from symphonia_tpu.core.units import Time, TimeBase
+
+
+class TestUnits:
+    def test_timebase_roundtrip(self):
+        tb = TimeBase(1, 44100)
+        t = tb.calc_time(44100 * 3 + 22050)
+        assert t.seconds == 3
+        assert abs(t.frac - 0.5) < 1e-9
+        assert tb.calc_timestamp(t) == 44100 * 3 + 22050
+
+    def test_timebase_non_unit(self):
+        tb = TimeBase(1001, 30000)  # NTSC-ish
+        t = tb.calc_time(30000)
+        assert abs(t.to_seconds() - 1001.0) < 1e-9
+
+
+class TestChannels:
+    def test_counts(self):
+        assert Channels.from_count(1).count == 1
+        assert Channels.from_count(2).count == 2
+        assert Channels.from_count(6).count == 6
+        assert Channels.from_count(12).count == 12  # discrete fallback
+        assert Channels.positioned(Position.STEREO).count == 2
+
+
+class TestChecksums:
+    def test_crc8_flac(self):
+        # CRC-8 poly 0x07 check value for "123456789" is 0xF4
+        c = Crc8()
+        c.process(b"123456789")
+        assert c.crc() == 0xF4
+
+    def test_crc16_buypass(self):
+        c = Crc16()
+        c.process(b"123456789")
+        assert c.crc() == 0xFEE8
+
+    def test_crc32_ogg(self):
+        # CRC-32/POSIX-style MSB-first poly 0x04C11DB7 init 0 xorout 0:
+        # check value for "123456789" is 0x89A1897F (CRC-32/MPEG-2 without
+        # init 0xFFFFFFFF and no final xor) -- the OGG page CRC.
+        assert crc32_buf(b"123456789") == 0x89A1897F
+
+    def test_md5(self):
+        m = Md5()
+        m.process(b"abc")
+        assert m.hexdigest() == "900150983cd24fb0d6963f7d28e17f72"
+
+
+class TestConversion:
+    def test_int_float_roundtrip_16(self):
+        x = np.array([-32768, -1, 0, 1, 32767], dtype=np.int32)
+        f = int_to_float(x, 16)
+        assert f[0] == -1.0
+        assert abs(f[4] - (32767 / 32768)) < 1e-7
+        back = float_to_int(f, 16)
+        np.testing.assert_array_equal(back, x)
+
+    def test_float_to_int_clamps(self):
+        f = np.array([-1.5, 1.5], dtype=np.float32)
+        y = float_to_int(f, 16)
+        assert y[0] == -32768
+        assert y[1] == 32767
+
+
+class TestAudioBuffer:
+    def _buf(self):
+        spec = AudioSpec(44100, Channels.from_count(2))
+        data = np.array([[0, 1, 2, 3, 4], [5, 6, 7, 8, 9]], dtype=np.int32)
+        return AudioBuffer.from_array(data, spec, bits_per_sample=16)
+
+    def test_interleave(self):
+        buf = self._buf()
+        inter = buf.copy_to_interleaved(SampleFormat.S16)
+        np.testing.assert_array_equal(
+            inter, np.array([0, 5, 1, 6, 2, 7, 3, 8, 4, 9], dtype=np.int16)
+        )
+
+    def test_trim(self):
+        buf = self._buf()
+        buf.trim(1, 2)
+        np.testing.assert_array_equal(buf.chan(0), [1, 2])
+        np.testing.assert_array_equal(buf.chan(1), [6, 7])
+
+    def test_float_export(self):
+        buf = self._buf()
+        f = buf.to_float()
+        assert f.dtype == np.float32
+        assert abs(f[1][0] - 5 / 32768) < 1e-7
+
+    def test_u8_export(self):
+        buf = self._buf()
+        u8 = buf.copy_to_planar(SampleFormat.U8)
+        assert u8.dtype == np.uint8
+        assert u8[0][0] == 128
+
+    def test_shift_silence(self):
+        spec = AudioSpec(8000, Channels.from_count(1))
+        buf = AudioBuffer(spec, 10, dtype=np.float32)
+        buf.render_silence(4)
+        assert len(buf) == 4
+        buf.shift(2)
+        assert len(buf) == 2
