@@ -1,0 +1,134 @@
+"""Vorbis comment metadata parsing.
+
+Analog of symphonia-metadata/src/embedded/vorbis.rs: vendor + KEY=VALUE user
+comments with standard-tag mapping (utils/std_tag.rs) and the base64
+METADATA_BLOCK_PICTURE -> Visual path. Shared by FLAC (VORBIS_COMMENT
+metadata block) and OGG Vorbis/FLAC/Opus identification headers.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+from typing import Optional
+
+from ..core.meta import MetadataRevision, RawTag, StandardTagKey as K, Visual
+
+# Vorbis comment key -> standard tag (utils/std_tag.rs:479 subset).
+STD_KEYS = {
+    "album": K.ALBUM,
+    "albumartist": K.ALBUM_ARTIST,
+    "album artist": K.ALBUM_ARTIST,
+    "arranger": K.ARRANGER,
+    "artist": K.ARTIST,
+    "bpm": K.BPM,
+    "comment": K.COMMENT,
+    "compilation": K.COMPILATION,
+    "composer": K.COMPOSER,
+    "conductor": K.CONDUCTOR,
+    "copyright": K.COPYRIGHT,
+    "date": K.DATE,
+    "description": K.DESCRIPTION,
+    "discnumber": K.DISC_NUMBER,
+    "disctotal": K.DISC_TOTAL,
+    "totaldiscs": K.DISC_TOTAL,
+    "encoded-by": K.ENCODED_BY,
+    "encodedby": K.ENCODED_BY,
+    "encoder": K.ENCODER,
+    "genre": K.GENRE,
+    "grouping": K.GROUPING,
+    "isrc": K.IDENT_ISRC,
+    "catalognumber": K.IDENT_CATALOG_NUMBER,
+    "barcode": K.IDENT_BARCODE,
+    "label": K.LABEL,
+    "language": K.LANGUAGE,
+    "lyricist": K.LYRICIST,
+    "lyrics": K.LYRICS,
+    "mood": K.MOOD,
+    "musicbrainz_albumid": K.MUSICBRAINZ_ALBUM_ID,
+    "musicbrainz_artistid": K.MUSICBRAINZ_ARTIST_ID,
+    "musicbrainz_trackid": K.MUSICBRAINZ_RECORDING_ID,
+    "organization": K.LABEL,
+    "performer": K.PERFORMER,
+    "producer": K.PRODUCER,
+    "rating": K.RATING,
+    "releasedate": K.RELEASE_DATE,
+    "remixer": K.REMIXER,
+    "replaygain_album_gain": K.REPLAYGAIN_ALBUM_GAIN,
+    "replaygain_album_peak": K.REPLAYGAIN_ALBUM_PEAK,
+    "replaygain_track_gain": K.REPLAYGAIN_TRACK_GAIN,
+    "replaygain_track_peak": K.REPLAYGAIN_TRACK_PEAK,
+    "title": K.TRACK_TITLE,
+    "tracknumber": K.TRACK_NUMBER,
+    "tracktotal": K.TRACK_TOTAL,
+    "totaltracks": K.TRACK_TOTAL,
+    "version": K.VERSION,
+    "writer": K.WRITER,
+}
+
+
+def parse_flac_picture(data: bytes) -> Optional[Visual]:
+    """FLAC PICTURE block (embedded/flac.rs Picture; also the payload of
+    METADATA_BLOCK_PICTURE vorbis comments). All fields big-endian."""
+    try:
+        pos = 0
+        (pic_type,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        (mlen,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        mime = data[pos : pos + mlen].decode("utf-8", "replace")
+        pos += mlen
+        (dlen,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        desc = data[pos : pos + dlen].decode("utf-8", "replace")
+        pos += dlen
+        width, height, _depth, _colors, plen = struct.unpack_from(">IIIII", data, pos)
+        pos += 20
+        payload = data[pos : pos + plen]
+        usage = "front_cover" if pic_type == 3 else ("back_cover" if pic_type == 4 else None)
+        tags = [RawTag("description", desc)] if desc else []
+        return Visual(
+            media_type=mime or None,
+            data=payload,
+            usage=usage,
+            dimensions=(width, height) if width and height else None,
+            tags=tags,
+        )
+    except (struct.error, IndexError):
+        return None
+
+
+def parse_vorbis_comment(data: bytes, framing_bit: bool = False) -> MetadataRevision:
+    """Parse a Vorbis comment block (embedded/vorbis.rs)."""
+    rev = MetadataRevision()
+    pos = 0
+    (vlen,) = struct.unpack_from("<I", data, pos)
+    pos += 4
+    rev.vendor = data[pos : pos + vlen].decode("utf-8", "replace")
+    pos += vlen
+    (count,) = struct.unpack_from("<I", data, pos)
+    pos += 4
+    for _ in range(count):
+        if pos + 4 > len(data):
+            break
+        (clen,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        comment = data[pos : pos + clen]
+        pos += clen
+        eq = comment.find(b"=")
+        if eq < 0:
+            continue
+        key = comment[:eq].decode("utf-8", "replace")
+        val_raw = comment[eq + 1 :]
+        lk = key.lower()
+        if lk == "metadata_block_picture":
+            try:
+                vis = parse_flac_picture(base64.b64decode(val_raw))
+                if vis is not None:
+                    rev.visuals.append(vis)
+                continue
+            except Exception:
+                pass
+        val = val_raw.decode("utf-8", "replace")
+        rev.tags.append(RawTag(key, val, STD_KEYS.get(lk)))
+    return rev

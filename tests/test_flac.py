@@ -1,0 +1,223 @@
+"""FLAC decode/demux tests: bit-exact roundtrip against the fixture encoder,
+MD5 self-verification (the reference's correctness oracle,
+bundle-flac/validate.rs), demuxer scan/seek, and probe integration."""
+
+import numpy as np
+import pytest
+
+import symphonia_tpu as sym
+from symphonia_tpu.codecs.flac import FlacDecoder, parse_frame, reconstruct_frame
+from symphonia_tpu.common.flac import StreamInfo, parse_frame_header, read_utf8_num
+from symphonia_tpu.core.codecs import AudioCodecParameters, AudioDecoderOptions
+from symphonia_tpu.core.formats import SeekMode, SeekTo
+from symphonia_tpu.core.io import MediaSourceStream
+from symphonia_tpu.formats.flac import FlacReader
+
+from flac_builder import build_flac_file, random_walk
+
+
+def decode_file(data: bytes, verify: bool = False):
+    reader = FlacReader(MediaSourceStream(data))
+    track = reader.default_track()
+    dec = FlacDecoder(track.codec_params, AudioDecoderOptions(verify=verify))
+    outs = []
+    while True:
+        pkt = reader.next_packet()
+        if pkt is None:
+            break
+        outs.append(dec.decode(pkt).planes().copy())
+    pcm = np.concatenate(outs, axis=1)
+    return pcm, dec, reader
+
+
+class TestUtf8Num:
+    def test_roundtrip(self):
+        from flac_builder import _utf8_num
+
+        for n in [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10FFFF, (1 << 31), (1 << 36) - 1]:
+            data = _utf8_num(n)
+            it = iter(data)
+            assert read_utf8_num(lambda: next(it)) == n
+
+
+class TestSubframeKinds:
+    def _roundtrip(self, channels, bps=16, **kw):
+        data = build_flac_file(channels, bps=bps, **kw)
+        pcm, dec, _ = decode_file(data, verify=True)
+        ref = np.stack(channels)
+        np.testing.assert_array_equal(pcm, ref)
+        assert dec.finalize().verify_ok is True
+
+    def test_constant(self):
+        ch = [np.full(1024, -123, dtype=np.int64)]
+        self._roundtrip(ch, kind="constant")
+
+    def test_verbatim(self):
+        rng = np.random.default_rng(0)
+        ch = [rng.integers(-32768, 32767, size=512, dtype=np.int64)]
+        self._roundtrip(ch, kind="verbatim")
+
+    @pytest.mark.parametrize("order", [0, 1, 2, 3, 4])
+    def test_fixed_orders(self, order):
+        ch = random_walk(1024, 16, seed=order)
+        self._roundtrip(ch, kind="fixed", order=order)
+
+    @pytest.mark.parametrize("order", [1, 2, 8, 12, 32])
+    def test_lpc_orders(self, order):
+        rng = np.random.default_rng(order)
+        coefs = rng.integers(-1024, 1024, size=order).tolist()
+        ch = random_walk(1024, 16, seed=order + 100)
+        self._roundtrip(ch, kind="lpc", lpc_coefs=coefs, lpc_shift=10,
+                        lpc_precision=12)
+
+    def test_lpc_zero_shift(self):
+        ch = random_walk(512, 16, seed=7)
+        self._roundtrip(ch, kind="lpc", lpc_coefs=[1], lpc_shift=0,
+                        lpc_precision=4)
+
+    def test_partitions(self):
+        ch = random_walk(1024, 16, seed=9)
+        self._roundtrip(ch, kind="fixed", order=2, partition_order=3)
+
+    def test_escape_partitions(self):
+        ch = random_walk(1024, 16, seed=10)
+        self._roundtrip(ch, kind="fixed", order=1, partition_order=2,
+                        escape_parts=(1, 3))
+
+    def test_wasted_bits(self):
+        ch = [c << 4 for c in random_walk(512, 12, seed=11)]
+        self._roundtrip(ch, kind="fixed", order=2, wasted=4)
+
+    @pytest.mark.parametrize("bps", [8, 16, 24, 32])
+    def test_bit_depths(self, bps):
+        ch = random_walk(768, bps, seed=bps)
+        self._roundtrip(ch, bps=bps, kind="fixed", order=2)
+
+
+class TestStereo:
+    @pytest.mark.parametrize("mode", ["independent", "left_side", "right_side", "mid_side"])
+    def test_stereo_modes(self, mode):
+        ch = random_walk(1024, 16, seed=42, ch=2)
+        data = build_flac_file(ch, stereo_mode=mode, kind="fixed", order=2)
+        pcm, dec, _ = decode_file(data, verify=True)
+        np.testing.assert_array_equal(pcm, np.stack(ch))
+        assert dec.finalize().verify_ok is True
+
+    def test_mid_side_odd_values(self):
+        # Exercise the side&1 rounding path explicitly.
+        l = np.array([1, 3, -5, 7, 2, 0, -1, 100] * 32, dtype=np.int64)
+        r = np.array([0, 2, -2, 3, 2, 1, -3, 99] * 32, dtype=np.int64)
+        data = build_flac_file([l, r], stereo_mode="mid_side", kind="verbatim")
+        pcm, _, _ = decode_file(data)
+        np.testing.assert_array_equal(pcm, np.stack([l, r]))
+
+
+class TestMultichannel:
+    @pytest.mark.parametrize("n_ch", [1, 2, 4, 8])
+    def test_channel_counts(self, n_ch):
+        ch = random_walk(512, 16, seed=n_ch, ch=n_ch)
+        data = build_flac_file(ch, kind="fixed", order=2)
+        pcm, dec, _ = decode_file(data, verify=True)
+        np.testing.assert_array_equal(pcm, np.stack(ch))
+        assert dec.finalize().verify_ok is True
+
+
+class TestDemuxer:
+    def test_probe_detects_flac(self):
+        ch = random_walk(512, 16, seed=1)
+        data = build_flac_file(ch, kind="fixed", order=2)
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        assert isinstance(probed.format, FlacReader)
+        assert probed.format.default_track().codec_params.codec == "flac"
+
+    def test_frame_table(self):
+        ch = random_walk(4096, 16, seed=2)
+        data = build_flac_file(ch, block_size=512, kind="fixed", order=2)
+        reader = FlacReader(MediaSourceStream(data))
+        table = reader.packet_table()
+        assert len(table) == 8
+        np.testing.assert_array_equal(table.ts, np.arange(8) * 512)
+        np.testing.assert_array_equal(table.dur, [512] * 8)
+
+    def test_short_last_frame(self):
+        ch = random_walk(1000, 16, seed=3)
+        data = build_flac_file(ch, block_size=256, kind="fixed", order=1)
+        pcm, dec, _ = decode_file(data, verify=True)
+        np.testing.assert_array_equal(pcm, np.stack(ch))
+        assert dec.finalize().verify_ok is True
+
+    def test_seek(self):
+        ch = random_walk(4096, 16, seed=4)
+        data = build_flac_file(ch, block_size=512, kind="fixed", order=2)
+        reader = FlacReader(MediaSourceStream(data))
+        seeked = reader.seek(SeekMode.ACCURATE, SeekTo(ts=1500))
+        assert seeked.actual_ts == 1024  # frame containing sample 1500
+        pkt = reader.next_packet()
+        assert pkt.ts == 1024
+
+    def test_metadata_vorbis_comment(self):
+        ch = random_walk(256, 16, seed=5)
+        # Build a VORBIS_COMMENT metadata block (type 4).
+        import struct
+
+        vendor = b"symphonia_tpu_test"
+        comments = [b"TITLE=Test Song", b"ARTIST=Unit Test"]
+        payload = struct.pack("<I", len(vendor)) + vendor
+        payload += struct.pack("<I", len(comments))
+        for c in comments:
+            payload += struct.pack("<I", len(c)) + c
+        block = bytes([4]) + payload
+        data = build_flac_file(ch, kind="fixed", order=1,
+                               extra_metadata_blocks=[block])
+        reader = FlacReader(MediaSourceStream(data))
+        rev = reader.metadata().current()
+        assert rev is not None
+        assert rev.get("track_title") == "Test Song"
+        assert rev.get("artist") == "Unit Test"
+        assert rev.vendor == "symphonia_tpu_test"
+
+
+class TestRobustness:
+    def test_corrupt_frame_raises_decode_error(self):
+        from symphonia_tpu.core.errors import DecodeError, EndOfStream
+
+        ch = random_walk(512, 16, seed=6)
+        data = bytearray(build_flac_file(ch, kind="fixed", order=2))
+        reader = FlacReader(MediaSourceStream(bytes(data)))
+        pkt = reader.next_packet()
+        corrupted = bytearray(pkt.data)
+        corrupted[len(corrupted) // 2] ^= 0xFF
+        dec = FlacDecoder(reader.default_track().codec_params)
+        from symphonia_tpu.core.packet import Packet
+
+        bad = Packet(0, pkt.ts, pkt.dur, bytes(corrupted))
+        try:
+            out = dec.decode(bad)
+            # Corruption in residual data may still "decode"; values differ.
+        except (DecodeError, EndOfStream, ValueError):
+            pass  # acceptable: flagged as malformed
+
+    def test_md5_catches_corruption(self):
+        ch = random_walk(512, 16, seed=8)
+        good = build_flac_file(ch, kind="verbatim")
+        # Flip a bit inside the last frame's sample payload (not headers).
+        data = bytearray(good)
+        data[-40] ^= 0x01
+        # CRC16 of that frame is now wrong; decode with verify must fail
+        # either via CRC or MD5.
+        reader = FlacReader(MediaSourceStream(bytes(data)))
+        dec = FlacDecoder(reader.default_track().codec_params,
+                          AudioDecoderOptions(verify=True))
+        from symphonia_tpu.core.errors import DecodeError
+
+        failed = False
+        while True:
+            pkt = reader.next_packet()
+            if pkt is None:
+                break
+            try:
+                dec.decode(pkt)
+            except DecodeError:
+                failed = True
+        if not failed:
+            assert dec.finalize().verify_ok is False
