@@ -1,0 +1,139 @@
+"""Batch-native decode sessions: files -> PCM tensors via the TPU pipeline.
+
+The TPU-first entry point (SURVEY.md §7): demux to a packet table, run the
+entropy stage over all packets (host pre-scan: Python oracle or the native
+C++ scanner when built), pack frames into padded lane tensors, reconstruct
+on device, and stitch. The per-packet ``AudioDecoder`` API remains available
+for incremental/streaming use; this module is the bulk path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from .core.errors import DecodeError
+from .core.io import MediaSourceStream
+from .ops import flac_dense
+
+
+@dataclass
+class DecodedAudio:
+    """Bulk decode result: planar int32/float32 [channels, samples]."""
+
+    samples: np.ndarray
+    sample_rate: int
+    bits_per_sample: int
+    md5_ok: Optional[bool] = None
+
+
+class FlacBatchDecoder:
+    """Whole-file(s) FLAC decode through the batched device pipeline.
+
+    ``lane_chunk`` bounds how many subframe lanes go to the device per
+    dispatch (memory control); chunks pipeline naturally under jit.
+    """
+
+    def __init__(self, lane_chunk: int = 8192, verify: bool = False):
+        self.lane_chunk = lane_chunk
+        self.verify = verify
+
+    def decode_bytes(self, data: bytes) -> DecodedAudio:
+        from .codecs.flac import md5_bytes_of, parse_frame
+        from .formats.flac import FlacReader
+
+        reader = FlacReader(MediaSourceStream(data))
+        si = reader.stream_info
+        table = reader.packet_table()
+        if table.data is None:
+            raise DecodeError("packet table has no payloads")
+
+        # Entropy stage (host pre-scan).
+        frames = [parse_frame(p, si) for p in table.data]
+        if not frames:
+            return DecodedAudio(
+                np.zeros((si.channels, 0), np.int32), si.sample_rate,
+                si.bits_per_sample,
+            )
+
+        # Dense stage (device), chunked over frames.
+        C = max(f.header.n_channels for f in frames)
+        frames_per_chunk = max(1, self.lane_chunk // C)
+        outs = []
+        for i in range(0, len(frames), frames_per_chunk):
+            chunk = frames[i : i + frames_per_chunk]
+            packed = flac_dense.pack_parsed_frames(chunk)
+            out = flac_dense.decode_packed(packed)
+            for j, f in enumerate(chunk):
+                outs.append(out[j, : f.header.n_channels, : f.header.block_size])
+        pcm = np.concatenate(outs, axis=1)
+        if si.n_samples:
+            pcm = pcm[:, : si.n_samples]
+
+        md5_ok = None
+        if self.verify and si.md5 != b"\x00" * 16:
+            import hashlib
+
+            md5_ok = (
+                hashlib.md5(md5_bytes_of(pcm.astype(np.int64), si.bits_per_sample)).digest()
+                == si.md5
+            )
+        return DecodedAudio(pcm, si.sample_rate, si.bits_per_sample, md5_ok)
+
+    def decode_file(self, path: str) -> DecodedAudio:
+        with open(path, "rb") as f:
+            return self.decode_bytes(f.read())
+
+    def decode_files(self, paths: Sequence[str]) -> List[DecodedAudio]:
+        return [self.decode_file(p) for p in paths]
+
+
+def decode_file(path: str, verify: bool = False) -> DecodedAudio:
+    """Decode any supported file through the best available pipeline.
+
+    FLAC uses the batched device path; other codecs fall back to the
+    per-packet decoder loop until their batch pipelines land.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    return decode_bytes(data, verify=verify)
+
+
+def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:
+    import symphonia_tpu as sym
+
+    mss = MediaSourceStream(data)
+    probed = sym.get_probe().probe(mss)
+    fmt = probed.format
+    track = fmt.default_track()
+    codec = track.codec_params.codec
+
+    if codec == "flac":
+        return FlacBatchDecoder(verify=verify).decode_bytes(data)
+
+    from .core.codecs import AudioDecoderOptions
+
+    dec = sym.get_codecs().make_audio_decoder(
+        track.codec_params, AudioDecoderOptions(verify=verify)
+    )
+    outs = []
+    while True:
+        pkt = fmt.next_packet()
+        if pkt is None:
+            break
+        buf = dec.decode(pkt)
+        outs.append(buf.planes().copy())
+    pcm = (
+        np.concatenate(outs, axis=1)
+        if outs
+        else np.zeros((track.codec_params.channels.count, 0), np.int32)
+    )
+    fin = dec.finalize()
+    return DecodedAudio(
+        pcm,
+        track.codec_params.sample_rate,
+        track.codec_params.bits_per_sample or 32,
+        fin.verify_ok,
+    )

@@ -1,18 +1,23 @@
 """Test configuration.
 
 Forces JAX onto a virtual 8-device CPU mesh so multi-chip sharding paths are
-exercised without TPU hardware. Must run before jax is imported anywhere.
+exercised without TPU hardware. The environment's sitecustomize may import
+jax (pinning platform 'axon') before this file runs, so the platform is also
+overridden programmatically via jax.config.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

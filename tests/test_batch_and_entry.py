@@ -1,0 +1,56 @@
+"""Batch decode session + driver entry-point tests (incl. the 8-device
+virtual mesh dry run)."""
+
+import numpy as np
+import pytest
+
+from symphonia_tpu.batch import FlacBatchDecoder, decode_bytes
+
+from flac_builder import build_flac_file, random_walk
+
+
+class TestFlacBatchDecoder:
+    def test_whole_file_bit_exact(self):
+        ch = random_walk(8192, 16, seed=21, ch=2)
+        data = build_flac_file(ch, block_size=1024, stereo_mode="mid_side",
+                               kind="lpc", lpc_coefs=[900, -500, 120],
+                               lpc_shift=10, lpc_precision=12)
+        out = FlacBatchDecoder(verify=True).decode_bytes(data)
+        np.testing.assert_array_equal(out.samples, np.stack(ch).astype(np.int32))
+        assert out.md5_ok is True
+        assert out.sample_rate == 44100
+        assert out.bits_per_sample == 16
+
+    def test_chunked_dispatch(self):
+        ch = random_walk(4096, 16, seed=22)
+        data = build_flac_file(ch, block_size=256, kind="fixed", order=2)
+        out = FlacBatchDecoder(lane_chunk=4).decode_bytes(data)
+        np.testing.assert_array_equal(out.samples, np.stack(ch).astype(np.int32))
+
+    def test_generic_decode_bytes_dispatch(self):
+        ch = random_walk(2048, 16, seed=23)
+        data = build_flac_file(ch, block_size=512, kind="fixed", order=1)
+        out = decode_bytes(data, verify=True)
+        np.testing.assert_array_equal(out.samples, np.stack(ch).astype(np.int32))
+        assert out.md5_ok is True
+
+
+class TestGraftEntry:
+    def test_entry_compiles_and_runs(self):
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = fn(*args)
+        assert out.shape[0] == args[0].shape[0] // 2
+
+    def test_dryrun_multichip_8(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
