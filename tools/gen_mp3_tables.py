@@ -1,0 +1,117 @@
+"""Generate symphonia_tpu/data/mp3_tables.npz.
+
+The MP3 decode constants are ISO/IEC 11172-3 / 13818-3 specification *data*
+(Annex B tables: Huffman codebooks B.7, scalefactor bands B.8, synthesis
+window B.3, bitrate tables) that every independent decoder embeds
+byte-identically. This script parses those numeric tables out of the
+reference's source (symphonia-bundle-mp3) — data only, no code — and stores
+them as numpy arrays. Rerunnable; the .npz is committed so the build has no
+runtime dependency on the reference checkout.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REF = Path("/root/reference/symphonia-bundle-mp3/src")
+
+
+def strip_comments(text: str) -> str:
+    text = re.sub(r"//[^\n]*", "", text)
+    return text
+
+
+def parse_array(src: str, name: str, dtype=np.int64) -> np.ndarray:
+    """Parse `NAME: <ty> = [ ... ];` (possibly nested) into a flat array."""
+    m = re.search(rf"{name}\s*:[^=]*=\s*\[", src)
+    if not m:
+        raise KeyError(name)
+    # Bracket-match from the opening '['.
+    start = m.end() - 1
+    depth = 0
+    for i in range(start, len(src)):
+        if src[i] == "[":
+            depth += 1
+        elif src[i] == "]":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    else:
+        raise ValueError(f"unterminated array {name}")
+    body = strip_comments(src[start + 1 : end])
+    toks = [t for t in re.split(r"[,\s\[\]]+", body) if t]
+    vals = []
+    for t in toks:
+        if not t.startswith("0x"):
+            t = re.sub(r"(f32|f64)$", "", t)
+        vals.append(int(t, 16) if t.startswith("0x") else float(t))
+    return np.asarray(vals, dtype=dtype)
+
+
+def parse_nested_usize(src: str, name: str, shape) -> np.ndarray:
+    return parse_array(src, name, dtype=np.int64).reshape(shape)
+
+
+def main() -> None:
+    out = {}
+
+    cb = (REF / "layer3" / "codebooks.rs").read_text()
+    for n in [1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15, 16, 24]:
+        out[f"codes_{n}"] = parse_array(cb, f"MPEG_CODES_{n}").astype(np.uint32)
+        out[f"bits_{n}"] = parse_array(cb, f"MPEG_BITS_{n}").astype(np.uint8)
+    out["quads_codes_a"] = parse_array(cb, "MPEG_QUADS_CODES_A").astype(np.uint32)
+    out["quads_bits_a"] = parse_array(cb, "MPEG_QUADS_BITS_A").astype(np.uint8)
+    out["quads_codes_b"] = parse_array(cb, "MPEG_QUADS_CODES_B").astype(np.uint32)
+    out["quads_bits_b"] = parse_array(cb, "MPEG_QUADS_BITS_B").astype(np.uint8)
+    out["linbits"] = parse_array(cb, "CODEBOOK_LINBITS").astype(np.int32)
+
+    common = (REF / "layer3" / "common.rs").read_text()
+    out["sfb_long"] = parse_nested_usize(common, "SFB_LONG_BANDS", (9, 23)).astype(np.int32)
+    out["sfb_short"] = parse_nested_usize(common, "SFB_SHORT_BANDS", (9, 40)).astype(np.int32)
+    out["sfb_mixed_switch"] = parse_array(common, "SFB_MIXED_SWITCH_POINT").astype(np.int32)
+    # SFB_MIXED_BANDS is ragged (&[..] slices); parse each block.
+    m = re.search(r"SFB_MIXED_BANDS[^=]*=\s*\[(.*?)\n\];", common, re.DOTALL)
+    blocks = re.findall(r"&\[(.*?)\]", strip_comments(m.group(1)), re.DOTALL)
+    assert len(blocks) == 9, len(blocks)
+    for i, b in enumerate(blocks):
+        vals = [int(t) for t in re.split(r"[,\s]+", b) if t]
+        out[f"sfb_mixed_{i}"] = np.asarray(vals, dtype=np.int32)
+
+    bs = (REF / "layer3" / "bitstream.rs").read_text()
+    m = re.search(r"SCALE_FACTOR_SLEN[^=]*=\s*\[(.*?)\];", bs, re.DOTALL)
+    pairs = re.findall(r"\((\d+)\s*,\s*(\d+)\)", strip_comments(m.group(1)))
+    out["slen"] = np.asarray([[int(a), int(b)] for a, b in pairs], dtype=np.int32)
+    m = re.search(r"SCALE_FACTOR_MPEG2_NSFB[^=]*=\s*\[(.*?)\n\];", bs, re.DOTALL)
+    vals = [int(t) for t in re.split(r"[,\s\[\]]+", strip_comments(m.group(1))) if t]
+    out["mpeg2_nsfb"] = np.asarray(vals, dtype=np.int32).reshape(6, 3, 4)
+
+    syn = (REF / "synthesis.rs").read_text()
+    out["synthesis_d"] = parse_array(syn, "SYNTHESIS_D", dtype=np.float64).astype(np.float32)
+
+    hdr = (REF / "header.rs").read_text()
+    for name in ["BIT_RATES_MPEG1_L1", "BIT_RATES_MPEG1_L2", "BIT_RATES_MPEG1_L3",
+                 "BIT_RATES_MPEG2_L1", "BIT_RATES_MPEG2_L23"]:
+        out[name.lower()] = parse_array(hdr, name).astype(np.int64)
+
+    l12 = (REF / "layer12.rs").read_text()
+    out["layer12_scalefactors"] = parse_array(
+        l12, "LAYER12_SCALEFACTORS", dtype=np.float64
+    ).astype(np.float32)
+
+    dst = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "mp3_tables.npz"
+    np.savez_compressed(dst, **out)
+    print(f"wrote {dst} with {len(out)} arrays")
+    # Spot-check invariants.
+    assert out["sfb_long"][0, -1] == 576
+    assert out["synthesis_d"].shape == (512,)
+    assert abs(out["synthesis_d"][1] + 0.000015259) < 1e-9
+    assert out["layer12_scalefactors"][0] == 2.0
+
+
+if __name__ == "__main__":
+    main()
