@@ -212,3 +212,101 @@ def granule_dense_np(
     out[:480] += state.synth_tail
     state.synth_tail = resp[576:].copy()
     return out
+
+
+# ---------------------------------------------------------------------------
+# jax batched device pipeline
+# ---------------------------------------------------------------------------
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
+    """Device dense stage for a granule sequence batch.
+
+    Args:
+      x: [G, C, 576] float32 spectra (requantized, stereo-decoded,
+         reordered) for G consecutive granules of one stream, C channels.
+      bt: [G, C] int32 block types, mixed: [G, C] bool.
+      hybrid_tail0: [C, 32, 18] carried hybrid overlap (None = stream start).
+      synth_tail0: [C, 480] carried synthesis tail.
+
+    Returns (pcm [G, C, 576], hybrid_tail [C, 32, 18], synth_tail [C, 480]).
+
+    All granules process in parallel; the two linear cross-granule couplings
+    (hybrid overlap-add, polyphase FIFO) are applied by superposition:
+    shift-adds along the granule axis (see module docstring).
+    """
+    import jax.numpy as jnp
+
+    G, C, _ = x.shape
+    L = G * C
+    xb = x.reshape(L, 32, 18)
+    btf = bt.reshape(L)
+    mixedf = mixed.reshape(L)
+
+    # --- antialias (hybrid_synthesis.rs:224) ---
+    cs, ca = antialias_coeffs()
+    cs = jnp.asarray(cs)
+    ca = jnp.asarray(ca)
+    n_bounds = jnp.where(btf == BLOCK_SHORT, jnp.where(mixedf, 1, 0), 31)
+    lo_r = xb[:, :31, 10:18][..., ::-1]
+    hi = xb[:, 1:32, 0:8]
+    nl = lo_r * cs - hi * ca
+    nh = hi * cs + lo_r * ca
+    bmask = (jnp.arange(31)[None, :] < n_bounds[:, None])[:, :, None]
+    nl = jnp.where(bmask, nl, lo_r)
+    nh = jnp.where(bmask, nh, hi)
+    xb = xb.at[:, :31, 10:18].set(nl[..., ::-1])
+    xb = xb.at[:, 1:32, 0:8].set(nh)
+
+    # --- hybrid IMDCT as matmuls ---
+    T = jnp.asarray(hybrid_matrices())  # [4, 36, 18]
+    lt = jnp.where(btf == BLOCK_SHORT, BLOCK_LONG, btf)
+    T_long = T[lt]  # [L, 36, 18]
+    out_long = jnp.einsum("lij,lsj->lsi", T_long, xb,
+                          preferred_element_type=jnp.float32)
+    out_short = jnp.einsum("ij,lsj->lsi", T[BLOCK_SHORT], xb,
+                           preferred_element_type=jnp.float32)
+    sb_split = jnp.where(btf == BLOCK_SHORT, jnp.where(mixedf, 2, 0), 32)
+    sb_idx = jnp.arange(32)[None, :, None]
+    tmp = jnp.where(sb_idx < sb_split[:, None, None], out_long, out_short)
+    # [L, 32, 36]
+
+    # --- hybrid overlap-add by superposition along G ---
+    tmp = tmp.reshape(G, C, 32, 36)
+    heads = tmp[:, :, :, :18]
+    tails = tmp[:, :, :, 18:]
+    if hybrid_tail0 is None:
+        hybrid_tail0 = jnp.zeros((C, 32, 18), jnp.float32)
+    prev = jnp.concatenate([hybrid_tail0[None], tails[:-1]], axis=0)
+    sb_time = heads + prev  # [G, C, 32, 18]
+    hybrid_tail = tails[-1]
+
+    # --- frequency inversion ---
+    sb_time = sb_time * jnp.asarray(freq_inversion_mask())
+
+    # --- polyphase matrixing + windowed taps ---
+    N = jnp.asarray(polyphase_matrix())  # [64, 32]
+    W = jnp.asarray(synthesis_window())  # [16, 32]
+    qidx = jnp.asarray(_synth_sel_idx())  # [16, 32]
+    S = sb_time.transpose(0, 1, 3, 2).reshape(L, 18, 32)
+    V = jnp.einsum("ltk,ik->lti", S, N, preferred_element_type=jnp.float32)
+    v_sel = V[:, :, qidx]  # [L, 18, 16, 32]
+    c = v_sel * W[None, None]
+    resp = jnp.zeros((L, 33, 32), jnp.float32)
+    for k in range(16):
+        resp = resp.at[:, k : k + 18, :].add(c[:, :, k, :])
+    resp = resp.reshape(G, C, 1056)
+
+    # --- cross-granule synthesis overlap-add by superposition ---
+    if synth_tail0 is None:
+        synth_tail0 = jnp.zeros((C, 480), jnp.float32)
+    prev_tail = jnp.concatenate([synth_tail0[None], resp[:-1, :, 576:]], axis=0)
+    pcm = resp[:, :, :576].at[:, :, :480].add(prev_tail)
+    synth_tail = resp[-1, :, 576:]
+    return pcm, hybrid_tail, synth_tail

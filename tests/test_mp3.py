@@ -1,0 +1,252 @@
+"""MP3 decode tests: real-file differential tests vs SDL_mixer (drmp3), a
+synthetic MPEG1 stream cross-checked against the same reference decoder,
+and unit tests of the dense-stage math vs analytical spec formulas
+(SURVEY.md §4 test model)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import symphonia_tpu as sym
+from symphonia_tpu.codecs.mpa import MpaDecoder
+from symphonia_tpu.codecs.mpa_common import parse_header, try_parse_header
+from symphonia_tpu.core.errors import DecodeError
+from symphonia_tpu.core.formats import FormatOptions
+from symphonia_tpu.core.io import MediaSourceStream
+from symphonia_tpu.formats.mpa import MpaReader
+from symphonia_tpu.ops import mp3_dense as md
+
+from mp3_builder import build_mpeg1_l3_stream
+
+HOUSE_MP3 = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3"
+
+
+def our_decode(data: bytes, gapless: bool = False):
+    r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=gapless))
+    dec = MpaDecoder(r.default_track().codec_params)
+    outs = []
+    while True:
+        p = r.next_packet()
+        if p is None:
+            break
+        outs.append(dec.decode(p).planes().copy())
+    return np.concatenate(outs, axis=1), r
+
+
+def sdl_decode(path_or_bytes, rate: int, channels: int):
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    import pygame
+
+    pygame.mixer.quit()
+    pygame.mixer.init(frequency=rate, size=-16, channels=channels)
+    if isinstance(path_or_bytes, bytes):
+        import io
+
+        snd = pygame.mixer.Sound(io.BytesIO(path_or_bytes))
+    else:
+        snd = pygame.mixer.Sound(path_or_bytes)
+    raw = np.frombuffer(snd.get_raw(), dtype=np.int16).astype(np.float32) / 32768.0
+    return raw.reshape(-1, channels).T
+
+
+class TestRealFiles:
+    def test_house_lo_vs_reference(self):
+        with open(HOUSE_MP3, "rb") as f:
+            data = f.read()
+        ours, r = our_decode(data)
+        h = r.header
+        assert (h.version, h.sample_rate, h.n_channels) == (3, 11025, 1)
+        ref = sdl_decode(HOUSE_MP3, h.sample_rate, h.n_channels)
+        n = min(ours.shape[1], ref.shape[1])
+        diff = np.abs(ours[:, :n] - ref[:, :n])
+        # Reference output is s16-quantized: agree within 1 LSB + epsilon.
+        assert diff.max() < 4.0 / 32768.0, diff.max()
+
+    def test_probe_finds_mpa(self):
+        with open(HOUSE_MP3, "rb") as f:
+            data = f.read()
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        assert isinstance(probed.format, MpaReader)
+
+    def test_seek(self):
+        with open(HOUSE_MP3, "rb") as f:
+            data = f.read()
+        r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
+        seeked = r.seek("coarse", sym.SeekTo(ts=5760))
+        pkt = r.next_packet()
+        assert pkt.ts == seeked.actual_ts
+
+
+class TestSyntheticMpeg1:
+    @pytest.mark.parametrize("n_ch", [1, 2])
+    def test_vs_reference_decoder(self, n_ch):
+        data = build_mpeg1_l3_stream(20, n_ch=n_ch, seed=n_ch)
+        ours, r = our_decode(data)
+        assert r.header.version == 1 and r.header.sample_rate == 44100
+        ref = sdl_decode(data, 44100, n_ch)
+        n = min(ours.shape[1], ref.shape[1])
+        assert n >= 1152 * 18
+        clipped = np.clip(ours[:, :n], -1.0, 32767.0 / 32768.0)
+        diff = np.abs(clipped - ref[:, :n])
+        assert diff.max() < 4.0 / 32768.0, diff.max()
+
+    def test_header_parse(self):
+        data = build_mpeg1_l3_stream(2, n_ch=2)
+        h = try_parse_header(data, 0)
+        assert h.version == 1 and h.layer == 3
+        assert h.n_channels == 2
+        assert h.frame_size == 144 * 128000 // 44100
+        assert h.duration == 1152
+
+
+class TestDenseMath:
+    def test_imdct36_matrix_vs_analytic(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(18).astype(np.float32)
+        T = md.hybrid_matrices()
+        # Long window: y[i] = w[i] * sum_k x[k] cos(pi/72 (2i+19)(2k+1))
+        w = md.imdct_windows()[md.BLOCK_LONG]
+        expect = np.array(
+            [
+                w[i] * sum(
+                    x[k] * np.cos(np.pi / 72 * (2 * i + 19) * (2 * k + 1))
+                    for k in range(18)
+                )
+                for i in range(36)
+            ]
+        )
+        got = T[md.BLOCK_LONG] @ x
+        np.testing.assert_allclose(got, expect, atol=1e-4)
+
+    def test_short_matrix_vs_analytic(self):
+        """Short block = 3 interleaved 12-point IMDCTs, windowed, overlaid
+        at offsets 6, 12, 18 (hybrid_synthesis.rs imdct12_win)."""
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(18).astype(np.float32)
+        w = md.imdct_windows()[md.BLOCK_SHORT][:12]
+        expect = np.zeros(36)
+        for win in range(3):
+            xw = x[win::3]
+            y = np.array(
+                [
+                    sum(xw[k] * np.cos(np.pi / 24 * (2 * i + 7) * (2 * k + 1))
+                        for k in range(6))
+                    for i in range(12)
+                ]
+            )
+            expect[6 + 6 * win : 18 + 6 * win] += y * w
+        got = md.hybrid_matrices()[md.BLOCK_SHORT] @ x
+        np.testing.assert_allclose(got, expect, atol=1e-4)
+
+    def test_polyphase_matches_direct_spec(self):
+        """Superposition response == direct spec algorithm with V FIFO."""
+        rng = np.random.default_rng(2)
+        n_gran = 4
+        subband = [rng.standard_normal((32, 18)).astype(np.float32) for _ in range(n_gran)]
+        # Direct: spec algorithm with a 1024-sample V history.
+        N = md.polyphase_matrix()
+        D = md.synthesis_window()
+        v_hist = np.zeros((16, 64), dtype=np.float32)
+        direct = []
+        for g in range(n_gran):
+            S = subband[g].T  # [18, 32]
+            for t in range(18):
+                v_hist = np.roll(v_hist, 1, axis=0)
+                v_hist[0] = N @ S[t]
+                out = np.zeros(32, dtype=np.float32)
+                for k in range(16):
+                    sel = v_hist[k][:32] if k % 2 == 0 else v_hist[k][32:]
+                    out += sel * D[k]
+                direct.append(out)
+        direct = np.concatenate(direct)
+        # Superposition path.
+        resp = [md.polyphase_response_np(sb) for sb in subband]
+        ours = np.zeros(576 * n_gran + 480, dtype=np.float32)
+        for g, r in enumerate(resp):
+            ours[576 * g : 576 * g + 1056] += r
+        np.testing.assert_allclose(ours[: 576 * n_gran], direct, atol=1e-4)
+
+    def test_antialias_energy_preserving(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((32, 18)).astype(np.float32)
+        y = md.antialias_np(x, 31)
+        # cs^2 + ca^2 = 1: butterflies are rotations -> energy preserved.
+        np.testing.assert_allclose(
+            (x**2).sum(), (y**2).sum(), rtol=1e-5
+        )
+
+    def test_freq_inversion_mask(self):
+        m = md.freq_inversion_mask()
+        assert m[0, 1] == 1.0  # even subband untouched
+        assert m[1, 1] == -1.0  # odd subband, odd sample negated
+        assert m[1, 0] == 1.0
+
+
+class TestGapless:
+    def test_gapless_trims_applied(self):
+        with open(HOUSE_MP3, "rb") as f:
+            data = f.read()
+        full, r1 = our_decode(data, gapless=False)
+        trimmed, r2 = our_decode(data, gapless=True)
+        t = r2.default_track()
+        assert trimmed.shape[1] == full.shape[1] - t.delay - t.padding
+        if t.delay:
+            np.testing.assert_allclose(
+                trimmed[:, :1000], full[:, t.delay : t.delay + 1000]
+            )
+
+
+class TestJaxDenseBatch:
+    def test_matches_stateful_oracle(self):
+        """Superposition device pipeline == stateful numpy chain."""
+        import jax.numpy as jnp
+        from symphonia_tpu.ops.mp3_dense import (
+            GranuleDenseState,
+            granule_dense_np,
+            mp3_dense_batch_jax,
+        )
+
+        rng = np.random.default_rng(11)
+        G, C = 6, 2
+        x = (rng.standard_normal((G, C, 576)) * 0.1).astype(np.float32)
+        bt = rng.integers(0, 4, size=(G, C)).astype(np.int32)
+        # Stereo frames share block types across channels in practice, but
+        # the math doesn't require it. 'mixed' only with short blocks.
+        mixed = (bt == 2) & (rng.random((G, C)) < 0.5)
+
+        # Oracle: sequential per channel.
+        states = [GranuleDenseState() for _ in range(C)]
+        expect = np.zeros((G, C, 576), np.float32)
+        for g in range(G):
+            for c in range(C):
+                expect[g, c] = granule_dense_np(
+                    x[g, c].copy(), int(bt[g, c]), bool(mixed[g, c]), states[c]
+                )
+
+        pcm, ht, st = mp3_dense_batch_jax(
+            jnp.asarray(x), jnp.asarray(bt), jnp.asarray(mixed)
+        )
+        np.testing.assert_allclose(np.asarray(pcm), expect, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(ht), np.stack([s.hybrid_tail for s in states]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st), np.stack([s.synth_tail for s in states]), atol=2e-5
+        )
+
+    def test_streaming_chain_equivalence(self):
+        """Two chained batch calls == one combined call."""
+        import jax.numpy as jnp
+        from symphonia_tpu.ops.mp3_dense import mp3_dense_batch_jax
+
+        rng = np.random.default_rng(12)
+        G, C = 8, 1
+        x = (rng.standard_normal((G, C, 576)) * 0.1).astype(np.float32)
+        bt = np.zeros((G, C), np.int32)
+        mixed = np.zeros((G, C), bool)
+        full, _, _ = mp3_dense_batch_jax(jnp.asarray(x), jnp.asarray(bt), jnp.asarray(mixed))
+        a, ht, st = mp3_dense_batch_jax(jnp.asarray(x[:3]), jnp.asarray(bt[:3]), jnp.asarray(mixed[:3]))
+        b, _, _ = mp3_dense_batch_jax(jnp.asarray(x[3:]), jnp.asarray(bt[3:]), jnp.asarray(mixed[3:]), ht, st)
+        got = np.concatenate([np.asarray(a), np.asarray(b)], axis=0)
+        np.testing.assert_allclose(got, np.asarray(full), atol=1e-6)
