@@ -1,0 +1,255 @@
+"""Apple Core Audio Format (CAF) demuxer.
+
+Analog of symphonia-format-caf (``CafReader``, demuxer.rs:42): desc/data/
+pakt/chan/info chunk parsing (chunks.rs), CBR byte-math packetization or VBR
+``pakt`` packet-table packetization (demuxer.rs:94-165), and seek in both
+modes (demuxer.rs:177-309).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+from ..core import codecs as ccodec
+from ..core.audio import Channels
+from ..core.codecs import AudioCodecParameters
+from ..core.errors import DecodeError, SeekError, Unsupported
+from ..core.formats import (
+    FormatOptions,
+    FormatReader,
+    PacketTable,
+    SeekMode,
+    SeekTo,
+    SeekedTo,
+    Track,
+)
+from ..core.meta import MetadataLog, MetadataRevision, RawTag
+from ..core.packet import Packet
+from ..core.probe import Descriptor
+from ..core.units import TimeBase
+
+CAF_MARKER = b"caff"
+
+
+class CafReader(FormatReader):
+    """CAF format reader (caf demuxer.rs:42)."""
+
+    def __init__(self, mss, options: Optional[FormatOptions] = None):
+        super().__init__(mss, options)
+        self._metadata = MetadataLog()
+        if mss.read_bytes(4) != CAF_MARKER:
+            raise Unsupported("missing caff marker")
+        _version = mss.read_u16be()
+        _flags = mss.read_u16be()
+
+        self._desc = None
+        self._data_start = None
+        self._data_len = None
+        self._pakt = None  # (sizes list, n_frames, priming, remainder)
+        rev = MetadataRevision()
+
+        total = mss.byte_len()
+        while True:
+            try:
+                ctype = mss.read_bytes(4)
+            except Exception:
+                break
+            size = struct.unpack(">q", mss.read_bytes(8))[0]
+            if ctype == b"desc":
+                payload = mss.read_bytes(size)
+                self._parse_desc(payload)
+            elif ctype == b"data":
+                _edit = mss.read_u32be()
+                self._data_start = mss.pos()
+                if size == -1:  # size unknown: rest of file
+                    self._data_len = (total - self._data_start) if total else None
+                    break
+                self._data_len = size - 4
+                mss.ignore_bytes(self._data_len)
+            elif ctype == b"pakt":
+                payload = mss.read_bytes(size)
+                self._parse_pakt(payload)
+            elif ctype == b"info":
+                payload = mss.read_bytes(size)
+                self._parse_info(payload, rev)
+            elif ctype == b"free" or size >= 0:
+                mss.ignore_bytes(size)
+            else:
+                break
+
+        if self._desc is None or self._data_start is None:
+            raise DecodeError("missing desc or data chunk")
+        if rev.tags:
+            self._metadata.push(rev)
+
+        (rate, fmt_id, flags, bytes_per_packet, frames_per_packet, n_ch, bits) = self._desc
+
+        c = ccodec
+        codec = None
+        if fmt_id == b"lpcm":
+            is_float = bool(flags & 0x1)
+            is_le = bool(flags & 0x2)
+            if is_float:
+                codec = {
+                    (32, True): c.CODEC_ID_PCM_F32LE, (32, False): c.CODEC_ID_PCM_F32BE,
+                    (64, True): c.CODEC_ID_PCM_F64LE, (64, False): c.CODEC_ID_PCM_F64BE,
+                }.get((bits, is_le))
+            else:
+                codec = {
+                    (8, True): c.CODEC_ID_PCM_S8, (8, False): c.CODEC_ID_PCM_S8,
+                    (16, True): c.CODEC_ID_PCM_S16LE, (16, False): c.CODEC_ID_PCM_S16BE,
+                    (24, True): c.CODEC_ID_PCM_S24LE, (24, False): c.CODEC_ID_PCM_S24BE,
+                    (32, True): c.CODEC_ID_PCM_S32LE, (32, False): c.CODEC_ID_PCM_S32BE,
+                }.get((bits, is_le))
+        elif fmt_id == b"ulaw":
+            codec = c.CODEC_ID_PCM_MULAW
+            bits = 16
+        elif fmt_id == b"alaw":
+            codec = c.CODEC_ID_PCM_ALAW
+            bits = 16
+        elif fmt_id == b"ima4":
+            codec = c.CODEC_ID_ADPCM_IMA_QT
+            bits = 16
+        elif fmt_id == b"alac":
+            codec = c.CODEC_ID_ALAC
+        elif fmt_id == b"aac ":
+            codec = c.CODEC_ID_AAC
+        if codec is None:
+            raise Unsupported(f"CAF format {fmt_id!r}")
+
+        self._rate = int(rate)
+        self._bpp = bytes_per_packet
+        self._fpp = frames_per_packet
+        self._cursor = 0
+
+        if self._pakt is not None:
+            sizes, pakt_frames, priming, remainder = self._pakt
+            self._pkt_sizes = sizes
+            self._pkt_offsets = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64)
+            n_frames = pakt_frames
+        elif bytes_per_packet and frames_per_packet:
+            n_pkts = (self._data_len or 0) // bytes_per_packet
+            self._pkt_sizes = np.full(n_pkts, bytes_per_packet, dtype=np.int64)
+            self._pkt_offsets = np.arange(n_pkts, dtype=np.int64) * bytes_per_packet
+            n_frames = n_pkts * frames_per_packet
+        else:
+            raise DecodeError("CAF VBR stream requires a pakt chunk")
+
+        params = AudioCodecParameters(
+            codec=codec,
+            sample_rate=self._rate,
+            bits_per_sample=bits or None,
+            channels=Channels.from_count(n_ch),
+            max_frames_per_packet=frames_per_packet or None,
+            frames_per_block=frames_per_packet or None,
+            block_align=bytes_per_packet or None,
+        )
+        self._track = Track(
+            id=0,
+            codec_params=params,
+            time_base=TimeBase(1, self._rate),
+            num_frames=int(n_frames) if n_frames else None,
+        )
+
+    def _parse_desc(self, payload: bytes) -> None:
+        if len(payload) < 32:
+            raise DecodeError("desc chunk too small")
+        rate = struct.unpack(">d", payload[:8])[0]
+        fmt_id = payload[8:12]
+        flags, bpp, fpp, n_ch, bits = struct.unpack(">IIIII", payload[12:32])
+        if rate <= 0 or n_ch == 0:
+            raise DecodeError("invalid desc parameters")
+        self._desc = (rate, fmt_id, flags, bpp, fpp, n_ch, bits)
+
+    def _parse_pakt(self, payload: bytes) -> None:
+        n_pkts, n_frames, priming, remainder = struct.unpack(">qqii", payload[:24])
+        sizes = np.zeros(n_pkts, dtype=np.int64)
+        pos = 24
+        for i in range(n_pkts):
+            v = 0
+            while True:
+                b = payload[pos]
+                pos += 1
+                v = (v << 7) | (b & 0x7F)
+                if not b & 0x80:
+                    break
+            sizes[i] = v
+        self._pakt = (sizes, n_frames, priming, remainder)
+
+    _INFO_KEYS = {
+        "title": "track_title", "artist": "artist", "album": "album",
+        "genre": "genre", "year": "date", "composer": "composer",
+        "comments": "comment", "copyright": "copyright",
+        "track number": "track_number",
+    }
+
+    def _parse_info(self, payload: bytes, rev: MetadataRevision) -> None:
+        try:
+            (count,) = struct.unpack(">I", payload[:4])
+            strings = payload[4:].split(b"\x00")
+            for i in range(count):
+                if 2 * i + 1 >= len(strings):
+                    break
+                key = strings[2 * i].decode("utf-8", "replace")
+                val = strings[2 * i + 1].decode("utf-8", "replace")
+                rev.tags.append(RawTag(key, val, self._INFO_KEYS.get(key.lower())))
+        except struct.error:
+            pass
+
+    # -- FormatReader ------------------------------------------------------
+
+    def tracks(self) -> List[Track]:
+        return [self._track]
+
+    def next_packet(self) -> Optional[Packet]:
+        if self._cursor >= len(self._pkt_sizes):
+            return None
+        i = self._cursor
+        self._cursor += 1
+        off = self._data_start + int(self._pkt_offsets[i])
+        size = int(self._pkt_sizes[i])
+        self.mss.seek(off)
+        data = self.mss.read_bytes(size)
+        fpp = self._fpp or 0
+        return Packet(track_id=0, ts=i * fpp, dur=fpp, data=data)
+
+    def seek(self, mode: str, to: SeekTo) -> SeekedTo:
+        if to.ts is not None:
+            ts = to.ts
+        elif to.time is not None:
+            ts = self._track.time_base.calc_timestamp(to.time)
+        else:
+            raise SeekError("no seek target")
+        fpp = self._fpp or 1
+        i = max(0, min(len(self._pkt_sizes) - 1, ts // fpp))
+        self._cursor = int(i)
+        return SeekedTo(0, ts, int(i) * fpp)
+
+    def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
+        n = len(self._pkt_sizes)
+        fpp = self._fpp or 0
+        idx = np.arange(n, dtype=np.int64)
+        return PacketTable(
+            track_id=0,
+            offsets=self._data_start + self._pkt_offsets,
+            sizes=self._pkt_sizes.copy(),
+            ts=idx * fpp,
+            dur=np.full(n, fpp, dtype=np.int64),
+            trim_start=np.zeros(n, dtype=np.int32),
+            trim_end=np.zeros(n, dtype=np.int32),
+        )
+
+
+def _score(context: bytes) -> int:
+    return 255 if context.startswith(CAF_MARKER) else 0
+
+
+DESCRIPTOR = Descriptor(
+    name="caf",
+    markers=[CAF_MARKER],
+    factory=CafReader,
+    score=_score,
+)

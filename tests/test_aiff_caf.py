@@ -1,0 +1,150 @@
+"""AIFF and CAF demux tests using self-built containers + the stdlib aifc
+module as an independent AIFF writer."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+import symphonia_tpu as sym
+from symphonia_tpu.core.io import MediaSourceStream
+from symphonia_tpu.formats.aiff import AiffReader, parse_extended_f80
+from symphonia_tpu.formats.caf import CafReader
+
+
+def decode_all(data: bytes):
+    probed = sym.get_probe().probe(MediaSourceStream(data))
+    fmt = probed.format
+    track = fmt.default_track()
+    dec = sym.get_codecs().make_audio_decoder(track.codec_params)
+    outs = []
+    while True:
+        pkt = fmt.next_packet()
+        if pkt is None:
+            break
+        outs.append(dec.decode(pkt).planes().copy())
+    return np.concatenate(outs, axis=1), track, fmt
+
+
+def pack_f80(rate: float) -> bytes:
+    import math
+
+    if rate == 0:
+        return b"\x00" * 10
+    exp = int(math.floor(math.log2(rate)))
+    mantissa = int(rate / 2.0**exp * (1 << 63))
+    return struct.pack(">H", exp + 16383) + mantissa.to_bytes(8, "big")
+
+
+def make_aiff(frames: np.ndarray, rate=44100, bits=16, aifc=False, comp=b"NONE"):
+    n, ch = frames.shape
+    if comp == b"sowt":
+        payload = frames.astype("<i2").tobytes()
+    elif bits == 16:
+        payload = frames.astype(">i2").tobytes()
+    elif bits == 8:
+        payload = frames.astype(np.int8).tobytes()
+    elif bits == 24:
+        b = frames.astype(">i4").tobytes()
+        payload = b"".join(b[i + 1 : i + 4] for i in range(0, len(b), 4))
+    comm = struct.pack(">HIH", ch, n, bits) + pack_f80(rate)
+    if aifc:
+        comm += comp + b"\x00\x00"  # empty pascal string, padded
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    ssnd = struct.pack(">II", 0, 0) + payload
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    form_type = b"AIFC" if aifc else b"AIFF"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + chunks
+
+
+class TestAiff:
+    def test_s16_stereo(self):
+        rng = np.random.default_rng(0)
+        frames = rng.integers(-32768, 32767, size=(3000, 2), dtype=np.int32)
+        out, track, _ = decode_all(make_aiff(frames))
+        assert track.codec_params.codec == "pcm_s16be"
+        assert track.codec_params.sample_rate == 44100
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_s24(self):
+        rng = np.random.default_rng(1)
+        frames = rng.integers(-(1 << 23), (1 << 23) - 1, size=(500, 1), dtype=np.int32)
+        out, track, _ = decode_all(make_aiff(frames, bits=24))
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_aifc_sowt(self):
+        rng = np.random.default_rng(2)
+        frames = rng.integers(-32768, 32767, size=(400, 2), dtype=np.int32)
+        out, track, _ = decode_all(make_aiff(frames, aifc=True, comp=b"sowt"))
+        assert track.codec_params.codec == "pcm_s16le"
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_vs_stdlib_aifc_writer(self):
+        aifc_mod = pytest.importorskip("aifc")
+        buf = io.BytesIO()
+        w = aifc_mod.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        rng = np.random.default_rng(3)
+        pcm = rng.integers(-32768, 32767, size=(1000, 2), dtype=np.int32).astype(">i2")
+        w.writeframes(pcm.tobytes())
+        w.close()
+        out, track, _ = decode_all(buf.getvalue())
+        assert track.codec_params.sample_rate == 8000
+        np.testing.assert_array_equal(out, pcm.astype(np.int32).T)
+
+    def test_f80(self):
+        for rate in [8000, 22050, 44100, 48000, 96000]:
+            assert round(parse_extended_f80(pack_f80(rate))) == rate
+
+    def test_seek(self):
+        frames = np.arange(8000, dtype=np.int32).reshape(-1, 2)
+        data = make_aiff(frames, rate=4000)
+        r = AiffReader(MediaSourceStream(data))
+        seeked = r.seek("accurate", sym.SeekTo(ts=1000))
+        pkt = r.next_packet()
+        assert pkt.ts == seeked.actual_ts
+
+
+def make_caf(frames: np.ndarray, rate=44100, fmt=b"lpcm", flags=0x2, bits=16):
+    n, ch = frames.shape
+    if flags & 0x2:
+        payload = frames.astype("<i2").tobytes()
+    else:
+        payload = frames.astype(">i2").tobytes()
+    bpp = ch * bits // 8
+    desc = struct.pack(">d", float(rate)) + fmt + struct.pack(
+        ">IIIII", flags, bpp, 1, ch, bits
+    )
+    out = b"caff" + struct.pack(">HH", 1, 0)
+    out += b"desc" + struct.pack(">q", len(desc)) + desc
+    data = struct.pack(">I", 0) + payload
+    out += b"data" + struct.pack(">q", len(data)) + data
+    return out
+
+
+class TestCaf:
+    def test_lpcm_le(self):
+        rng = np.random.default_rng(4)
+        frames = rng.integers(-32768, 32767, size=(2000, 2), dtype=np.int32)
+        out, track, _ = decode_all(make_caf(frames))
+        assert track.codec_params.codec == "pcm_s16le"
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_lpcm_be(self):
+        rng = np.random.default_rng(5)
+        frames = rng.integers(-32768, 32767, size=(777, 1), dtype=np.int32)
+        out, track, _ = decode_all(make_caf(frames, flags=0))
+        assert track.codec_params.codec == "pcm_s16be"
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_packet_table(self):
+        rng = np.random.default_rng(6)
+        frames = rng.integers(-32768, 32767, size=(100, 2), dtype=np.int32)
+        r = CafReader(MediaSourceStream(make_caf(frames)))
+        table = r.packet_table()
+        assert table.sizes.sum() == 100 * 4
