@@ -84,7 +84,12 @@ class TestAiff:
 
     def test_vs_stdlib_aifc_writer(self):
         aifc_mod = pytest.importorskip("aifc")
-        buf = io.BytesIO()
+
+        class KeepOpen(io.BytesIO):
+            def close(self):  # aifc closes the file; keep the buffer
+                pass
+
+        buf = KeepOpen()
         w = aifc_mod.open(buf, "wb")
         w.setnchannels(2)
         w.setsampwidth(2)
