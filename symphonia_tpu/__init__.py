@@ -139,6 +139,7 @@ def _register_enabled_formats(probe: Probe) -> None:
         from .metadata import ape as ape_meta
 
         probe.register(ape_meta.DESCRIPTOR)
+        probe.register(ape_meta.DESCRIPTOR_BEFORE_ID3V1)
     except ImportError:
         pass
 

@@ -121,6 +121,9 @@ class Probe:
             candidates = self._prefix2.get(window[:2], ())
             best: Optional[Tuple[int, Descriptor]] = None
             for desc in sorted(candidates, key=lambda d: d.tier):
+                if desc.trailing_anchor is not None:
+                    continue  # end-anchored readers never match leading
+
                 if not any(window.startswith(m[: len(window)]) for m in desc.markers):
                     continue
                 score = 255

@@ -1,0 +1,245 @@
+"""ID3v2.2/2.3/2.4 metadata reader.
+
+Analog of symphonia-metadata/src/id3v2/ (id3v2/mod.rs:703: header/extended
+header/unsynchronisation (unsync.rs), frames.rs + frames/readers.rs frame
+parsing incl. TXXX/COMM/APIC/USLT/POPM/CHAP, v2.2 3-char frame ids).
+Registered as a probeable metadata reader so leading ID3v2 tags are consumed
+before container probing (probe.rs:475).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+from ..core.errors import DecodeError
+from ..core.meta import (
+    Chapter,
+    MetadataOptions,
+    MetadataReader,
+    MetadataRevision,
+    RawTag,
+    StandardTagKey as K,
+    Visual,
+)
+from ..core.probe import Descriptor
+
+ID3V2_MARKER = b"ID3"
+
+# v2.3/2.4 four-char frame id -> standard key (frames.rs readers map).
+FRAME_MAP_V34 = {
+    "TALB": K.ALBUM, "TBPM": K.BPM, "TCOM": K.COMPOSER, "TCON": K.GENRE,
+    "TCOP": K.COPYRIGHT, "TDAT": K.DATE, "TDEN": K.ENCODED_BY,
+    "TDOR": K.ORIGINAL_DATE, "TDRC": K.DATE, "TDRL": K.RELEASE_DATE,
+    "TENC": K.ENCODED_BY, "TEXT": K.LYRICIST, "TIT1": K.GROUPING,
+    "TIT2": K.TRACK_TITLE, "TIT3": K.DESCRIPTION, "TLAN": K.LANGUAGE,
+    "TMOO": K.MOOD, "TOPE": K.ORIGINAL_ARTIST, "TPE1": K.ARTIST,
+    "TPE2": K.ALBUM_ARTIST, "TPE3": K.CONDUCTOR, "TPE4": K.REMIXER,
+    "TPOS": K.DISC_NUMBER, "TPUB": K.LABEL, "TRCK": K.TRACK_NUMBER,
+    "TSOA": K.SORT_ALBUM, "TSOP": K.SORT_ARTIST, "TSOT": K.SORT_TRACK_TITLE,
+    "TSRC": K.IDENT_ISRC, "TSSE": K.ENCODER_SETTINGS, "TYER": K.DATE,
+    "TSO2": K.SORT_ALBUM_ARTIST, "TSOC": K.SORT_COMPOSER,
+    "TOAL": K.ALBUM, "TORY": K.ORIGINAL_DATE, "TOLY": K.LYRICIST,
+    "TMED": K.MEDIA_FORMAT, "TOWN": K.OWNER, "TRDA": K.DATE,
+}
+
+# v2.2 three-char frame id -> v2.3 equivalent.
+FRAME_MAP_V2 = {
+    "TAL": "TALB", "TBP": "TBPM", "TCM": "TCOM", "TCO": "TCON",
+    "TCR": "TCOP", "TDA": "TDAT", "TEN": "TENC", "TT1": "TIT1",
+    "TT2": "TIT2", "TT3": "TIT3", "TLA": "TLAN", "TOA": "TOPE",
+    "TP1": "TPE1", "TP2": "TPE2", "TP3": "TPE3", "TP4": "TPE4",
+    "TPA": "TPOS", "TPB": "TPUB", "TRK": "TRCK", "TYE": "TYER",
+    "TXT": "TEXT", "TSS": "TSSE", "TOT": "TOAL", "TOR": "TORY",
+    "COM": "COMM", "PIC": "APIC", "ULT": "USLT", "TXX": "TXXX",
+    "POP": "POPM",
+}
+
+
+def read_syncsafe_u32(data: bytes, pos: int) -> int:
+    """28-bit syncsafe integer (id3v2/mod.rs header size coding)."""
+    b = data[pos : pos + 4]
+    if any(x & 0x80 for x in b):
+        raise DecodeError("invalid syncsafe integer")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def unsynchronise(data: bytes) -> bytes:
+    """Reverse unsynchronisation: FF 00 -> FF (unsync.rs:210)."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
+def decode_text(encoding: int, data: bytes) -> str:
+    try:
+        if encoding == 0:
+            return data.decode("latin-1")
+        if encoding == 1:
+            return data.decode("utf-16")
+        if encoding == 2:
+            return data.decode("utf-16-be")
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data.decode("latin-1", "replace")
+
+
+def split_terminated(encoding: int, data: bytes) -> Tuple[bytes, bytes]:
+    """Split at the encoding-appropriate null terminator."""
+    if encoding in (1, 2):
+        for i in range(0, len(data) - 1, 2):
+            if data[i] == 0 and data[i + 1] == 0:
+                return data[:i], data[i + 2 :]
+        return data, b""
+    i = data.find(b"\x00")
+    if i < 0:
+        return data, b""
+    return data[:i], data[i + 1 :]
+
+
+def _parse_genre(text: str) -> str:
+    """Resolve '(NN)' genre references via the ID3v1 genre list."""
+    from .id3v1 import GENRES
+
+    t = text.strip()
+    if t.startswith("(") and ")" in t:
+        try:
+            n = int(t[1 : t.index(")")])
+            if n < len(GENRES):
+                return GENRES[n]
+        except ValueError:
+            pass
+    if t.isdigit() and int(t) < len(GENRES):
+        return GENRES[int(t)]
+    return text
+
+
+class Id3v2Reader(MetadataReader):
+    """ID3v2 tag reader (id3v2/mod.rs)."""
+
+    def read_all(self, reader) -> Optional[MetadataRevision]:
+        header = reader.read_bytes(10)
+        if header[:3] != ID3V2_MARKER:
+            raise DecodeError("not an ID3v2 tag")
+        major, _minor = header[3], header[4]
+        flags = header[5]
+        size = read_syncsafe_u32(header, 6)
+        if major not in (2, 3, 4):
+            reader.ignore_bytes(size)
+            return None
+        body = reader.read_bytes(size)
+        if flags & 0x10:  # footer present (v2.4)
+            reader.ignore_bytes(10)
+
+        whole_unsync = bool(flags & 0x80) and major <= 3
+        if whole_unsync:
+            body = unsynchronise(body)
+
+        pos = 0
+        # Extended header.
+        if flags & 0x40:
+            if major == 3:
+                ext = struct.unpack(">I", body[0:4])[0]
+                pos = 4 + ext
+            else:
+                pos = read_syncsafe_u32(body, 0)
+
+        rev = MetadataRevision()
+        while pos + (6 if major == 2 else 10) <= len(body):
+            if major == 2:
+                fid = body[pos : pos + 3]
+                if fid == b"\x00\x00\x00":
+                    break
+                fsize = int.from_bytes(body[pos + 3 : pos + 6], "big")
+                fflags = 0
+                pos += 6
+            else:
+                fid = body[pos : pos + 4]
+                if fid == b"\x00\x00\x00\x00":
+                    break
+                if major == 4:
+                    fsize = read_syncsafe_u32(body, pos + 4)
+                else:
+                    fsize = struct.unpack(">I", body[pos + 4 : pos + 8])[0]
+                fflags = struct.unpack(">H", body[pos + 8 : pos + 10])[0]
+                pos += 10
+            payload = body[pos : pos + fsize]
+            pos += fsize
+            if major == 4 and fflags & 0x2:  # per-frame unsync
+                payload = unsynchronise(payload)
+            try:
+                self._parse_frame(
+                    fid.decode("latin-1"), payload, major, rev
+                )
+            except (DecodeError, IndexError, struct.error, UnicodeError):
+                continue
+        return rev
+
+    def _parse_frame(self, fid: str, payload: bytes, major: int, rev: MetadataRevision) -> None:
+        if major == 2:
+            fid = FRAME_MAP_V2.get(fid, fid)
+        if not payload:
+            return
+        if fid == "TXXX":
+            enc = payload[0]
+            desc, rest = split_terminated(enc, payload[1:])
+            rev.tags.append(
+                RawTag("TXXX:" + decode_text(enc, desc), decode_text(enc, rest))
+            )
+        elif fid.startswith("T"):
+            enc = payload[0]
+            # v2.4 allows multiple null-separated values; join with '/'.
+            text = decode_text(enc, payload[1:]).rstrip("\x00")
+            text = "/".join(v for v in text.split("\x00") if v) or text
+            if fid == "TCON":
+                text = _parse_genre(text)
+            std = FRAME_MAP_V34.get(fid)
+            if fid == "TRCK" and "/" in text:
+                num, _, total = text.partition("/")
+                rev.tags.append(RawTag(fid, num, K.TRACK_NUMBER))
+                rev.tags.append(RawTag(fid, total, K.TRACK_TOTAL))
+            elif fid == "TPOS" and "/" in text:
+                num, _, total = text.partition("/")
+                rev.tags.append(RawTag(fid, num, K.DISC_NUMBER))
+                rev.tags.append(RawTag(fid, total, K.DISC_TOTAL))
+            else:
+                rev.tags.append(RawTag(fid, text, std))
+        elif fid == "COMM" or fid == "USLT":
+            enc = payload[0]
+            _lang = payload[1:4]
+            desc, rest = split_terminated(enc, payload[4:])
+            std = K.COMMENT if fid == "COMM" else K.LYRICS
+            rev.tags.append(RawTag(fid, decode_text(enc, rest), std))
+        elif fid == "APIC":
+            enc = payload[0]
+            if major == 2:
+                mime = payload[1:4].decode("latin-1")
+                pic_type = payload[4]
+                desc, data = split_terminated(enc, payload[5:])
+            else:
+                mime_b, rest = split_terminated(0, payload[1:])
+                mime = mime_b.decode("latin-1")
+                pic_type = rest[0]
+                desc, data = split_terminated(enc, rest[1:])
+            usage = {3: "front_cover", 4: "back_cover"}.get(pic_type)
+            rev.visuals.append(
+                Visual(media_type=mime or None, data=data, usage=usage)
+            )
+        elif fid == "POPM":
+            email, rest = split_terminated(0, payload)
+            if rest:
+                rev.tags.append(RawTag("POPM", str(rest[0]), K.RATING))
+        elif fid == "WXXX":
+            enc = payload[0]
+            desc, rest = split_terminated(enc, payload[1:])
+            rev.tags.append(RawTag("WXXX", rest.decode("latin-1", "replace"), K.URL))
+        elif fid.startswith("W"):
+            rev.tags.append(RawTag(fid, payload.split(b"\x00")[0].decode("latin-1", "replace"), K.URL))
+        else:
+            rev.tags.append(RawTag(fid, payload))
+
+
+DESCRIPTOR = Descriptor(
+    name="id3v2",
+    markers=[ID3V2_MARKER],
+    factory=Id3v2Reader,
+    is_metadata=True,
+)
