@@ -1,0 +1,520 @@
+"""OGG demuxer.
+
+Analog of symphonia-format-ogg (``OggReader``, demuxer.rs:34): CRC32-checked
+page parsing (page.rs:144-331), physical->logical stream demux by serial
+with packet reassembly across pages (logical.rs:50-620), codec *mappers*
+that identify id-packets and assign packet durations — Vorbis
+(mappings/vorbis.rs), FLAC (mappings/flac.rs), Opus (mappings/opus.rs) —
+granule-position timestamping, and seek over the packet table.
+
+Batch-first: the stream is scanned once into a page/packet table
+(numpy-accelerated capture-pattern search) that serves next_packet,
+packet_table, and bisection-free accurate seek.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.audio import Channels
+from ..core.checksum import crc32_buf
+from ..core.codecs import (
+    CODEC_ID_FLAC,
+    CODEC_ID_OPUS,
+    CODEC_ID_VORBIS,
+    AudioCodecParameters,
+    VerificationCheck,
+)
+from ..core.errors import DecodeError, ResetRequired, SeekError, Unsupported
+from ..core.formats import (
+    FormatOptions,
+    FormatReader,
+    PacketTable,
+    SeekMode,
+    SeekTo,
+    SeekedTo,
+    Track,
+)
+from ..core.meta import MetadataLog, MetadataRevision
+from ..core.packet import Packet
+from ..core.probe import Descriptor
+from ..core.units import TimeBase
+from ..metadata.vorbis import parse_vorbis_comment
+
+OGG_MARKER = b"OggS"
+
+
+@dataclass
+class OggPage:
+    header_type: int
+    granule: int
+    serial: int
+    seq: int
+    packets: List[bytes]  # complete packet segments on this page
+    partial: Optional[bytes]  # unterminated trailing data
+    continued: bool  # first segment continues a previous packet
+
+
+def parse_page(buf: bytes, pos: int, check_crc: bool = True) -> Tuple[OggPage, int]:
+    """Parse one page at ``pos``; returns (page, next_pos) (page.rs:169)."""
+    hdr = buf[pos : pos + 27]
+    if len(hdr) < 27 or hdr[:4] != OGG_MARKER or hdr[4] != 0:
+        raise DecodeError("invalid OGG page header")
+    header_type = hdr[5]
+    granule = int.from_bytes(hdr[6:14], "little", signed=True)
+    serial, seq, crc = struct.unpack("<III", hdr[14:26])
+    n_segs = hdr[26]
+    seg_table = buf[pos + 27 : pos + 27 + n_segs]
+    if len(seg_table) < n_segs:
+        raise DecodeError("truncated page")
+    body_len = int(sum(seg_table))
+    body_start = pos + 27 + n_segs
+    body = buf[body_start : body_start + body_len]
+    if len(body) < body_len:
+        raise DecodeError("truncated page body")
+    if check_crc:
+        zeroed = bytearray(buf[pos : body_start + body_len])
+        zeroed[22:26] = b"\x00\x00\x00\x00"
+        if crc32_buf(bytes(zeroed)) != crc:
+            raise DecodeError("OGG page CRC mismatch")
+
+    packets: List[bytes] = []
+    partial: Optional[bytes] = None
+    cur = bytearray()
+    off = 0
+    for lace in seg_table:
+        cur += body[off : off + lace]
+        off += lace
+        if lace < 255:
+            packets.append(bytes(cur))
+            cur = bytearray()
+    if cur:
+        partial = bytes(cur)
+    return (
+        OggPage(header_type, granule, serial, seq, packets, partial,
+                bool(header_type & 0x01)),
+        body_start + body_len,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Codec mappers (mappings/*.rs)
+# ---------------------------------------------------------------------------
+
+
+class Mapper:
+    codec: str = "null"
+    sample_rate: int = 0
+
+    def absorb_header(self, packet: bytes, meta: MetadataLog) -> bool:
+        """Consume a header packet; True while more headers expected."""
+        raise NotImplementedError
+
+    def packet_dur(self, packet: bytes) -> int:
+        raise NotImplementedError
+
+    def codec_params(self) -> AudioCodecParameters:
+        raise NotImplementedError
+
+    def reset(self) -> None:
+        pass
+
+
+class VorbisMapper(Mapper):
+    """mappings/vorbis.rs: duration from mode block sizes."""
+
+    codec = CODEC_ID_VORBIS
+
+    def __init__(self, id_packet: bytes):
+        from ..codecs.vorbis_setup import read_ident_header
+
+        self.ident = read_ident_header(id_packet)
+        self.sample_rate = self.ident.sample_rate
+        self._id = id_packet
+        self._comment: Optional[bytes] = None
+        self._setup: Optional[bytes] = None
+        self._mode_flags: Optional[List[bool]] = None
+        self._prev_bs: Optional[int] = None
+
+    def absorb_header(self, packet: bytes, meta: MetadataLog) -> bool:
+        if packet[:7] == b"\x03vorbis":
+            rev = parse_vorbis_comment(packet[7:])
+            meta.push(rev)
+            return True
+        if packet[:7] == b"\x05vorbis":
+            from ..codecs.vorbis_setup import read_setup_header
+
+            self._setup = packet
+            setup = read_setup_header(packet, self.ident)
+            self._mode_flags = [m.block_flag for m in setup.modes]
+            return False  # headers complete
+        return True
+
+    def packet_dur(self, packet: bytes) -> int:
+        if not packet or packet[0] & 1 or self._mode_flags is None:
+            return 0
+        from ..codecs.vorbis_setup import ilog
+
+        n_modes = len(self._mode_flags)
+        bits = ilog(n_modes - 1)
+        mode = (packet[0] >> 1) & ((1 << bits) - 1) if bits else 0
+        if mode >= n_modes:
+            return 0
+        bs = (1 << self.ident.bs1_exp) if self._mode_flags[mode] else (1 << self.ident.bs0_exp)
+        if self._prev_bs is None:
+            dur = 0
+        else:
+            dur = (self._prev_bs + bs) // 4
+        self._prev_bs = bs
+        return dur
+
+    def codec_params(self) -> AudioCodecParameters:
+        extra = bytearray([2])
+        for p in (self._id, b"\x03vorbis\x00\x00\x00\x00\x00\x01"):
+            n = len(p)
+            while n >= 255:
+                extra.append(255)
+                n -= 255
+            extra.append(n)
+        extra += self._id
+        extra += b"\x03vorbis\x00\x00\x00\x00\x00\x01"
+        extra += self._setup or b""
+        return AudioCodecParameters(
+            codec=self.codec,
+            sample_rate=self.ident.sample_rate,
+            channels=Channels.from_count(self.ident.n_channels),
+            extra_data=bytes(extra),
+        )
+
+    def reset(self) -> None:
+        self._prev_bs = None
+
+
+class FlacMapper(Mapper):
+    """mappings/flac.rs: OGG-encapsulated FLAC."""
+
+    codec = CODEC_ID_FLAC
+
+    def __init__(self, id_packet: bytes):
+        from ..common.flac import StreamInfo
+
+        # 0x7F 'FLAC' major minor nhdr(2) 'fLaC' block_header(4) STREAMINFO
+        if id_packet[9:13] != b"fLaC":
+            raise DecodeError("invalid OGG FLAC id packet")
+        self.stream_info = StreamInfo.parse(id_packet[17:])
+        self._si_payload = id_packet[17 : 17 + 34]
+        self.sample_rate = self.stream_info.sample_rate
+
+    def absorb_header(self, packet: bytes, meta: MetadataLog) -> bool:
+        btype = packet[0] & 0x7F
+        last = bool(packet[0] & 0x80)
+        if btype == 4:
+            meta.push(parse_vorbis_comment(packet[4:]))
+        return not last
+
+    def packet_dur(self, packet: bytes) -> int:
+        from ..common.flac import parse_frame_header
+
+        try:
+            return parse_frame_header(packet, self.stream_info).block_size
+        except DecodeError:
+            return 0
+
+    def codec_params(self) -> AudioCodecParameters:
+        si = self.stream_info
+        return AudioCodecParameters(
+            codec=self.codec,
+            sample_rate=si.sample_rate,
+            bits_per_sample=si.bits_per_sample,
+            channels=Channels.from_count(si.channels),
+            extra_data=self._si_payload,
+            verification_check=VerificationCheck("md5", si.md5)
+            if si.md5 != b"\x00" * 16
+            else None,
+        )
+
+
+# Opus TOC config -> frame duration in 48 kHz samples (RFC 6716 §3.1).
+_OPUS_FRAME_SIZES = [
+    480, 960, 1920, 2880,  # SILK NB
+    480, 960, 1920, 2880,  # SILK MB
+    480, 960, 1920, 2880,  # SILK WB
+    480, 960,              # Hybrid SWB
+    480, 960,              # Hybrid FB
+    120, 240, 480, 960,    # CELT NB
+    120, 240, 480, 960,    # CELT WB
+    120, 240, 480, 960,    # CELT SWB
+    120, 240, 480, 960,    # CELT FB
+]
+
+
+class OpusMapper(Mapper):
+    """mappings/opus.rs: demux-only (no Opus decoder, matching the
+    reference's support level)."""
+
+    codec = CODEC_ID_OPUS
+    sample_rate = 48000
+
+    def __init__(self, id_packet: bytes):
+        if id_packet[:8] != b"OpusHead":
+            raise DecodeError("invalid OpusHead")
+        self.n_channels = id_packet[9]
+        self.pre_skip = int.from_bytes(id_packet[10:12], "little")
+        self._id = id_packet
+
+    def absorb_header(self, packet: bytes, meta: MetadataLog) -> bool:
+        if packet[:8] == b"OpusTags":
+            meta.push(parse_vorbis_comment(packet[8:]))
+        return False
+
+    def packet_dur(self, packet: bytes) -> int:
+        if not packet:
+            return 0
+        toc = packet[0]
+        config = toc >> 3
+        count_code = toc & 0x3
+        frame = _OPUS_FRAME_SIZES[config]
+        if count_code == 0:
+            n = 1
+        elif count_code in (1, 2):
+            n = 2
+        else:
+            n = packet[1] & 0x3F if len(packet) > 1 else 1
+        return frame * n
+
+    def codec_params(self) -> AudioCodecParameters:
+        return AudioCodecParameters(
+            codec=self.codec,
+            sample_rate=48000,
+            channels=Channels.from_count(self.n_channels),
+            extra_data=self._id,
+        )
+
+
+def make_mapper(id_packet: bytes) -> Optional[Mapper]:
+    if id_packet[:7] == b"\x01vorbis":
+        return VorbisMapper(id_packet)
+    if id_packet[:5] == b"\x7fFLAC":
+        return FlacMapper(id_packet)
+    if id_packet[:8] == b"OpusHead":
+        return OpusMapper(id_packet)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _PacketEntry:
+    data: bytes
+    ts: int
+    dur: int
+    trim_start: int = 0
+    trim_end: int = 0
+
+
+class OggReader(FormatReader):
+    """OGG format reader (ogg demuxer.rs:34). A chained physical stream
+    raises ResetRequired at the boundary (demuxer.rs:305)."""
+
+    def __init__(self, mss, options: Optional[FormatOptions] = None):
+        super().__init__(mss, options)
+        self._metadata = MetadataLog()
+        start_pos = mss.pos()
+        chunks = []
+        while True:
+            b = mss.read_upto(1 << 22)
+            if not b:
+                break
+            chunks.append(b)
+        buf = b"".join(chunks)
+        if not buf.startswith(OGG_MARKER):
+            raise Unsupported("missing OggS capture pattern")
+
+        # Scan pages.
+        pages: List[OggPage] = []
+        a = np.frombuffer(buf, dtype=np.uint8)
+        pos = 0
+        n = len(buf)
+        while pos + 27 <= n:
+            if buf[pos : pos + 4] != OGG_MARKER:
+                # Resync: vectorized capture-pattern search.
+                cand = np.nonzero(
+                    (a[pos:-3] == 0x4F) & (a[pos + 1 : -2] == 0x67)
+                    & (a[pos + 2 : -1] == 0x67) & (a[pos + 3 :] == 0x53)
+                )[0]
+                if len(cand) == 0:
+                    break
+                pos += int(cand[0])
+            try:
+                page, pos = parse_page(buf, pos)
+            except DecodeError:
+                pos += 1
+                continue
+            pages.append(page)
+
+        # Assemble logical streams (first physical stream only; a following
+        # chained stream triggers ResetRequired during playback).
+        streams: Dict[int, dict] = {}
+        bos_order: List[int] = []
+        end_of_physical = None
+        for pi, page in enumerate(pages):
+            if page.header_type & 0x02:  # BOS
+                if page.serial in streams:
+                    continue
+                if streams and all(s.get("eos") for s in streams.values()):
+                    end_of_physical = pi
+                    break
+                streams[page.serial] = {
+                    "packets": [], "pending": b"", "mapper": None,
+                    "headers_done": False, "page_granules": [], "eos": False,
+                }
+                bos_order.append(page.serial)
+            st = streams.get(page.serial)
+            if st is None or st["eos"]:
+                continue
+            pkts = list(page.packets)
+            if page.continued and st["pending"]:
+                if pkts:
+                    pkts[0] = st["pending"] + pkts[0]
+                    st["pending"] = b""
+                elif page.partial is not None:
+                    st["pending"] += page.partial
+                    continue
+            elif page.continued:
+                # continuation without pending data: drop partial head
+                if pkts:
+                    pkts = pkts[1:]
+            for p in pkts:
+                if st["mapper"] is None:
+                    st["mapper"] = make_mapper(p)
+                    st["n_header_pkts"] = 1
+                    continue
+                if not st["headers_done"] and st["mapper"] is not None:
+                    more = st["mapper"].absorb_header(p, self._metadata)
+                    if not more:
+                        st["headers_done"] = True
+                    continue
+                st["packets"].append([p, pi])
+            if page.partial is not None:
+                st["pending"] += page.partial
+            if page.granule >= 0 and not (page.header_type & 0x02):
+                st["page_granules"].append((len(st["packets"]), page.granule))
+            if page.header_type & 0x04:
+                st["eos"] = True
+
+        # Pick the default audio stream.
+        self._stream = None
+        for serial in bos_order:
+            st = streams[serial]
+            if st["mapper"] is not None:
+                self._stream = st
+                self._serial = serial
+                break
+        if self._stream is None:
+            raise Unsupported("no mappable codec in OGG stream")
+
+        mapper: Mapper = self._stream["mapper"]
+        self.mapper = mapper
+
+        # Assign timestamps from durations, anchored to page granules.
+        entries: List[_PacketEntry] = []
+        ts = 0
+        for p, pi in self._stream["packets"]:
+            dur = mapper.packet_dur(p)
+            entries.append(_PacketEntry(p, ts, dur))
+            ts += dur
+        total = ts
+        granules = self._stream["page_granules"]
+        if granules:
+            last_count, last_granule = granules[-1]
+            # Trailing partial-block trim (end granule < decoded length).
+            if last_count == len(entries) and 0 < last_granule < total:
+                trim = total - last_granule
+                for e in reversed(entries):
+                    t = min(trim, e.dur)
+                    e.trim_end += t
+                    e.dur -= t
+                    trim -= t
+                    if trim <= 0:
+                        break
+                # re-run timestamps
+                ts = 0
+                for e in entries:
+                    e.ts = ts
+                    ts += e.dur
+                total = ts
+        self._entries = entries
+        self._cursor = 0
+        self._total = total
+
+        params = mapper.codec_params()
+        self._track = Track(
+            id=0,
+            codec_params=params,
+            time_base=TimeBase(1, mapper.sample_rate),
+            num_frames=total,
+        )
+
+    # -- FormatReader ------------------------------------------------------
+
+    def tracks(self) -> List[Track]:
+        return [self._track]
+
+    def next_packet(self) -> Optional[Packet]:
+        if self._cursor >= len(self._entries):
+            return None
+        e = self._entries[self._cursor]
+        self._cursor += 1
+        return Packet(track_id=0, ts=e.ts, dur=e.dur, data=e.data,
+                      trim_start=e.trim_start, trim_end=e.trim_end)
+
+    def seek(self, mode: str, to: SeekTo) -> SeekedTo:
+        if to.ts is not None:
+            ts = to.ts
+        elif to.time is not None:
+            ts = self._track.time_base.calc_timestamp(to.time)
+        else:
+            raise SeekError("no seek target")
+        keys = [e.ts for e in self._entries]
+        import bisect
+
+        i = max(0, bisect.bisect_right(keys, ts) - 1)
+        # Back up one packet so the decoder regains its overlap state.
+        if mode == SeekMode.ACCURATE:
+            i = max(0, i - 1)
+        self._cursor = i
+        self.mapper.reset()
+        return SeekedTo(0, ts, self._entries[i].ts if self._entries else 0)
+
+    def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
+        es = self._entries
+        n = len(es)
+        return PacketTable(
+            track_id=0,
+            offsets=np.full(n, -1, dtype=np.int64),
+            sizes=np.asarray([len(e.data) for e in es], dtype=np.int64),
+            ts=np.asarray([e.ts for e in es], dtype=np.int64),
+            dur=np.asarray([e.dur for e in es], dtype=np.int64),
+            trim_start=np.asarray([e.trim_start for e in es], dtype=np.int32),
+            trim_end=np.asarray([e.trim_end for e in es], dtype=np.int32),
+            data=[e.data for e in es],
+        )
+
+
+def _score(context: bytes) -> int:
+    return 255 if context.startswith(OGG_MARKER) else 0
+
+
+DESCRIPTOR = Descriptor(
+    name="ogg",
+    markers=[OGG_MARKER],
+    factory=OggReader,
+    score=_score,
+)

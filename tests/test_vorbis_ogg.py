@@ -1,0 +1,160 @@
+"""OGG demux + Vorbis decode tests: differential vs SDL (stb_vorbis), page
+parsing, mapper behavior, metadata, and seek."""
+
+import os
+
+import numpy as np
+import pytest
+
+import symphonia_tpu as sym
+from symphonia_tpu.codecs.vorbis import VorbisDecoder, floor1_synthesis, _render_point
+from symphonia_tpu.codecs.vorbis_setup import float32_unpack, ilog, lookup1_values
+from symphonia_tpu.core.io import MediaSourceStream
+from symphonia_tpu.formats.ogg import OggReader, parse_page
+
+HOUSE_OGG = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+
+
+def our_decode(data: bytes):
+    r = OggReader(MediaSourceStream(data))
+    track = r.default_track()
+    dec = VorbisDecoder(track.codec_params)
+    outs = []
+    while True:
+        p = r.next_packet()
+        if p is None:
+            break
+        buf = dec.decode(p)
+        if len(buf):
+            outs.append(buf.planes().copy())
+    return np.concatenate(outs, axis=1), r, track
+
+
+def sdl_decode(path: str, rate: int, channels: int):
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    import pygame
+
+    pygame.mixer.quit()
+    pygame.mixer.init(frequency=rate, size=-16, channels=channels)
+    raw = np.frombuffer(pygame.mixer.Sound(path).get_raw(), dtype=np.int16)
+    return (raw.astype(np.float32) / 32768.0).reshape(-1, channels).T
+
+
+class TestVorbisEndToEnd:
+    def test_house_lo_vs_reference(self):
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        ours, r, track = our_decode(data)
+        assert track.codec_params.codec == "vorbis"
+        ref = sdl_decode(HOUSE_OGG, track.codec_params.sample_rate,
+                         track.codec_params.channels.count)
+        n = min(ours.shape[1], ref.shape[1])
+        assert n == track.num_frames  # sample-count parity incl. end trim
+        clipped = np.clip(ours[:, :n], -1.0, 32767.0 / 32768.0)
+        diff = np.abs(clipped - ref[:, :n])
+        assert diff.max() < 4.0 / 32768.0, diff.max()
+
+    def test_probe_finds_ogg(self):
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        assert isinstance(probed.format, OggReader)
+
+    def test_metadata_comment(self):
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        r = OggReader(MediaSourceStream(data))
+        rev = r.metadata().current()
+        assert rev is not None and rev.vendor is not None
+
+    def test_seek_and_redecode(self):
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        full, r, track = our_decode(data)
+        r2 = OggReader(MediaSourceStream(data))
+        dec = VorbisDecoder(track.codec_params)
+        seeked = r2.seek("accurate", sym.SeekTo(ts=30000))
+        dec.reset()
+        outs = []
+        ts0 = None
+        while True:
+            p = r2.next_packet()
+            if p is None:
+                break
+            buf = dec.decode(p)
+            if len(buf):
+                if ts0 is None:
+                    ts0 = p.ts
+                outs.append(buf.planes().copy())
+        got = np.concatenate(outs, axis=1)
+        ref = full[:, ts0 : ts0 + got.shape[1]]
+        np.testing.assert_allclose(got[:, : ref.shape[1]], ref, atol=1e-6)
+
+
+class TestOggPage:
+    def test_roundtrip_page(self):
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        page, nxt = parse_page(data, 0)
+        assert page.header_type & 0x02  # BOS
+        assert page.packets and page.packets[0][:7] == b"\x01vorbis"
+        # CRC corruption must be caught.
+        bad = bytearray(data[:nxt])
+        bad[-1] ^= 0xFF
+        from symphonia_tpu.core.errors import DecodeError
+
+        with pytest.raises(DecodeError):
+            parse_page(bytes(bad), 0)
+
+
+class TestVorbisPrimitives:
+    def test_ilog(self):
+        assert ilog(0) == 0
+        assert ilog(1) == 1
+        assert ilog(2) == 2
+        assert ilog(3) == 2
+        assert ilog(4) == 3
+        assert ilog(7) == 3
+
+    def test_float32_unpack(self):
+        # 1.0 = mantissa 1, exponent 788.
+        assert float32_unpack((788 << 21) | 1) == 1.0
+        assert float32_unpack((788 << 21) | 1 | 0x80000000) == -1.0
+        assert float32_unpack((787 << 21) | 2) == 1.0
+
+    def test_lookup1_values(self):
+        assert lookup1_values(8, 3) == 2  # 2^3 = 8
+        assert lookup1_values(26, 3) == 2
+        assert lookup1_values(27, 3) == 3
+        assert lookup1_values(16, 2) == 4
+
+    def test_render_point(self):
+        assert _render_point(0, 0, 10, 10, 5) == 5
+        assert _render_point(0, 10, 10, 0, 5) == 5
+        assert _render_point(0, 0, 4, 2, 1) == 0
+
+    def test_imdct_matrix_matches_analytic(self):
+        from symphonia_tpu.codecs.vorbis import imdct_matrix
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(16).astype(np.float32)
+        got = imdct_matrix(32) @ x
+        n_in, n_out = 16, 32
+        expect = np.array(
+            [
+                sum(
+                    x[j] * np.cos(np.pi / (2 * n_out) * (2 * i + 1 + n_in) * (2 * j + 1))
+                    for j in range(n_in)
+                )
+                for i in range(n_out)
+            ]
+        )
+        np.testing.assert_allclose(got, expect, atol=1e-4)
+
+    def test_window_shape(self):
+        from symphonia_tpu.codecs.vorbis import vorbis_window
+
+        w = vorbis_window(512)
+        assert len(w) == 256
+        # Princen-Bradley: w[i]^2 + w[len-1-i]^2 == 1 across the lap.
+        np.testing.assert_allclose(w**2 + w[::-1] ** 2, np.ones(256), atol=1e-6)

@@ -115,3 +115,14 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def gen_vorbis_tables() -> None:
+    """Extract the floor1 inverse-dB table (Vorbis I spec §10.1 data) into
+    symphonia_tpu/data/vorbis_tables.npz."""
+    src = Path("/root/reference/symphonia-codec-vorbis/src/floor.rs").read_text()
+    table = parse_array(src, "FLOOR1_INVERSE_DB_TABLE", dtype=np.float64)
+    assert table.shape == (256,)
+    dst = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "vorbis_tables.npz"
+    np.savez_compressed(dst, floor1_inverse_db=table.astype(np.float32))
+    print(f"wrote {dst}")
