@@ -1,0 +1,274 @@
+"""Minimal AAC-LC encoder for decoder tests.
+
+Emits conformant raw_data_blocks (SCE/CPE) using codebook 11 (escape pairs)
+for all coded bands, any window sequence with sine windows, uniform
+scalefactors, optional TNS headers. Wrapped in ADTS by ``build_adts``.
+Independent of the decoder implementation (uses only the spec code tables).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_T = dict(np.load(Path(__file__).resolve().parent.parent
+                  / "symphonia_tpu" / "data" / "aac_tables.npz"))
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: List[int] = []
+
+    def write(self, val: int, n: int) -> None:
+        assert 0 <= val < (1 << n) or n == 0, (val, n)
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def to_bytes(self) -> bytes:
+        bits = self.bits + [0] * ((-len(self.bits)) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+def write_esc_value(bw: BitWriter, v: int) -> None:
+    """Escape coding for |q| >= 16 in codebook 11."""
+    assert 16 <= v < 8192
+    n = v.bit_length() - 1  # v in [2^n, 2^(n+1))
+    pre = n - 4
+    bw.write((1 << pre) - 1, pre) if pre else None
+    bw.write(0, 1)
+    bw.write(v - (1 << n), n)
+
+
+def write_cb11_pair(bw: BitWriter, x: int, y: int) -> None:
+    ax, ay = abs(x), abs(y)
+    cx, cy = min(ax, 16), min(ay, 16)
+    idx = cx * 17 + cy
+    bw.write(int(_T["spec_codes_11"][idx]), int(_T["spec_lens_11"][idx]))
+    if ax:
+        bw.write(1 if x < 0 else 0, 1)
+    if ay:
+        bw.write(1 if y < 0 else 0, 1)
+    if ax >= 16:
+        write_esc_value(bw, ax)
+    if ay >= 16:
+        write_esc_value(bw, ay)
+
+
+def write_scf_delta(bw: BitWriter, delta: int) -> None:
+    idx = delta + 60
+    bw.write(int(_T["scf_codes"][idx]), int(_T["scf_lens"][idx]))
+
+
+def swb_tables(rate: int):
+    table = [
+        (92017, "swb_96k_long", "swb_64k_short"),
+        (75132, "swb_96k_long", "swb_64k_short"),
+        (55426, "swb_64k_long", "swb_64k_short"),
+        (46009, "swb_48k_long", "swb_48k_short"),
+        (37566, "swb_48k_long", "swb_48k_short"),
+        (27713, "swb_32k_long", "swb_48k_short"),
+        (23004, "swb_24k_long", "swb_24k_short"),
+        (18783, "swb_24k_long", "swb_24k_short"),
+        (13856, "swb_16k_long", "swb_16k_short"),
+        (11502, "swb_16k_long", "swb_16k_short"),
+        (9391, "swb_16k_long", "swb_16k_short"),
+        (0, "swb_8k_long", "swb_8k_short"),
+    ]
+    for thresh, ln, sn in table:
+        if rate >= thresh:
+            return _T[ln].tolist(), _T[sn].tolist()
+
+
+def encode_ics(
+    bw: BitWriter,
+    quant: np.ndarray,  # [1024] int quantized spectrum (window-interleaved for short)
+    seq: int,
+    max_sfb: int,
+    global_gain: int,
+    rate: int,
+    common_window: bool = False,
+) -> None:
+    """Encode one individual_channel_stream."""
+    long_bands, short_bands = swb_tables(rate)
+    bw.write(global_gain, 8)
+    if not common_window:
+        encode_ics_info(bw, seq, max_sfb)
+    long_win = seq != 2
+    bands = long_bands if long_win else short_bands
+    n_groups = 1 if long_win else 8  # no grouping: 8 groups of 1 window
+
+    # Section data: one section per sfb run; we use cb11 for ALL sfbs.
+    sect_bits = 5 if long_win else 3
+    esc = (1 << sect_bits) - 1
+    for g in range(n_groups):
+        remaining = max_sfb
+        while remaining > 0:
+            run = min(remaining, esc - 1)
+            bw.write(11, 4)
+            bw.write(run, sect_bits)
+            remaining -= run
+    # Scalefactors: all equal to global_gain (delta 0 each).
+    for g in range(n_groups):
+        for _ in range(max_sfb):
+            write_scf_delta(bw, 0)
+    bw.write(0, 1)  # no pulse
+    bw.write(0, 1)  # no tns
+    bw.write(0, 1)  # no gain control
+    # Spectrum: per group, per sfb, per window-in-group (1 window each).
+    for g in range(n_groups):
+        for sfb in range(max_sfb):
+            start, end = bands[sfb], bands[sfb + 1]
+            w = g if not long_win else 0
+            seg = quant[w * 128 + start : w * 128 + end]
+            for i in range(0, len(seg), 2):
+                write_cb11_pair(bw, int(seg[i]), int(seg[i + 1]))
+
+
+def encode_ics_info(bw: BitWriter, seq: int, max_sfb: int) -> None:
+    bw.write(0, 1)  # reserved
+    bw.write(seq, 2)
+    bw.write(0, 1)  # window shape: sine
+    if seq == 2:
+        bw.write(max_sfb, 4)
+        bw.write(0, 7)  # no grouping: 8 groups
+    else:
+        bw.write(max_sfb, 6)
+        bw.write(0, 1)  # no predictor/ltp
+
+
+def build_raw_block(
+    channel_quants: List[np.ndarray],
+    seqs: Sequence[int],
+    max_sfb: int,
+    global_gain: int,
+    rate: int,
+    use_cpe: Optional[bool] = None,
+) -> bytes:
+    bw = BitWriter()
+    n_ch = len(channel_quants)
+    if use_cpe is None:
+        use_cpe = n_ch == 2
+    if use_cpe:
+        bw.write(1, 3)  # CPE
+        bw.write(0, 4)  # tag
+        bw.write(0, 1)  # not common window
+        encode_ics(bw, channel_quants[0], seqs[0], max_sfb, global_gain, rate)
+        encode_ics(bw, channel_quants[1], seqs[1], max_sfb, global_gain, rate)
+    else:
+        for q, s in zip(channel_quants, seqs):
+            bw.write(0, 3)  # SCE
+            bw.write(0, 4)
+            encode_ics(bw, q, s, max_sfb, global_gain, rate)
+    bw.write(7, 3)  # END
+    return bw.to_bytes()
+
+
+_SR_IDX = {96000: 0, 88200: 1, 64000: 2, 48000: 3, 44100: 4, 32000: 5,
+           24000: 6, 22050: 7, 16000: 8, 12000: 9, 11025: 10, 8000: 11}
+
+
+def build_adts(frames: List[bytes], rate: int, n_ch: int) -> bytes:
+    out = bytearray()
+    for payload in frames:
+        flen = len(payload) + 7
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF1  # MPEG-4, layer 0, no CRC
+        hdr[2] = (1 << 6) | (_SR_IDX[rate] << 2) | ((n_ch >> 2) & 1)
+        hdr[3] = ((n_ch & 3) << 6) | ((flen >> 11) & 0x3)
+        hdr[4] = (flen >> 3) & 0xFF
+        hdr[5] = ((flen & 0x7) << 5) | 0x1F
+        hdr[6] = 0xFC
+        out += hdr + payload
+    return bytes(out)
+
+
+def reference_synthesis(
+    quants: List[np.ndarray], seqs: List[int], scale: float, rate: int,
+    max_sfb: int,
+) -> np.ndarray:
+    """Independent float64 reference: dequantize + IMDCT + sine windows +
+    the AAC overlap-add chain, for a sequence of mono frames."""
+    long_bands, short_bands = swb_tables(rate)
+
+    def imdct(x, n_in):
+        n_out = 2 * n_in
+        i = np.arange(n_out)[:, None]
+        j = np.arange(n_in)[None, :]
+        m = np.cos(np.pi / (2 * n_out) * (2 * i + 1 + n_in) * (2 * j + 1)) / n_out
+        return m @ x
+
+    def sine(n):
+        return np.sin((np.arange(n) + 0.5) * np.pi / (2 * n))
+
+    wl = sine(1024)
+    ws = sine(128)
+    delay = np.zeros(1024)
+    outs = []
+    P0, P1 = 448, 576
+    for quant, seq in zip(quants, seqs):
+        spec = np.sign(quant) * np.abs(quant.astype(np.float64)) ** (4 / 3) * scale
+        # Zero out bands beyond max_sfb.
+        bands = long_bands if seq != 2 else short_bands
+        if seq != 2:
+            spec[bands[max_sfb] :] = 0
+        else:
+            s2 = spec.reshape(8, 128)
+            s2[:, bands[max_sfb] :] = 0
+            spec = s2.reshape(-1)
+        if seq != 2:
+            pcm = imdct(spec, 1024)
+        else:
+            short = np.zeros(1152)
+            for w in range(8):
+                y = imdct(spec[w * 128 : (w + 1) * 128], 128)
+                short[w * 128 : w * 128 + 128] += y[:128] * ws
+                short[w * 128 + 128 : w * 128 + 256] += y[128:] * ws[::-1]
+            pcm_short = short
+        dst = np.zeros(1024)
+        if seq in (0, 1):
+            dst = delay + pcm[:1024] * wl
+        elif seq == 2:
+            dst[:P0] = delay[:P0]
+            dst[P0:] = delay[P0:] + pcm_short[: 1024 - P0]
+        else:
+            dst[:P0] = delay[:P0]
+            dst[P0:P1] = delay[P0:P1] + pcm[P0:P1] * ws
+            dst[P1:] = delay[P1:] + pcm[P1:1024]
+        new_delay = np.zeros(1024)
+        if seq in (0, 3):
+            new_delay = pcm[1024:] * wl[::-1]
+        elif seq == 2:
+            new_delay[:P1] = pcm_short[P1 : 2 * P1]
+        else:
+            new_delay[:P0] = pcm[1024 : 1024 + P0]
+            new_delay[P0:P1] = pcm[1024 + P0 : 1024 + P1] * ws[::-1]
+        delay = new_delay
+        outs.append(dst)
+    return np.concatenate(outs)
+
+
+def random_quant_spectrum(rng, max_sfb: int, rate: int, seq: int = 0) -> np.ndarray:
+    """Sparse random quantized spectrum incl. escape-range values."""
+    long_bands, short_bands = swb_tables(rate)
+    q = np.zeros(1024, dtype=np.int64)
+    if seq != 2:
+        limit = long_bands[max_sfb]
+        n = int(min(rng.integers(10, 60), limit))
+        idx = rng.choice(limit, size=n, replace=False)
+        q[idx] = rng.integers(-40, 41, size=n)
+    else:
+        limit = short_bands[max_sfb]
+        for w in range(8):
+            n = int(min(rng.integers(2, 10), limit))
+            idx = rng.choice(limit, size=n, replace=False)
+            q[w * 128 + idx] = rng.integers(-20, 21, size=n)
+    return q

@@ -1,0 +1,166 @@
+"""AAC-LC decode tests: bitstream roundtrip against an independent minimal
+encoder + float64 reference synthesis, ADTS demux, window-sequence
+transitions, stereo, and table sanity checks."""
+
+import numpy as np
+import pytest
+
+import symphonia_tpu as sym
+from symphonia_tpu.codecs.aac import (
+    AacDecoder,
+    Dsp,
+    imdct_matrix_scaled,
+    kbd_window,
+    normal_scf_table,
+    sine_window,
+    spectrum_codebook,
+    subband_info,
+)
+from symphonia_tpu.common.mpeg import AudioSpecificConfig
+from symphonia_tpu.core.io import MediaSourceStream
+from symphonia_tpu.formats.adts import AdtsReader
+
+from aac_builder import (
+    build_adts,
+    build_raw_block,
+    random_quant_spectrum,
+    reference_synthesis,
+)
+
+RATE = 44100
+MAX_SFB = 40
+GAIN = 140  # scale = 2^((140-156)/4) = 2^-4
+
+
+def decode_adts(data: bytes):
+    r = AdtsReader(MediaSourceStream(data))
+    track = r.default_track()
+    dec = AacDecoder(track.codec_params)
+    outs = []
+    while True:
+        p = r.next_packet()
+        if p is None:
+            break
+        outs.append(dec.decode(p).planes().copy())
+    return np.concatenate(outs, axis=1), track
+
+
+class TestMonoLong:
+    def test_roundtrip_vs_reference_synthesis(self):
+        rng = np.random.default_rng(0)
+        quants = [random_quant_spectrum(rng, MAX_SFB, RATE) for _ in range(6)]
+        frames = [
+            build_raw_block([q], [0], MAX_SFB, GAIN, RATE) for q in quants
+        ]
+        data = build_adts(frames, RATE, 1)
+        ours, track = decode_adts(data)
+        assert track.codec_params.sample_rate == RATE
+        scale = float(normal_scf_table()[GAIN])
+        expect = reference_synthesis(quants, [0] * 6, scale, RATE, MAX_SFB)
+        assert ours.shape[1] == len(expect)
+        np.testing.assert_allclose(ours[0], expect, atol=2e-5)
+
+    def test_escape_values(self):
+        rng = np.random.default_rng(1)
+        q = np.zeros(1024, dtype=np.int64)
+        q[:8] = [100, -500, 17, -16, 2000, -8000, 15, 1]
+        frames = [build_raw_block([q], [0], MAX_SFB, GAIN, RATE)]
+        data = build_adts(frames, RATE, 1)
+        ours, _ = decode_adts(data)
+        scale = float(normal_scf_table()[GAIN])
+        expect = reference_synthesis([q], [0], scale, RATE, MAX_SFB)
+        np.testing.assert_allclose(ours[0], expect, atol=2e-4)
+
+
+class TestWindowSequences:
+    def test_long_start_short_stop_chain(self):
+        rng = np.random.default_rng(2)
+        seqs = [0, 1, 2, 2, 3, 0]
+        quants = [random_quant_spectrum(rng, 12, RATE, seq) for seq in seqs]
+        frames = [
+            build_raw_block([q], [s], 12, GAIN, RATE)
+            for q, s in zip(quants, seqs)
+        ]
+        data = build_adts(frames, RATE, 1)
+        ours, _ = decode_adts(data)
+        scale = float(normal_scf_table()[GAIN])
+        expect = reference_synthesis(quants, seqs, scale, RATE, 12)
+        np.testing.assert_allclose(ours[0], expect, atol=2e-5)
+
+
+class TestStereo:
+    def test_cpe_independent(self):
+        rng = np.random.default_rng(3)
+        n_frames = 4
+        ql = [random_quant_spectrum(rng, MAX_SFB, RATE) for _ in range(n_frames)]
+        qr = [random_quant_spectrum(rng, MAX_SFB, RATE) for _ in range(n_frames)]
+        frames = [
+            build_raw_block([a, b], [0, 0], MAX_SFB, GAIN, RATE)
+            for a, b in zip(ql, qr)
+        ]
+        data = build_adts(frames, RATE, 2)
+        ours, track = decode_adts(data)
+        assert track.codec_params.channels.count == 2
+        scale = float(normal_scf_table()[GAIN])
+        el = reference_synthesis(ql, [0] * n_frames, scale, RATE, MAX_SFB)
+        er = reference_synthesis(qr, [0] * n_frames, scale, RATE, MAX_SFB)
+        np.testing.assert_allclose(ours[0], el, atol=2e-5)
+        np.testing.assert_allclose(ours[1], er, atol=2e-5)
+
+
+class TestAdts:
+    def test_probe(self):
+        rng = np.random.default_rng(4)
+        q = random_quant_spectrum(rng, MAX_SFB, RATE)
+        data = build_adts(
+            [build_raw_block([q], [0], MAX_SFB, GAIN, RATE)] * 3, RATE, 1
+        )
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        assert isinstance(probed.format, AdtsReader)
+
+    def test_seek(self):
+        rng = np.random.default_rng(5)
+        frames = [
+            build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)], [0],
+                            MAX_SFB, GAIN, RATE)
+            for _ in range(5)
+        ]
+        r = AdtsReader(MediaSourceStream(build_adts(frames, RATE, 1)))
+        seeked = r.seek("accurate", sym.SeekTo(ts=2500))
+        assert seeked.actual_ts == 2048
+        assert r.next_packet().ts == 2048
+
+
+class TestAscParsing:
+    def test_basic_lc(self):
+        asc = AudioSpecificConfig.read(AudioSpecificConfig.build(2, 44100, 2))
+        assert asc.object_type == 2
+        assert asc.sample_rate == 44100
+        assert asc.n_channels == 2
+        assert asc.samples == 1024
+
+
+class TestTables:
+    def test_kbd_window_princen_bradley(self):
+        w = kbd_window(1024, 4.0)
+        np.testing.assert_allclose(w**2 + w[::-1] ** 2, np.ones(1024), atol=1e-5)
+
+    def test_sine_window(self):
+        w = sine_window(128)
+        np.testing.assert_allclose(w**2 + w[::-1] ** 2, np.ones(128), atol=1e-6)
+
+    def test_subband_info(self):
+        idx, lb, sb = subband_info(44100)
+        assert idx == 4
+        assert lb[-1] == 1024 and sb[-1] == 128
+
+    def test_codebooks_build(self):
+        for n in range(1, 12):
+            cb = spectrum_codebook(n)
+            assert len(cb) > 0
+
+    def test_imdct_scale(self):
+        # Unit impulse spectrum: output magnitude bounded by 1/N_in scale.
+        m = imdct_matrix_scaled(1024)
+        assert m.shape == (2048, 1024)
+        assert abs(m).max() <= 1.0 / 2048 + 1e-9

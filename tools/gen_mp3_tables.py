@@ -126,3 +126,29 @@ def gen_vorbis_tables() -> None:
     dst = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "vorbis_tables.npz"
     np.savez_compressed(dst, floor1_inverse_db=table.astype(np.float32))
     print(f"wrote {dst}")
+
+
+def gen_aac_tables() -> None:
+    """Extract AAC constant tables (ISO/IEC 13818-7 / 14496-3 data):
+    spectrum Huffman codebooks 1-11, scalefactor codebook, and the
+    scalefactor-band (swb) offset tables, into aac_tables.npz."""
+    refdir = Path("/root/reference/symphonia-codec-aac/src/aac")
+    cb = (refdir / "codebooks.rs").read_text()
+    out = {}
+    for n in range(1, 12):
+        out[f"spec_codes_{n}"] = parse_array(cb, f"SPECTRUM_CODEBOOK{n}_CODES").astype(np.uint32)
+        out[f"spec_lens_{n}"] = parse_array(cb, f"SPECTRUM_CODEBOOK{n}_LENS").astype(np.uint8)
+    out["scf_codes"] = parse_array(cb, "SCF_CODEBOOK_CODES").astype(np.uint32)
+    out["scf_lens"] = parse_array(cb, "SCF_CODEBOOK_LENS").astype(np.uint8)
+
+    common = (refdir / "common.rs").read_text()
+    for name in ["96K_LONG", "64K_LONG", "48K_LONG", "48K_SHORT", "32K_LONG",
+                 "24K_LONG", "24K_SHORT", "16K_LONG", "16K_SHORT", "8K_LONG",
+                 "8K_SHORT", "64K_SHORT"]:
+        out[f"swb_{name.lower()}"] = parse_array(common, f"SWB_OFFSET_{name}").astype(np.int32)
+
+    dst = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "aac_tables.npz"
+    np.savez_compressed(dst, **out)
+    print(f"wrote {dst} with {len(out)} arrays")
+    assert len(out["spec_codes_11"]) == 289
+    assert out["swb_48k_long"][-1] == 1024
