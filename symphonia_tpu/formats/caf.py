@@ -46,6 +46,7 @@ class CafReader(FormatReader):
         _flags = mss.read_u16be()
 
         self._desc = None
+        self._kuki = None
         self._data_start = None
         self._data_len = None
         self._pakt = None  # (sizes list, n_frames, priming, remainder)
@@ -69,6 +70,8 @@ class CafReader(FormatReader):
                     break
                 self._data_len = size - 4
                 mss.ignore_bytes(self._data_len)
+            elif ctype == b"kuki":
+                self._kuki = mss.read_bytes(size)
             elif ctype == b"pakt":
                 payload = mss.read_bytes(size)
                 self._parse_pakt(payload)
@@ -146,6 +149,7 @@ class CafReader(FormatReader):
             max_frames_per_packet=frames_per_packet or None,
             frames_per_block=frames_per_packet or None,
             block_align=bytes_per_packet or None,
+            extra_data=self._kuki,
         )
         self._track = Track(
             id=0,
