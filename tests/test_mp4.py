@@ -1,0 +1,139 @@
+"""MP4 demux tests: mux AAC frames into a minimal MP4 with a test muxer and
+verify parity with the ADTS path; iTunes metadata; seek; fragmented mode."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import symphonia_tpu as sym
+from symphonia_tpu.core.io import MediaSourceStream
+from symphonia_tpu.formats.isomp4 import IsoMp4Reader
+
+from aac_builder import build_adts, build_raw_block, random_quant_spectrum
+from test_aac import GAIN, MAX_SFB, RATE, decode_adts
+
+
+def atom(atype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + atype + payload
+
+
+def full_atom(atype: bytes, payload: bytes, version=0, flags=0) -> bytes:
+    return atom(atype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+def build_m4a(frames, rate=44100, n_ch=1, tags=None) -> bytes:
+    """Minimal non-fragmented M4A muxer for tests."""
+    # ASC for AAC-LC.
+    from symphonia_tpu.common.mpeg import AudioSpecificConfig
+
+    asc = AudioSpecificConfig.build(2, rate, n_ch)
+    # esds: ES(3){ESID(2)+flags(1) DecoderConfig(4){13 bytes DecSpecific(5){asc}} SLConfig(6){02}}
+    dsi = bytes([0x05, len(asc)]) + asc
+    dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15]) + b"\x00" * 11 + dsi
+    slc = bytes([0x06, 0x01, 0x02])
+    es = bytes([0x03, 3 + len(dcd) + len(slc)]) + b"\x00\x00\x00" + dcd + slc
+    esds = full_atom(b"esds", es)
+
+    mp4a = atom(
+        b"mp4a",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 8
+        + struct.pack(">HH", n_ch, 16)
+        + b"\x00" * 4
+        + struct.pack(">I", rate << 16)
+        + esds,
+    )
+    stsd = full_atom(b"stsd", struct.pack(">I", 1) + mp4a)
+    n = len(frames)
+    stts = full_atom(b"stts", struct.pack(">III", 1, n, 1024))
+    stsc = full_atom(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    sizes = b"".join(struct.pack(">I", len(f)) for f in frames)
+    stsz = full_atom(b"stsz", struct.pack(">II", 0, n) + sizes)
+
+    # We need the absolute mdat payload offset; compute sizes iteratively.
+    def build(mdat_offset):
+        stco = full_atom(b"stco", struct.pack(">II", 1, mdat_offset))
+        stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = atom(b"minf", stbl)
+        mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, rate, n * 1024, 0x55C4, 0))
+        mdia = atom(b"mdia", mdhd + minf)
+        tkhd = full_atom(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 72)
+        trak = atom(b"trak", tkhd + mdia)
+        udta = b""
+        if tags:
+            ilst_items = b""
+            for key, val in tags.items():
+                data = full_atom(b"data", b"\x00\x00\x00\x00" + val.encode(), version=0, flags=1)
+                ilst_items += atom(key, data)
+            ilst = atom(b"ilst", ilst_items)
+            meta = atom(b"meta", b"\x00\x00\x00\x00" + ilst)
+            udta = atom(b"udta", meta)
+        mvhd = full_atom(b"mvhd", struct.pack(">III", 0, 0, rate) + b"\x00" * 88)
+        moov = atom(b"moov", mvhd + trak + udta)
+        return moov
+
+    ftyp = atom(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42isom")
+    payload = b"".join(frames)
+    # Two passes to fix up the chunk offset.
+    moov = build(0)
+    mdat_offset = len(ftyp) + len(moov) + 8
+    moov = build(mdat_offset)
+    mdat = atom(b"mdat", payload)
+    return ftyp + moov + mdat
+
+
+class TestMp4Aac:
+    def _frames(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        return [
+            build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)], [0],
+                            MAX_SFB, GAIN, RATE)
+            for _ in range(n)
+        ]
+
+    def test_parity_with_adts(self):
+        frames = self._frames(5)
+        m4a = build_m4a(frames, RATE, 1)
+        adts = build_adts(frames, RATE, 1)
+
+        probed = sym.get_probe().probe(MediaSourceStream(m4a))
+        assert isinstance(probed.format, IsoMp4Reader)
+        track = probed.format.default_track()
+        assert track.codec_params.codec == "aac"
+        assert track.codec_params.sample_rate == RATE
+        dec = sym.get_codecs().make_audio_decoder(track.codec_params)
+        outs = []
+        while True:
+            p = probed.format.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        ours = np.concatenate(outs, axis=1)
+        ref, _ = decode_adts(adts)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_metadata_ilst(self):
+        frames = self._frames(2, seed=1)
+        m4a = build_m4a(frames, RATE, 1,
+                        tags={b"\xa9nam": "MP4 Song", b"\xa9ART": "MP4 Artist"})
+        r = IsoMp4Reader(MediaSourceStream(m4a))
+        rev = r.metadata().current()
+        assert rev.get("track_title") == "MP4 Song"
+        assert rev.get("artist") == "MP4 Artist"
+
+    def test_packet_table(self):
+        frames = self._frames(4, seed=2)
+        r = IsoMp4Reader(MediaSourceStream(build_m4a(frames, RATE, 1)))
+        table = r.packet_table()
+        assert len(table) == 4
+        np.testing.assert_array_equal(table.dur, [1024] * 4)
+        for d, f in zip(table.data, frames):
+            assert d == f
+
+    def test_seek(self):
+        frames = self._frames(6, seed=3)
+        r = IsoMp4Reader(MediaSourceStream(build_m4a(frames, RATE, 1)))
+        seeked = r.seek("accurate", sym.SeekTo(ts=3000))
+        assert seeked.actual_ts == 2048
+        assert r.next_packet().ts == 2048
