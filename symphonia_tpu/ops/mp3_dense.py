@@ -161,22 +161,24 @@ def hybrid_synthesis_np(x: np.ndarray, block_type: int, mixed: bool) -> np.ndarr
 
 
 def polyphase_response_np(hybrid_out: np.ndarray) -> np.ndarray:
-    """[32 sb, 18 t] time-domain subband samples -> [1056] response.
+    """[32 sb, T t] time-domain subband samples -> [32*T + 480] response.
 
     Computes this granule's full contribution to the PCM stream via the
-    matrixing matmul + windowed FIR taps; tails beyond 576 samples belong
-    to following granules (superposition form of synthesis.rs:158-348).
+    matrixing matmul + windowed FIR taps; the 480-sample tail belongs to
+    following granules (superposition form of synthesis.rs:158-348).
+    T = 18 for Layer III granules, 12 for Layer I frames, 36 for Layer II.
     """
     N = polyphase_matrix()
     W = synthesis_window()
     qidx = _synth_sel_idx()
-    S = hybrid_out.T  # [18 t, 32 sb]
-    V = S @ N.T  # [18, 64]
-    v_sel = V[:, qidx]  # [18, 16, 32]
-    c = v_sel * W[None, :, :]  # [18, 16, 32]
-    out = np.zeros((33, 32), dtype=np.float32)
+    S = hybrid_out.T  # [T, 32 sb]
+    T = S.shape[0]
+    V = S @ N.T  # [T, 64]
+    v_sel = V[:, qidx]  # [T, 16, 32]
+    c = v_sel * W[None, :, :]  # [T, 16, 32]
+    out = np.zeros((T + 15, 32), dtype=np.float32)
     for k in range(16):
-        out[k : k + 18] += c[:, k, :]
+        out[k : k + T] += c[:, k, :]
     return out.reshape(-1)
 
 

@@ -1,0 +1,214 @@
+"""MP1/MP2 decode tests: crafted bitstreams with known quantized samples,
+checked against an independent spec-formula dequantizer + direct polyphase
+synthesis."""
+
+import numpy as np
+import pytest
+
+from symphonia_tpu.codecs.mpa import MpaDecoder
+from symphonia_tpu.codecs.mpa_common import parse_header, tables
+from symphonia_tpu.core.audio import Channels
+from symphonia_tpu.core.codecs import AudioCodecParameters
+from symphonia_tpu.core.packet import Packet
+from symphonia_tpu.ops import mp3_dense as md
+
+from mp3_builder import BitWriter
+
+
+def direct_synthesis(subband: np.ndarray, state_v=None):
+    """Direct ISO polyphase (the validated spec loop from test_mp3)."""
+    N = md.polyphase_matrix()
+    D = md.synthesis_window()
+    T = subband.shape[1]
+    v_hist = state_v if state_v is not None else np.zeros((16, 64), np.float32)
+    out = []
+    S = subband.T
+    for t in range(T):
+        v_hist = np.roll(v_hist, 1, axis=0)
+        v_hist[0] = N @ S[t]
+        o = np.zeros(32, np.float32)
+        for k in range(16):
+            sel = v_hist[k][:32] if k % 2 == 0 else v_hist[k][32:]
+            o += sel * D[k]
+        out.append(o)
+    return np.concatenate(out), v_hist
+
+
+def build_l1_frame(raws, allocs, sf_indices, n_ch=1):
+    """Layer 1 mono/stereo frame. raws[ch][sb][s], allocs[ch][sb] in bits
+    (0 or 2..15), sf_indices[ch][sb]."""
+    bw = BitWriter()
+    for sb in range(32):
+        for ch in range(n_ch):
+            bits = allocs[ch][sb]
+            bw.write(bits - 1 if bits else 0, 4)
+    for sb in range(32):
+        for ch in range(n_ch):
+            if allocs[ch][sb]:
+                bw.write(sf_indices[ch][sb], 6)
+    for s in range(12):
+        for sb in range(32):
+            for ch in range(n_ch):
+                bits = allocs[ch][sb]
+                if bits:
+                    bw.write(raws[ch][sb][s], bits)
+    body = bw.pad_to_bytes()
+    # Header: MPEG1 layer 1, 448kbps@44100 -> frame size 4*(12*448000/44100)=484
+    hdr = bytes([0xFF, 0xFF, (13 << 4) | (0 << 2), 0xC0 if n_ch == 1 else 0x00])
+    h = parse_header(int.from_bytes(hdr, "big"))
+    assert h.layer == 1
+    frame = hdr + body
+    assert len(frame) <= h.frame_size, (len(frame), h.frame_size)
+    return frame + bytes(h.frame_size - len(frame)), h
+
+
+def l1_dequant(raw, bits):
+    inv = raw ^ (1 << (bits - 1))
+    a = inv - (1 << bits) if inv & (1 << (bits - 1)) else inv
+    f = (2**bits / (2**bits - 1)) * 2.0 ** (-bits + 1)
+    return f * (a + 1)
+
+
+class TestLayer1:
+    def test_crafted_frame(self):
+        rng = np.random.default_rng(0)
+        allocs = [[0] * 32]
+        raws = [[[0] * 12 for _ in range(32)]]
+        sfi = [[0] * 32]
+        sf_table = tables()["layer12_scalefactors"]
+        for sb in range(0, 12):
+            bits = int(rng.integers(2, 16))
+            allocs[0][sb] = bits
+            sfi[0][sb] = int(rng.integers(0, 40))
+            for s in range(12):
+                raws[0][sb][s] = int(rng.integers(0, 1 << bits))
+        frame, h = build_l1_frame(raws, allocs, sfi)
+
+        params = AudioCodecParameters(codec="mp1", sample_rate=44100,
+                                      channels=Channels.from_count(1))
+        dec = MpaDecoder(params)
+        out = dec.decode(Packet(0, 0, 384, frame)).planes()
+
+        # Independent expectation.
+        sub = np.zeros((32, 12), np.float32)
+        for sb in range(32):
+            bits = allocs[0][sb]
+            if bits:
+                for s in range(12):
+                    sub[sb, s] = float(sf_table[sfi[0][sb]]) * l1_dequant(
+                        raws[0][sb][s], bits
+                    )
+        expect, _ = direct_synthesis(sub)
+        np.testing.assert_allclose(out[0], expect, atol=1e-5)
+
+    def test_stereo(self):
+        rng = np.random.default_rng(1)
+        allocs = [[0] * 32, [0] * 32]
+        raws = [[[0] * 12 for _ in range(32)] for _ in range(2)]
+        sfi = [[0] * 32, [0] * 32]
+        for ch in range(2):
+            for sb in range(4):
+                allocs[ch][sb] = 4
+                sfi[ch][sb] = 10 + ch
+                for s in range(12):
+                    raws[ch][sb][s] = int(rng.integers(0, 16))
+        frame, h = build_l1_frame(raws, allocs, sfi, n_ch=2)
+        params = AudioCodecParameters(codec="mp1", sample_rate=44100,
+                                      channels=Channels.from_count(2))
+        dec = MpaDecoder(params)
+        out = dec.decode(Packet(0, 0, 384, frame))
+        assert out.planes().shape == (2, 384)
+        assert np.abs(out.planes()).max() > 0
+
+
+def build_l2_frame(alloc_vals, sf0, samples_raw, grouping_cw=None):
+    """Layer 2 mono frame at 384kbps/44100 (sb_info row 1, sblimit 30).
+
+    alloc_vals[sb]: allocation index; scalefactors all scfsi=2 (one index
+    per subband); samples_raw[(sb, gr)] -> list of 3 raws or a grouped
+    codeword.
+    """
+    from symphonia_tpu.codecs.mpa_layer12 import QUANT_CLASS, SB_INFO, SB_QUANT_INFO
+
+    sblimit, rows = SB_INFO[1]
+    bw = BitWriter()
+    for sb in range(sblimit):
+        nbal = SB_QUANT_INFO[rows[sb]][0]
+        bw.write(alloc_vals[sb], nbal)
+    for sb in range(sblimit):
+        if alloc_vals[sb]:
+            bw.write(2, 2)  # scfsi = 2: one scalefactor for all
+    for sb in range(sblimit):
+        if alloc_vals[sb]:
+            bw.write(sf0[sb], 6)
+    for gr in range(12):
+        for sb in range(sblimit):
+            ci = alloc_vals[sb]
+            if not ci:
+                continue
+            c, d, grouping, bits, nlevels = QUANT_CLASS[SB_QUANT_INFO[rows[sb]][1][ci]]
+            if grouping:
+                bw.write(samples_raw[(sb, gr)], bits)
+            else:
+                for r in samples_raw[(sb, gr)]:
+                    bw.write(r, bits)
+    body = bw.pad_to_bytes()
+    hdr = bytes([0xFF, 0xFD, (14 << 4) | 0, 0xC0])
+    h = parse_header(int.from_bytes(hdr, "big"))
+    assert h.layer == 2 and h.duration == 1152
+    frame = hdr + body
+    assert len(frame) <= h.frame_size
+    return frame + bytes(h.frame_size - len(frame)), h
+
+
+class TestLayer2:
+    def test_crafted_frame_with_grouping(self):
+        from symphonia_tpu.codecs.mpa_layer12 import QUANT_CLASS, SB_INFO, SB_QUANT_INFO
+
+        rng = np.random.default_rng(2)
+        sblimit, rows = SB_INFO[1]
+        sf_table = tables()["layer12_scalefactors"]
+        alloc_vals = [0] * sblimit
+        sf0 = [0] * sblimit
+        samples_raw = {}
+        for sb in [0, 1, 5, 12, 23]:
+            nbal, classes = SB_QUANT_INFO[rows[sb]]
+            alloc_vals[sb] = int(rng.integers(1, 1 << nbal))
+            sf0[sb] = int(rng.integers(0, 40))
+            c, d, grouping, bits, nlevels = QUANT_CLASS[classes[alloc_vals[sb]]]
+            for gr in range(12):
+                if grouping:
+                    samples_raw[(sb, gr)] = int(rng.integers(0, nlevels**3))
+                else:
+                    samples_raw[(sb, gr)] = [
+                        int(rng.integers(0, nlevels + 1)) for _ in range(3)
+                    ]
+        frame, h = build_l2_frame(alloc_vals, sf0, samples_raw)
+
+        params = AudioCodecParameters(codec="mp2", sample_rate=44100,
+                                      channels=Channels.from_count(1))
+        dec = MpaDecoder(params)
+        out = dec.decode(Packet(0, 0, 1152, frame)).planes()
+
+        # Independent expectation.
+        sub = np.zeros((32, 36), np.float32)
+        for sb in range(sblimit):
+            ci = alloc_vals[sb]
+            if not ci:
+                continue
+            c, d, grouping, bits, nlevels = QUANT_CLASS[SB_QUANT_INFO[rows[sb]][1][ci]]
+            beff = {3: 2, 5: 3, 9: 4}[nlevels] if grouping else bits
+            for gr in range(12):
+                if grouping:
+                    cw = samples_raw[(sb, gr)]
+                    raw3 = [cw % nlevels, (cw // nlevels) % nlevels,
+                            cw // nlevels // nlevels]
+                else:
+                    raw3 = samples_raw[(sb, gr)]
+                for i, r in enumerate(raw3):
+                    inv = r ^ (1 << (beff - 1))
+                    a = inv - (1 << beff) if inv & (1 << (beff - 1)) else inv
+                    s = a / float(1 << (beff - 1))
+                    sub[sb, 3 * gr + i] = float(sf_table[sf0[sb]]) * c * (s + d)
+        expect, _ = direct_synthesis(sub)
+        np.testing.assert_allclose(out[0], expect, atol=1e-5)
