@@ -46,29 +46,49 @@ class FlacBatchDecoder:
 
         reader = FlacReader(MediaSourceStream(data))
         si = reader.stream_info
-        table = reader.packet_table()
-        if table.data is None:
-            raise DecodeError("packet table has no payloads")
-
-        # Entropy stage (host pre-scan).
-        frames = [parse_frame(p, si) for p in table.data]
-        if not frames:
+        reader._ensure_scan()
+        starts = reader._frame_starts
+        if len(starts) == 0:
             return DecodedAudio(
                 np.zeros((si.channels, 0), np.int32), si.sample_rate,
                 si.bits_per_sample,
             )
+        buf = reader._buf
+        ends = np.empty(len(starts), dtype=np.int64)
+        ends[:-1] = starts[1:]
+        ends[-1] = len(buf)
+        sizes = ends - starts
+        n_max = si.block_len_max or int(reader._frame_dur.max())
 
-        # Dense stage (device), chunked over frames.
-        C = max(f.header.n_channels for f in frames)
-        frames_per_chunk = max(1, self.lane_chunk // C)
-        outs = []
-        for i in range(0, len(frames), frames_per_chunk):
-            chunk = frames[i : i + frames_per_chunk]
-            packed = flac_dense.pack_parsed_frames(chunk)
-            out = flac_dense.decode_packed(packed)
-            for j, f in enumerate(chunk):
-                outs.append(out[j, : f.header.n_channels, : f.header.block_size])
-        pcm = np.concatenate(outs, axis=1)
+        # Entropy stage: native C++ pre-scan when available, Python oracle
+        # otherwise (SURVEY.md §7 Phase A).
+        packed = None
+        try:
+            from . import native
+
+            if native.available():
+                packed = native.flac_extract(buf, starts, sizes, si, n_max)
+                if packed is not None and (packed["status"] != 0).any():
+                    packed = None  # malformed frames: use the robust path
+        except ImportError:
+            pass
+
+        blocks = reader._frame_dur.astype(np.int64)
+        if packed is not None:
+            pcm = self._decode_packed_chunked(packed, blocks)
+        else:
+            table = reader.packet_table()
+            frames = [parse_frame(p, si) for p in table.data]
+            C = max(f.header.n_channels for f in frames)
+            frames_per_chunk = max(1, self.lane_chunk // C)
+            outs = []
+            for i in range(0, len(frames), frames_per_chunk):
+                chunk = frames[i : i + frames_per_chunk]
+                pk = flac_dense.pack_parsed_frames(chunk)
+                out = flac_dense.decode_packed(pk)
+                for j, f in enumerate(chunk):
+                    outs.append(out[j, : f.header.n_channels, : f.header.block_size])
+            pcm = np.concatenate(outs, axis=1)
         if si.n_samples:
             pcm = pcm[:, : si.n_samples]
 
@@ -81,6 +101,41 @@ class FlacBatchDecoder:
                 == si.md5
             )
         return DecodedAudio(pcm, si.sample_rate, si.bits_per_sample, md5_ok)
+
+    def _decode_packed_chunked(self, packed, blocks: np.ndarray) -> np.ndarray:
+        """Run the device dense stage over native-packed tensors in lane
+        chunks and stitch per-frame outputs."""
+        F, C, n_max = packed["F"], packed["C"], packed["n_max"]
+        frames_per_chunk = max(1, self.lane_chunk // C)
+        outs = []
+
+        def pad_f(a, count):
+            # Pad the frame axis to the fixed chunk size so device dispatch
+            # shapes are stable across files (one compile per (chunk, n_max)).
+            if a.shape[0] == count:
+                return a
+            widths = [(0, count - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, widths)
+
+        for i in range(0, F, frames_per_chunk):
+            j = min(F, i + frames_per_chunk)
+            # Bucket to the next power of two: bounded compile count with
+            # bounded padding waste.
+            cnt = 1 << (j - i - 1).bit_length() if j - i > 1 else 1
+            cnt = min(cnt, frames_per_chunk)
+            sub = {
+                "res": pad_f(packed["res"].reshape(F, C, n_max)[i:j], cnt).reshape(-1, n_max),
+                "coefs": pad_f(packed["coefs"].reshape(F, C, 32)[i:j], cnt).reshape(-1, 32),
+                "order": pad_f(packed["order"].reshape(F, C)[i:j], cnt).reshape(-1),
+                "shift": pad_f(packed["shift"].reshape(F, C)[i:j], cnt).reshape(-1),
+                "wasted": pad_f(packed["wasted"].reshape(F, C)[i:j], cnt).reshape(-1),
+                "assign": pad_f(packed["assign"][i:j], cnt),
+                "F": cnt, "C": C, "n_max": n_max,
+            }
+            out = flac_dense.decode_packed(sub)
+            for k in range(j - i):
+                outs.append(out[k, :, : int(blocks[i + k])])
+        return np.concatenate(outs, axis=1)
 
     def decode_file(self, path: str) -> DecodedAudio:
         with open(path, "rb") as f:

@@ -1,0 +1,147 @@
+"""ctypes loader for the native host library (native/symphonia_host.cpp).
+
+The native library implements the host-side hot loops (FLAC frame scan +
+entropy extraction, bulk CRCs) that feed the batched device kernels. Built
+on demand with g++; every entry point has a pure-Python fallback so the
+framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_ROOT = Path(__file__).resolve().parent.parent
+_SRC = _ROOT / "native" / "symphonia_host.cpp"
+_SO = _ROOT / "native" / "libsymphonia_host.so"
+
+
+def _build() -> bool:
+    if not _SRC.exists():
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", str(_SO), str(_SRC)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not _SO.exists() or (_SRC.exists() and _SRC.stat().st_mtime > _SO.stat().st_mtime):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.sh_crc8.restype = ctypes.c_uint32
+    lib.sh_crc8.argtypes = [c_u8p, ctypes.c_int64]
+    lib.sh_crc16.restype = ctypes.c_uint32
+    lib.sh_crc16.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_uint32]
+    lib.sh_crc32.restype = ctypes.c_uint32
+    lib.sh_crc32.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_uint32]
+    lib.sh_flac_scan.restype = ctypes.c_int64
+    lib.sh_flac_scan.argtypes = [
+        c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, c_i64p, ctypes.c_int64,
+    ]
+    lib.sh_flac_extract.restype = ctypes.c_int32
+    lib.sh_flac_extract.argtypes = [
+        c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+    ]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def crc16(data: bytes, init: int = 0) -> int:
+    lib = _load()
+    a = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.sh_crc16(_u8ptr(a), len(a), init))
+
+
+def flac_scan_frames(buf: bytes, si) -> np.ndarray:
+    """Native frame-boundary scan; mirrors formats.flac.scan_frames."""
+    lib = _load()
+    a = np.frombuffer(buf, dtype=np.uint8)
+    cap = max(16, len(buf) // 16)
+    out = np.zeros(cap, dtype=np.int64)
+    n = lib.sh_flac_scan(
+        _u8ptr(a), len(a), si.channels, si.bits_per_sample, si.sample_rate,
+        si.block_len_max, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+    )
+    return out[:n].copy()
+
+
+def flac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray, si,
+                 n_max: int):
+    """Native entropy extraction -> packed tensors (ops.flac_dense layout).
+
+    Returns a dict compatible with ops.flac_dense.decode_packed, or None if
+    the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8)
+    F = len(offsets)
+    C = si.channels
+    res = np.zeros((F * C, n_max), dtype=np.int32)
+    coefs = np.zeros((F * C, 32), dtype=np.int32)
+    order = np.zeros(F * C, dtype=np.int32)
+    shift = np.zeros(F * C, dtype=np.int32)
+    wasted = np.zeros(F * C, dtype=np.int32)
+    block = np.zeros(F, dtype=np.int32)
+    assign = np.zeros(F, dtype=np.int32)
+    bps = np.zeros(F, dtype=np.int32)
+    status = np.zeros(F, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.sh_flac_extract(
+        _u8ptr(a), len(a),
+        offsets.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p), F,
+        si.channels, si.bits_per_sample, si.sample_rate, si.block_len_max,
+        C, n_max,
+        res.ctypes.data_as(i32p), coefs.ctypes.data_as(i32p),
+        order.ctypes.data_as(i32p), shift.ctypes.data_as(i32p),
+        wasted.ctypes.data_as(i32p), block.ctypes.data_as(i32p),
+        assign.ctypes.data_as(i32p), bps.ctypes.data_as(i32p),
+        status.ctypes.data_as(i32p),
+    )
+    return {
+        "res": res, "coefs": coefs, "order": order, "shift": shift,
+        "wasted": wasted, "block": block, "assign": assign, "bps": bps,
+        "status": status, "F": F, "C": C, "n_max": n_max,
+    }
