@@ -145,6 +145,101 @@ class FlacBatchDecoder:
         return [self.decode_file(p) for p in paths]
 
 
+class Mp3BatchDecoder:
+    """Whole-file MP3 decode: native C++ entropy stage -> granule-parallel
+    device dense stage (ops.mp3_dense.mp3_dense_batch_jax)."""
+
+    def __init__(self, granule_chunk: int = 4096, gapless: bool = True):
+        self.granule_chunk = granule_chunk
+        self.gapless = gapless
+
+    def decode_bytes(self, data: bytes) -> DecodedAudio:
+        import jax.numpy as jnp
+
+        from . import native
+        from .codecs.mpa_common import LAYER3
+        from .core.formats import FormatOptions
+        from .formats.mpa import MpaReader
+        from .ops.mp3_dense import mp3_dense_batch_jax
+
+        reader = MpaReader(
+            MediaSourceStream(data), FormatOptions(enable_gapless=self.gapless)
+        )
+        h = reader.header
+        if h.layer != LAYER3 or not native.available():
+            return _fallback_decode(data, self.gapless)
+        buf = reader._buf
+        ext = native.mp3_extract(
+            buf, reader._offsets, reader._sizes,
+            max_granules=2 * len(reader._offsets) + 2,
+        )
+        if ext is None or (ext["status"] != 0).any():
+            return _fallback_decode(data, self.gapless)
+        G = ext["n_granules"]
+        C = h.n_channels
+        spectra = ext["spectra"][:, :C, :]  # [G, C, 576]
+        bt = ext["bt"][:, :C]
+        mixed = ext["mixed"][:, :C].astype(bool)
+
+        # Device dense stage, chained in fixed-size chunks (shape-stable).
+        chunk = self.granule_chunk
+        pcm_parts = []
+        ht = st = None
+        for i in range(0, G, chunk):
+            j = min(G, i + chunk)
+            cnt = 1 << (j - i - 1).bit_length() if j - i > 1 else 1
+            cnt = min(cnt, chunk)
+            sp = np.zeros((cnt, C, 576), np.float32)
+            sp[: j - i] = spectra[i:j]
+            b = np.zeros((cnt, C), np.int32)
+            b[: j - i] = bt[i:j]
+            m = np.zeros((cnt, C), bool)
+            m[: j - i] = mixed[i:j]
+            out, ht, st = mp3_dense_batch_jax(
+                jnp.asarray(sp), jnp.asarray(b), jnp.asarray(m), ht, st
+            )
+            pcm_parts.append(np.asarray(out[: j - i]))
+        pcm = np.concatenate(pcm_parts, axis=0)  # [G, C, 576]
+        pcm = pcm.transpose(1, 0, 2).reshape(C, -1)
+
+        track = reader.default_track()
+        if self.gapless:
+            total = pcm.shape[1]
+            start = track.delay
+            end = total - track.padding
+            pcm = pcm[:, start:end]
+        return DecodedAudio(pcm, h.sample_rate, 32)
+
+    def decode_file(self, path: str) -> DecodedAudio:
+        with open(path, "rb") as f:
+            return self.decode_bytes(f.read())
+
+
+def _fallback_decode(data: bytes, gapless: bool) -> DecodedAudio:
+    from .core.formats import FormatOptions
+
+    import symphonia_tpu as sym
+
+    mss = MediaSourceStream(data)
+    probed = sym.get_probe().probe(
+        mss, fmt_opts=FormatOptions(enable_gapless=gapless)
+    )
+    fmt = probed.format
+    track = fmt.default_track()
+    dec = sym.get_codecs().make_audio_decoder(track.codec_params)
+    outs = []
+    while True:
+        pkt = fmt.next_packet()
+        if pkt is None:
+            break
+        buf = dec.decode(pkt)
+        if buf.frames:
+            outs.append(buf.planes().copy())
+    pcm = np.concatenate(outs, axis=1) if outs else np.zeros((1, 0), np.float32)
+    return DecodedAudio(pcm, track.codec_params.sample_rate,
+                        track.codec_params.bits_per_sample or 32)
+
+
 def decode_file(path: str, verify: bool = False) -> DecodedAudio:
     """Decode any supported file through the best available pipeline.
 
@@ -167,6 +262,8 @@ def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:
 
     if codec == "flac":
         return FlacBatchDecoder(verify=verify).decode_bytes(data)
+    if codec == "mp3":
+        return Mp3BatchDecoder().decode_bytes(data)
 
     from .core.codecs import AudioDecoderOptions
 

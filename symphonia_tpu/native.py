@@ -20,18 +20,19 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 _ROOT = Path(__file__).resolve().parent.parent
-_SRC = _ROOT / "native" / "symphonia_host.cpp"
+_SRCS = [_ROOT / "native" / "symphonia_host.cpp",
+         _ROOT / "native" / "mp3_entropy.cpp"]
 _SO = _ROOT / "native" / "libsymphonia_host.so"
 
 
 def _build() -> bool:
-    if not _SRC.exists():
+    if not all(s.exists() for s in _SRCS):
         return False
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", str(_SO), str(_SRC)],
-            check=True, capture_output=True, timeout=120,
+             "-o", str(_SO)] + [str(s) for s in _SRCS],
+            check=True, capture_output=True, timeout=300,
         )
         return True
     except (subprocess.SubprocessError, FileNotFoundError):
@@ -43,7 +44,10 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not _SO.exists() or (_SRC.exists() and _SRC.stat().st_mtime > _SO.stat().st_mtime):
+    stale = not _SO.exists() or any(
+        s.exists() and s.stat().st_mtime > _SO.stat().st_mtime for s in _SRCS
+    )
+    if stale:
         if not _build():
             return None
     try:
@@ -70,6 +74,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
         c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+    ]
+    lib.sh_mp3_extract.restype = ctypes.c_int32
+    lib.sh_mp3_extract.argtypes = [
+        c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), c_i32p, c_i32p, c_i32p, c_i32p,
+        ctypes.c_int32, ctypes.c_int32,
     ]
     _LIB = lib
     return lib
@@ -144,4 +154,39 @@ def flac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray, si,
         "res": res, "coefs": coefs, "order": order, "shift": shift,
         "wasted": wasted, "block": block, "assign": assign, "bps": bps,
         "status": status, "F": F, "C": C, "n_max": n_max,
+    }
+
+
+def mp3_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
+                max_granules: int, prep_flags: int = 7):
+    """Native Layer III entropy+prep stage -> granule spectra batch.
+
+    Returns dict(spectra [G,2,576] f32, bt [G,2], mixed [G,2],
+    gr_frame [G], status [n_frames]) or None if unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8)
+    F = len(offsets)
+    spectra = np.zeros((max_granules, 2, 576), dtype=np.float32)
+    bt = np.zeros((max_granules, 2), dtype=np.int32)
+    mixed = np.zeros((max_granules, 2), dtype=np.int32)
+    gr_frame = np.zeros(max_granules, dtype=np.int32)
+    status = np.zeros(F, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    g = lib.sh_mp3_extract(
+        _u8ptr(a), len(a), offsets.ctypes.data_as(i64p),
+        sizes.ctypes.data_as(i64p), F,
+        spectra.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bt.ctypes.data_as(i32p), mixed.ctypes.data_as(i32p),
+        gr_frame.ctypes.data_as(i32p), status.ctypes.data_as(i32p),
+        max_granules, prep_flags,
+    )
+    return {
+        "spectra": spectra[:g], "bt": bt[:g], "mixed": mixed[:g],
+        "gr_frame": gr_frame[:g], "status": status, "n_granules": g,
     }

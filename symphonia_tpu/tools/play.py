@@ -1,0 +1,165 @@
+"""symphonia-play equivalent: probe, decode, benchmark, and play media.
+
+Analog of symphonia-play/src/main.rs: ``--probe-only`` prints container/
+track/metadata info, ``--decode-only`` benchmarks decode speed (main.rs:258),
+``--output`` writes decoded PCM to a WAV file, ``--seek`` seeks before
+decoding, ``--verify`` enables decode verification (FLAC MD5), and ``--play``
+plays through the SDL audio device when one exists (the reference's
+PulseAudio/CPAL backends, output.rs).
+
+Usage: python -m symphonia_tpu.tools.play [flags] <file>
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def format_time(seconds: float) -> str:
+    m, s = divmod(int(seconds), 60)
+    h, m = divmod(m, 60)
+    return f"{h}:{m:02d}:{s:02d}" if h else f"{m}:{s:02d}"
+
+
+def print_probe_info(probed, track) -> None:
+    p = track.codec_params
+    print(f"  codec:        {p.codec}")
+    print(f"  sample rate:  {p.sample_rate}")
+    print(f"  channels:     {p.channels.count if p.channels else '?'}")
+    if p.bits_per_sample:
+        print(f"  bits/sample:  {p.bits_per_sample}")
+    if track.num_frames and p.sample_rate:
+        print(f"  duration:     {format_time(track.num_frames / p.sample_rate)}")
+    rev = probed.metadata.current() if probed.metadata else None
+    if rev is None:
+        fr = probed.format.metadata()
+        rev = fr.current() if fr else None
+    if rev:
+        print("  tags:")
+        for tag in rev.tags[:20]:
+            key = tag.std_key or tag.key
+            print(f"    {key}: {tag.value}")
+        for v in rev.visuals:
+            print(f"    [visual] {v.media_type or 'image'} ({len(v.data)} bytes)")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="symphonia_tpu player")
+    ap.add_argument("file")
+    ap.add_argument("--probe-only", action="store_true")
+    ap.add_argument("--decode-only", action="store_true",
+                    help="decode without output and report realtime speed")
+    ap.add_argument("--output", help="write decoded audio to a WAV file")
+    ap.add_argument("--seek", type=float, help="seek to time (seconds)")
+    ap.add_argument("--track", type=int, help="track id to decode")
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--no-gapless", action="store_true")
+    ap.add_argument("--play", action="store_true", help="play via SDL")
+    args = ap.parse_args(argv)
+
+    import symphonia_tpu as sym
+    from symphonia_tpu.core.formats import FormatOptions, SeekMode, SeekTo
+    from symphonia_tpu.core.codecs import AudioDecoderOptions
+    from symphonia_tpu.core.io import MediaSourceStream
+
+    with open(args.file, "rb") as f:
+        data = f.read()
+    mss = MediaSourceStream(data)
+    fmt_opts = FormatOptions(enable_gapless=not args.no_gapless)
+    probed = sym.get_probe().probe(mss, fmt_opts=fmt_opts)
+    fmt = probed.format
+    track = fmt.default_track()
+    if args.track is not None:
+        track = next((t for t in fmt.tracks() if t.id == args.track), track)
+
+    print(f"{type(fmt).__name__}:")
+    print_probe_info(probed, track)
+    if args.probe_only:
+        return 0
+
+    if args.seek is not None:
+        fmt.seek(SeekMode.ACCURATE, SeekTo(time=sym.Time.from_seconds(args.seek)))
+
+    dec = sym.get_codecs().make_audio_decoder(
+        track.codec_params, AudioDecoderOptions(verify=args.verify)
+    )
+    outs = []
+    n_samples = 0
+    t0 = time.perf_counter()
+    while True:
+        pkt = fmt.next_packet()
+        if pkt is None:
+            break
+        if pkt.track_id != track.id:
+            continue
+        try:
+            buf = dec.decode(pkt)
+        except sym.DecodeError as e:
+            print(f"  decode error (skipped packet): {e}", file=sys.stderr)
+            continue
+        n_samples += buf.frames
+        if not args.decode_only:
+            outs.append(buf.planes().copy())
+    elapsed = time.perf_counter() - t0
+
+    fin = dec.finalize()
+    if fin.verify_ok is not None:
+        print(f"  verification: {'passed' if fin.verify_ok else 'FAILED'}")
+
+    rate = track.codec_params.sample_rate or 1
+    audio_s = n_samples / rate
+    print(f"  decoded {n_samples} frames ({format_time(audio_s)}) in "
+          f"{elapsed * 1e3:.0f} ms ({audio_s / max(elapsed, 1e-9):.0f}x realtime)")
+
+    if args.decode_only or not outs:
+        return 0
+
+    pcm = np.concatenate(outs, axis=1)
+    if args.output:
+        _write_wav(args.output, pcm, rate)
+        print(f"  wrote {args.output}")
+    if args.play:
+        _play_sdl(pcm, rate)
+    return 0
+
+
+def _write_wav(path: str, pcm: np.ndarray, rate: int) -> None:
+    import wave
+
+    if pcm.dtype.kind == "f":
+        s16 = (np.clip(pcm, -1, 32767 / 32768) * 32768.0).astype("<i2")
+    else:
+        from symphonia_tpu.core.audio import AudioBuffer
+
+        s16 = np.clip(pcm, -(1 << 15), (1 << 15) - 1).astype("<i2")
+    inter = np.ascontiguousarray(s16.T)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(pcm.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(inter.tobytes())
+
+
+def _play_sdl(pcm: np.ndarray, rate: int) -> None:
+    try:
+        import pygame
+
+        pygame.mixer.init(frequency=rate, size=-16, channels=pcm.shape[0])
+        if pcm.dtype.kind == "f":
+            s16 = (np.clip(pcm, -1, 32767 / 32768) * 32768.0).astype(np.int16)
+        else:
+            s16 = np.clip(pcm, -32768, 32767).astype(np.int16)
+        snd = pygame.sndarray.make_sound(np.ascontiguousarray(s16.T))
+        ch = snd.play()
+        while ch.get_busy():
+            time.sleep(0.1)
+    except Exception as e:  # no audio device etc.
+        print(f"  playback unavailable: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

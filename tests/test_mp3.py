@@ -250,3 +250,54 @@ class TestJaxDenseBatch:
         b, _, _ = mp3_dense_batch_jax(jnp.asarray(x[3:]), jnp.asarray(bt[3:]), jnp.asarray(mixed[3:]), ht, st)
         got = np.concatenate([np.asarray(a), np.asarray(b)], axis=0)
         np.testing.assert_allclose(got, np.asarray(full), atol=1e-6)
+
+
+class TestMp3BatchDecoder:
+    def test_matches_sequential_decoder(self):
+        import pytest
+        from symphonia_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        from symphonia_tpu.batch import Mp3BatchDecoder
+
+        with open(HOUSE_MP3, "rb") as f:
+            data = f.read()
+        ours, r = our_decode(data, gapless=False)
+        batch = Mp3BatchDecoder(gapless=False).decode_bytes(data)
+        n = min(ours.shape[1], batch.samples.shape[1])
+        np.testing.assert_allclose(batch.samples[:, :n], ours[:, :n], atol=2e-5)
+
+    def test_native_entropy_exact_vs_python(self):
+        import pytest
+        from symphonia_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        from symphonia_tpu.codecs.mpa import Layer3State, decode_layer3_frame
+        from symphonia_tpu.codecs.mpa_common import parse_header as ph
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.ops.mp3_dense import GranuleDenseState, granule_dense_np
+
+        data = build_mpeg1_l3_stream(8, n_ch=2, seed=7)
+        r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
+        out = native.mp3_extract(r._buf, r._offsets, r._sizes, max_granules=40)
+        assert (out["status"] == 0).all()
+        st = Layer3State()
+        pcm_py = []
+        for o, s in zip(r._offsets, r._sizes):
+            frame = r._buf[o : o + s]
+            pcm_py.append(decode_layer3_frame(ph(int.from_bytes(frame[:4], "big")), frame, st))
+        pcm_py = np.concatenate(pcm_py, axis=1)
+        ds = [GranuleDenseState(), GranuleDenseState()]
+        chans = [[], []]
+        for g in range(out["n_granules"]):
+            for c in range(2):
+                chans[c].append(
+                    granule_dense_np(out["spectra"][g, c].copy(),
+                                     int(out["bt"][g, c]),
+                                     bool(out["mixed"][g, c]), ds[c])
+                )
+        pcm_nat = np.stack([np.concatenate(c) for c in chans])
+        n = min(pcm_nat.shape[1], pcm_py.shape[1])
+        np.testing.assert_array_equal(pcm_nat[:, :n], pcm_py[:, :n])

@@ -152,3 +152,44 @@ def gen_aac_tables() -> None:
     print(f"wrote {dst} with {len(out)} arrays")
     assert len(out["spec_codes_11"]) == 289
     assert out["swb_48k_long"][-1] == 1024
+
+
+def gen_mp3_native_header() -> None:
+    """Emit native/mp3_tables.h from mp3_tables.npz for the C++ entropy
+    stage."""
+    src = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "mp3_tables.npz"
+    d = dict(np.load(src))
+    out = ["// Generated by tools/gen_mp3_tables.py from mp3_tables.npz.",
+           "// ISO/IEC 11172-3 / 13818-3 specification data.",
+           "#pragma once", "#include <cstdint>", ""]
+
+    def emit(name, arr, ctype):
+        flat = np.asarray(arr).reshape(-1)
+        vals = ", ".join(str(int(v)) for v in flat)
+        out.append(f"static const {ctype} {name}[{len(flat)}] = {{{vals}}};")
+
+    for n in [1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15, 16, 24]:
+        emit(f"kCodes{n}", d[f"codes_{n}"], "uint32_t")
+        emit(f"kBits{n}", d[f"bits_{n}"], "uint8_t")
+    emit("kQuadsCodesA", d["quads_codes_a"], "uint32_t")
+    emit("kQuadsBitsA", d["quads_bits_a"], "uint8_t")
+    emit("kQuadsCodesB", d["quads_codes_b"], "uint32_t")
+    emit("kQuadsBitsB", d["quads_bits_b"], "uint8_t")
+    emit("kLinbits", d["linbits"], "int32_t")
+    emit("kSfbLong", d["sfb_long"], "int32_t")        # [9][23]
+    emit("kSfbShort", d["sfb_short"], "int32_t")      # [9][40]
+    emit("kSfbMixedSwitch", d["sfb_mixed_switch"], "int32_t")
+    for i in range(9):
+        emit(f"kSfbMixed{i}", d[f"sfb_mixed_{i}"], "int32_t")
+    out.append("static const int32_t* kSfbMixed[9] = {" + ", ".join(
+        f"kSfbMixed{i}" for i in range(9)) + "};")
+    out.append("static const int32_t kSfbMixedLen[9] = {" + ", ".join(
+        str(len(d[f"sfb_mixed_{i}"])) for i in range(9)) + "};")
+    emit("kSlen", d["slen"], "int32_t")               # [16][2]
+    emit("kNsfb", d["mpeg2_nsfb"], "int32_t")          # [6][3][4]
+    for name in ["bit_rates_mpeg1_l1", "bit_rates_mpeg1_l2", "bit_rates_mpeg1_l3",
+                 "bit_rates_mpeg2_l1", "bit_rates_mpeg2_l23"]:
+        emit("k" + "".join(w.capitalize() for w in name.split("_")), d[name], "int64_t")
+    dst = Path(__file__).resolve().parent.parent / "native" / "mp3_tables.h"
+    dst.write_text("\n".join(out) + "\n")
+    print(f"wrote {dst}")
