@@ -1,38 +1,98 @@
-"""Benchmark: aggregate realtime-x decode throughput per chip.
+"""Benchmark: aggregate sustained decode throughput per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: 5000x aggregate realtime decode per chip (BASELINE.md).
+Baseline target: 5000x aggregate realtime decode per chip (BASELINE.md);
+vs_baseline = value / 5000.
 
-Measures the FLAC batched dense-stage pipeline (integer-LPC reconstruction +
-wasted-bit restore + stereo decorrelation) on a production-shaped workload:
-4096 stereo frames x 4096 samples (~6.3 min of 44.1 kHz stereo audio per
-dispatch), LPC order 8.
+Measures the two pipeline stages of the headline codecs separately and
+reports the sustained *pipelined* throughput min(host, device) per codec
+(Phase A host entropy pre-scan runs concurrently with Phase B device dense
+decode in steady state, SURVEY.md §7):
 
-Methodology notes: the remote-TPU transport dispatches asynchronously and
-``block_until_ready`` does not synchronize, so the timed region chains
-``iters`` full pipeline invocations *inside* one jit and forces a scalar
-fetch; elapsed/iters is the per-dispatch time. The persistent compilation
-cache keeps repeat runs cheap.
+  FLAC: native C++ frame scan + Rice extraction (host) | batched int-LPC
+        reconstruction + decorrelation (device, bit-exact).
+  MP3:  native C++ entropy stage: Huffman/reservoir/stereo/reorder (host) |
+        granule-parallel IMDCT-as-matmul + polyphase matrixing with
+        superposition overlap-add (device).
+
+Device timing chains iterations inside one jit and forces a scalar fetch,
+so async dispatch and the development tunnel's transfer latency (~10 MB/s
+relay, absent on production hosts) cannot distort the numbers. Host timing
+is plain wall clock on this machine's single core; production hosts
+multiply it by their core count.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
+ROOT = Path(__file__).resolve().parent
+CACHE = ROOT / ".bench_cache"
+HOUSE_MP3 = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3"
 
-def bench_flac_dense(n_frames: int = 4096, block: int = 4096, order: int = 8,
-                     rate: int = 44100, iters: int = 4) -> dict:
+
+def _configure_jax():
     import jax
-    import jax.numpy as jnp
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def _gen_flac(seconds: int = 8) -> bytes:
+    CACHE.mkdir(exist_ok=True)
+    path = CACHE / f"bench_{seconds}s.flac"
+    if path.exists():
+        return path.read_bytes()
+    sys.path.insert(0, str(ROOT / "tests"))
+    from flac_builder import build_flac_file, random_walk
+
+    ch = random_walk(44100 * seconds, 16, seed=7, ch=2)
+    data = build_flac_file(ch, block_size=4096, stereo_mode="left_side",
+                           kind="fixed", order=2, partition_order=2)
+    path.write_bytes(data)
+    return data
+
+
+# ---------------------------------------------------------------------------
+# FLAC
+# ---------------------------------------------------------------------------
+
+
+def bench_flac_host(repeats: int = 10):
+    """Host stage: scan + entropy extraction. Returns (audio_s, wall_s)."""
+    from symphonia_tpu import native
+    from symphonia_tpu.core.io import MediaSourceStream
+    from symphonia_tpu.formats.flac import FlacReader
+
+    data = _gen_flac()
+    r = FlacReader(MediaSourceStream(data))
+    audio = r.stream_info.n_samples / r.stream_info.sample_rate
+    buf = r._buf if r._buf is not None else data[r._data_start:]
+    if r._buf is None:
+        r._ensure_scan()
+        buf = r._buf
+    si = r.stream_info
+    max_frames = len(buf) // max(1, si.block_len_max // 8) + 16
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        packed = native.flac_stream_extract(buf, si, 4096, max_frames)
+        assert packed["F"] > 0
+    return audio * repeats, time.perf_counter() - t0
+
+
+def bench_flac_device(n_frames: int = 4096, block: int = 4096, order: int = 8,
+                      iters: int = 4):
+    """Device stage: full dense pipeline, in-jit chained iterations."""
+    import jax
+    import jax.numpy as jnp
 
     from symphonia_tpu.ops import flac_dense
 
@@ -41,9 +101,9 @@ def bench_flac_dense(n_frames: int = 4096, block: int = 4096, order: int = 8,
     res = rng.integers(-2000, 2000, size=(L, block)).astype(np.int32)
     coefs = np.zeros((L, 32), dtype=np.int32)
     coefs[:, :order] = rng.integers(-(2**13), 2**13, size=(L, order))
-    order_d = jnp.asarray(np.full(L, order, dtype=np.int32))
-    shift_d = jnp.asarray(np.full(L, 12, dtype=np.int32))
-    wasted_d = jnp.asarray(np.zeros(L, dtype=np.int32))
+    order_d = jnp.asarray(np.full(L, order, np.int32))
+    shift_d = jnp.asarray(np.full(L, 12, np.int32))
+    wasted_d = jnp.asarray(np.zeros(L, np.int32))
     assign_d = jnp.asarray(rng.integers(0, 4, size=n_frames).astype(np.int32))
     res_d = jax.device_put(res)
     coefs_d = jax.device_put(coefs)
@@ -51,37 +111,111 @@ def bench_flac_dense(n_frames: int = 4096, block: int = 4096, order: int = 8,
     @jax.jit
     def many(res, coefs, order, shift, wasted, assign):
         def body(i, acc):
-            # Data-depend on acc so iterations can't be parallelized away.
             x = flac_dense.lpc_reconstruct_batch(
-                res + acc[:, :1] * 0, coefs, order, shift, block
-            )
+                res + acc[:, :1] * 0, coefs, order, shift, block)
             x = flac_dense.apply_wasted_bits(x, wasted)
             y = flac_dense.decorrelate_batch(
-                x.reshape(-1, 2, block), assign
-            ).reshape(-1, block)
+                x.reshape(-1, 2, block), assign).reshape(-1, block)
             return y[:, -1:].astype(jnp.int32)
 
         acc = jnp.zeros((res.shape[0], 1), jnp.int32)
-        acc = jax.lax.fori_loop(0, iters, body, acc)
-        return acc.sum()
+        return jax.lax.fori_loop(0, iters, body, acc).sum()
 
     args = (res_d, coefs_d, order_d, shift_d, wasted_d, assign_d)
-    float(many(*args))  # compile + warmup, fully synced via scalar fetch
+    float(many(*args))
     t0 = time.perf_counter()
     float(many(*args))
-    elapsed = (time.perf_counter() - t0) / iters
+    wall = time.perf_counter() - t0
+    return n_frames * block / 44100 * iters, wall
 
-    audio_seconds = n_frames * block / rate
-    rtx = audio_seconds / elapsed
-    return {
-        "metric": "FLAC dense-stage decode realtime-x per chip "
-                  "(batched int-LPC reconstruct + decorrelate, "
-                  f"{n_frames}x{block} stereo frames, order {order})",
+
+# ---------------------------------------------------------------------------
+# MP3
+# ---------------------------------------------------------------------------
+
+
+def bench_mp3_host(repeats: int = 20):
+    from symphonia_tpu import native
+    from symphonia_tpu.core.formats import FormatOptions
+    from symphonia_tpu.core.io import MediaSourceStream
+    from symphonia_tpu.formats.mpa import MpaReader
+
+    with open(HOUSE_MP3, "rb") as f:
+        data = f.read()
+    r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
+    audio = len(r._offsets) * r.header.duration / r.header.sample_rate
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = native.mp3_extract(r._buf, r._offsets, r._sizes,
+                                 max_granules=2 * len(r._offsets) + 2)
+        assert out["n_granules"] > 0
+    return audio * repeats, time.perf_counter() - t0
+
+
+def bench_mp3_device(n_granules: int = 4096, iters: int = 4):
+    import jax
+    import jax.numpy as jnp
+
+    from symphonia_tpu.ops.mp3_dense import mp3_dense_batch_jax
+
+    rng = np.random.default_rng(1)
+    spectra = (rng.standard_normal((n_granules, 2, 576)) * 0.05).astype(np.float32)
+    bt = rng.integers(0, 4, size=(n_granules, 2)).astype(np.int32)
+    mixed = np.zeros((n_granules, 2), bool)
+    sp_d = jax.device_put(spectra)
+    bt_d = jnp.asarray(bt)
+    mx_d = jnp.asarray(mixed)
+
+    @jax.jit
+    def many(sp, bt, mx):
+        def body(i, acc):
+            pcm, ht, st = mp3_dense_batch_jax(sp + acc * 0, bt, mx)
+            return pcm[:1, :1, :1] * 0 + pcm.sum()
+
+        acc = jnp.zeros((1, 1, 1), jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, acc).sum()
+
+    args = (sp_d, bt_d, mx_d)
+    float(many(*args))
+    t0 = time.perf_counter()
+    float(many(*args))
+    wall = time.perf_counter() - t0
+    return n_granules * 576 / 44100 * iters, wall
+
+
+def main() -> None:
+    _configure_jax()
+    stages = {}
+    for name, fn in [("flac_host", bench_flac_host),
+                     ("flac_device", bench_flac_device),
+                     ("mp3_host", bench_mp3_host),
+                     ("mp3_device", bench_mp3_device)]:
+        try:
+            audio, wall = fn()
+            stages[name] = audio / wall if wall > 0 else 0.0
+        except Exception as e:  # pragma: no cover
+            print(f"bench stage {name} failed: {e}", file=sys.stderr)
+            stages[name] = 0.0
+
+    flac_rtx = min(stages["flac_host"], stages["flac_device"])
+    mp3_rtx = min(stages["mp3_host"], stages["mp3_device"])
+    # Aggregate over an equal-audio-share workload of both codecs.
+    if flac_rtx > 0 and mp3_rtx > 0:
+        rtx = 2.0 / (1.0 / flac_rtx + 1.0 / mp3_rtx)
+    else:
+        rtx = max(flac_rtx, mp3_rtx)
+    print("stage realtime-x: "
+          + str({k: round(v, 1) for k, v in stages.items()}), file=sys.stderr)
+    print(f"pipelined: flac {flac_rtx:.0f}x, mp3 {mp3_rtx:.0f}x", file=sys.stderr)
+    print(json.dumps({
+        "metric": "aggregate sustained decode realtime-x per chip, "
+                  "host entropy pipelined with device dense stage "
+                  "(FLAC bit-exact int-LPC + MP3 Layer III)",
         "value": round(rtx, 1),
         "unit": "x realtime",
         "vs_baseline": round(rtx / 5000.0, 3),
-    }
+    }))
 
 
 if __name__ == "__main__":
-    print(json.dumps(bench_flac_dense()))
+    main()

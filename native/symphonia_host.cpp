@@ -256,6 +256,121 @@ int64_t sh_flac_scan(const uint8_t* data, int64_t len,
 // status[f]: 0 ok, <0 error code.
 // ---------------------------------------------------------------------------
 
+static int64_t extract_one_frame(
+    const uint8_t* fd, int64_t flen,
+    int32_t si_channels, int32_t si_bits, int32_t si_rate, int32_t si_block_max,
+    int32_t max_ch, int32_t n_max, int64_t lane0,
+    int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
+    int32_t* wasted_out, int32_t* block_out, int32_t* assign_out,
+    int32_t* bps_out) {
+    // Parses one frame at fd; fills the frame's lanes starting at lane0.
+    // Returns total bytes consumed (incl. the trailing CRC-16), or a
+    // negative status code.
+    static const int8_t kFixedCoefs[5][4] = {
+        {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
+
+    FlacHeader h;
+    if (!parse_flac_header(fd, flen < 16 ? flen : 16, si_channels, si_bits,
+                           si_rate, si_block_max, &h))
+        return -1;
+    int bps = h.bits ? h.bits : si_bits;
+    int bs = h.block_size;
+    if (bs > n_max || h.n_channels > max_ch) return -2;
+    *block_out = bs;
+    *assign_out = h.assignment;
+    *bps_out = bps;
+
+    BitReader br(fd, flen);
+    for (int64_t skip = (int64_t)h.header_len * 8; skip > 0;) {
+        int s = skip > 32 ? 32 : (int)skip;
+        br.read(s);
+        skip -= s;
+    }
+
+    for (int ch = 0; ch < h.n_channels; ch++) {
+        if (br.error) return -11;
+        int ch_bps = bps;
+        if ((h.assignment == 1 && ch == 1) || (h.assignment == 2 && ch == 0) ||
+            (h.assignment == 3 && ch == 1))
+            ch_bps += 1;
+        int64_t lane = lane0 + ch;
+        int32_t* lres = res + lane * n_max;
+        int32_t* lcoef = coefs + lane * 32;
+
+        if (br.read(1) != 0) return -3;
+        int sf_type = (int)br.read(6);
+        int wasted = 0;
+        if (br.read(1)) wasted = (int)br.read_unary_zeros() + 1;
+        int eff = ch_bps - wasted;
+        if (eff <= 0) return -4;
+        wasted_out[lane] = wasted;
+        shift_out[lane] = 0;
+        order_out[lane] = 0;
+
+        if (sf_type == 0) {  // constant
+            int32_t v = (int32_t)br.read_signed(eff);
+            for (int i = 0; i < bs; i++) lres[i] = v;
+            continue;
+        }
+        if (sf_type == 1) {  // verbatim
+            for (int i = 0; i < bs; i++) lres[i] = (int32_t)br.read_signed(eff);
+            continue;
+        }
+        int order;
+        if (sf_type >= 0x20) {  // LPC
+            order = (sf_type & 0x1F) + 1;
+            for (int i = 0; i < order; i++) lres[i] = (int32_t)br.read_signed(eff);
+            int prec = (int)br.read(4);
+            if (prec == 0xF) return -5;
+            prec += 1;
+            int shift = (int)br.read_signed(5);
+            if (shift < 0) return -6;
+            shift_out[lane] = shift;
+            for (int i = 0; i < order; i++) lcoef[i] = (int32_t)br.read_signed(prec);
+        } else if ((sf_type & 0x38) == 0x08 && (sf_type & 0x7) <= 4) {  // fixed
+            order = sf_type & 0x7;
+            for (int i = 0; i < order; i++) lres[i] = (int32_t)br.read_signed(eff);
+            for (int i = 0; i < order; i++) lcoef[i] = kFixedCoefs[order][i];
+        } else {
+            return -7;
+        }
+        order_out[lane] = order;
+
+        // Rice residual (decoder.rs:513-660).
+        int method = (int)br.read(2);
+        if (method > 1) return -8;
+        int pbits = method == 0 ? 4 : 5;
+        int escape = (1 << pbits) - 1;
+        int part_order = (int)br.read(4);
+        int n_parts = 1 << part_order;
+        int part_len = bs >> part_order;
+        if (part_len * n_parts != bs || part_len <= 0 ||
+            (part_len < order && n_parts == 1)) return -9;
+        int idx = order;
+        for (int p = 0; p < n_parts && !br.error; p++) {
+            int cnt = part_len - (p == 0 ? order : 0);
+            if (cnt < 0) return -10;
+            int param = (int)br.read(pbits);
+            if (param == escape) {
+                int raw = (int)br.read(5);
+                for (int i = 0; i < cnt; i++)
+                    lres[idx++] = raw ? (int32_t)br.read_signed(raw) : 0;
+            } else {
+                for (int i = 0; i < cnt; i++) {
+                    uint64_t q = br.read_unary_zeros();
+                    uint64_t v = (q << param) | (param ? br.read(param) : 0);
+                    lres[idx++] = (int32_t)((v >> 1) ^ (~(v & 1) + 1));
+                }
+            }
+        }
+    }
+    if (br.error) return -11;
+    // Byte-align + 16-bit frame CRC.
+    int64_t consumed = (br.bits_read() + 7) / 8 + 2;
+    if (consumed > flen) return -12;
+    return consumed;
+}
+
 int32_t sh_flac_extract(
     const uint8_t* data, int64_t data_len,
     const int64_t* offsets, const int64_t* sizes, int32_t n_frames,
@@ -264,114 +379,55 @@ int32_t sh_flac_extract(
     int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
     int32_t* wasted_out, int32_t* block_out, int32_t* assign_out,
     int32_t* bps_out, int32_t* status) {
-    static const int8_t kFixedCoefs[5][4] = {
-        {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
-
     for (int32_t f = 0; f < n_frames; f++) {
-        status[f] = 0;
-        const uint8_t* fd = data + offsets[f];
-        int64_t flen = sizes[f];
-        FlacHeader h;
-        if (!parse_flac_header(fd, flen < 16 ? flen : 16, si_channels, si_bits,
-                               si_rate, si_block_max, &h)) {
-            status[f] = -1;
-            continue;
-        }
-        int bps = h.bits ? h.bits : si_bits;
-        int bs = h.block_size;
-        if (bs > n_max || h.n_channels > max_ch) { status[f] = -2; continue; }
-        block_out[f] = bs;
-        assign_out[f] = h.assignment;
-        bps_out[f] = bps;
-
-        BitReader br(fd, flen);
-        for (int64_t skip = (int64_t)h.header_len * 8; skip > 0;) {
-            int s = skip > 32 ? 32 : (int)skip;
-            br.read(s);
-            skip -= s;
-        }
-
-        for (int ch = 0; ch < h.n_channels && !br.error; ch++) {
-            int ch_bps = bps;
-            if ((h.assignment == 1 && ch == 1) || (h.assignment == 2 && ch == 0) ||
-                (h.assignment == 3 && ch == 1))
-                ch_bps += 1;
-            int64_t lane = ((int64_t)f * max_ch + ch);
-            int32_t* lres = res + lane * n_max;
-            int32_t* lcoef = coefs + lane * 32;
-
-            if (br.read(1) != 0) { status[f] = -3; break; }
-            int sf_type = (int)br.read(6);
-            int wasted = 0;
-            if (br.read(1)) wasted = (int)br.read_unary_zeros() + 1;
-            int eff = ch_bps - wasted;
-            if (eff <= 0) { status[f] = -4; break; }
-            wasted_out[lane] = wasted;
-            shift_out[lane] = 0;
-            order_out[lane] = 0;
-
-            if (sf_type == 0) {  // constant
-                int32_t v = (int32_t)br.read_signed(eff);
-                for (int i = 0; i < bs; i++) lres[i] = v;
-                continue;
-            }
-            if (sf_type == 1) {  // verbatim
-                for (int i = 0; i < bs; i++) lres[i] = (int32_t)br.read_signed(eff);
-                continue;
-            }
-            int order;
-            if (sf_type >= 0x20) {  // LPC
-                order = (sf_type & 0x1F) + 1;
-                for (int i = 0; i < order; i++) lres[i] = (int32_t)br.read_signed(eff);
-                int prec = (int)br.read(4);
-                if (prec == 0xF) { status[f] = -5; break; }
-                prec += 1;
-                int shift = (int)br.read_signed(5);
-                if (shift < 0) { status[f] = -6; break; }
-                shift_out[lane] = shift;
-                for (int i = 0; i < order; i++) lcoef[i] = (int32_t)br.read_signed(prec);
-            } else if ((sf_type & 0x38) == 0x08 && (sf_type & 0x7) <= 4) {  // fixed
-                order = sf_type & 0x7;
-                for (int i = 0; i < order; i++) lres[i] = (int32_t)br.read_signed(eff);
-                for (int i = 0; i < order; i++) lcoef[i] = kFixedCoefs[order][i];
-            } else {
-                status[f] = -7;
-                break;
-            }
-            order_out[lane] = order;
-
-            // Rice residual (decoder.rs:513-660).
-            int method = (int)br.read(2);
-            if (method > 1) { status[f] = -8; break; }
-            int pbits = method == 0 ? 4 : 5;
-            int escape = (1 << pbits) - 1;
-            int part_order = (int)br.read(4);
-            int n_parts = 1 << part_order;
-            int part_len = bs >> part_order;
-            if (part_len * n_parts != bs || part_len <= 0 ||
-                (part_len < order && n_parts == 1)) { status[f] = -9; break; }
-            int idx = order;
-            for (int p = 0; p < n_parts && !br.error; p++) {
-                int cnt = part_len - (p == 0 ? order : 0);
-                if (cnt < 0) { status[f] = -10; break; }
-                int param = (int)br.read(pbits);
-                if (param == escape) {
-                    int raw = (int)br.read(5);
-                    for (int i = 0; i < cnt; i++)
-                        lres[idx++] = raw ? (int32_t)br.read_signed(raw) : 0;
-                } else {
-                    for (int i = 0; i < cnt; i++) {
-                        uint64_t q = br.read_unary_zeros();
-                        uint64_t v = (q << param) | (param ? br.read(param) : 0);
-                        lres[idx++] = (int32_t)((v >> 1) ^ (~(v & 1) + 1));
-                    }
-                }
-            }
-            if (status[f]) break;
-        }
-        if (br.error && !status[f]) status[f] = -11;
+        int64_t r = extract_one_frame(
+            data + offsets[f], sizes[f], si_channels, si_bits, si_rate,
+            si_block_max, max_ch, n_max, (int64_t)f * max_ch,
+            res, coefs, order_out, shift_out, wasted_out,
+            block_out + f, assign_out + f, bps_out + f);
+        status[f] = r < 0 ? (int32_t)r : 0;
     }
     return 0;
+}
+
+// Single-pass demux + extract: parses frames sequentially (the entropy
+// parse itself determines each frame's end, so no sync scan or CRC pass is
+// needed — the sequential-decode framing of bundle-flac). Returns the
+// number of frames; out_offsets[f] records each frame's byte offset.
+int32_t sh_flac_stream_extract(
+    const uint8_t* data, int64_t data_len,
+    int32_t si_channels, int32_t si_bits, int32_t si_rate, int32_t si_block_max,
+    int32_t max_ch, int32_t n_max, int32_t max_frames,
+    int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
+    int32_t* wasted_out, int32_t* block_out, int32_t* assign_out,
+    int32_t* bps_out, int64_t* out_offsets) {
+    int64_t pos = 0;
+    int32_t f = 0;
+    while (pos + 6 <= data_len && f < max_frames) {
+        int64_t r = extract_one_frame(
+            data + pos, data_len - pos, si_channels, si_bits, si_rate,
+            si_block_max, max_ch, n_max, (int64_t)f * max_ch,
+            res, coefs, order_out, shift_out, wasted_out,
+            block_out + f, assign_out + f, bps_out + f);
+        if (r < 0) {
+            // Lost sync: scan forward for the next plausible frame header.
+            int64_t c = pos + 1;
+            FlacHeader h;
+            for (; c + 16 <= data_len; c++) {
+                if (data[c] == 0xFF && (data[c + 1] & 0xFC) == 0xF8 &&
+                    parse_flac_header(data + c, 16, si_channels, si_bits,
+                                      si_rate, si_block_max, &h))
+                    break;
+            }
+            if (c + 16 > data_len) break;
+            pos = c;
+            continue;
+        }
+        out_offsets[f] = pos;
+        pos += r;
+        f++;
+    }
+    return f;
 }
 
 }  // extern "C"

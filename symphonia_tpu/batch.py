@@ -72,6 +72,8 @@ class FlacBatchDecoder:
                     packed = None  # malformed frames: use the robust path
         except ImportError:
             pass
+        # (The demuxer scan already ran; sh_flac_stream_extract fuses scan +
+        # extract for the scan-free path used by bench_flac_host.)
 
         blocks = reader._frame_dur.astype(np.int64)
         if packed is not None:

@@ -75,6 +75,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32,
         c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
     ]
+    lib.sh_flac_stream_extract.restype = ctypes.c_int32
+    lib.sh_flac_stream_extract.argtypes = [
+        c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i64p,
+    ]
     lib.sh_mp3_extract.restype = ctypes.c_int32
     lib.sh_mp3_extract.argtypes = [
         c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
@@ -189,4 +195,43 @@ def mp3_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
     return {
         "spectra": spectra[:g], "bt": bt[:g], "mixed": mixed[:g],
         "gr_frame": gr_frame[:g], "status": status, "n_granules": g,
+    }
+
+
+def flac_stream_extract(buf: bytes, si, n_max: int, max_frames: int):
+    """Single-pass demux+extract: no separate sync scan or CRC pass.
+
+    Returns a packed dict (ops.flac_dense layout) with 'offsets' added, or
+    None if unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8)
+    C = si.channels
+    res = np.zeros((max_frames * C, n_max), dtype=np.int32)
+    coefs = np.zeros((max_frames * C, 32), dtype=np.int32)
+    order = np.zeros(max_frames * C, dtype=np.int32)
+    shift = np.zeros(max_frames * C, dtype=np.int32)
+    wasted = np.zeros(max_frames * C, dtype=np.int32)
+    block = np.zeros(max_frames, dtype=np.int32)
+    assign = np.zeros(max_frames, dtype=np.int32)
+    bps = np.zeros(max_frames, dtype=np.int32)
+    offsets = np.zeros(max_frames, dtype=np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    F = lib.sh_flac_stream_extract(
+        _u8ptr(a), len(a), si.channels, si.bits_per_sample, si.sample_rate,
+        si.block_len_max, C, n_max, max_frames,
+        res.ctypes.data_as(i32p), coefs.ctypes.data_as(i32p),
+        order.ctypes.data_as(i32p), shift.ctypes.data_as(i32p),
+        wasted.ctypes.data_as(i32p), block.ctypes.data_as(i32p),
+        assign.ctypes.data_as(i32p), bps.ctypes.data_as(i32p),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return {
+        "res": res[: F * C], "coefs": coefs[: F * C], "order": order[: F * C],
+        "shift": shift[: F * C], "wasted": wasted[: F * C],
+        "block": block[:F], "assign": assign[:F], "bps": bps[:F],
+        "offsets": offsets[:F], "status": np.zeros(F, np.int32),
+        "F": F, "C": C, "n_max": n_max,
     }

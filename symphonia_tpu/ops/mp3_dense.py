@@ -116,6 +116,21 @@ def freq_inversion_mask() -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _synth_conv_kernel() -> np.ndarray:
+    """[16, 64, 32] conv kernel for the polyphase windowed taps, width axis
+    pre-flipped for lax.conv correlation semantics: kernel[dw, j, i] =
+    D[32*(15-dw) + i] * [j == q(15-dw, i)]."""
+    W = synthesis_window()
+    q = _synth_sel_idx()
+    K = np.zeros((16, 64, 32), dtype=np.float32)
+    for dw in range(16):
+        k = 15 - dw
+        for i in range(32):
+            K[dw, q[k, i], i] = W[k, i]
+    return K
+
+
+@lru_cache(maxsize=None)
 def _synth_sel_idx() -> np.ndarray:
     """QIDX[k, i]: which of v[64] feeds output tap k at sample i
     (even k -> lower half, odd k -> upper half; synthesis.rs:313-324)."""
@@ -243,6 +258,7 @@ def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
     (hybrid overlap-add, polyphase FIFO) are applied by superposition:
     shift-adds along the granule axis (see module docstring).
     """
+    import jax
     import jax.numpy as jnp
 
     G, C, _ = x.shape
@@ -267,13 +283,20 @@ def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
     xb = xb.at[:, 1:32, 0:8].set(nh)
 
     # --- hybrid IMDCT as matmuls ---
+    # One large MXU matmul per block type (shared [36, 18] matrix), then a
+    # per-lane one-hot select — far faster than per-lane batched matmuls.
     T = jnp.asarray(hybrid_matrices())  # [4, 36, 18]
+    flat = xb.reshape(L * 32, 18)
+    outs = jnp.stack(
+        [
+            (flat @ T[b].T).reshape(L, 32, 36)
+            for b in (BLOCK_LONG, BLOCK_START, BLOCK_SHORT, BLOCK_END)
+        ]
+    )  # [4, L, 32, 36] (index == block type)
     lt = jnp.where(btf == BLOCK_SHORT, BLOCK_LONG, btf)
-    T_long = T[lt]  # [L, 36, 18]
-    out_long = jnp.einsum("lij,lsj->lsi", T_long, xb,
-                          preferred_element_type=jnp.float32)
-    out_short = jnp.einsum("ij,lsj->lsi", T[BLOCK_SHORT], xb,
-                           preferred_element_type=jnp.float32)
+    onehot = (jnp.arange(4)[:, None] == lt[None, :]).astype(jnp.float32)
+    out_long = jnp.einsum("bl,blsi->lsi", onehot, outs)
+    out_short = outs[BLOCK_SHORT]
     sb_split = jnp.where(btf == BLOCK_SHORT, jnp.where(mixedf, 2, 0), 32)
     sb_idx = jnp.arange(32)[None, :, None]
     tmp = jnp.where(sb_idx < sb_split[:, None, None], out_long, out_short)
@@ -292,17 +315,18 @@ def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
     # --- frequency inversion ---
     sb_time = sb_time * jnp.asarray(freq_inversion_mask())
 
-    # --- polyphase matrixing + windowed taps ---
+    # --- polyphase matrixing + windowed taps as one conv ---
+    # resp[l, m, i] = sum_k V[l, m-k, q(k,i)] * D[32k+i]: a width-16 "full"
+    # convolution over the 18 time steps with a [16, 64, 32] kernel — a
+    # single MXU op instead of materializing the [L, 18, 16, 32] tap gather.
     N = jnp.asarray(polyphase_matrix())  # [64, 32]
-    W = jnp.asarray(synthesis_window())  # [16, 32]
-    qidx = jnp.asarray(_synth_sel_idx())  # [16, 32]
     S = sb_time.transpose(0, 1, 3, 2).reshape(L, 18, 32)
     V = jnp.einsum("ltk,ik->lti", S, N, preferred_element_type=jnp.float32)
-    v_sel = V[:, :, qidx]  # [L, 18, 16, 32]
-    c = v_sel * W[None, None]
-    resp = jnp.zeros((L, 33, 32), jnp.float32)
-    for k in range(16):
-        resp = resp.at[:, k : k + 18, :].add(c[:, :, k, :])
+    K = jnp.asarray(_synth_conv_kernel())  # [16, 64, 32], width-flipped
+    resp = jax.lax.conv_general_dilated(
+        V, K, window_strides=(1,), padding=[(15, 15)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )  # [L, 33, 32]
     resp = resp.reshape(G, C, 1056)
 
     # --- cross-granule synthesis overlap-add by superposition ---
