@@ -43,8 +43,9 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         fn, args = ge.entry()
-        out = fn(*args)
-        assert out.shape[0] == args[0].shape[0] // 2
+        flac_pcm, mp3_pcm = fn(*args)
+        assert flac_pcm.shape[0] == args[0].shape[0] // 2
+        assert mp3_pcm.shape[-1] == 576
 
     def test_dryrun_multichip_8(self):
         import jax
