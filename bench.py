@@ -80,7 +80,8 @@ def bench_flac_host(repeats: int = 10):
         r._ensure_scan()
         buf = r._buf
     si = r.stream_info
-    max_frames = len(buf) // max(1, si.block_len_max // 8) + 16
+    max_frames = (si.n_samples // max(1, si.block_len_min) + 8
+                  if si.n_samples else len(buf) // 64 + 16)
     t0 = time.perf_counter()
     for _ in range(repeats):
         packed = native.flac_stream_extract(buf, si, 4096, max_frames)

@@ -65,31 +65,37 @@ uint32_t crc32_buf(const uint8_t* p, int64_t n, uint32_t c = 0) {
 // ---------------------------------------------------------------------------
 
 struct BitReader {
+    // Windowed MSB-first reader: an absolute bit cursor plus unaligned
+    // 64-bit big-endian window loads — branch-light for the Rice hot loop.
     const uint8_t* data;
-    int64_t len;     // bytes
-    int64_t pos;     // next byte index
-    uint64_t buf;    // left-aligned cache is NOT used; bottom-aligned cnt bits
-    int cnt;
+    int64_t len;      // bytes
+    int64_t bitlen;   // bits
+    int64_t bitpos;
     bool error;
 
-    BitReader(const uint8_t* d, int64_t n) : data(d), len(n), pos(0), buf(0), cnt(0), error(false) {}
+    BitReader(const uint8_t* d, int64_t n)
+        : data(d), len(n), bitlen(n * 8), bitpos(0), error(false) {}
 
-    inline void fill() {
-        while (cnt <= 56 && pos < len) {
-            buf = (buf << 8) | data[pos++];
-            cnt += 8;
+    // 64 bits starting at bitpos, left-aligned; zero-padded past the end.
+    inline uint64_t window() const {
+        int64_t byte = bitpos >> 3;
+        uint64_t w;
+        if (byte + 8 <= len) {
+            memcpy(&w, data + byte, 8);
+            w = __builtin_bswap64(w);
+        } else {
+            w = 0;
+            for (int i = 0; i < 8; i++)
+                w = (w << 8) | (byte + i < len ? data[byte + i] : 0);
         }
+        return w << (bitpos & 7);
     }
 
     inline uint64_t read(int nbits) {
         if (nbits == 0) return 0;
-        if (cnt < nbits) {
-            fill();
-            if (cnt < nbits) { error = true; return 0; }
-        }
-        cnt -= nbits;
-        uint64_t v = (buf >> cnt) & ((nbits == 64) ? ~0ULL : ((1ULL << nbits) - 1));
-        buf &= (cnt == 64) ? ~0ULL : ((1ULL << cnt) - 1);
+        if (bitpos + nbits > bitlen) { error = true; bitpos = bitlen; return 0; }
+        uint64_t v = window() >> (64 - nbits);
+        bitpos += nbits;
         return v;
     }
 
@@ -102,22 +108,23 @@ struct BitReader {
     inline uint32_t read_unary_zeros() {
         uint32_t zeros = 0;
         for (;;) {
-            if (cnt == 0) {
-                fill();
-                if (cnt == 0) { error = true; return zeros; }
+            uint64_t w = window();
+            // Only 64 - (bitpos & 7) + ... window() is exact 64 bits; but
+            // bits past the stream end are zero-padded, so guard with the
+            // stream length below.
+            if (w != 0) {
+                int lz = __builtin_clzll(w);
+                if (bitpos + lz + 1 > bitlen) { error = true; bitpos = bitlen; return zeros; }
+                bitpos += lz + 1;
+                return zeros + lz;
             }
-            if (buf == 0) { zeros += cnt; cnt = 0; continue; }
-            int hi = 63 - __builtin_clzll(buf);
-            int lz = cnt - 1 - hi;
-            zeros += lz;
-            cnt = hi;  // consume lz zeros + the 1 bit
-            buf &= (cnt == 64) ? ~0ULL : ((1ULL << cnt) - 1);
-            return zeros;
+            if (bitpos + 64 >= bitlen) { error = true; bitpos = bitlen; return zeros; }
+            zeros += 64;
+            bitpos += 64;
         }
     }
 
-    inline void align_byte() { int drop = cnt % 8; if (drop) read(drop); }
-    inline int64_t bits_read() const { return pos * 8 - cnt; }
+    inline int64_t bits_read() const { return bitpos; }
 };
 
 // ---------------------------------------------------------------------------
@@ -296,6 +303,7 @@ static int64_t extract_one_frame(
         int64_t lane = lane0 + ch;
         int32_t* lres = res + lane * n_max;
         int32_t* lcoef = coefs + lane * 32;
+        memset(lcoef, 0, 32 * sizeof(int32_t));
 
         if (br.read(1) != 0) return -3;
         int sf_type = (int)br.read(6);

@@ -198,26 +198,39 @@ def mp3_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
     }
 
 
+_POOL = {}
+
+
+def _pooled(key, shape, dtype):
+    arr = _POOL.get(key)
+    if arr is None or arr.shape != shape or arr.dtype != dtype:
+        arr = np.empty(shape, dtype)
+        _POOL[key] = arr
+    return arr
+
+
 def flac_stream_extract(buf: bytes, si, n_max: int, max_frames: int):
     """Single-pass demux+extract: no separate sync scan or CRC pass.
 
     Returns a packed dict (ops.flac_dense layout) with 'offsets' added, or
-    None if unavailable.
+    None if unavailable. Output arrays come from a reuse pool (the C++
+    writer initializes every field it reads back), so callers must consume
+    them before the next call.
     """
     lib = _load()
     if lib is None:
         return None
     a = np.frombuffer(buf, dtype=np.uint8)
     C = si.channels
-    res = np.zeros((max_frames * C, n_max), dtype=np.int32)
-    coefs = np.zeros((max_frames * C, 32), dtype=np.int32)
-    order = np.zeros(max_frames * C, dtype=np.int32)
-    shift = np.zeros(max_frames * C, dtype=np.int32)
-    wasted = np.zeros(max_frames * C, dtype=np.int32)
-    block = np.zeros(max_frames, dtype=np.int32)
-    assign = np.zeros(max_frames, dtype=np.int32)
-    bps = np.zeros(max_frames, dtype=np.int32)
-    offsets = np.zeros(max_frames, dtype=np.int64)
+    res = _pooled("res", (max_frames * C, n_max), np.int32)
+    coefs = _pooled("coefs", (max_frames * C, 32), np.int32)
+    order = _pooled("order", (max_frames * C,), np.int32)
+    shift = _pooled("shift", (max_frames * C,), np.int32)
+    wasted = _pooled("wasted", (max_frames * C,), np.int32)
+    block = _pooled("block", (max_frames,), np.int32)
+    assign = _pooled("assign", (max_frames,), np.int32)
+    bps = _pooled("bps", (max_frames,), np.int32)
+    offsets = _pooled("offsets", (max_frames,), np.int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     F = lib.sh_flac_stream_extract(
         _u8ptr(a), len(a), si.channels, si.bits_per_sample, si.sample_rate,

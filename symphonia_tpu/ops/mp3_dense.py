@@ -279,8 +279,12 @@ def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
     bmask = (jnp.arange(31)[None, :] < n_bounds[:, None])[:, :, None]
     nl = jnp.where(bmask, nl, lo_r)
     nh = jnp.where(bmask, nh, hi)
-    xb = xb.at[:, :31, 10:18].set(nl[..., ::-1])
-    xb = xb.at[:, 1:32, 0:8].set(nh)
+    # Reassemble by concatenation (scatters are slow on TPU): samples 0..7
+    # come from the butterflies of the boundary below, 10..17 from the
+    # boundary above; 8..9 pass through.
+    head = jnp.concatenate([xb[:, :1, 0:8], nh], axis=1)  # [L, 32, 8]
+    tail = jnp.concatenate([nl[..., ::-1], xb[:, 31:, 10:18]], axis=1)
+    xb = jnp.concatenate([head, xb[:, :, 8:10], tail], axis=2)
 
     # --- hybrid IMDCT as matmuls ---
     # One large MXU matmul per block type (shared [36, 18] matrix), then a
@@ -333,6 +337,8 @@ def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
     if synth_tail0 is None:
         synth_tail0 = jnp.zeros((C, 480), jnp.float32)
     prev_tail = jnp.concatenate([synth_tail0[None], resp[:-1, :, 576:]], axis=0)
-    pcm = resp[:, :, :576].at[:, :, :480].add(prev_tail)
+    pcm = jnp.concatenate(
+        [resp[:, :, :480] + prev_tail, resp[:, :, 480:576]], axis=2
+    )
     synth_tail = resp[-1, :, 576:]
     return pcm, hybrid_tail, synth_tail
