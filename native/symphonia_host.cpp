@@ -365,8 +365,21 @@ static int64_t extract_one_frame(
                     lres[idx++] = raw ? (int32_t)br.read_signed(raw) : 0;
             } else {
                 for (int i = 0; i < cnt; i++) {
-                    uint64_t q = br.read_unary_zeros();
-                    uint64_t v = (q << param) | (param ? br.read(param) : 0);
+                    // Fused quotient+remainder from one 64-bit window when
+                    // the whole code fits (the overwhelmingly common case).
+                    uint64_t w = br.window();
+                    uint64_t v;
+                    int lz = w ? __builtin_clzll(w) : 64;
+                    if (w && lz + 1 + param <= 64) {
+                        uint64_t rem = param
+                            ? (w << (lz + 1)) >> (64 - param) : 0;
+                        v = ((uint64_t)lz << param) | rem;
+                        br.bitpos += lz + 1 + param;
+                        if (br.bitpos > br.bitlen) { br.error = true; break; }
+                    } else {
+                        uint64_t q = br.read_unary_zeros();
+                        v = (q << param) | (param ? br.read(param) : 0);
+                    }
                     lres[idx++] = (int32_t)((v >> 1) ^ (~(v & 1) + 1));
                 }
             }

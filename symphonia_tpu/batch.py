@@ -46,6 +46,23 @@ class FlacBatchDecoder:
 
         reader = FlacReader(MediaSourceStream(data))
         si = reader.stream_info
+        if si.bits_per_sample > 25:
+            # 32-bit streams carry 33-bit side channels, exceeding the
+            # device path's int32 lanes; use the exact host decoder
+            # (decoder.rs:195-227's i64 situation).
+            out = _fallback_decode(data, gapless=True)
+            if self.verify and si.md5 != b"\x00" * 16:
+                import hashlib
+
+                from .codecs.flac import md5_bytes_of
+
+                out.md5_ok = (
+                    hashlib.md5(
+                        md5_bytes_of(out.samples.astype(np.int64),
+                                     si.bits_per_sample)
+                    ).digest() == si.md5
+                )
+            return out
         reader._ensure_scan()
         starts = reader._frame_starts
         if len(starts) == 0:

@@ -359,18 +359,22 @@ class OggReader(FormatReader):
                 continue
             pages.append(page)
 
-        # Assemble logical streams (first physical stream only; a following
-        # chained stream triggers ResetRequired during playback).
+        self._load_physical(pages)
+
+    def _load_physical(self, pages: List[OggPage]) -> None:
+        """Assemble one physical stream's logical streams; any chained
+        physical stream's pages are kept for ResetRequired handling
+        (demuxer.rs:305)."""
         streams: Dict[int, dict] = {}
         bos_order: List[int] = []
         end_of_physical = None
         for pi, page in enumerate(pages):
             if page.header_type & 0x02:  # BOS
-                if page.serial in streams:
-                    continue
                 if streams and all(s.get("eos") for s in streams.values()):
                     end_of_physical = pi
                     break
+                if page.serial in streams:
+                    continue
                 streams[page.serial] = {
                     "packets": [], "pending": b"", "mapper": None,
                     "headers_done": False, "page_granules": [], "eos": False,
@@ -453,6 +457,7 @@ class OggReader(FormatReader):
         self._entries = entries
         self._cursor = 0
         self._total = total
+        self._chained_pages = pages[end_of_physical:] if end_of_physical else []
 
         params = mapper.codec_params()
         self._track = Track(
@@ -469,6 +474,11 @@ class OggReader(FormatReader):
 
     def next_packet(self) -> Optional[Packet]:
         if self._cursor >= len(self._entries):
+            if self._chained_pages:
+                # Chained physical stream: rebuild tracks and signal the
+                # caller to recreate decoders (formats/mod.rs:644).
+                self._load_physical(self._chained_pages)
+                raise ResetRequired("chained OGG physical stream")
             return None
         e = self._entries[self._cursor]
         self._cursor += 1

@@ -40,11 +40,14 @@ class WavReader(FormatReader):
         super().__init__(mss, options)
         self._metadata = MetadataLog()
         hdr = mss.read_bytes(4)
-        if hdr != WAV_MARKER:
+        if hdr not in (WAV_MARKER, b"RF64"):
             raise Unsupported("missing RIFF marker")
+        is_rf64 = hdr == b"RF64"
         riff_len = mss.read_u32le()
         if mss.read_bytes(4) != WAVE_ID:
             raise Unsupported("not a WAVE file")
+        self._ds64_data_len = None
+        self._ds64_frames = None
 
         self.fd: Optional[FormatData] = None
         self._data_start = None
@@ -56,7 +59,15 @@ class WavReader(FormatReader):
             ch = chunks.next_chunk()
             if ch is None:
                 break
-            if ch.id == b"fmt ":
+            if ch.id == b"ds64":
+                # RF64 64-bit size chunk: riff size, data size, sample count.
+                payload = mss.read_bytes(ch.size)
+                if len(payload) >= 24:
+                    self._ds64_data_len = int.from_bytes(payload[8:16], "little")
+                    self._ds64_frames = int.from_bytes(payload[16:24], "little")
+                chunks.consume(ch.size)
+                chunks.align(ch)
+            elif ch.id == b"fmt ":
                 self.fd = parse_waveformat(mss.read_bytes(ch.size))
                 chunks.consume(ch.size)
                 chunks.align(ch)
@@ -77,6 +88,8 @@ class WavReader(FormatReader):
             elif ch.id == b"data":
                 self._data_start = mss.pos()
                 size = ch.size
+                if size == 0xFFFFFFFF and self._ds64_data_len is not None:
+                    size = self._ds64_data_len  # RF64 64-bit data size
                 # A streaming WAV may declare 0xFFFFFFFF / 0; fall back to
                 # the physical remainder when seekable.
                 total = mss.byte_len()
@@ -93,6 +106,8 @@ class WavReader(FormatReader):
         self.pinfo = PacketInfo.for_format(self.fd)
         n_blocks = self._data_len // self.fd.block_align
         self._total_frames = n_blocks * self.fd.frames_per_block
+        if self._fact_frames is None:
+            self._fact_frames = self._ds64_frames
         if self._fact_frames is not None:
             self._total_frames = min(self._total_frames, self._fact_frames)
         self._next_block = 0
@@ -201,7 +216,7 @@ def _score(context: bytes) -> int:
 
 DESCRIPTOR = Descriptor(
     name="wav",
-    markers=[WAV_MARKER],
+    markers=[WAV_MARKER, b"RF64"],
     factory=WavReader,
     score=_score,
 )

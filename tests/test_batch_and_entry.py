@@ -55,3 +55,14 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestFlac32Bit:
+    def test_32bit_falls_back_to_exact_host_path(self):
+        from flac_builder import build_flac_file, random_walk
+
+        ch = random_walk(2048, 32, seed=99, ch=2)
+        data = build_flac_file(ch, bps=32, block_size=512, kind="fixed", order=1)
+        out = FlacBatchDecoder(verify=True).decode_bytes(data)
+        np.testing.assert_array_equal(out.samples.astype(np.int64), np.stack(ch))
+        assert out.md5_ok is True

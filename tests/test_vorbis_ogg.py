@@ -158,3 +158,35 @@ class TestVorbisPrimitives:
         assert len(w) == 256
         # Princen-Bradley: w[i]^2 + w[len-1-i]^2 == 1 across the lap.
         np.testing.assert_allclose(w**2 + w[::-1] ** 2, np.ones(256), atol=1e-6)
+
+
+class TestChainedStreams:
+    def test_chained_raises_reset_required(self):
+        from symphonia_tpu.core.errors import ResetRequired
+
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        chained = data + data  # two physical streams back to back
+        r = OggReader(MediaSourceStream(chained))
+        n1 = 0
+        saw_reset = False
+        while True:
+            try:
+                p = r.next_packet()
+            except ResetRequired:
+                saw_reset = True
+                break
+            if p is None:
+                break
+            n1 += 1
+        assert saw_reset and n1 > 0
+        # After the reset, the second stream's packets are available.
+        dec = VorbisDecoder(r.default_track().codec_params)
+        n2 = 0
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            dec.decode(p)
+            n2 += 1
+        assert n2 == n1

@@ -191,3 +191,19 @@ class TestAlawMulaw:
         assert out[0][1] == 8  # alaw 0xD5 -> +8
         assert out[0][2] == -32256
         assert out[0][3] == 32256
+
+
+class TestRf64:
+    def test_rf64_with_ds64(self):
+        rng = np.random.default_rng(12)
+        frames = rng.integers(-32768, 32767, size=(2000, 2), dtype=np.int32)
+        payload = frames.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+        ds64 = struct.pack("<QQQ", 0, len(payload), len(frames)) + b"\x00" * 4
+        chunks = b"ds64" + struct.pack("<I", len(ds64)) + ds64
+        chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", 0xFFFFFFFF) + payload
+        data = b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE" + chunks
+        out, track = decode_all(data)
+        assert track.num_frames == 2000
+        np.testing.assert_array_equal(out, frames.T)
