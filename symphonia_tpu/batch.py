@@ -308,3 +308,47 @@ def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:
         track.codec_params.bits_per_sample or 32,
         fin.verify_ok,
     )
+
+
+class VorbisBatchDecoder:
+    """Whole-file OGG Vorbis decode: per-packet host entropy (floors/
+    residues/coupling) + grouped device IMDCT dense stage
+    (ops.vorbis_dense)."""
+
+    def decode_bytes(self, data: bytes) -> DecodedAudio:
+        from .codecs.vorbis import VorbisDecoder, _CHANNEL_MAP
+        from .core.errors import DecodeError
+        from .formats.ogg import OggReader
+        from .ops.vorbis_dense import decode_packets_dense
+
+        reader = OggReader(MediaSourceStream(data))
+        track = reader.default_track()
+        if track.codec_params.codec != "vorbis":
+            raise DecodeError("not a Vorbis stream")
+        dec = VorbisDecoder(track.codec_params)
+        spectra, flags, trims = [], [], []
+        while True:
+            pkt = reader.next_packet()
+            if pkt is None:
+                break
+            try:
+                sp, flag = dec.decode_spectra(pkt.data)
+            except DecodeError:
+                continue
+            spectra.append(sp)
+            flags.append(flag)
+            trims.append((pkt.trim_start, pkt.trim_end))
+        pcm = decode_packets_dense(spectra, flags, dec.bs0, dec.bs1)
+        total_trim_end = sum(t[1] for t in trims)
+        if total_trim_end:
+            pcm = pcm[:, : pcm.shape[1] - total_trim_end]
+        # Vorbis channel order -> output order.
+        chmap = _CHANNEL_MAP.get(pcm.shape[0], list(range(pcm.shape[0])))
+        out = np.zeros_like(pcm)
+        for src, dst in enumerate(chmap):
+            out[dst] = pcm[src]
+        return DecodedAudio(out, track.codec_params.sample_rate, 32)
+
+    def decode_file(self, path: str) -> DecodedAudio:
+        with open(path, "rb") as f:
+            return self.decode_bytes(f.read())

@@ -490,8 +490,12 @@ class VorbisDecoder(AudioDecoder):
     def reset(self) -> None:
         self.dsp.reset()
 
-    def decode(self, packet: Packet) -> AudioBuffer:
-        data = packet.data
+    def decode_spectra(self, data: bytes):
+        """Entropy + floor/residue/coupling stage: packet -> per-channel
+        spectra ready for the IMDCT (the device-batchable boundary).
+
+        Returns (spectra [n_ch, n2] float32, block_flag).
+        """
         if not data:
             raise DecodeError("empty packet")
         br = BitReaderRtl(data)
@@ -570,6 +574,11 @@ class VorbisDecoder(AudioDecoder):
                 amplitude, coeffs = floors[ch]
                 curve = floor0_synthesis(amplitude, coeffs, fcfg.f0, n2)
             spectra[ch] = curve * residues[ch]
+        return spectra, block_flag
+
+    def decode(self, packet: Packet) -> AudioBuffer:
+        spectra, block_flag = self.decode_spectra(packet.data)
+        n_ch = self.ident.n_channels
 
         # IMDCT + lapping.
         prev_flag = (

@@ -1,0 +1,98 @@
+"""Vorbis dense-stage device kernels: batched IMDCT by block-size group.
+
+TPU re-expression of the reference's per-packet ``Imdct`` + windowed
+overlap-add (codec-vorbis dsp.rs): packets group by block size into two
+MXU matmuls ``[lanes, n/2] @ [n/2, n]``; the lapped overlap-add (linear,
+window determined by each adjacent block-size pair) is stitched with the
+precomputed left-half windows.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..codecs.vorbis import imdct_matrix, vorbis_window
+
+
+@lru_cache(maxsize=None)
+def _imdct_jax(n: int):
+    import jax
+    import jax.numpy as jnp
+
+    m = jnp.asarray(imdct_matrix(n))
+
+    @jax.jit
+    def run(spec):  # [L, n/2] -> [L, n]
+        return spec @ m.T
+
+    return run
+
+
+def imdct_group(spectra: np.ndarray, n: int) -> np.ndarray:
+    """Batched IMDCT on device for one block-size group."""
+    if len(spectra) == 0:
+        return np.zeros((0, n), np.float32)
+    return np.asarray(_imdct_jax(n)(spectra))
+
+
+def lap_stitch(
+    imdcts: Sequence[np.ndarray], flags: Sequence[bool], bs0: int, bs1: int
+) -> np.ndarray:
+    """Windowed overlap-add across a packet sequence for one channel
+    (dsp.rs DspChannel::synth semantics). imdcts[p] has length bs of
+    packet p. The first packet produces no output (no left partner)."""
+    w0 = vorbis_window(bs0)
+    w1 = vorbis_window(bs1)
+    outs: List[np.ndarray] = []
+    for p in range(1, len(imdcts)):
+        prev, cur = imdcts[p - 1], imdcts[p]
+        prev_bs, bs = len(prev), len(cur)
+        win = w1 if (prev_bs == bs1 and bs == bs1) else w0
+        ov = prev[prev_bs // 2 :]
+        out = np.empty((prev_bs + bs) // 4, dtype=np.float32)
+        if prev_bs == bs:
+            out[:] = ov[: bs // 2] * win[::-1] + cur[: bs // 2] * win
+        elif prev_bs > bs:  # long -> short
+            start = (bs1 - bs0) // 4
+            end = start + bs0 // 2
+            out[:start] = ov[:start]
+            out[start:] = ov[start:end] * win[::-1] + cur[: bs0 // 2] * win
+        else:  # short -> long
+            start = (bs1 - bs0) // 4
+            end = start + bs0 // 2
+            out[: bs0 // 2] = ov[: bs0 // 2] * win[::-1] + cur[start:end] * win
+            out[bs0 // 2 :] = cur[end : bs1 // 2]
+        outs.append(out)
+    return np.concatenate(outs) if outs else np.zeros(0, np.float32)
+
+
+def decode_packets_dense(
+    spectra_list: Sequence[np.ndarray],  # per packet [C, n2] float32
+    flags: Sequence[bool],
+    bs0: int,
+    bs1: int,
+) -> np.ndarray:
+    """Full dense stage for a packet sequence: grouped device IMDCTs +
+    host lap stitch. Returns [C, total_samples]."""
+    if not spectra_list:
+        return np.zeros((1, 0), np.float32)
+    C = spectra_list[0].shape[0]
+    # Group packet-channel lanes by block size.
+    short_idx = [p for p, f in enumerate(flags) if not f]
+    long_idx = [p for p, f in enumerate(flags) if f]
+    out_imdct: List[List[np.ndarray]] = [[None] * len(flags) for _ in range(C)]
+    for idxs, n in ((short_idx, bs0), (long_idx, bs1)):
+        if not idxs:
+            continue
+        lanes = np.stack(
+            [spectra_list[p][c][: n // 2] for p in idxs for c in range(C)]
+        )
+        y = imdct_group(lanes, n)
+        for j, p in enumerate(idxs):
+            for c in range(C):
+                out_imdct[c][p] = y[j * C + c]
+    chans = [lap_stitch(out_imdct[c], flags, bs0, bs1) for c in range(C)]
+    return np.stack(chans)

@@ -190,3 +190,16 @@ class TestChainedStreams:
             dec.decode(p)
             n2 += 1
         assert n2 == n1
+
+
+class TestVorbisBatchDecoder:
+    def test_matches_per_packet_decoder(self):
+        from symphonia_tpu.batch import VorbisBatchDecoder
+
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        full, r, track = our_decode(data)
+        batch = VorbisBatchDecoder().decode_bytes(data)
+        n = min(full.shape[1], batch.samples.shape[1])
+        assert n > 0.95 * full.shape[1]
+        np.testing.assert_allclose(batch.samples[:, :n], full[:, :n], atol=1e-5)
