@@ -352,3 +352,53 @@ class VorbisBatchDecoder:
     def decode_file(self, path: str) -> DecodedAudio:
         with open(path, "rb") as f:
             return self.decode_bytes(f.read())
+
+
+class AacBatchDecoder:
+    """Whole-stream AAC-LC decode: per-packet host entropy/prep + grouped
+    device IMDCTs + host window/OLA chain (ops.aac_dense)."""
+
+    def decode_bytes(self, data: bytes) -> DecodedAudio:
+        import symphonia_tpu as sym
+
+        from .codecs.aac import AacDecoder
+        from .core.errors import DecodeError
+        from .ops.aac_dense import imdct_frames, window_ola_chain
+
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        fmt = probed.format
+        track = fmt.default_track()
+        if track.codec_params.codec != "aac":
+            raise DecodeError("not an AAC stream")
+        dec = AacDecoder(track.codec_params)
+        C = dec.spec.num_channels
+        per_ch = [[] for _ in range(C)]
+        while True:
+            pkt = fmt.next_packet()
+            if pkt is None:
+                break
+            if pkt.track_id != track.id:
+                continue
+            chans = dec.decode_coeffs(pkt.data)
+            for c, item in enumerate(chans[:C]):
+                per_ch[c].append(item)
+        outs = []
+        for c in range(C):
+            if not per_ch[c]:
+                outs.append(np.zeros(0, np.float32))
+                continue
+            coeffs = np.stack([it[0] for it in per_ch[c]])
+            seqs = [it[1] for it in per_ch[c]]
+            shapes = [it[2] for it in per_ch[c]]
+            prevs = [it[3] for it in per_ch[c]]
+            pcms = imdct_frames(coeffs, seqs)
+            outs.append(window_ola_chain(pcms, seqs, shapes, prevs))
+        n = max(len(o) for o in outs)
+        pcm = np.zeros((C, n), np.float32)
+        for c, o in enumerate(outs):
+            pcm[c, : len(o)] = o
+        return DecodedAudio(pcm, dec.spec.rate, 32)
+
+    def decode_file(self, path: str) -> DecodedAudio:
+        with open(path, "rb") as f:
+            return self.decode_bytes(f.read())

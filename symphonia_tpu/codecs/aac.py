@@ -717,8 +717,21 @@ class AacDecoder(AudioDecoder):
             raise DecodeError("too many channel elements")
         return p
 
-    def decode(self, packet) -> AudioBuffer:
-        br = BitReaderLtr(packet.data)
+    def decode_coeffs(self, data: bytes):
+        """Entropy + prep stage: raw_data_block -> per-channel
+        (coeffs [1024] f32 after pulse/TNS, window_sequence, window_shape,
+        prev_window_shape) — the device-batchable IMDCT boundary."""
+        cur_pair = self._parse_elements(BitReaderLtr(data))
+        out = []
+        for p in self.pairs[:cur_pair]:
+            for ics in ([p.ics0, p.ics1] if p.is_pair else [p.ics0]):
+                ics.synth_pulse()
+                ics.synth_tns(self.rate_idx)
+                out.append((ics.coeffs.copy(), ics.info.window_sequence,
+                            ics.info.window_shape, ics.info.prev_window_shape))
+        return out
+
+    def _parse_elements(self, br: BitReaderLtr) -> int:
         cur_pair = 0
         cur_ch = 0
         while br.bits_left() > 3:
@@ -756,6 +769,10 @@ class AacDecoder(AudioDecoder):
                     br.ignore_bits((count - 1) * 8)
             elif eid in (2, 5):  # CCE / PCE
                 raise Unsupported("AAC CCE/PCE element")
+        return cur_pair
+
+    def decode(self, packet) -> AudioBuffer:
+        cur_pair = self._parse_elements(BitReaderLtr(packet.data))
         out = np.zeros((self.spec.num_channels, 1024), np.float32)
         for p in self.pairs[:cur_pair]:
             p.ics0.synth_channel(self.dsp, self.rate_idx, out[p.channel])

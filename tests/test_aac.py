@@ -164,3 +164,39 @@ class TestTables:
         m = imdct_matrix_scaled(1024)
         assert m.shape == (2048, 1024)
         assert abs(m).max() <= 1.0 / 2048 + 1e-9
+
+
+class TestAacBatchDecoder:
+    def test_matches_per_packet_decoder(self):
+        from symphonia_tpu.batch import AacBatchDecoder
+
+        rng = np.random.default_rng(50)
+        seqs = [0, 1, 2, 2, 3, 0, 1, 2, 3, 0]
+        from aac_builder import build_adts, build_raw_block, random_quant_spectrum
+
+        quants = [random_quant_spectrum(rng, 12, RATE, s) for s in seqs]
+        frames = [build_raw_block([q], [s], 12, GAIN, RATE)
+                  for q, s in zip(quants, seqs)]
+        data = build_adts(frames, RATE, 1)
+        ref, _ = decode_adts(data)
+        batch = AacBatchDecoder().decode_bytes(data)
+        n = min(ref.shape[1], batch.samples.shape[1])
+        np.testing.assert_allclose(batch.samples[:, :n], ref[:, :n], atol=1e-5)
+
+    def test_stereo_cpe(self):
+        from symphonia_tpu.batch import AacBatchDecoder
+        from aac_builder import build_adts, build_raw_block, random_quant_spectrum
+
+        rng = np.random.default_rng(51)
+        frames = [
+            build_raw_block(
+                [random_quant_spectrum(rng, MAX_SFB, RATE),
+                 random_quant_spectrum(rng, MAX_SFB, RATE)],
+                [0, 0], MAX_SFB, GAIN, RATE)
+            for _ in range(4)
+        ]
+        data = build_adts(frames, RATE, 2)
+        ref, _ = decode_adts(data)
+        batch = AacBatchDecoder().decode_bytes(data)
+        n = min(ref.shape[1], batch.samples.shape[1])
+        np.testing.assert_allclose(batch.samples[:, :n], ref[:, :n], atol=1e-5)
