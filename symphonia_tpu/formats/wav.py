@@ -77,6 +77,19 @@ class WavReader(FormatReader):
                     mss.ignore_bytes(ch.size - 4)
                 chunks.consume(ch.size)
                 chunks.align(ch)
+            elif ch.id in (b"id3 ", b"ID3 "):
+                payload = mss.read_bytes(ch.size)
+                chunks.consume(ch.size)
+                chunks.align(ch)
+                try:
+                    from ..metadata.id3v2 import Id3v2Reader
+                    from ..core.io.media_source import BufReader
+
+                    rev2 = Id3v2Reader().read_all(BufReader(payload))
+                    if rev2 is not None:
+                        self._metadata.push(rev2)
+                except Exception:
+                    pass
             elif ch.id == b"LIST":
                 list_type = mss.read_bytes(4)
                 if list_type == b"INFO":

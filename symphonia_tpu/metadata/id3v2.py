@@ -223,6 +223,36 @@ class Id3v2Reader(MetadataReader):
             rev.visuals.append(
                 Visual(media_type=mime or None, data=data, usage=usage)
             )
+        elif fid == "CHAP":
+            # Chapter frame (id3v2/mod.rs:415): element id, start/end ms,
+            # byte offsets, then embedded sub-frames (e.g. TIT2 title).
+            elem, rest = split_terminated(0, payload)
+            if len(rest) >= 16:
+                start_ms = struct.unpack(">I", rest[0:4])[0]
+                end_ms = struct.unpack(">I", rest[4:8])[0]
+                title = None
+                sub = rest[16:]
+                pos2 = 0
+                while pos2 + 10 <= len(sub):
+                    sid = sub[pos2 : pos2 + 4]
+                    if major == 4:
+                        ssize = read_syncsafe_u32(sub, pos2 + 4)
+                    else:
+                        ssize = struct.unpack(">I", sub[pos2 + 4 : pos2 + 8])[0]
+                    body2 = sub[pos2 + 10 : pos2 + 10 + ssize]
+                    if sid == b"TIT2" and body2:
+                        title = decode_text(body2[0], body2[1:]).rstrip("\x00")
+                    pos2 += 10 + ssize
+                rev.tags.append(RawTag("CHAP", elem.decode("latin-1", "replace")))
+                chapters = getattr(rev, "_chapters", None)
+                if chapters is None:
+                    chapters = []
+                    setattr(rev, "_chapters", chapters)
+                chapters.append(
+                    Chapter(start_time=start_ms / 1000.0,
+                            end_time=end_ms / 1000.0 if end_ms != 0xFFFFFFFF else None,
+                            title=title)
+                )
         elif fid == "POPM":
             email, rest = split_terminated(0, payload)
             if rest:

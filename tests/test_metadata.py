@@ -160,3 +160,39 @@ class TestProbeIntegration:
                 titles.add(v)
         assert "Probed" in titles
         assert "Trailer" in titles
+
+
+class TestChapters:
+    def test_chap_frames(self):
+        sub = b"TIT2" + struct.pack(">I", 8) + b"\x00\x00" + bytes([3]) + b"Intro\x00"
+        payload = b"ch1\x00" + struct.pack(">IIII", 0, 30000, 0, 0) + sub
+        tag = build_id3v2([("CHAP", payload)], major=3)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        chaps = getattr(rev, "_chapters", [])
+        assert len(chaps) == 1
+        assert chaps[0].start_time == 0.0
+        assert chaps[0].end_time == 30.0
+        assert chaps[0].title == "Intro"
+
+
+class TestEmbeddedId3InWav:
+    def test_wav_id3_chunk(self):
+        import numpy as np
+        from test_wav_pcm import make_wav
+
+        frames = np.zeros((100, 1), dtype=np.int32)
+        wav = bytearray(make_wav(frames, rate=8000))
+        tag = build_id3v2([("TIT2", text_frame("Wav Song"))])
+        chunk = b"id3 " + struct.pack("<I", len(tag)) + tag
+        if len(tag) % 2:
+            chunk += b"\x00"  # RIFF chunks are word-aligned
+        # Insert before the data chunk (after fmt).
+        insert_at = wav.find(b"data")
+        wav[insert_at:insert_at] = chunk
+        # fix RIFF size
+        struct.pack_into("<I", wav, 4, len(wav) - 8)
+        from symphonia_tpu.formats.wav import WavReader
+
+        r = WavReader(MediaSourceStream(bytes(wav)))
+        rev = r.metadata().current()
+        assert rev is not None and rev.get("track_title") == "Wav Song"
