@@ -364,22 +364,38 @@ static int64_t extract_one_frame(
                 for (int i = 0; i < cnt; i++)
                     lres[idx++] = raw ? (int32_t)br.read_signed(raw) : 0;
             } else {
-                for (int i = 0; i < cnt; i++) {
-                    // Fused quotient+remainder from one 64-bit window when
-                    // the whole code fits (the overwhelmingly common case).
-                    uint64_t w = br.window();
-                    uint64_t v;
-                    int lz = w ? __builtin_clzll(w) : 64;
-                    if (w && lz + 1 + param <= 64) {
+                // Persistent cached window: keep up to 64 left-aligned bits
+                // in a register and refill only when the next code might not
+                // fit, instead of reloading per symbol. `valid` counts bits
+                // remaining in `w`; refills are plain unaligned 8-byte loads
+                // well inside the buffer, with a per-symbol fallback near
+                // stream end or for pathological >56-bit codes.
+                int i = 0;
+                int64_t bp = br.bitpos;
+                while (i < cnt && (bp >> 3) + 16 <= br.len) {
+                    uint64_t w;
+                    memcpy(&w, br.data + (bp >> 3), 8);
+                    w = __builtin_bswap64(w) << (bp & 7);
+                    int valid = 64 - (int)(bp & 7);
+                    for (; i < cnt; i++) {
+                        int lz = w ? __builtin_clzll(w) : 64;
+                        int need = lz + 1 + param;
+                        if (need > valid) break;  // refill (or fall back)
                         uint64_t rem = param
                             ? (w << (lz + 1)) >> (64 - param) : 0;
-                        v = ((uint64_t)lz << param) | rem;
-                        br.bitpos += lz + 1 + param;
-                        if (br.bitpos > br.bitlen) { br.error = true; break; }
-                    } else {
-                        uint64_t q = br.read_unary_zeros();
-                        v = (q << param) | (param ? br.read(param) : 0);
+                        uint64_t v = ((uint64_t)lz << param) | rem;
+                        w <<= need;
+                        valid -= need;
+                        bp += need;
+                        lres[idx++] = (int32_t)((v >> 1) ^ (~(v & 1) + 1));
                     }
+                    if (i < cnt && valid == 64 - (int)(bp & 7)) break;
+                }
+                br.bitpos = bp;
+                if (br.bitpos > br.bitlen) { br.error = true; }
+                for (; i < cnt && !br.error; i++) {
+                    uint64_t q = br.read_unary_zeros();
+                    uint64_t v = (q << param) | (param ? br.read(param) : 0);
                     lres[idx++] = (int32_t)((v >> 1) ^ (~(v & 1) + 1));
                 }
             }
