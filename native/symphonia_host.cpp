@@ -109,18 +109,24 @@ struct BitReader {
         uint32_t zeros = 0;
         for (;;) {
             uint64_t w = window();
-            // Only 64 - (bitpos & 7) + ... window() is exact 64 bits; but
-            // bits past the stream end are zero-padded, so guard with the
-            // stream length below.
+            // window() yields only 64 - (bitpos & 7) REAL bits; the low
+            // (bitpos & 7) bits are zero padding from the alignment shift.
+            // Advancing by a full 64 on an all-zero window would skip up to
+            // 7 unexamined bits (possibly the terminating 1) — advance only
+            // over the bits actually inspected.
+            int valid = (int)(64 - (bitpos & 7));
+            if (bitpos + valid > bitlen) valid = (int)(bitlen - bitpos);
             if (w != 0) {
                 int lz = __builtin_clzll(w);
-                if (bitpos + lz + 1 > bitlen) { error = true; bitpos = bitlen; return zeros; }
+                if (lz >= valid || bitpos + lz + 1 > bitlen) {
+                    error = true; bitpos = bitlen; return zeros;
+                }
                 bitpos += lz + 1;
                 return zeros + lz;
             }
-            if (bitpos + 64 >= bitlen) { error = true; bitpos = bitlen; return zeros; }
-            zeros += 64;
-            bitpos += 64;
+            if (valid <= 0) { error = true; bitpos = bitlen; return zeros; }
+            zeros += valid;
+            bitpos += valid;
         }
     }
 

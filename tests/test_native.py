@@ -70,3 +70,44 @@ class TestFlacScan:
             axis=1,
         )
         np.testing.assert_array_equal(pcm, np.stack(ch).astype(np.int32))
+
+
+class TestLongUnaryRuns:
+    """Regression: sparse-spike residuals make the encoder pick a tiny Rice
+    parameter, producing unary runs longer than one 64-bit window. The
+    windowed bit reader must advance only over bits it actually examined
+    (low bits of an alignment-shifted window are padding, not stream)."""
+
+    def _spiky_file(self):
+        n = 4096 * 4
+        x = np.zeros(n, dtype=np.int64)
+        x[97::311] = 2000            # rare large spikes, mostly zeros
+        x[150::401] = -1500
+        data = build_flac_file([x], block_size=4096, kind="fixed", order=0,
+                               partition_order=2)
+        return data, [x]
+
+    def test_stream_extract_recovers_all_frames(self):
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        data, ch = self._spiky_file()
+        reader = FlacReader(MediaSourceStream(data))
+        si = reader.stream_info
+        reader._ensure_scan()
+        buf = reader._buf
+        packed = native.flac_stream_extract(buf, si, 4096, 64)
+        assert packed is not None
+        assert packed["F"] == len(reader._frame_starts)
+        np.testing.assert_array_equal(packed["offsets"], reader._frame_starts)
+        table = reader.packet_table()
+        frames = [parse_frame(p, si) for p in table.data]
+        py_packed = pack_parsed_frames(frames)
+        np.testing.assert_array_equal(packed["res"][: py_packed["res"].shape[0]],
+                                      py_packed["res"])
+
+    def test_batch_decode_bit_exact(self):
+        data, ch = self._spiky_file()
+        from symphonia_tpu.batch import decode_bytes
+
+        out = decode_bytes(data)
+        np.testing.assert_array_equal(out.samples[0], ch[0].astype(np.int32))
