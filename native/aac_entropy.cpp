@@ -1,0 +1,676 @@
+// AAC-LC host entropy stage.
+//
+// Native mirror of symphonia_tpu/codecs/aac.py (itself the analog of
+// symphonia-codec-aac/src/aac/): raw_data_block element loop SCE/CPE/LFE/
+// DSE/FIL; per ICS: window info, section data, scalefactors, spectral
+// Huffman quads/pairs with escapes, PNS noise, pulse, TNS; CPE mid-side +
+// intensity stereo. Emits per-frame per-channel dequantized coefficient
+// vectors (post pulse/TNS) ready for the batched device IMDCT stage
+// (ops/aac_dense.imdct_frames).
+//
+// Spectrum/scalefactor codebooks are registered at runtime from the same
+// aac_tables.npz data the Python decoder uses (sh_aac_set_codebook).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "entropy_common.h"
+
+namespace {
+
+constexpr int MAX_WINDOWS = 8;
+constexpr int MAX_SFBS = 64;
+
+constexpr int ONLY_LONG = 0;
+constexpr int LONG_START = 1;
+constexpr int EIGHT_SHORT = 2;
+
+constexpr int ZERO_HCB = 0;
+constexpr int NOISE_HCB = 13;
+constexpr int INTENSITY_HCB2 = 14;
+constexpr int INTENSITY_HCB = 15;
+constexpr int RESERVED_HCB = 12;
+
+const int kTnsMaxLongBands[12] = {31, 31, 34, 40, 42, 51, 46, 46, 42, 42, 42, 39};
+const int kTnsMaxShortBands[12] = {9, 9, 10, 14, 14, 14, 14, 14, 14, 14, 14, 14};
+
+// Registered codebooks: 0 = scalefactor, 1..11 = spectrum.
+Lut g_books[12];
+bool g_book_set[12] = {false};
+
+struct Tables {
+    float pow43[8192];
+    float normal_scf[256];
+    float intensity_scf[256];
+    Tables() {
+        for (int i = 0; i < 8192; i++) pow43[i] = (float)pow((double)i, 4.0 / 3.0);
+        for (int i = 0; i < 256; i++) normal_scf[i] = (float)exp2(0.25 * (i - 56 - 100));
+        for (int i = 0; i < 256; i++) intensity_scf[i] = (float)exp2(-0.25 * (i - 155));
+    }
+};
+const Tables& tables() { static Tables t; return t; }
+
+constexpr double kIquant2 = 2.51984209978974632953;  // 2^(4/3)
+
+struct Lcg {
+    uint32_t state = 0x1F2E3D4C;
+    inline int32_t next() {
+        state = state * 1664525u + 1013904223u;
+        return (int32_t)state;
+    }
+};
+
+inline int read_unary_ones(Bits& bs) {
+    int n = 0;
+    while (!bs.error && bs.read(1) == 1) n++;
+    return n;
+}
+
+inline void realign(Bits& bs) {
+    int off = (int)(bs.bits_read() & 7);
+    if (off) bs.consume(8 - off);
+}
+
+// ---------------------------------------------------------------------------
+// ICS
+// ---------------------------------------------------------------------------
+
+struct IcsInfo {
+    int window_sequence = ONLY_LONG;
+    int prev_window_sequence = ONLY_LONG;
+    bool window_shape = false;
+    bool prev_window_shape = false;
+    bool scale_factor_grouping[7] = {false};
+    int group_start[MAX_WINDOWS] = {0};
+    int window_groups = 1;
+    int num_windows = 1;
+    int max_sfb = 0;
+    bool long_win = true;
+
+    // aac.py IcsInfo.decode
+    int decode(Bits& br) {
+        prev_window_sequence = window_sequence;
+        prev_window_shape = window_shape;
+        if (br.read(1)) return -20;  // ics reserved bit set
+        window_sequence = (int)br.read(2);
+        window_shape = br.read(1) != 0;
+        window_groups = 1;
+        memset(group_start, 0, sizeof(group_start));
+        if (window_sequence == EIGHT_SHORT) {
+            long_win = false;
+            num_windows = 8;
+            max_sfb = (int)br.read(4);
+            for (int i = 0; i < 7; i++) {
+                bool grouped = br.read(1) != 0;
+                scale_factor_grouping[i] = grouped;
+                if (!grouped) group_start[window_groups++] = i + 1;
+            }
+        } else {
+            long_win = true;
+            num_windows = 1;
+            max_sfb = (int)br.read(6);
+            if (br.read(1)) return -21;  // LTP unsupported
+        }
+        return 0;
+    }
+
+    int get_group_start(int g) const {
+        if (g == 0) return 0;
+        if (g >= window_groups) return long_win ? 1 : 8;
+        return group_start[g];
+    }
+
+    void copy_from_common(const IcsInfo& o) {
+        int ps = window_sequence;
+        bool psh = window_shape;
+        *this = o;
+        prev_window_sequence = ps;
+        prev_window_shape = psh;
+    }
+};
+
+struct TnsFilter {
+    int length = 0;
+    int order = 0;
+    bool direction = false;
+    float coef[21];
+};
+
+struct Ics {
+    IcsInfo info;
+    const int32_t* bands_long;
+    int n_bands_long;   // entries incl. terminator
+    const int32_t* bands_short;
+    int n_bands_short;
+    int global_gain = 0;
+    int32_t sfb_cb[MAX_WINDOWS][MAX_SFBS];
+    float scales[MAX_WINDOWS][MAX_SFBS];
+    float coeffs[1024];
+    // TNS state (per frame)
+    bool has_tns = false;
+    int tns_n_filt[MAX_WINDOWS];
+    TnsFilter tns_filters[MAX_WINDOWS][4];
+    // Pulse (per frame)
+    bool has_pulse = false;
+    int pulse_start_sfb = 0;
+    int pulse_n = 0;
+    int pulse_off[4], pulse_amp[4];
+
+    const int32_t* get_bands(int* n) const {
+        if (info.long_win) { *n = n_bands_long; return bands_long; }
+        *n = n_bands_short; return bands_short;
+    }
+
+    // aac.py decode_section_data
+    int decode_section_data(Bits& br) {
+        int sect_bits = info.long_win ? 5 : 3;
+        int esc = (1 << sect_bits) - 1;
+        memset(sfb_cb, 0, sizeof(sfb_cb));
+        for (int g = 0; g < info.window_groups; g++) {
+            int k = 0, l = 0;
+            while (k < info.max_sfb) {
+                if (l >= MAX_SFBS) return -22;
+                int cb = (int)br.read(4);
+                if (cb == RESERVED_HCB) return -23;
+                int length = 0;
+                for (;;) {
+                    int incr = (int)br.read(sect_bits);
+                    length += incr;
+                    if (incr < esc) break;
+                }
+                if (k + length > info.max_sfb) return -24;
+                for (int i = 0; i < length; i++) sfb_cb[g][k + i] = cb;
+                k += length;
+                l++;
+                if (br.error) return -25;
+            }
+        }
+        return 0;
+    }
+
+    // aac.py decode_scale_factors
+    int decode_scale_factors(Bits& br) {
+        bool noise_pcm_flag = true;
+        int scf_intensity = 155;
+        int scf_noise = global_gain - 90 + 100;
+        int scf_normal = global_gain;
+        const Tables& t = tables();
+        const Lut& scf = g_books[0];
+        memset(scales, 0, sizeof(scales));
+        bool err = false;
+        for (int g = 0; g < info.window_groups; g++) {
+            for (int sfb = 0; sfb < info.max_sfb; sfb++) {
+                int cb = sfb_cb[g][sfb];
+                if (cb == ZERO_HCB) {
+                    scales[g][sfb] = 0.0f;
+                } else if (cb == INTENSITY_HCB || cb == INTENSITY_HCB2) {
+                    scf_intensity += scf.decode(br, &err) - 60;
+                    if (err || scf_intensity < 0 || scf_intensity >= 256) return -26;
+                    scales[g][sfb] = t.intensity_scf[scf_intensity];
+                } else if (cb == NOISE_HCB) {
+                    if (noise_pcm_flag) {
+                        noise_pcm_flag = false;
+                        scf_noise += (int)br.read(9) - 256;
+                    } else {
+                        scf_noise += scf.decode(br, &err) - 60;
+                    }
+                    if (err || scf_noise < 0 || scf_noise >= 256) return -27;
+                    scales[g][sfb] = t.normal_scf[scf_noise];
+                } else {
+                    scf_normal += scf.decode(br, &err) - 60;
+                    if (err || scf_normal < 0 || scf_normal >= 256) return -28;
+                    scales[g][sfb] = t.normal_scf[scf_normal];
+                }
+            }
+        }
+        return br.error ? -29 : 0;
+    }
+
+    // aac.py decode_pulse
+    int decode_pulse(Bits& br) {
+        has_pulse = false;
+        if (!br.read(1)) return 0;
+        pulse_n = (int)br.read(2) + 1;
+        pulse_start_sfb = (int)br.read(6);
+        for (int i = 0; i < pulse_n; i++) {
+            pulse_off[i] = (int)br.read(5);
+            pulse_amp[i] = (int)br.read(4);
+        }
+        has_pulse = true;
+        if (!info.long_win) return -30;  // pulse data in short window
+        return 0;
+    }
+
+    // aac.py synth_pulse
+    void synth_pulse() {
+        if (!has_pulse) return;
+        int nb;
+        const int32_t* bands = get_bands(&nb);
+        if (pulse_start_sfb >= nb - 1) return;
+        int k = bands[pulse_start_sfb];
+        int band = pulse_start_sfb;
+        for (int p = 0; p < pulse_n; p++) {
+            k += pulse_off[p];
+            if (k >= 1024) return;
+            while (bands[band + 1] <= k) band++;
+            double scale = scales[0][band];
+            double base = coeffs[k];
+            if (base != 0.0)
+                base = (base > 0 ? 1.0 : -1.0) * pow(fabs(base), 0.75);
+            base = base > 0 ? base + pulse_amp[p] : base - pulse_amp[p];
+            double sign = base > 0 ? 1.0 : (base < 0 ? -1.0 : 0.0);
+            coeffs[k] = (float)(sign * pow(fabs(base), 4.0 / 3.0) * scale);
+        }
+    }
+
+    // aac.py decode_tns
+    int decode_tns(Bits& br) {
+        has_tns = false;
+        if (!br.read(1)) return 0;
+        has_tns = true;
+        int max_order = info.long_win ? 12 : 7;
+        for (int w = 0; w < info.num_windows; w++) {
+            int n_filt = (int)br.read(info.long_win ? 2 : 1);
+            tns_n_filt[w] = n_filt;
+            bool coef_res = n_filt ? br.read(1) != 0 : false;
+            for (int fi = 0; fi < n_filt; fi++) {
+                TnsFilter& f = tns_filters[w][fi];
+                f.length = (int)br.read(info.long_win ? 6 : 4);
+                f.order = (int)br.read(info.long_win ? 5 : 3);
+                if (f.order > max_order) return -31;
+                f.direction = false;
+                if (f.order) {
+                    f.direction = br.read(1) != 0;
+                    int compress = (int)br.read(1);
+                    int bits = (coef_res ? 4 : 3) - compress;
+                    int sign_mask = 1 << (bits - 1);
+                    double fac_base = coef_res ? 8.0 : 4.0;
+                    double iqfac = (fac_base - 0.5) / (M_PI / 2);
+                    double iqfac_m = (fac_base + 0.5) / (M_PI / 2);
+                    float tmp[21];
+                    for (int i = 0; i < f.order; i++) {
+                        int v = (int)br.read(bits);
+                        double c = (v & sign_mask) ? (double)(v - (1 << bits)) : (double)v;
+                        tmp[i] = (float)sin(c / (c >= 0 ? iqfac : iqfac_m));
+                    }
+                    // Levinson-style expansion to LPC coefficients.
+                    float coef[21] = {0}, b[21] = {0};
+                    for (int m = 1; m <= f.order; m++) {
+                        for (int i = 1; i < m; i++)
+                            b[i] = coef[i - 1] + tmp[m - 1] * coef[m - i - 1];
+                        for (int i = 0; i < m - 1; i++) coef[i] = b[i + 1];
+                        coef[m - 1] = tmp[m - 1];
+                    }
+                    memcpy(f.coef, coef, sizeof(coef));
+                }
+            }
+        }
+        return br.error ? -32 : 0;
+    }
+
+    // aac.py synth_tns
+    void synth_tns(int rate_idx) {
+        if (!has_tns) return;
+        int nb;
+        const int32_t* bands = get_bands(&nb);
+        int tmb = info.long_win ? kTnsMaxLongBands[rate_idx]
+                                : kTnsMaxShortBands[rate_idx];
+        if (tmb > info.max_sfb) tmb = info.max_sfb;
+        for (int w = 0; w < info.num_windows; w++) {
+            int bottom = nb - 1;
+            for (int fi = 0; fi < tns_n_filt[w]; fi++) {
+                const TnsFilter& f = tns_filters[w][fi];
+                int top = bottom;
+                bottom = top - f.length;
+                if (bottom < 0) bottom = 0;
+                if (f.order == 0) continue;
+                int start = w * 128 + bands[bottom < tmb ? bottom : tmb];
+                int end = w * 128 + bands[top < tmb ? top : tmb];
+                const float* lpc = f.coef;
+                float* c = coeffs;
+                if (!f.direction) {
+                    for (int m = 0, i = start; i < end; i++, m++) {
+                        int jn = f.order < m ? f.order : m;
+                        for (int j = 0; j < jn; j++) c[i] -= c[i - j - 1] * lpc[j];
+                    }
+                } else {
+                    for (int m = 0, i = end - 1; i >= start; i--, m++) {
+                        int jn = f.order < m ? f.order : m;
+                        for (int j = 0; j < jn; j++) c[i] -= c[i + j + 1] * lpc[j];
+                    }
+                }
+            }
+        }
+    }
+
+    // aac.py decode_spectrum + helpers
+    int decode_spectrum(Bits& br, Lcg& lcg) {
+        memset(coeffs, 0, sizeof(coeffs));
+        int nb;
+        const int32_t* bands = get_bands(&nb);
+        for (int g = 0; g < info.window_groups; g++) {
+            int cur_w = info.get_group_start(g);
+            int next_w = info.get_group_start(g + 1);
+            for (int sfb = 0; sfb < info.max_sfb; sfb++) {
+                int start = bands[sfb], end = bands[sfb + 1];
+                int cb_idx = sfb_cb[g][sfb];
+                float scale = scales[g][sfb];
+                for (int w = cur_w; w < next_w; w++) {
+                    int o = w * 128;
+                    if (cb_idx == ZERO_HCB || cb_idx == RESERVED_HCB ||
+                        cb_idx == INTENSITY_HCB || cb_idx == INTENSITY_HCB2)
+                        continue;
+                    int r;
+                    if (cb_idx == NOISE_HCB)
+                        r = decode_noise(lcg, scale, o + start, o + end);
+                    else if (cb_idx <= 4)
+                        r = decode_quads(br, cb_idx, scale, o + start, o + end);
+                    else
+                        r = decode_pairs(br, cb_idx, scale, o + start, o + end);
+                    if (r < 0) return r;
+                }
+            }
+        }
+        return br.error ? -33 : 0;
+    }
+
+    int decode_noise(Lcg& lcg, float scale, int start, int end) {
+        double energy = 0.0;
+        for (int i = start; i < end; i++) {
+            float v = (float)(int16_t)(lcg.next() >> 16);
+            coeffs[i] = v;
+            energy += (double)v * v;
+        }
+        if (energy > 0) {
+            float k = (float)(scale / sqrt(energy));
+            for (int i = start; i < end; i++) coeffs[i] *= k;
+        }
+        return 0;
+    }
+
+    int decode_quads(Bits& br, int cb_idx, float scale, int start, int end) {
+        const Lut& cb = g_books[cb_idx];
+        bool is_signed = cb_idx == 1 || cb_idx == 2;
+        float iquant2 = (float)(kIquant2 * (double)scale);
+        bool err = false;
+        for (int i = start; i < end; i += 4) {
+            int code = cb.decode(br, &err);
+            if (err) return -34;
+            int q[4] = {code / 27, (code / 9) % 3, (code / 3) % 3, code % 3};
+            if (is_signed) {
+                for (int j = 0; j < 4; j++) coeffs[i + j] = (float)(q[j] - 1) * scale;
+            } else {
+                for (int j = 0; j < 4; j++) {
+                    if (q[j]) {
+                        float sign = br.read(1) ? -1.0f : 1.0f;
+                        coeffs[i + j] = sign * (q[j] == 1 ? scale : iquant2);
+                    }
+                }
+            }
+        }
+        return 0;
+    }
+
+    static void pair_value(int cb_idx, int code, int* x, int* y) {
+        if (cb_idx == 5 || cb_idx == 6) { *x = code / 9 - 4; *y = code % 9 - 4; }
+        else if (cb_idx == 7 || cb_idx == 8) { *x = code / 8; *y = code % 8; }
+        else if (cb_idx == 9 || cb_idx == 10) { *x = code / 13; *y = code % 13; }
+        else { *x = code / 17; *y = code % 17; }  // cb 11
+    }
+
+    static int read_escape(Bits& br, int* out) {
+        int n = read_unary_ones(br);
+        if (n >= 9 || br.error) return -35;
+        *out = (1 << (n + 4)) + (int)br.read(n + 4);
+        return 0;
+    }
+
+    int decode_pairs(Bits& br, int cb_idx, float scale, int start, int end) {
+        const Lut& cb = g_books[cb_idx];
+        bool is_signed = cb_idx == 5 || cb_idx == 6;
+        bool escape = cb_idx == 11;
+        const float* pow43 = tables().pow43;
+        bool err = false;
+        for (int i = start; i < end; i += 2) {
+            int code = cb.decode(br, &err);
+            if (err) return -36;
+            int x, y;
+            pair_value(cb_idx, code, &x, &y);
+            if (is_signed) {
+                float sx = x > 0 ? 1.0f : (x < 0 ? -1.0f : 0.0f);
+                float sy = y > 0 ? 1.0f : (y < 0 ? -1.0f : 0.0f);
+                coeffs[i] = sx * pow43[x < 0 ? -x : x] * scale;
+                coeffs[i + 1] = sy * pow43[y < 0 ? -y : y] * scale;
+            } else {
+                float sx = x ? (br.read(1) ? -1.0f : 1.0f) : 1.0f;
+                float sy = y ? (br.read(1) ? -1.0f : 1.0f) : 1.0f;
+                if (escape && x == 16) { if (read_escape(br, &x) < 0) return -35; }
+                if (escape && y == 16) { if (read_escape(br, &y) < 0) return -35; }
+                coeffs[i] = sx * pow43[x] * scale;
+                coeffs[i + 1] = sy * pow43[y] * scale;
+            }
+        }
+        return 0;
+    }
+
+    // aac.py Ics.decode
+    int decode(Bits& br, Lcg& lcg, bool common_window) {
+        global_gain = (int)br.read(8);
+        if (!common_window) {
+            int r = info.decode(br);
+            if (r < 0) return r;
+            int nb;
+            get_bands(&nb);
+            if (info.max_sfb + 1 > nb) return -37;
+        }
+        int r;
+        if ((r = decode_section_data(br)) < 0) return r;
+        if ((r = decode_scale_factors(br)) < 0) return r;
+        if ((r = decode_pulse(br)) < 0) return r;
+        if ((r = decode_tns(br)) < 0) return r;
+        if (br.read(1)) return -38;  // gain control unsupported
+        if ((r = decode_spectrum(br, lcg)) < 0) return r;
+        return 0;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Channel pair (aac.py ChannelPair)
+// ---------------------------------------------------------------------------
+
+struct ChannelPair {
+    bool is_pair = false;
+    int channel = 0;
+    Ics ics0, ics1;
+    Lcg lcg;
+    bool ms_used[MAX_WINDOWS][MAX_SFBS];
+    bool initialized = false;
+
+    int decode_sce(Bits& br) { return ics0.decode(br, lcg, false); }
+
+    int decode_cpe(Bits& br) {
+        bool common_window = br.read(1) != 0;
+        int ms_mask = 0;
+        if (common_window) {
+            int r = ics0.info.decode(br);
+            if (r < 0) return r;
+            int nb;
+            ics0.get_bands(&nb);
+            if (ics0.info.max_sfb + 1 > nb) return -37;
+            ms_mask = (int)br.read(2);
+            IcsInfo& info = ics0.info;
+            if (ms_mask == 0 || ms_mask == 2) {
+                for (int g = 0; g < MAX_WINDOWS; g++)
+                    for (int s = 0; s < MAX_SFBS; s++) ms_used[g][s] = ms_mask == 2;
+            } else if (ms_mask == 1) {
+                memset(ms_used, 0, sizeof(ms_used));
+                for (int g = 0; g < info.window_groups; g++)
+                    for (int sfb = 0; sfb < info.max_sfb; sfb++)
+                        ms_used[g][sfb] = br.read(1) != 0;
+            } else {
+                return -39;
+            }
+            ics1.info.copy_from_common(ics0.info);
+        }
+        int r;
+        if ((r = ics0.decode(br, lcg, common_window)) < 0) return r;
+        if ((r = ics1.decode(br, lcg, common_window)) < 0) return r;
+
+        if (common_window) {
+            IcsInfo& info = ics0.info;
+            int nb;
+            const int32_t* bands = ics0.get_bands(&nb);
+            int g = 0;
+            for (int w = 0; w < info.num_windows; w++) {
+                if (w > 0 && !info.scale_factor_grouping[w - 1]) g++;
+                for (int sfb = 0; sfb < info.max_sfb; sfb++) {
+                    int start = w * 128 + bands[sfb];
+                    int end = w * 128 + bands[sfb + 1];
+                    int cb1 = ics1.sfb_cb[g][sfb];
+                    if (cb1 == INTENSITY_HCB || cb1 == INTENSITY_HCB2) {
+                        bool invert = ms_mask == 1 && ms_used[g][sfb];
+                        float direction = cb1 == INTENSITY_HCB ? 1.0f : -1.0f;
+                        float factor = invert ? -1.0f : 1.0f;
+                        float scale = direction * factor * ics1.scales[g][sfb];
+                        for (int i = start; i < end; i++)
+                            ics1.coeffs[i] = scale * ics0.coeffs[i];
+                    } else if (ics0.sfb_cb[g][sfb] == NOISE_HCB || cb1 == NOISE_HCB) {
+                        // no joint coding over noise bands
+                    } else if (ms_used[g][sfb]) {
+                        for (int i = start; i < end; i++) {
+                            float mid = ics0.coeffs[i], side = ics1.coeffs[i];
+                            ics0.coeffs[i] = mid + side;
+                            ics1.coeffs[i] = mid - side;
+                        }
+                    }
+                }
+            }
+        }
+        return 0;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Register a Huffman codebook. idx 0 = scalefactor book, 1..11 = spectrum
+// books (identity values 0..n-1, matching aac.py spectrum_codebook).
+void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
+                         const int32_t* lens) {
+    if (idx < 0 || idx > 11) return;
+    std::vector<uint8_t> l8(n);
+    std::vector<uint16_t> vals(n);
+    for (int i = 0; i < n; i++) { l8[i] = (uint8_t)lens[i]; vals[i] = (uint16_t)i; }
+    g_books[idx].build(codes, l8.data(), vals.data(), n);
+    g_book_set[idx] = true;
+}
+
+// Parse + dequantize a sequence of AAC raw_data_blocks (one per frame).
+//
+// frames are located by offsets[f] / sizes[f] within data (the ADTS/MP4
+// demuxer's packet table). Outputs, per frame:
+//   coeffs   [max_frames, max_ch, 1024] f32 — post pulse/TNS/joint-stereo
+//   seq      [max_frames, max_ch] window_sequence
+//   shape    [max_frames, max_ch] window_shape (0/1)
+//   prevshape[max_frames, max_ch]
+//   nch      [max_frames] channels emitted
+//   status   [max_frames] 0 ok / negative error
+// Returns number of frames processed (= n_frames).
+int32_t sh_aac_extract(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* offsets, const int64_t* sizes, int32_t n_frames,
+    int32_t rate_idx,
+    const int32_t* bands_long, int32_t n_bands_long,
+    const int32_t* bands_short, int32_t n_bands_short,
+    int32_t max_ch,
+    float* coeffs_out, int32_t* seq_out, int32_t* shape_out,
+    int32_t* prevshape_out, int32_t* nch_out, int32_t* status) {
+    std::vector<ChannelPair> pairs;
+    pairs.reserve(4);
+
+    for (int32_t f = 0; f < n_frames; f++) {
+        nch_out[f] = 0;
+        status[f] = 0;
+        if (offsets[f] < 0 || offsets[f] + sizes[f] > data_len) {
+            status[f] = -1;
+            continue;
+        }
+        Bits br(data + offsets[f], sizes[f]);
+        int cur_pair = 0, cur_ch = 0, rc = 0;
+        while ((int64_t)br.bits_read() + 3 < sizes[f] * 8 && rc == 0) {
+            int eid = (int)br.read(3);
+            if (br.error) { rc = -2; break; }
+            if (eid == 7) break;  // END
+            if (eid == 0 || eid == 3) {  // SCE / LFE
+                br.read(4);
+                if ((size_t)cur_pair >= pairs.size()) pairs.emplace_back();
+                ChannelPair& p = pairs[cur_pair];
+                if (!p.initialized) {
+                    p.is_pair = false; p.channel = cur_ch; p.initialized = true;
+                    p.ics0.bands_long = bands_long; p.ics0.n_bands_long = n_bands_long;
+                    p.ics0.bands_short = bands_short; p.ics0.n_bands_short = n_bands_short;
+                    p.ics1 = p.ics0;
+                } else if (p.is_pair || p.channel != cur_ch) { rc = -3; break; }
+                if (cur_ch + 1 > max_ch) { rc = -4; break; }
+                rc = p.decode_sce(br);
+                cur_pair++; cur_ch++;
+            } else if (eid == 1) {  // CPE
+                br.read(4);
+                if ((size_t)cur_pair >= pairs.size()) pairs.emplace_back();
+                ChannelPair& p = pairs[cur_pair];
+                if (!p.initialized) {
+                    p.is_pair = true; p.channel = cur_ch; p.initialized = true;
+                    p.ics0.bands_long = bands_long; p.ics0.n_bands_long = n_bands_long;
+                    p.ics0.bands_short = bands_short; p.ics0.n_bands_short = n_bands_short;
+                    p.ics1 = p.ics0;
+                } else if (!p.is_pair || p.channel != cur_ch) { rc = -3; break; }
+                if (cur_ch + 2 > max_ch) { rc = -4; break; }
+                rc = p.decode_cpe(br);
+                cur_pair++; cur_ch += 2;
+            } else if (eid == 4) {  // DSE
+                br.read(4);
+                int align = (int)br.read(1);
+                int count = (int)br.read(8);
+                if (count == 255) count += (int)br.read(8);
+                if (align) realign(br);
+                br.ignore((int64_t)count * 8);
+            } else if (eid == 6) {  // FIL
+                int count = (int)br.read(4);
+                if (count == 15) count += (int)br.read(8) - 1;
+                if (count > 0) {
+                    br.read(4);  // extension type (SBR payloads skipped)
+                    br.ignore(4);
+                    br.ignore((int64_t)(count - 1) * 8);
+                }
+            } else {  // CCE / PCE unsupported
+                rc = -5;
+            }
+            if (br.error) rc = -2;
+        }
+        if (rc < 0) { status[f] = rc; continue; }
+        // Emit channels: pulse + TNS synthesis, then coefficients.
+        int ch_out = 0;
+        for (int pi = 0; pi < cur_pair; pi++) {
+            ChannelPair& p = pairs[pi];
+            Ics* chans[2] = {&p.ics0, p.is_pair ? &p.ics1 : nullptr};
+            for (int c = 0; c < 2 && chans[c]; c++) {
+                Ics& ics = *chans[c];
+                ics.synth_pulse();
+                ics.synth_tns(rate_idx);
+                int64_t lane = ((int64_t)f * max_ch + ch_out);
+                memcpy(coeffs_out + lane * 1024, ics.coeffs, 1024 * sizeof(float));
+                seq_out[lane] = ics.info.window_sequence;
+                shape_out[lane] = ics.info.window_shape ? 1 : 0;
+                prevshape_out[lane] = ics.info.prev_window_shape ? 1 : 0;
+                ch_out++;
+            }
+        }
+        nch_out[f] = ch_out;
+    }
+    return n_frames;
+}
+
+}  // extern "C"

@@ -11,6 +11,7 @@
 #include <cmath>
 #include <vector>
 
+#include "entropy_common.h"
 #include "mp3_tables.h"
 
 namespace {
@@ -19,105 +20,11 @@ namespace {
 // Bit reader (MSB-first) with peeking for LUT codebook decode.
 // ---------------------------------------------------------------------------
 
-struct Bits {
-    const uint8_t* data;
-    int64_t len;
-    int64_t pos;
-    uint64_t buf;
-    int cnt;
-    bool error;
-
-    Bits(const uint8_t* d, int64_t n) : data(d), len(n), pos(0), buf(0), cnt(0), error(false) {}
-
-    inline void fill() {
-        while (cnt <= 56 && pos < len) { buf = (buf << 8) | data[pos++]; cnt += 8; }
-    }
-    inline uint32_t read(int n) {
-        if (n == 0) return 0;
-        if (cnt < n) { fill(); if (cnt < n) { error = true; return 0; } }
-        cnt -= n;
-        uint32_t v = (uint32_t)((buf >> cnt) & ((1ULL << n) - 1));
-        buf &= (1ULL << cnt) - 1;
-        return v;
-    }
-    inline uint32_t peek(int n) {
-        if (cnt < n) fill();
-        if (cnt >= n) return (uint32_t)((buf >> (cnt - n)) & ((1ULL << n) - 1));
-        // Pad with zeros at end of stream.
-        return (uint32_t)((buf << (n - cnt)) & ((1ULL << n) - 1));
-    }
-    inline void consume(int n) {
-        if (cnt < n) { fill(); if (cnt < n) { error = true; cnt = 0; buf = 0; return; } }
-        cnt -= n;
-        buf &= (1ULL << cnt) - 1;
-    }
-    inline int64_t bits_read() const { return pos * 8 - cnt; }
-    inline void ignore(int64_t n) { while (n > 32) { read(32); n -= 32; } if (n > 0) read((int)n); }
-};
 
 // ---------------------------------------------------------------------------
 // Two-level LUT codebooks
 // ---------------------------------------------------------------------------
 
-constexpr int kRootBits = 10;
-
-struct Lut {
-    // Root: value>=0 -> leaf (payload | len<<16); value<0 -> ~subtable idx.
-    std::vector<int32_t> root;
-    struct Sub { int bits; std::vector<int32_t> e; };
-    std::vector<Sub> subs;
-    int max_len = 0;
-
-    void build(const uint32_t* codes, const uint8_t* lens, const uint16_t* values, int n) {
-        root.assign(1 << kRootBits, -1 - 0x7FFFFFF);  // invalid
-        max_len = 0;
-        for (int i = 0; i < n; i++) if (lens[i] > max_len) max_len = lens[i];
-        // First pass: leaves with len <= root bits.
-        for (int i = 0; i < n; i++) {
-            int l = lens[i];
-            if (l == 0 || l > kRootBits) continue;
-            uint32_t base = codes[i] << (kRootBits - l);
-            for (uint32_t k = 0; k < (1u << (kRootBits - l)); k++)
-                root[base + k] = (int32_t)values[i] | (l << 16);
-        }
-        // Longer codes: group by root prefix.
-        int sub_bits = max_len - kRootBits;
-        if (sub_bits <= 0) return;
-        for (int i = 0; i < n; i++) {
-            int l = lens[i];
-            if (l <= kRootBits) continue;
-            uint32_t pre = codes[i] >> (l - kRootBits);
-            int sub_idx;
-            if (root[pre] < 0 && root[pre] != -1 - 0x7FFFFFF) {
-                sub_idx = -root[pre] - 1;
-            } else {
-                sub_idx = (int)subs.size();
-                subs.push_back(Sub{sub_bits, std::vector<int32_t>((size_t)1 << sub_bits, -1)});
-                root[pre] = -sub_idx - 1;
-            }
-            Sub& s = subs[sub_idx];
-            int rem = l - kRootBits;
-            uint32_t rem_code = codes[i] & ((1u << rem) - 1);
-            uint32_t base = rem_code << (sub_bits - rem);
-            for (uint32_t k = 0; k < (1u << (sub_bits - rem)); k++)
-                s.e[base + k] = (int32_t)values[i] | (l << 16);
-        }
-    }
-
-    // Returns value; consumes bits. Sets *err on invalid prefix.
-    inline int decode(Bits& bs, bool* err) const {
-        uint32_t idx = bs.peek(kRootBits);
-        int32_t e = root[idx];
-        if (e >= 0) { bs.consume(e >> 16); return e & 0xFFFF; }
-        if (e == -1 - 0x7FFFFFF) { *err = true; return 0; }
-        const Sub& s = subs[-e - 1];
-        uint32_t idx2 = bs.peek(kRootBits + s.bits) & ((1u << s.bits) - 1);
-        int32_t e2 = s.e[idx2];
-        if (e2 < 0) { *err = true; return 0; }
-        bs.consume(e2 >> 16);
-        return e2 & 0xFFFF;
-    }
-};
 
 struct Mp3Tables {
     Lut big[18];      // tables 0..15 (0/4/14 empty), 16: codes16, 17: codes24

@@ -373,15 +373,45 @@ class AacBatchDecoder:
         dec = AacDecoder(track.codec_params)
         C = dec.spec.num_channels
         per_ch = [[] for _ in range(C)]
+        pkts = []
         while True:
             pkt = fmt.next_packet()
             if pkt is None:
                 break
             if pkt.track_id != track.id:
                 continue
-            chans = dec.decode_coeffs(pkt.data)
-            for c, item in enumerate(chans[:C]):
-                per_ch[c].append(item)
+            pkts.append(bytes(pkt.data))
+        # Entropy stage: native C++ when available (aac_entropy.cpp), Python
+        # oracle otherwise.
+        ext = None
+        try:
+            from . import native
+
+            if native.available() and pkts:
+                buf = b"".join(pkts)
+                sizes = np.array([len(p) for p in pkts], np.int64)
+                offs = np.zeros(len(pkts), np.int64)
+                np.cumsum(sizes[:-1], out=offs[1:])
+                ext = native.aac_extract(buf, offs, sizes, dec.rate_idx,
+                                         dec.bands_long, dec.bands_short, C)
+                if ext is not None and (
+                    (ext["status"] != 0).any() or (ext["nch"] != C).any()
+                ):
+                    ext = None  # malformed/unsupported frames: robust path
+        except ImportError:
+            pass
+        if ext is not None:
+            for f in range(ext["F"]):
+                for c in range(C):
+                    per_ch[c].append(
+                        (ext["coeffs"][f, c], int(ext["seq"][f, c]),
+                         bool(ext["shape"][f, c]), bool(ext["prev_shape"][f, c]))
+                    )
+        else:
+            for p in pkts:
+                chans = dec.decode_coeffs(p)
+                for c, item in enumerate(chans[:C]):
+                    per_ch[c].append(item)
         outs = []
         for c in range(C):
             if not per_ch[c]:

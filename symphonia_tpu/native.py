@@ -21,7 +21,10 @@ _TRIED = False
 
 _ROOT = Path(__file__).resolve().parent.parent
 _SRCS = [_ROOT / "native" / "symphonia_host.cpp",
-         _ROOT / "native" / "mp3_entropy.cpp"]
+         _ROOT / "native" / "mp3_entropy.cpp",
+         _ROOT / "native" / "aac_entropy.cpp"]
+_HDRS = [_ROOT / "native" / "entropy_common.h",
+         _ROOT / "native" / "mp3_tables.h"]
 _SO = _ROOT / "native" / "libsymphonia_host.so"
 
 
@@ -45,7 +48,8 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     stale = not _SO.exists() or any(
-        s.exists() and s.stat().st_mtime > _SO.stat().st_mtime for s in _SRCS
+        s.exists() and s.stat().st_mtime > _SO.stat().st_mtime
+        for s in _SRCS + _HDRS
     )
     if stale:
         if not _build():
@@ -80,6 +84,17 @@ def _load() -> Optional[ctypes.CDLL]:
         c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i64p,
+    ]
+    lib.sh_aac_set_codebook.restype = None
+    lib.sh_aac_set_codebook.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32), c_i32p,
+    ]
+    lib.sh_aac_extract.restype = ctypes.c_int32
+    lib.sh_aac_extract.argtypes = [
+        c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
+        ctypes.c_int32, c_i32p, ctypes.c_int32, c_i32p, ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
     ]
     lib.sh_mp3_extract.restype = ctypes.c_int32
     lib.sh_mp3_extract.argtypes = [
@@ -248,3 +263,69 @@ def flac_stream_extract(buf: bytes, si, n_max: int, max_frames: int):
         "offsets": offsets[:F], "status": np.zeros(F, np.int32),
         "F": F, "C": C, "n_max": n_max,
     }
+
+
+_AAC_BOOKS_SET = False
+
+
+def _aac_ensure_codebooks(lib) -> None:
+    """Register the AAC Huffman books from aac_tables.npz (once)."""
+    global _AAC_BOOKS_SET
+    if _AAC_BOOKS_SET:
+        return
+    from .codecs.aac import _tables
+
+    t = _tables()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def push(idx, codes, lens):
+        codes = np.ascontiguousarray(codes, dtype=np.uint32)
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        lib.sh_aac_set_codebook(idx, len(codes), codes.ctypes.data_as(u32p),
+                                lens.ctypes.data_as(i32p))
+
+    push(0, t["scf_codes"], t["scf_lens"])
+    for n in range(1, 12):
+        push(n, t[f"spec_codes_{n}"], t[f"spec_lens_{n}"])
+    _AAC_BOOKS_SET = True
+
+
+def aac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
+                rate_idx: int, bands_long, bands_short, max_ch: int):
+    """Native AAC-LC entropy stage over raw_data_blocks.
+
+    Returns dict with coeffs [F, max_ch, 1024] f32 (post pulse/TNS/MS/IS),
+    seq/shape/prev_shape [F, max_ch], nch [F], status [F]; or None if the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    _aac_ensure_codebooks(lib)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    F = len(offsets)
+    coeffs = np.zeros((F, max_ch, 1024), dtype=np.float32)
+    seq = np.zeros((F, max_ch), dtype=np.int32)
+    shape = np.zeros((F, max_ch), dtype=np.int32)
+    prev_shape = np.zeros((F, max_ch), dtype=np.int32)
+    nch = np.zeros(F, dtype=np.int32)
+    status = np.zeros(F, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    bl = np.ascontiguousarray(bands_long, dtype=np.int32)
+    bs = np.ascontiguousarray(bands_short, dtype=np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.sh_aac_extract(
+        _u8ptr(a), len(a),
+        offsets.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p), F,
+        rate_idx, bl.ctypes.data_as(i32p), len(bl),
+        bs.ctypes.data_as(i32p), len(bs), max_ch,
+        coeffs.ctypes.data_as(f32p), seq.ctypes.data_as(i32p),
+        shape.ctypes.data_as(i32p), prev_shape.ctypes.data_as(i32p),
+        nch.ctypes.data_as(i32p), status.ctypes.data_as(i32p),
+    )
+    return {"coeffs": coeffs, "seq": seq, "shape": shape,
+            "prev_shape": prev_shape, "nch": nch, "status": status, "F": F}

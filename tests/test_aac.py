@@ -200,3 +200,64 @@ class TestAacBatchDecoder:
         batch = AacBatchDecoder().decode_bytes(data)
         n = min(ref.shape[1], batch.samples.shape[1])
         np.testing.assert_allclose(batch.samples[:, :n], ref[:, :n], atol=1e-5)
+
+
+class TestNativeEntropy:
+    """Native C++ entropy stage (native/aac_entropy.cpp) vs the Python
+    oracle decoder — exact coefficient match expected."""
+
+    def _compare(self, frames, rate, n_ch):
+        from symphonia_tpu import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        data = build_adts(frames, rate, n_ch)
+        r = AdtsReader(MediaSourceStream(data))
+        dec = AacDecoder(r.default_track().codec_params)
+        pkts = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            pkts.append(bytes(p.data))
+        py = [dec.decode_coeffs(p) for p in pkts]
+        buf = b"".join(pkts)
+        offs = np.cumsum([0] + [len(p) for p in pkts[:-1]]).astype(np.int64)
+        szs = np.array([len(p) for p in pkts], np.int64)
+        ri, bl, bs = subband_info(rate)
+        out = native.aac_extract(buf, offs, szs, ri, bl, bs, n_ch)
+        assert (out["status"] == 0).all()
+        assert (out["nch"] == n_ch).all()
+        for f, chans in enumerate(py):
+            for c, (coeffs, seq, shape, prev_shape) in enumerate(chans):
+                assert out["seq"][f, c] == seq
+                assert out["shape"][f, c] == int(shape)
+                assert out["prev_shape"][f, c] == int(prev_shape)
+                np.testing.assert_array_equal(out["coeffs"][f, c], coeffs)
+
+    def test_mono_window_chain(self):
+        rng = np.random.default_rng(60)
+        seqs = [0, 1, 2, 2, 3, 0, 1, 2, 3, 0]
+        frames = [
+            build_raw_block([random_quant_spectrum(rng, 12, RATE, s)], [s],
+                            12, GAIN, RATE)
+            for s in seqs
+        ]
+        self._compare(frames, RATE, 1)
+
+    def test_stereo_cpe(self):
+        rng = np.random.default_rng(61)
+        frames = [
+            build_raw_block(
+                [random_quant_spectrum(rng, MAX_SFB, RATE),
+                 random_quant_spectrum(rng, MAX_SFB, RATE)],
+                [0, 0], MAX_SFB, GAIN, RATE)
+            for _ in range(6)
+        ]
+        self._compare(frames, RATE, 2)
+
+    def test_escapes(self):
+        q = np.zeros(1024, dtype=np.int64)
+        q[:8] = [100, -500, 17, -16, 2000, -8000, 15, 1]
+        frames = [build_raw_block([q], [0], MAX_SFB, GAIN, RATE)]
+        self._compare(frames, RATE, 1)
