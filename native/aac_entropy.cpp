@@ -402,9 +402,13 @@ struct Ics {
             if (is_signed) {
                 for (int j = 0; j < 4; j++) coeffs[i + j] = (float)(q[j] - 1) * scale;
             } else {
+                // One batched read for all sign bits (MSB-first order).
+                int nz = (q[0] != 0) + (q[1] != 0) + (q[2] != 0) + (q[3] != 0);
+                uint32_t signs = nz ? br.read(nz) : 0;
                 for (int j = 0; j < 4; j++) {
                     if (q[j]) {
-                        float sign = br.read(1) ? -1.0f : 1.0f;
+                        nz--;
+                        float sign = (signs >> nz) & 1 ? -1.0f : 1.0f;
                         coeffs[i + j] = sign * (q[j] == 1 ? scale : iquant2);
                     }
                 }
@@ -444,8 +448,13 @@ struct Ics {
                 coeffs[i] = sx * pow43[x < 0 ? -x : x] * scale;
                 coeffs[i + 1] = sy * pow43[y < 0 ? -y : y] * scale;
             } else {
-                float sx = x ? (br.read(1) ? -1.0f : 1.0f) : 1.0f;
-                float sy = y ? (br.read(1) ? -1.0f : 1.0f) : 1.0f;
+                // One batched read for both sign bits (MSB-first order).
+                int nz = (x != 0) + (y != 0);
+                uint32_t signs = nz ? br.read(nz) : 0;
+                float sx = 1.0f, sy = 1.0f;
+                if (x && y) { sx = (signs & 2) ? -1.0f : 1.0f; sy = (signs & 1) ? -1.0f : 1.0f; }
+                else if (x) sx = signs & 1 ? -1.0f : 1.0f;
+                else if (y) sy = signs & 1 ? -1.0f : 1.0f;
                 if (escape && x == 16) { if (read_escape(br, &x) < 0) return -35; }
                 if (escape && y == 16) { if (read_escape(br, &y) < 0) return -35; }
                 coeffs[i] = sx * pow43[x] * scale;

@@ -4,6 +4,7 @@
 #pragma once
 
 #include <cstdint>
+#include <cstring>
 #include <vector>
 
 // ---------------------------------------------------------------------------
@@ -21,6 +22,18 @@ struct Bits {
     Bits(const uint8_t* d, int64_t n) : data(d), len(n), pos(0), buf(0), cnt(0), error(false) {}
 
     inline void fill() {
+        if (pos + 8 <= len && cnt < 56) {
+            // Bulk refill: one unaligned 8-byte big-endian load, shift in
+            // as many whole bytes as fit.
+            int nbytes = (63 - cnt) >> 3;
+            uint64_t w;
+            memcpy(&w, data + pos, 8);
+            w = __builtin_bswap64(w);
+            buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
+            pos += nbytes;
+            cnt += nbytes * 8;
+            return;
+        }
         while (cnt <= 56 && pos < len) { buf = (buf << 8) | data[pos++]; cnt += 8; }
     }
     inline uint32_t read(int n) {

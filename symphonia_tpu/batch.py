@@ -363,7 +363,7 @@ class AacBatchDecoder:
 
         from .codecs.aac import AacDecoder
         from .core.errors import DecodeError
-        from .ops.aac_dense import imdct_frames, window_ola_chain
+        from .ops.aac_dense import imdct_frames, window_ola_batch
 
         probed = sym.get_probe().probe(MediaSourceStream(data))
         fmt = probed.format
@@ -422,7 +422,7 @@ class AacBatchDecoder:
             shapes = [it[2] for it in per_ch[c]]
             prevs = [it[3] for it in per_ch[c]]
             pcms = imdct_frames(coeffs, seqs)
-            outs.append(window_ola_chain(pcms, seqs, shapes, prevs))
+            outs.append(window_ola_batch(pcms, seqs, shapes, prevs))
         n = max(len(o) for o in outs)
         pcm = np.zeros((C, n), np.float32)
         for c, o in enumerate(outs):

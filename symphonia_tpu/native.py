@@ -305,12 +305,14 @@ def aac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
     _aac_ensure_codebooks(lib)
     a = np.frombuffer(buf, dtype=np.uint8)
     F = len(offsets)
-    coeffs = np.zeros((F, max_ch, 1024), dtype=np.float32)
-    seq = np.zeros((F, max_ch), dtype=np.int32)
-    shape = np.zeros((F, max_ch), dtype=np.int32)
-    prev_shape = np.zeros((F, max_ch), dtype=np.int32)
-    nch = np.zeros(F, dtype=np.int32)
-    status = np.zeros(F, dtype=np.int32)
+    # Pooled outputs (the C++ writer initializes every field read back for
+    # frames with status==0 and nch==max_ch; callers discard otherwise).
+    coeffs = _pooled("aac_coeffs", (F, max_ch, 1024), np.float32)
+    seq = _pooled("aac_seq", (F, max_ch), np.int32)
+    shape = _pooled("aac_shape", (F, max_ch), np.int32)
+    prev_shape = _pooled("aac_pshape", (F, max_ch), np.int32)
+    nch = _pooled("aac_nch", (F,), np.int32)
+    status = _pooled("aac_status", (F,), np.int32)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     sizes = np.ascontiguousarray(sizes, dtype=np.int64)
     bl = np.ascontiguousarray(bands_long, dtype=np.int32)

@@ -62,6 +62,100 @@ def imdct_frames(coeffs: np.ndarray, seqs: np.ndarray) -> List[np.ndarray]:
     return out
 
 
+@lru_cache(maxsize=None)
+def _ola_tables():
+    """Per-(seq, shape) window vectors for the batched OLA.
+
+    head[seq, prev_shape] multiplies pcm[:1024]; delay[seq, shape]
+    multiplies pcm[1024:] (dsp.rs:56-159 re-expressed as frame-local
+    elementwise products — the overlap-add only ever spans adjacent
+    frames, so the whole chain batches with one roll)."""
+    dsp = Dsp()
+    longs = [dsp.sine_long, dsp.kbd_long]
+    shorts = [dsp.sine_short, dsp.kbd_short]
+    z448 = np.zeros(448, np.float32)
+    o448 = np.ones(448, np.float32)
+    head = np.zeros((4, 2, 1024), np.float32)
+    delay = np.zeros((4, 2, 1024), np.float32)
+    for sh in range(2):
+        head[ONLY_LONG, sh] = longs[sh]
+        head[LONG_START, sh] = longs[sh]
+        head[LONG_STOP, sh] = np.concatenate([z448, shorts[sh], o448])
+        delay[ONLY_LONG, sh] = longs[sh][::-1]
+        delay[LONG_STOP, sh] = longs[sh][::-1]
+        delay[LONG_START, sh] = np.concatenate([o448, shorts[sh][::-1], z448])
+    # Short-window left/right half-window vectors.
+    s_first = np.stack(shorts)          # [2,128] left window of w=0 (prev shape)
+    s_left = np.stack(shorts)           # [2,128] left window of w>0 (cur shape)
+    s_right = np.stack([s[::-1] for s in shorts])  # [2,128]
+    return head, delay, s_first, s_left, s_right
+
+
+@lru_cache(maxsize=None)
+def _ola_jax():
+    import jax
+    import jax.numpy as jnp
+
+    head_t, delay_t, s_first, s_left, s_right = (jnp.asarray(a)
+                                                 for a in _ola_tables())
+
+    @jax.jit
+    def run(pcm, seqs, shapes, prev_shapes):
+        # pcm [L,2048] (short frames hold their 8x256 windows flattened).
+        L = pcm.shape[0]
+        head_vec = head_t[seqs, prev_shapes]        # [L,1024]
+        delay_vec = delay_t[seqs, shapes]
+        head_long = pcm[:, :1024] * head_vec
+        delay_long = pcm[:, 1024:] * delay_vec
+
+        # EIGHT_SHORT: in-frame OLA of 8 x 256 windows at hop 128.
+        w8 = pcm.reshape(L, 8, 256)
+        left0 = s_first[prev_shapes]                # [L,128]
+        left = s_left[shapes]
+        right = s_right[shapes]
+        parts = []
+        for w in range(8):
+            lw = left0 if w == 0 else left
+            seg = jnp.concatenate([w8[:, w, :128] * lw,
+                                   w8[:, w, 128:] * right], axis=1)
+            parts.append(jnp.pad(seg, ((0, 0), (w * 128, 1152 - 256 - w * 128))))
+        s = sum(parts)                              # [L,1152]
+        zpad = jnp.zeros((L, 448), pcm.dtype)
+        head_short = jnp.concatenate([zpad, s[:, :576]], axis=1)
+        delay_short = jnp.concatenate([s[:, 576:1152], zpad], axis=1)
+
+        is_short = (seqs == EIGHT_SHORT)[:, None]
+        head = jnp.where(is_short, head_short, head_long)
+        delay = jnp.where(is_short, delay_short, delay_long)
+        prev_delay = jnp.concatenate(
+            [jnp.zeros((1, 1024), pcm.dtype), delay[:-1]], axis=0)
+        return head + prev_delay                    # [L,1024]
+
+    return run
+
+
+def window_ola_batch(
+    pcms: Sequence[np.ndarray],
+    seqs: Sequence[int],
+    shapes: Sequence[bool],
+    prev_shapes: Sequence[bool],
+) -> np.ndarray:
+    """Batched device window/overlap-add over a whole frame sequence for one
+    channel. Equivalent to :func:`window_ola_chain` (validated in tests) but
+    with no sequential state — every frame's head and carried delay are
+    frame-local elementwise products, combined with a single roll."""
+    if not len(pcms):
+        return np.zeros(0, np.float32)
+    flat = np.stack([p.reshape(-1) for p in pcms])  # [L,2048]
+    out = _ola_jax()(
+        flat,
+        np.asarray(seqs, np.int32),
+        np.asarray(shapes, np.int32),
+        np.asarray(prev_shapes, np.int32),
+    )
+    return np.asarray(out).reshape(-1)
+
+
 def window_ola_chain(
     pcms: Sequence[np.ndarray],
     seqs: Sequence[int],

@@ -261,3 +261,20 @@ class TestNativeEntropy:
         q[:8] = [100, -500, 17, -16, 2000, -8000, 15, 1]
         frames = [build_raw_block([q], [0], MAX_SFB, GAIN, RATE)]
         self._compare(frames, RATE, 1)
+
+
+class TestBatchedOla:
+    def test_matches_sequential_chain(self):
+        from symphonia_tpu.ops.aac_dense import (
+            imdct_frames, window_ola_batch, window_ola_chain,
+        )
+
+        rng = np.random.default_rng(70)
+        seqs = [0, 1, 2, 2, 3, 0, 0, 1, 2, 3, 0, 1, 2, 2, 2, 3]
+        shapes = [bool(rng.integers(0, 2)) for _ in seqs]
+        prevs = [False] + shapes[:-1]
+        coeffs = (rng.standard_normal((len(seqs), 1024)) * 0.1).astype(np.float32)
+        pcms = imdct_frames(coeffs, np.asarray(seqs))
+        a = window_ola_chain(pcms, seqs, shapes, prevs)
+        b = window_ola_batch(pcms, seqs, shapes, prevs)
+        np.testing.assert_array_equal(a, b)
