@@ -36,6 +36,12 @@ CACHE = ROOT / ".bench_cache"
 HOUSE_MP3 = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3"
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _configure_jax():
     import jax
 
@@ -128,9 +134,7 @@ def bench_flac_device(n_frames: int = 4096, block: int = 4096, order: int = 8,
 
     args = (res_d, coefs_d, order_d, shift_d, wasted_d, assign_d)
     float(many(*args))
-    t0 = time.perf_counter()
-    float(many(*args))
-    wall = time.perf_counter() - t0
+    wall = min(_timed(lambda: float(many(*args))) for _ in range(3))
     return n_frames * block / 44100 * iters, wall
 
 
@@ -184,9 +188,7 @@ def bench_mp3_device(n_granules: int = 4096, iters: int = 4):
 
     args = (sp_d, bt_d, mx_d)
     float(many(*args))
-    t0 = time.perf_counter()
-    float(many(*args))
-    wall = time.perf_counter() - t0
+    wall = min(_timed(lambda: float(many(*args))) for _ in range(3))
     return n_granules * 576 / 44100 * iters, wall
 
 
@@ -279,9 +281,7 @@ def bench_aac_device(n_frames: int = 8192, iters: int = 4):
 
     args = (co_d, sq_d, sh_d, pv_d)
     float(many(*args))
-    t0 = time.perf_counter()
-    float(many(*args))
-    wall = time.perf_counter() - t0
+    wall = min(_timed(lambda: float(many(*args))) for _ in range(3))
     return n_frames * 1024 / 44100 * iters, wall
 
 

@@ -398,7 +398,7 @@ struct Ics {
         for (int i = start; i < end; i += 4) {
             int code = cb.decode(br, &err);
             if (err) return -34;
-            int q[4] = {code / 27, (code / 9) % 3, (code / 3) % 3, code % 3};
+            int q[4] = {(code >> 6) & 3, (code >> 4) & 3, (code >> 2) & 3, code & 3};
             if (is_signed) {
                 for (int j = 0; j < 4; j++) coeffs[i + j] = (float)(q[j] - 1) * scale;
             } else {
@@ -417,11 +417,11 @@ struct Ics {
         return 0;
     }
 
+    // Codeword values are pre-split at build time (sh_aac_set_codebook):
+    // signed books pack (x+4, y+4) in 4-bit fields, unsigned in 5-bit.
     static void pair_value(int cb_idx, int code, int* x, int* y) {
-        if (cb_idx == 5 || cb_idx == 6) { *x = code / 9 - 4; *y = code % 9 - 4; }
-        else if (cb_idx == 7 || cb_idx == 8) { *x = code / 8; *y = code % 8; }
-        else if (cb_idx == 9 || cb_idx == 10) { *x = code / 13; *y = code % 13; }
-        else { *x = code / 17; *y = code % 17; }  // cb 11
+        if (cb_idx == 5 || cb_idx == 6) { *x = (code >> 4) - 4; *y = (code & 15) - 4; }
+        else { *x = code >> 5; *y = code & 31; }
     }
 
     static int read_escape(Bits& br, int* out) {
@@ -572,7 +572,27 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
     if (idx < 0 || idx > 11) return;
     std::vector<uint8_t> l8(n);
     std::vector<uint16_t> vals(n);
-    for (int i = 0; i < n; i++) { l8[i] = (uint8_t)lens[i]; vals[i] = (uint16_t)i; }
+    for (int i = 0; i < n; i++) {
+        l8[i] = (uint8_t)lens[i];
+        // Pre-split the codeword index into its tuple digits so the decode
+        // hot loop needs no integer divisions (aac.py aac_quad/_pair_value).
+        uint16_t v;
+        if (idx >= 1 && idx <= 4) {
+            v = (uint16_t)(((i / 27) << 6) | (((i / 9) % 3) << 4) |
+                           (((i / 3) % 3) << 2) | (i % 3));
+        } else if (idx == 5 || idx == 6) {
+            v = (uint16_t)(((i / 9) << 4) | (i % 9));       // x,y biased by +4
+        } else if (idx == 7 || idx == 8) {
+            v = (uint16_t)(((i / 8) << 5) | (i % 8));
+        } else if (idx == 9 || idx == 10) {
+            v = (uint16_t)(((i / 13) << 5) | (i % 13));
+        } else if (idx == 11) {
+            v = (uint16_t)(((i / 17) << 5) | (i % 17));
+        } else {
+            v = (uint16_t)i;  // scalefactor book: raw index
+        }
+        vals[i] = v;
+    }
     g_books[idx].build(codes, l8.data(), vals.data(), n);
     g_book_set[idx] = true;
 }

@@ -71,11 +71,13 @@ struct Lut {
     struct Sub { int bits; std::vector<int32_t> e; };
     std::vector<Sub> subs;
     int max_len = 0;
+    int min_fast = kRootBits;  // bits needed buffered for the fast path
 
     void build(const uint32_t* codes, const uint8_t* lens, const uint16_t* values, int n) {
         root.assign(1 << kRootBits, -1 - 0x7FFFFFF);  // invalid
         max_len = 0;
         for (int i = 0; i < n; i++) if (lens[i] > max_len) max_len = lens[i];
+        min_fast = max_len > kRootBits ? max_len : kRootBits;
         // First pass: leaves with len <= root bits.
         for (int i = 0; i < n; i++) {
             int l = lens[i];
@@ -110,6 +112,29 @@ struct Lut {
 
     // Returns value; consumes bits. Sets *err on invalid prefix.
     inline int decode(Bits& bs, bool* err) const {
+        // Fast path: one refill check buffers the longest code, then root
+        // and sub lookups are pure register/L1 operations.
+        if (bs.cnt < min_fast) bs.fill();
+        if (bs.cnt >= min_fast) {
+            uint32_t idx = (uint32_t)(bs.buf >> (bs.cnt - kRootBits)) &
+                           ((1u << kRootBits) - 1);
+            int32_t e = root[idx];
+            if (e >= 0) {
+                bs.cnt -= e >> 16;
+                bs.buf &= (1ULL << bs.cnt) - 1;
+                return e & 0xFFFF;
+            }
+            if (e == -1 - 0x7FFFFFF) { *err = true; return 0; }
+            const Sub& s = subs[-e - 1];
+            uint32_t idx2 = (uint32_t)(bs.buf >> (bs.cnt - kRootBits - s.bits)) &
+                            ((1u << s.bits) - 1);
+            int32_t e2 = s.e[idx2];
+            if (e2 < 0) { *err = true; return 0; }
+            bs.cnt -= e2 >> 16;
+            bs.buf &= (1ULL << bs.cnt) - 1;
+            return e2 & 0xFFFF;
+        }
+        // Near stream end: zero-padded peeks.
         uint32_t idx = bs.peek(kRootBits);
         int32_t e = root[idx];
         if (e >= 0) { bs.consume(e >> 16); return e & 0xFFFF; }

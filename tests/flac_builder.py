@@ -302,12 +302,22 @@ def build_flac_file(
 
 
 def random_walk(n: int, bps: int, seed: int, ch: int = 1) -> List[np.ndarray]:
-    """Smooth-ish random signals that keep residuals small."""
+    """Smooth-ish random signals that keep residuals small.
+
+    A leaky integrator rather than a pure cumsum: a raw random walk's
+    excursion grows as sqrt(n) and saturates the sample range, producing
+    long constant (zero-residual) stretches with spikes at the clip
+    boundaries — unrepresentative content with pathological Rice
+    partitions. The leak keeps the signal AC and stationary, like audio."""
+    from scipy.signal import lfilter
+
     rng = np.random.default_rng(seed)
     lim = (1 << (bps - 1)) - 1
     out = []
     for c in range(ch):
-        steps = rng.integers(-200, 201, size=n)
-        x = np.clip(np.cumsum(steps), -lim, lim)
+        steps = rng.integers(-200, 201, size=n).astype(np.float64)
+        # x[i] = 0.999 * x[i-1] + step[i]  (stationary std ~ step_std * 22)
+        x = lfilter([1.0], [1.0, -0.999], steps)
+        x = np.clip(x, -lim, lim)
         out.append(x.astype(np.int64))
     return out
