@@ -104,6 +104,32 @@ class Visual:
 
 
 @dataclass
+class Attachment:
+    """An attached file, e.g. from Matroska Attachments (meta.rs attachment
+    types; mkv demuxer.rs:583-590)."""
+
+    name: Optional[str]
+    media_type: Optional[str]
+    data: bytes
+    description: Optional[str] = None
+
+
+def sniff_image(data: bytes) -> Optional[str]:
+    """Best-effort image MIME sniffing (utils/images.rs:295 analog)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if data[:2] == b"\xff\xd8":
+        return "image/jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if data[:2] == b"BM":
+        return "image/bmp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "image/webp"
+    return None
+
+
+@dataclass
 class Chapter:
     """A chapter marker (meta.rs:666)."""
 

@@ -63,6 +63,19 @@ ID_SIMPLE_TAG = 0x67C8
 ID_TAG_NAME = 0x45A3
 ID_TAG_STRING = 0x4487
 ID_LANGUAGE = 0x22B59C
+ID_CHAPTERS = 0x1043A770
+ID_EDITION_ENTRY = 0x45B9
+ID_CHAPTER_ATOM = 0xB6
+ID_CHAPTER_TIME_START = 0x91
+ID_CHAPTER_TIME_END = 0x92
+ID_CHAPTER_DISPLAY = 0x80
+ID_CHAP_STRING = 0x85
+ID_ATTACHMENTS = 0x1941A469
+ID_ATTACHED_FILE = 0x61A7
+ID_FILE_NAME = 0x466E
+ID_FILE_MIME = 0x4660
+ID_FILE_DATA = 0x465C
+ID_FILE_DESCRIPTION = 0x467E
 
 _MASTER_IDS = {ID_SEGMENT, ID_INFO, ID_TRACKS, ID_TRACK_ENTRY, ID_AUDIO,
                ID_CLUSTER, ID_BLOCK_GROUP, ID_TAGS, ID_TAG, ID_SIMPLE_TAG}
@@ -317,6 +330,10 @@ class MkvReader(FormatReader):
                             packets.append((track_no, cluster_ts + rel_ts, f))
             elif eid == ID_TAGS:
                 self._parse_tags(buf, b, e, rev)
+            elif eid == ID_CHAPTERS:
+                self._parse_chapters(buf, b, e)
+            elif eid == ID_ATTACHMENTS:
+                self._parse_attachments(buf, b, e)
 
         if not self._mkv_tracks:
             raise Unsupported("no supported audio tracks in Matroska")
@@ -335,6 +352,61 @@ class MkvReader(FormatReader):
                     time_base=TimeBase(timescale_ns, 1_000_000_000),
                 )
             )
+
+    def _parse_chapters(self, buf, b, e) -> None:
+        """Chapters element -> ChapterGroup (demuxer.rs:583-590)."""
+        from ..core.meta import Chapter, ChapterGroup
+
+        group = ChapterGroup()
+        for eid, b2, e2 in iter_elements(buf, b, e):
+            if eid != ID_EDITION_ENTRY:
+                continue
+            for eid2, b3, e3 in iter_elements(buf, b2, e2):
+                if eid2 != ID_CHAPTER_ATOM:
+                    continue
+                start_ns = 0
+                end_ns = None
+                title = None
+                for eid3, b4, e4 in iter_elements(buf, b3, e3):
+                    if eid3 == ID_CHAPTER_TIME_START:
+                        start_ns = _uint(buf, b4, e4)
+                    elif eid3 == ID_CHAPTER_TIME_END:
+                        end_ns = _uint(buf, b4, e4)
+                    elif eid3 == ID_CHAPTER_DISPLAY:
+                        for eid4, b5, e5 in iter_elements(buf, b4, e4):
+                            if eid4 == ID_CHAP_STRING:
+                                title = buf[b5:e5].decode("utf-8", "replace")
+                group.items.append(
+                    Chapter(start_time=start_ns / 1e9,
+                            end_time=end_ns / 1e9 if end_ns is not None else None,
+                            title=title)
+                )
+        if group.items:
+            self._chapters = group
+
+    def _parse_attachments(self, buf, b, e) -> None:
+        """Attachments element -> Attachment list (demuxer.rs:583-590)."""
+        from ..core.meta import Attachment
+
+        out = []
+        for eid, b2, e2 in iter_elements(buf, b, e):
+            if eid != ID_ATTACHED_FILE:
+                continue
+            name = mime = desc = None
+            data = b""
+            for eid2, b3, e3 in iter_elements(buf, b2, e2):
+                if eid2 == ID_FILE_NAME:
+                    name = buf[b3:e3].decode("utf-8", "replace")
+                elif eid2 == ID_FILE_MIME:
+                    mime = buf[b3:e3].decode("ascii", "replace")
+                elif eid2 == ID_FILE_DATA:
+                    data = buf[b3:e3]
+                elif eid2 == ID_FILE_DESCRIPTION:
+                    desc = buf[b3:e3].decode("utf-8", "replace")
+            out.append(Attachment(name=name, media_type=mime, data=data,
+                                  description=desc))
+        if out:
+            self._attachments = out
 
     def _parse_tags(self, buf, b, e, rev: MetadataRevision) -> None:
         from ..metadata.vorbis import STD_KEYS

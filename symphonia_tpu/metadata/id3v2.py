@@ -220,6 +220,10 @@ class Id3v2Reader(MetadataReader):
                 pic_type = rest[0]
                 desc, data = split_terminated(enc, rest[1:])
             usage = {3: "front_cover", 4: "back_cover"}.get(pic_type)
+            if not mime:
+                from ..core.meta import sniff_image
+
+                mime = sniff_image(data)
             rev.visuals.append(
                 Visual(media_type=mime or None, data=data, usage=usage)
             )
@@ -243,16 +247,41 @@ class Id3v2Reader(MetadataReader):
                     if sid == b"TIT2" and body2:
                         title = decode_text(body2[0], body2[1:]).rstrip("\x00")
                     pos2 += 10 + ssize
-                rev.tags.append(RawTag("CHAP", elem.decode("latin-1", "replace")))
+                elem_id = elem.decode("latin-1", "replace")
+                rev.tags.append(RawTag("CHAP", elem_id))
                 chapters = getattr(rev, "_chapters", None)
                 if chapters is None:
                     chapters = []
                     setattr(rev, "_chapters", chapters)
-                chapters.append(
-                    Chapter(start_time=start_ms / 1000.0,
-                            end_time=end_ms / 1000.0 if end_ms != 0xFFFFFFFF else None,
-                            title=title)
+                ch = Chapter(start_time=start_ms / 1000.0,
+                             end_time=end_ms / 1000.0 if end_ms != 0xFFFFFFFF else None,
+                             title=title)
+                ch.tags.append(RawTag("element_id", elem_id))
+                chapters.append(ch)
+        elif fid == "CTOC":
+            # Table-of-contents frame: element id, flags, child element ids
+            # (id3v2/mod.rs:415). Reorders CHAP chapters to TOC order.
+            elem, rest = split_terminated(0, payload)
+            if len(rest) >= 2:
+                count = rest[1]
+                ids = []
+                p2 = 2
+                for _ in range(count):
+                    cid, tail = split_terminated(0, rest[p2:])
+                    ids.append(cid.decode("latin-1", "replace"))
+                    p2 = len(rest) - len(tail)
+                rev.tags.append(
+                    RawTag("CTOC", "/".join(ids))
                 )
+                setattr(rev, "_toc_order", ids)
+                chapters = getattr(rev, "_chapters", None)
+                if chapters:
+                    by_id = {
+                        t.value: c for c in chapters
+                        for t in c.tags if t.key == "element_id"
+                    }
+                    if all(i in by_id for i in ids):
+                        chapters[:] = [by_id[i] for i in ids]
         elif fid == "POPM":
             email, rest = split_terminated(0, payload)
             if rest:

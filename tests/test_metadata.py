@@ -196,3 +196,25 @@ class TestEmbeddedId3InWav:
         r = WavReader(MediaSourceStream(bytes(wav)))
         rev = r.metadata().current()
         assert rev is not None and rev.get("track_title") == "Wav Song"
+
+
+class TestCtoc:
+    def test_toc_reorders_chapters(self):
+        def chap(eid, start_ms, title):
+            sub_p = bytes([3]) + title.encode() + b"\x00"
+            sub = b"TIT2" + struct.pack(">I", len(sub_p)) + b"\x00\x00" + sub_p
+            return eid.encode() + b"\x00" + struct.pack(
+                ">IIII", start_ms, start_ms + 1000, 0, 0) + sub
+
+        toc = b"toc\x00" + bytes([0x03, 2]) + b"ch2\x00ch1\x00"
+        tag = build_id3v2(
+            [("CHAP", chap("ch1", 0, "First")),
+             ("CHAP", chap("ch2", 60000, "Second")),
+             ("CTOC", toc)],
+            major=3,
+        )
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        chaps = getattr(rev, "_chapters", [])
+        assert [c.title for c in chaps] == ["Second", "First"]
+        assert rev.get("CTOC") is None  # raw tag, no std key
+        assert any(t.key == "CTOC" and t.value == "ch2/ch1" for t in rev.tags)

@@ -57,7 +57,7 @@ def simple_block(track: int, rel_ts: int, frames, lacing=0) -> bytes:
 
 
 def build_mkv(codec_id: str, private: bytes, blocks, rate=44100, ch=1,
-              bit_depth=None, tags=None) -> bytes:
+              bit_depth=None, tags=None, extra_segment=b"") -> bytes:
     ebml_hdr = elem(0x1A45DFA3,
                     elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
     track_entry = (
@@ -81,7 +81,8 @@ def build_mkv(codec_id: str, private: bytes, blocks, rate=44100, ch=1,
         for k, v in tags.items():
             simple_tags += elem(0x67C8, elem(0x45A3, k.encode()) + elem(0x4487, v.encode()))
         tags_data = elem(0x1254C367, elem(0x7373, simple_tags))
-    segment = elem(0x18538067, info + tracks + clusters + tags_data)
+    segment = elem(0x18538067, info + tracks + clusters + tags_data
+                   + extra_segment)
     return ebml_hdr + segment
 
 
@@ -183,3 +184,37 @@ class TestMkvAac:
         r = MkvReader(MediaSourceStream(data))
         seeked = r.seek("coarse", sym.SeekTo(ts=25))
         assert seeked.actual_ts == 20
+
+
+class TestChaptersAttachments:
+    def _pcm_stream(self, extra_segment):
+        import struct as _s
+
+        frames = [(_s.pack("<4h", i, -i, 2 * i, 7)) for i in range(4)]
+        blocks = [(0, [simple_block(1, i, [f]) for i, f in enumerate(frames)])]
+        return build_mkv("A_PCM/INT/LIT", b"", blocks, rate=8000, ch=1,
+                         bit_depth=16, extra_segment=extra_segment)
+
+    def test_chapters(self):
+        atom = (uint_elem(0x91, 5_000_000_000) + uint_elem(0x92, 9_000_000_000)
+                + elem(0x80, elem(0x85, "Part One".encode())))
+        chapters = elem(0x1043A770, elem(0x45B9, elem(0xB6, atom)))
+        r = MkvReader(MediaSourceStream(self._pcm_stream(chapters)))
+        group = r.chapters()
+        assert group is not None and len(group.items) == 1
+        c = group.items[0]
+        assert c.start_time == 5.0 and c.end_time == 9.0
+        assert c.title == "Part One"
+
+    def test_attachments(self):
+        img = b"\x89PNG\r\n\x1a\n fake"
+        att = elem(0x1941A469, elem(
+            0x61A7,
+            elem(0x466E, b"cover.png") + elem(0x4660, b"image/png")
+            + elem(0x465C, img)))
+        r = MkvReader(MediaSourceStream(self._pcm_stream(att)))
+        atts = r.attachments()
+        assert len(atts) == 1
+        assert atts[0].name == "cover.png"
+        assert atts[0].media_type == "image/png"
+        assert atts[0].data == img
