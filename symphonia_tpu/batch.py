@@ -9,10 +9,15 @@ for incremental/streaming use; this module is the bulk path.
 
 from __future__ import annotations
 
+import logging
+import time
+
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
+
+logger = logging.getLogger("symphonia_tpu.batch")
 
 from .core.errors import DecodeError
 from .core.io import MediaSourceStream
@@ -94,7 +99,10 @@ class FlacBatchDecoder:
 
         blocks = reader._frame_dur.astype(np.int64)
         if packed is not None:
+            t0 = time.perf_counter()
             pcm = self._decode_packed_chunked(packed, blocks)
+            logger.debug("flac device stage: %d frames in %.1f ms",
+                         packed["F"], 1e3 * (time.perf_counter() - t0))
         else:
             table = reader.packet_table()
             frames = [parse_frame(p, si) for p in table.data]
@@ -362,7 +370,9 @@ class AacBatchDecoder:
         import symphonia_tpu as sym
 
         from .codecs.aac import AacDecoder
-        from .core.errors import DecodeError
+        logger = logging.getLogger("symphonia_tpu.batch")
+
+from .core.errors import DecodeError
         from .ops.aac_dense import imdct_frames, window_ola_batch
 
         probed = sym.get_probe().probe(MediaSourceStream(data))

@@ -16,6 +16,8 @@ O(1)-per-byte rejection role.
 
 from __future__ import annotations
 
+import logging
+
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -69,6 +71,9 @@ class ProbeOptions:
 
     max_probe_depth: int = 1 << 20  # 1 MiB
     score_context_len: int = 16 * 1024
+
+
+logger = logging.getLogger("symphonia_tpu.probe")
 
 
 class Probe:
@@ -130,6 +135,8 @@ class Probe:
                 if desc.score is not None:
                     ctx = mss.peek_bytes(self.options.score_context_len)
                     score = desc.score(ctx)
+                logger.debug("probe: %s scored %d at offset %d",
+                             desc.name, score, scanned)
                 if score and (best is None or score > best[0]):
                     best = (score, desc)
                     if score >= 255:
