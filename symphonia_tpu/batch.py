@@ -370,9 +370,7 @@ class AacBatchDecoder:
         import symphonia_tpu as sym
 
         from .codecs.aac import AacDecoder
-        logger = logging.getLogger("symphonia_tpu.batch")
-
-from .core.errors import DecodeError
+        from .core.errors import DecodeError
         from .ops.aac_dense import imdct_frames, window_ola_batch
 
         probed = sym.get_probe().probe(MediaSourceStream(data))
