@@ -137,6 +137,9 @@ struct BitReader {
 // FLAC frame header parse (common/flac.py mirror)
 // ---------------------------------------------------------------------------
 
+static const int8_t kFixedCoefs[5][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
+
 struct FlacHeader {
     int block_size;
     int sample_rate;     // 0 = from streaminfo
@@ -279,9 +282,6 @@ static int64_t extract_one_frame(
     // Parses one frame at fd; fills the frame's lanes starting at lane0.
     // Returns total bytes consumed (incl. the trailing CRC-16), or a
     // negative status code.
-    static const int8_t kFixedCoefs[5][4] = {
-        {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
-
     FlacHeader h;
     if (!parse_flac_header(fd, flen < 16 ? flen : 16, si_channels, si_bits,
                            si_rate, si_block_max, &h))
@@ -474,3 +474,411 @@ int32_t sh_flac_stream_extract(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SIMD (AVX-512) 8-lane FLAC extraction.
+//
+// Frames are independent after the offset scan, so eight frames decode in
+// parallel — one per 64-bit SIMD lane. Headers, warmups, coefficients and
+// partition bookkeeping run scalar per lane (they are a tiny fraction of
+// the bits); the Rice residual hot loop runs vectorized: gather the eight
+// bit windows, byteswap, align, lzcnt, fuse quotient+remainder, zigzag and
+// scatter — one residual per lane per iteration. Lanes that hit a
+// partition boundary, an escape, a long unary run, or end-of-frame drop to
+// the scalar state machine and rejoin.
+// ---------------------------------------------------------------------------
+
+#if defined(__AVX512F__) && defined(__AVX512CD__) && defined(__AVX512BW__)
+#define SH_HAVE_AVX512 1
+#include <immintrin.h>
+
+namespace {
+
+struct LaneSM {
+    // One frame's scalar parsing state; pauses whenever it enters a Rice
+    // partition body (the vector core takes over from there).
+    const uint8_t* data;
+    int64_t data_len;
+    int64_t frame_off;
+    BitReader br;        // relative to data + frame_off
+    FlacHeader h;
+    int bps;
+    int bs;
+    int ch;              // current channel being parsed
+    int32_t* lres;       // current channel's residual row
+    int idx;             // next residual slot
+    // residual-section state
+    int pbits, escape, n_parts, part_len, cur_part, order;
+    int cnt_left, param;
+    int fidx;            // frame index (for per-frame outputs)
+    bool in_residual;
+    LaneSM() : br(nullptr, 0) {}
+};
+
+// Advance a lane's scalar state machine until it is inside a decodable Rice
+// partition (returns 0, cnt_left > 0), the frame completes (returns 1), or
+// a parse error occurs (returns the negative code). Mirrors
+// extract_one_frame exactly.
+static int lane_advance(
+    LaneSM& L,
+    int32_t si_bits, int32_t max_ch, int32_t n_max,
+    int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
+    int32_t* wasted_out) {
+    BitReader& br = L.br;
+    for (;;) {
+        if (br.error) return -11;
+        if (L.in_residual) {
+            // Move to the next partition (or finish the channel).
+            while (++L.cur_part < L.n_parts) {
+                int cnt = L.part_len - (L.cur_part == 0 ? L.order : 0);
+                if (cnt < 0) return -10;
+                int param = (int)br.read(L.pbits);
+                if (param == L.escape) {
+                    int raw = (int)br.read(5);
+                    for (int i = 0; i < cnt && !br.error; i++)
+                        L.lres[L.idx++] = raw ? (int32_t)br.read_signed(raw) : 0;
+                    continue;
+                }
+                if (cnt == 0) continue;
+                L.cnt_left = cnt;
+                L.param = param;
+                return 0;
+            }
+            L.in_residual = false;
+            L.ch++;
+            continue;
+        }
+        if (L.ch >= L.h.n_channels) {
+            // Frame complete: byte-align + CRC16.
+            return 1;
+        }
+        // --- subframe header (extract_one_frame:297-344) ---
+        int ch = L.ch;
+        int ch_bps = L.bps;
+        if ((L.h.assignment == 1 && ch == 1) || (L.h.assignment == 2 && ch == 0) ||
+            (L.h.assignment == 3 && ch == 1))
+            ch_bps += 1;
+        int64_t lane = (int64_t)L.fidx * max_ch + ch;
+        L.lres = res + lane * n_max;
+        int32_t* lcoef = coefs + lane * 32;
+        memset(lcoef, 0, 32 * sizeof(int32_t));
+
+        if (br.read(1) != 0) return -3;
+        int sf_type = (int)br.read(6);
+        int wasted = 0;
+        if (br.read(1)) wasted = (int)br.read_unary_zeros() + 1;
+        int eff = ch_bps - wasted;
+        if (eff <= 0) return -4;
+        wasted_out[lane] = wasted;
+        shift_out[lane] = 0;
+        order_out[lane] = 0;
+
+        if (sf_type == 0) {
+            int32_t v = (int32_t)br.read_signed(eff);
+            for (int i = 0; i < L.bs; i++) L.lres[i] = v;
+            L.ch++;
+            continue;
+        }
+        if (sf_type == 1) {
+            for (int i = 0; i < L.bs; i++) L.lres[i] = (int32_t)br.read_signed(eff);
+            L.ch++;
+            continue;
+        }
+        int order;
+        if (sf_type >= 0x20) {
+            order = (sf_type & 0x1F) + 1;
+            for (int i = 0; i < order; i++) L.lres[i] = (int32_t)br.read_signed(eff);
+            int prec = (int)br.read(4);
+            if (prec == 0xF) return -5;
+            prec += 1;
+            int shift = (int)br.read_signed(5);
+            if (shift < 0) return -6;
+            shift_out[lane] = shift;
+            for (int i = 0; i < order; i++) lcoef[i] = (int32_t)br.read_signed(prec);
+        } else if ((sf_type & 0x38) == 0x08 && (sf_type & 0x7) <= 4) {
+            order = sf_type & 0x7;
+            for (int i = 0; i < order; i++) L.lres[i] = (int32_t)br.read_signed(eff);
+            for (int i = 0; i < order; i++) lcoef[i] = kFixedCoefs[order][i];
+        } else {
+            return -7;
+        }
+        order_out[lane] = order;
+
+        int method = (int)br.read(2);
+        if (method > 1) return -8;
+        L.pbits = method == 0 ? 4 : 5;
+        L.escape = (1 << L.pbits) - 1;
+        int part_order = (int)br.read(4);
+        L.n_parts = 1 << part_order;
+        L.part_len = L.bs >> part_order;
+        if (L.part_len * L.n_parts != L.bs || L.part_len <= 0 ||
+            (L.part_len < order && L.n_parts == 1)) return -9;
+        L.order = order;
+        L.idx = order;
+        L.cur_part = -1;
+        L.in_residual = true;
+    }
+}
+
+// Decode one Rice code scalar at the lane's current position (long-unary /
+// near-end fallback for the vector core).
+static inline void lane_scalar_code(LaneSM& L) {
+    uint64_t q = L.br.read_unary_zeros();
+    uint64_t v = (q << L.param) | (L.param ? L.br.read(L.param) : 0);
+    L.lres[L.idx++] = (int32_t)((v >> 1) ^ (~(v & 1) + 1));
+    L.cnt_left--;
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t sh_flac_has_simd(void) { return 1; }
+
+// Fast frame-boundary scan: AVX-512 sync-byte search + header parse +
+// sequence-number chain filter (instead of the scalar scan's CRC-16 span
+// confirmation — false sync positives would need a valid CRC-8 header AND
+// the exact next frame/sample number to slip through; any that do are
+// caught downstream by extraction status codes and the Python fallback).
+int64_t sh_flac_scan_fast(
+    const uint8_t* data, int64_t len,
+    int32_t si_channels, int32_t si_bits, int32_t si_rate, int32_t si_block_max,
+    int64_t* out_offsets, int64_t cap) {
+    if (len < 6 || cap < 1) return 0;
+    int64_t n = 0;
+    FlacHeader h;
+    // The buffer starts at the first frame by contract.
+    if (!parse_flac_header(data, len < 16 ? len : 16, si_channels, si_bits,
+                           si_rate, si_block_max, &h))
+        return sh_flac_scan(data, len, si_channels, si_bits, si_rate,
+                            si_block_max, out_offsets, cap);
+    out_offsets[n++] = 0;
+    int64_t expect_seq = h.seq + (h.variable ? h.block_size : 1);
+    int64_t min_next = 6;  // a frame is at least a few bytes
+
+    int64_t c = 0;
+    const __m512i vff = _mm512_set1_epi8((char)0xFF);
+    while (c + 65 <= len && n < cap) {
+        __m512i blk = _mm512_loadu_si512(data + c);
+        uint64_t m = _mm512_cmpeq_epi8_mask(blk, vff);
+        while (m) {
+            int b = __builtin_ctzll(m);
+            m &= m - 1;
+            int64_t p = c + b;
+            if (p < min_next || p + 2 > len) continue;
+            if ((data[p + 1] & 0xFC) != 0xF8) continue;
+            int64_t avail = len - p < 16 ? len - p : 16;
+            if (!parse_flac_header(data + p, avail, si_channels, si_bits,
+                                   si_rate, si_block_max, &h))
+                continue;
+            if (h.seq != expect_seq) continue;
+            out_offsets[n++] = p;
+            expect_seq += h.variable ? h.block_size : 1;
+            min_next = p + 6;
+            if (n >= cap) break;
+        }
+        c += 64;
+    }
+    // Scalar tail.
+    for (; c + 2 <= len && n < cap; c++) {
+        if (data[c] != 0xFF || (data[c + 1] & 0xFC) != 0xF8) continue;
+        if (c < min_next) continue;
+        int64_t avail = len - c < 16 ? len - c : 16;
+        if (!parse_flac_header(data + c, avail, si_channels, si_bits,
+                               si_rate, si_block_max, &h))
+            continue;
+        if (h.seq != expect_seq) continue;
+        out_offsets[n++] = c;
+        expect_seq += h.variable ? h.block_size : 1;
+        min_next = c + 6;
+    }
+    return n;
+}
+
+// Same contract as sh_flac_extract, but decodes 8 frames concurrently.
+int32_t sh_flac_extract_simd(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* offsets, const int64_t* sizes, int32_t n_frames,
+    int32_t si_channels, int32_t si_bits, int32_t si_rate, int32_t si_block_max,
+    int32_t max_ch, int32_t n_max,
+    int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
+    int32_t* wasted_out, int32_t* block_out, int32_t* assign_out,
+    int32_t* bps_out, int32_t* status) {
+    LaneSM lanes[8];
+    int lane_frame[8];            // frame index owned by each lane (-1 idle)
+    int32_t next_frame = 0;
+
+    // SoA mirrors of the vector-core state.
+    alignas(64) int64_t bp[8];     // absolute bit position in data
+    alignas(64) int64_t outaddr[8];// absolute byte address of next residual
+    alignas(64) int64_t vparam[8];
+    alignas(64) int64_t vcnt[8];
+    for (int i = 0; i < 8; i++) lane_frame[i] = -1;
+
+    auto load_frame = [&](int li) -> bool {
+        // Assign the next unprocessed frame to lane li and advance it to
+        // its first partition; frames that error or complete without
+        // entering a partition are finalized inline.
+        for (;;) {
+            if (next_frame >= n_frames) { lane_frame[li] = -1; return false; }
+            int f = next_frame++;
+            LaneSM& L = lanes[li];
+            L.data = data;
+            L.data_len = data_len;
+            L.frame_off = offsets[f];
+            L.br = BitReader(data + offsets[f], sizes[f]);
+            L.fidx = f;
+            status[f] = 0;
+            if (!parse_flac_header(data + offsets[f],
+                                   sizes[f] < 16 ? sizes[f] : 16,
+                                   si_channels, si_bits, si_rate, si_block_max,
+                                   &L.h)) { status[f] = -1; continue; }
+            L.bps = L.h.bits ? L.h.bits : si_bits;
+            L.bs = L.h.block_size;
+            if (L.bs > n_max || L.h.n_channels > max_ch) { status[f] = -2; continue; }
+            block_out[f] = L.bs;
+            assign_out[f] = L.h.assignment;
+            bps_out[f] = L.bps;
+            for (int64_t skip = (int64_t)L.h.header_len * 8; skip > 0;) {
+                int s = skip > 32 ? 32 : (int)skip;
+                L.br.read(s);
+                skip -= s;
+            }
+            L.ch = 0;
+            L.in_residual = false;
+            L.cnt_left = 0;
+            int r = lane_advance(L, si_bits, max_ch, n_max, res, coefs,
+                                 order_out, shift_out, wasted_out);
+            if (r == 0) {
+                lane_frame[li] = f;
+                bp[li] = L.frame_off * 8 + L.br.bitpos;
+                outaddr[li] = (int64_t)(uintptr_t)(L.lres + L.idx);
+                vparam[li] = L.param;
+                vcnt[li] = L.cnt_left;
+                return true;
+            }
+            if (r < 0) { status[f] = r; continue; }
+            // r == 1: frame had only constant/verbatim/escape content.
+            int64_t consumed = (L.br.bits_read() + 7) / 8 + 2;
+            if (consumed > (int64_t)sizes[f]) status[f] = -12;
+            continue;
+        }
+    };
+
+    for (int i = 0; i < 8; i++) load_frame(i);
+
+    const __m512i vbyterev = _mm512_set_epi8(
+        8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7,
+        8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7,
+        8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7,
+        8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7);
+    (void)vbyterev;  // per-64-bit byteswap via shuffle pattern below
+
+    const __m512i bswap_pat = _mm512_broadcast_i32x4(_mm_set_epi8(
+        8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7));
+
+    for (;;) {
+        __mmask8 active = 0;
+        for (int i = 0; i < 8; i++)
+            if (lane_frame[i] >= 0) active |= (1 << i);
+        if (!active) break;
+
+        // Vector core: run until some lane needs scalar service.
+        __m512i vbp = _mm512_load_epi64(bp);
+        __m512i vad = _mm512_load_epi64(outaddr);
+        __m512i vpr = _mm512_load_epi64(vparam);
+        __m512i vct = _mm512_load_epi64(vcnt);
+        const __m512i v7 = _mm512_set1_epi64(7);
+        const __m512i v1 = _mm512_set1_epi64(1);
+        const __m512i v64 = _mm512_set1_epi64(64);
+        // Lanes whose remaining frame bytes are too close to the buffer end
+        // for unguarded 8-byte window loads fall back to scalar service.
+        const __m512i vlimit = _mm512_set1_epi64((data_len - 16) * 8);
+
+        __mmask8 run = active;
+        for (;;) {
+            __mmask8 safe = _mm512_mask_cmplt_epi64_mask(run, vbp, vlimit);
+            if (safe != run) break;
+            __m512i vbyte = _mm512_srai_epi64(vbp, 3);
+            __m512i vw = _mm512_mask_i64gather_epi64(
+                _mm512_setzero_si512(), run, vbyte, data, 1);
+            vw = _mm512_shuffle_epi8(vw, bswap_pat);
+            __m512i vsh = _mm512_and_epi64(vbp, v7);
+            vw = _mm512_sllv_epi64(vw, vsh);
+            __m512i vlz = _mm512_lzcnt_epi64(vw);
+            __m512i vneed = _mm512_add_epi64(_mm512_add_epi64(vlz, v1), vpr);
+            __m512i vvalid = _mm512_sub_epi64(v64, vsh);
+            __mmask8 fit = _mm512_mask_cmple_epi64_mask(run, vneed, vvalid);
+            if (fit != run) break;
+            // value = (lz << param) | rem
+            __m512i vtop = _mm512_sllv_epi64(vw, _mm512_add_epi64(vlz, v1));
+            __m512i vrem = _mm512_srlv_epi64(vtop, _mm512_sub_epi64(v64, vpr));
+            __m512i vval = _mm512_or_epi64(_mm512_sllv_epi64(vlz, vpr), vrem);
+            // zigzag: (v >> 1) ^ -(v & 1)
+            __m512i vhalf = _mm512_srli_epi64(vval, 1);
+            __m512i vsign = _mm512_sub_epi64(_mm512_setzero_si512(),
+                                             _mm512_and_epi64(vval, v1));
+            __m512i vres = _mm512_xor_epi64(vhalf, vsign);
+            _mm512_mask_i64scatter_epi32(nullptr, run, vad,
+                                         _mm512_cvtepi64_epi32(vres), 1);
+            vbp = _mm512_mask_add_epi64(vbp, run, vbp, vneed);
+            vad = _mm512_mask_add_epi64(vad, run, vad, _mm512_set1_epi64(4));
+            vct = _mm512_mask_sub_epi64(vct, run, vct, v1);
+            __mmask8 done = _mm512_mask_cmple_epi64_mask(run, vct,
+                                                         _mm512_setzero_si512());
+            if (done) break;
+        }
+        _mm512_store_epi64(bp, vbp);
+        _mm512_store_epi64(outaddr, vad);
+        _mm512_store_epi64(vcnt, vct);
+
+        // Scalar service for every lane that can't continue vectorized:
+        // partition exhausted, long unary, or near end-of-buffer.
+        for (int i = 0; i < 8; i++) {
+            if (lane_frame[i] < 0) continue;
+            LaneSM& L = lanes[i];
+            // Write back vector state.
+            L.br.bitpos = bp[i] - L.frame_off * 8;
+            L.idx = (int)(((int32_t*)(uintptr_t)outaddr[i]) - L.lres);
+            L.cnt_left = (int)vcnt[i];
+            if (L.cnt_left > 0) {
+                // Blocked on a long code or buffer tail: one scalar step.
+                lane_scalar_code(L);
+            }
+            if (L.cnt_left > 0 && !L.br.error) {
+                bp[i] = L.frame_off * 8 + L.br.bitpos;
+                outaddr[i] = (int64_t)(uintptr_t)(L.lres + L.idx);
+                vcnt[i] = L.cnt_left;
+                continue;
+            }
+            // Partition done (or error): advance the state machine.
+            int f = lane_frame[i];
+            int r = L.br.error ? -11
+                               : lane_advance(L, si_bits, max_ch, n_max, res,
+                                              coefs, order_out, shift_out,
+                                              wasted_out);
+            if (r == 0) {
+                bp[i] = L.frame_off * 8 + L.br.bitpos;
+                outaddr[i] = (int64_t)(uintptr_t)(L.lres + L.idx);
+                vparam[i] = L.param;
+                vcnt[i] = L.cnt_left;
+                continue;
+            }
+            if (r < 0) status[f] = r;
+            else {
+                int64_t consumed = (L.br.bits_read() + 7) / 8 + 2;
+                if (consumed > (int64_t)sizes[f]) status[f] = -12;
+            }
+            load_frame(i);
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+#else
+extern "C" {
+int32_t sh_flac_has_simd(void) { return 0; }
+}
+#endif

@@ -79,6 +79,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32,
         c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
     ]
+    lib.sh_flac_has_simd.restype = ctypes.c_int32
+    lib.sh_flac_has_simd.argtypes = []
+    try:
+        lib.sh_flac_scan_fast.restype = ctypes.c_int64
+        lib.sh_flac_scan_fast.argtypes = lib.sh_flac_scan.argtypes
+    except AttributeError:
+        pass
+    try:
+        lib.sh_flac_extract_simd.restype = ctypes.c_int32
+        lib.sh_flac_extract_simd.argtypes = lib.sh_flac_extract.argtypes
+    except AttributeError:
+        pass
     lib.sh_flac_stream_extract.restype = ctypes.c_int32
     lib.sh_flac_stream_extract.argtypes = [
         c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -135,7 +147,7 @@ def flac_scan_frames(buf: bytes, si) -> np.ndarray:
 
 
 def flac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray, si,
-                 n_max: int):
+                 n_max: int, use_simd: bool = True):
     """Native entropy extraction -> packed tensors (ops.flac_dense layout).
 
     Returns a dict compatible with ops.flac_dense.decode_packed, or None if
@@ -160,7 +172,9 @@ def flac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray, si,
     sizes = np.ascontiguousarray(sizes, dtype=np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    lib.sh_flac_extract(
+    fn = (lib.sh_flac_extract_simd
+          if use_simd and lib.sh_flac_has_simd() else lib.sh_flac_extract)
+    fn(
         _u8ptr(a), len(a),
         offsets.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p), F,
         si.channels, si.bits_per_sample, si.sample_rate, si.block_len_max,
@@ -331,3 +345,52 @@ def aac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
     )
     return {"coeffs": coeffs, "seq": seq, "shape": shape,
             "prev_shape": prev_shape, "nch": nch, "status": status, "F": F}
+
+
+def flac_fast_extract(buf: bytes, si, n_max: int, max_frames: int):
+    """Fast whole-stream path: AVX-512 sync scan (seq-chain filtered) +
+    8-lane SIMD Rice extraction. Returns the packed dict with 'offsets', or
+    None when SIMD is unavailable (callers use flac_stream_extract then)."""
+    lib = _load()
+    if lib is None or not lib.sh_flac_has_simd():
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8)
+    C = si.channels
+    offsets = _pooled("offsets", (max_frames,), np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    F = lib.sh_flac_scan_fast(
+        _u8ptr(a), len(a), si.channels, si.bits_per_sample, si.sample_rate,
+        si.block_len_max, offsets.ctypes.data_as(i64p), max_frames)
+    if F <= 0:
+        return None
+    sizes = _pooled("sizes", (max_frames,), np.int64)
+    sizes[:F - 1] = offsets[1:F] - offsets[:F - 1]
+    sizes[F - 1] = len(a) - offsets[F - 1]
+    res = _pooled("res", (max_frames * C, n_max), np.int32)
+    coefs = _pooled("coefs", (max_frames * C, 32), np.int32)
+    order = _pooled("order", (max_frames * C,), np.int32)
+    shift = _pooled("shift", (max_frames * C,), np.int32)
+    wasted = _pooled("wasted", (max_frames * C,), np.int32)
+    block = _pooled("block", (max_frames,), np.int32)
+    assign = _pooled("assign", (max_frames,), np.int32)
+    bps = _pooled("bps", (max_frames,), np.int32)
+    status = _pooled("status", (max_frames,), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.sh_flac_extract_simd(
+        _u8ptr(a), len(a),
+        offsets.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p), F,
+        si.channels, si.bits_per_sample, si.sample_rate, si.block_len_max,
+        C, n_max,
+        res.ctypes.data_as(i32p), coefs.ctypes.data_as(i32p),
+        order.ctypes.data_as(i32p), shift.ctypes.data_as(i32p),
+        wasted.ctypes.data_as(i32p), block.ctypes.data_as(i32p),
+        assign.ctypes.data_as(i32p), bps.ctypes.data_as(i32p),
+        status.ctypes.data_as(i32p),
+    )
+    return {
+        "res": res[: F * C], "coefs": coefs[: F * C], "order": order[: F * C],
+        "shift": shift[: F * C], "wasted": wasted[: F * C],
+        "block": block[:F], "assign": assign[:F], "bps": bps[:F],
+        "offsets": offsets[:F], "status": status[:F],
+        "F": F, "C": C, "n_max": n_max,
+    }

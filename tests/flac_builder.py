@@ -77,6 +77,13 @@ def _write_residual(
     partition_order: int = 0,
     escape_parts: Sequence[int] = (),
 ) -> None:
+    # Clamp to a legal partition order: block_size must split evenly and
+    # partition 0 must still fit the warmup (spec: (bs >> po) << po == bs).
+    while partition_order > 0 and (
+        (block_size >> partition_order) << partition_order != block_size
+        or (block_size >> partition_order) <= order
+    ):
+        partition_order -= 1
     bw.write(0, 2)  # method 0: 4-bit rice params
     bw.write(partition_order, 4)
     n_parts = 1 << partition_order

@@ -111,3 +111,70 @@ class TestLongUnaryRuns:
 
         out = decode_bytes(data)
         np.testing.assert_array_equal(out.samples[0], ch[0].astype(np.int32))
+
+
+class TestSimdExtract:
+    """AVX-512 8-lane extraction must be bit-identical to the scalar path
+    across subframe types, stereo modes, bit depths, and partition shapes."""
+
+    def _cases(self):
+        from flac_builder import build_flac_file, random_walk
+
+        yield build_flac_file(random_walk(30000, 16, seed=11, ch=2),
+                              block_size=1024, stereo_mode="left_side",
+                              kind="fixed", order=3, partition_order=2)
+        yield build_flac_file(random_walk(20000, 16, seed=12, ch=2),
+                              block_size=4096, stereo_mode="mid_side",
+                              kind="lpc", order=8,
+                              lpc_coefs=[90, -30, 12, 5, -3, 2, -1, 1],
+                              lpc_shift=6, partition_order=3)
+        yield build_flac_file(random_walk(9000, 24, seed=13, ch=1),
+                              bps=24, block_size=512, kind="lpc", order=4,
+                              lpc_coefs=[120, -60, 20, -5], lpc_shift=6,
+                              partition_order=1)
+        x = np.zeros(4096 * 3, dtype=np.int64)
+        x[97::311] = 2000
+        x[150::401] = -1500
+        yield build_flac_file([x], block_size=4096, kind="fixed", order=0,
+                              partition_order=2)  # long unary runs
+        yield build_flac_file(random_walk(5000, 8, seed=14, ch=1), bps=8,
+                              block_size=256, kind="verbatim")
+
+    def test_matches_scalar(self):
+        lib = native._load()
+        if lib is None or not lib.sh_flac_has_simd():
+            pytest.skip("AVX-512 unavailable")
+        for data in self._cases():
+            reader = FlacReader(MediaSourceStream(data))
+            si = reader.stream_info
+            reader._ensure_scan()
+            starts = np.asarray(reader._frame_starts, np.int64)
+            buf = reader._buf
+            sizes = np.diff(np.append(starts, len(buf))).astype(np.int64)
+            a = native.flac_extract(buf, starts, sizes, si, si.block_len_max,
+                                    use_simd=False)
+            a = {k: (v.copy() if hasattr(v, "copy") else v) for k, v in a.items()}
+            b = native.flac_extract(buf, starts, sizes, si, si.block_len_max,
+                                    use_simd=True)
+            for k in ["res", "coefs", "order", "shift", "wasted", "block",
+                      "assign", "bps", "status"]:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    def test_fast_scan_and_extract(self):
+        lib = native._load()
+        if lib is None or not lib.sh_flac_has_simd():
+            pytest.skip("AVX-512 unavailable")
+        for data in self._cases():
+            reader = FlacReader(MediaSourceStream(data))
+            si = reader.stream_info
+            reader._ensure_scan()
+            buf = reader._buf
+            packed = native.flac_fast_extract(
+                buf, si, si.block_len_max, len(reader._frame_starts) + 8)
+            assert packed is not None
+            assert packed["F"] == len(reader._frame_starts)
+            np.testing.assert_array_equal(packed["offsets"],
+                                          reader._frame_starts)
+            assert (packed["status"] == 0).all()
+            out = decode_packed(packed)
+            assert out.shape[0] == packed["F"]
