@@ -1,0 +1,735 @@
+// Vorbis host entropy stage.
+//
+// Native mirror of symphonia_tpu/codecs/vorbis.py decode_spectra (itself
+// the analog of symphonia-codec-vorbis/src/lib.rs:146-332): per audio
+// packet — mode/window select, floor 0/1 decode, residue 0/1/2 partitioned
+// VQ decode, inverse coupling, floor synthesis and the floor x residue dot
+// product. Emits per-packet per-channel spectra ready for the batched
+// device IMDCT stage (ops/vorbis_dense.decode_packets_dense).
+//
+// The setup header (codebooks incl. VQ tables, floors, residues, mappings,
+// modes) is serialized by symphonia_tpu/native.py vorbis_open() into a
+// flat blob parsed here once per stream.
+//
+// Vorbis packs bits LSB-first; codewords are still matched MSB-of-codeword
+// first, so the LUT is built over bit-reversed codeword prefixes.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// LSB-first bit reader
+// ---------------------------------------------------------------------------
+
+struct BitsRtl {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;
+    uint64_t buf;   // next bits in the LOW positions
+    int cnt;
+    bool error;
+
+    BitsRtl(const uint8_t* d, int64_t n)
+        : data(d), len(n), pos(0), buf(0), cnt(0), error(false) {}
+
+    inline void fill() {
+        while (cnt <= 56 && pos < len) {
+            buf |= (uint64_t)data[pos++] << cnt;
+            cnt += 8;
+        }
+    }
+    inline uint32_t read(int n) {
+        if (n == 0) return 0;
+        if (cnt < n) { fill(); if (cnt < n) { error = true; return 0; } }
+        uint32_t v = (uint32_t)(buf & ((n >= 64 ? 0 : (1ULL << n)) - 1));
+        buf >>= n;
+        cnt -= n;
+        return v;
+    }
+    inline uint32_t peek(int n) {
+        if (cnt < n) fill();
+        return (uint32_t)(buf & ((1ULL << n) - 1));  // zero-padded at EOS
+    }
+    inline void consume(int n) {
+        if (cnt < n) { fill(); if (cnt < n) { error = true; buf = 0; cnt = 0; return; } }
+        buf >>= n;
+        cnt -= n;
+    }
+    inline int64_t bits_left() const { return (len - pos) * 8 + cnt; }
+};
+
+inline int ilog(uint32_t x) {
+    int n = 0;
+    while (x) { n++; x >>= 1; }
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// LSB-first two-level LUT codebook
+// ---------------------------------------------------------------------------
+
+constexpr int kRootBitsR = 10;
+
+struct LutRtl {
+    std::vector<int32_t> root;   // >=0: value | len<<20; else ~subtable
+    struct Sub { int bits; std::vector<int32_t> e; };
+    std::vector<Sub> subs;
+    int max_len = 0;
+    static constexpr int32_t kInvalid = -1 - 0x7FFFFFF;
+
+    static uint32_t revbits(uint32_t c, int l) {
+        uint32_t r = 0;
+        for (int i = 0; i < l; i++) { r = (r << 1) | (c & 1); c >>= 1; }
+        return r;
+    }
+
+    void build(const uint32_t* codes, const int32_t* lens,
+               const int32_t* values, int n) {
+        root.assign(1 << kRootBitsR, kInvalid);
+        subs.clear();
+        max_len = 0;
+        for (int i = 0; i < n; i++) if (lens[i] > max_len) max_len = lens[i];
+        int sub_bits = max_len > kRootBitsR ? max_len - kRootBitsR : 0;
+        for (int i = 0; i < n; i++) {
+            int l = lens[i];
+            if (l == 0) continue;
+            // Stream pattern: bit j of the pattern is codeword bit (l-1-j).
+            uint32_t pat = revbits(codes[i], l);
+            if (l <= kRootBitsR) {
+                // All indices whose low l bits equal pat.
+                for (uint32_t k = 0; k < (1u << (kRootBitsR - l)); k++)
+                    root[(k << l) | pat] = values[i] | (l << 20);
+            } else {
+                uint32_t pre = pat & ((1u << kRootBitsR) - 1);
+                int sub_idx;
+                if (root[pre] < 0 && root[pre] != kInvalid) {
+                    sub_idx = -root[pre] - 1;
+                } else {
+                    sub_idx = (int)subs.size();
+                    subs.push_back(Sub{sub_bits,
+                                       std::vector<int32_t>((size_t)1 << sub_bits, kInvalid)});
+                    root[pre] = -sub_idx - 1;
+                }
+                Sub& s = subs[sub_idx];
+                int rem = l - kRootBitsR;
+                uint32_t rem_pat = pat >> kRootBitsR;
+                for (uint32_t k = 0; k < (1u << (sub_bits - rem)); k++)
+                    s.e[(k << rem) | rem_pat] = values[i] | (l << 20);
+            }
+        }
+    }
+
+    inline int decode(BitsRtl& bs, bool* err) const {
+        uint32_t idx = bs.peek(kRootBitsR);
+        int32_t e = root[idx];
+        if (e >= 0) { bs.consume(e >> 20); return e & 0xFFFFF; }
+        if (e == kInvalid) { *err = true; return 0; }
+        const Sub& s = subs[-e - 1];
+        uint32_t idx2 = bs.peek(kRootBitsR + s.bits) >> kRootBitsR;
+        int32_t e2 = s.e[idx2];
+        if (e2 < 0) { *err = true; return 0; }
+        bs.consume(e2 >> 20);
+        return e2 & 0xFFFFF;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Setup structures (deserialized from the Python blob)
+// ---------------------------------------------------------------------------
+
+struct Cb {
+    LutRtl lut;
+    int dims = 0;
+    std::vector<float> vq;  // [entries, dims], empty if none
+    int vq_entries = 0;
+};
+
+struct Floor0 {
+    int order, rate, bark_map_size, amplitude_bits;
+    double amplitude_offset;
+    std::vector<int32_t> books;
+    std::vector<int32_t> bark_map;  // per n2, lazily built
+    int bark_n2 = -1;
+};
+
+struct Floor1 {
+    int multiplier;
+    std::vector<int32_t> partition_class_list, class_dims, class_subclass_bits,
+        class_masterbooks, x_list, sort_order, low_neighbors, high_neighbors;
+    std::vector<std::vector<int32_t>> subclass_books;
+};
+
+struct Floor {
+    int kind;
+    Floor0 f0;
+    Floor1 f1;
+};
+
+struct Residue {
+    int kind, begin, end, partition_size, classifications, classbook;
+    std::vector<std::vector<int32_t>> books;  // [class][8]
+};
+
+struct Mapping {
+    std::vector<std::pair<int32_t, int32_t>> coupling_steps;
+    std::vector<int32_t> mux, submap_floor, submap_residue;
+};
+
+struct Ctx {
+    int n_channels, sample_rate, bs0, bs1;
+    std::vector<Cb> codebooks;
+    std::vector<Floor> floors;
+    std::vector<Residue> residues;
+    std::vector<Mapping> mappings;
+    std::vector<std::pair<int32_t, int32_t>> modes;  // (block_flag, mapping)
+    float inverse_db[256];
+    // scratch
+    std::vector<float> residue_buf;   // [n_ch, n2max]
+    std::vector<float> flat_buf;      // [n_ch * n2max]
+    std::vector<int64_t> floor1_y;    // posts
+    std::vector<int64_t> classes_buf;
+};
+
+struct Reader {
+    const uint8_t* p;
+    const uint8_t* end;
+    bool ok = true;
+    int32_t i32() {
+        if (p + 4 > end) { ok = false; return 0; }
+        int32_t v;
+        memcpy(&v, p, 4);
+        p += 4;
+        return v;
+    }
+    float f32() {
+        if (p + 4 > end) { ok = false; return 0; }
+        float v;
+        memcpy(&v, p, 4);
+        p += 4;
+        return v;
+    }
+    void vec(std::vector<int32_t>& out) {
+        int n = i32();
+        out.resize(ok && n >= 0 ? n : 0);
+        for (auto& v : out) v = i32();
+    }
+};
+
+const int kFloor1Range[5] = {0, 256, 128, 86, 64};
+
+// ---------------------------------------------------------------------------
+// Floor 1 (vorbis.py floor1_read_channel / floor1_synthesis)
+// ---------------------------------------------------------------------------
+
+static bool floor1_read(BitsRtl& br, Ctx& C, Floor1& f, int64_t* y) {
+    if (!br.read(1)) return false;
+    int rng = kFloor1Range[f.multiplier];
+    int bits = ilog(rng - 1);
+    int n = (int)f.x_list.size();
+    for (int i = 0; i < n; i++) y[i] = 0;
+    y[0] = br.read(bits);
+    y[1] = br.read(bits);
+    int offset = 2;
+    bool err = false;
+    for (int32_t cls : f.partition_class_list) {
+        int cdim = f.class_dims[cls];
+        int cbits = f.class_subclass_bits[cls];
+        int csub = (1 << cbits) - 1;
+        int cval = 0;
+        if (cbits) {
+            int mb = f.class_masterbooks[cls];
+            cval = C.codebooks[mb].lut.decode(br, &err);
+        }
+        for (int j = 0; j < cdim; j++) {
+            int book = f.subclass_books[cls][cval & csub];
+            cval >>= cbits;
+            if (book >= 0) y[offset + j] = C.codebooks[book].lut.decode(br, &err);
+        }
+        offset += cdim;
+        if (err || br.error) return false;  // mirrors EndOfStream -> unused
+    }
+    return true;
+}
+
+static int render_point(int x0, int64_t y0, int x1, int64_t y1, int x) {
+    int64_t dy = y1 - y0;
+    int adx = x1 - x0;
+    int64_t ady = dy < 0 ? -dy : dy;
+    int64_t err = ady * (x - x0);
+    int64_t off = err / adx;
+    return (int)(dy < 0 ? y0 - off : y0 + off);
+}
+
+static void render_line(int x0, int64_t y0, int x1, int64_t y1, float* v,
+                        int vlen, const float* db) {
+    if (x1 <= x0) return;
+    int64_t dy = y1 - y0;
+    int adx = x1 - x0;
+    int64_t ady = dy < 0 ? -dy : dy;
+    int64_t base = ady / adx;
+    if (dy < 0) base = -base;
+    int64_t babs = base < 0 ? -base : base;
+    ady -= babs * adx;
+    int64_t sy = dy < 0 ? base - 1 : base + 1;
+    if (x0 < vlen) {
+        int64_t yc = y0 < 0 ? 0 : (y0 > 255 ? 255 : y0);
+        v[x0] = db[yc];
+    }
+    int64_t y = y0, err = 0;
+    int xe = x1 < vlen ? x1 : vlen;
+    for (int x = x0 + 1; x < xe; x++) {
+        err += ady;
+        if (err >= adx) { err -= adx; y += sy; }
+        else y += base;
+        int64_t yc = y < 0 ? 0 : (y > 255 ? 255 : y);
+        v[x] = db[yc];
+    }
+}
+
+static void floor1_synth(const int64_t* y, Ctx& C, Floor1& f, int n2,
+                         float* out) {
+    int rng = kFloor1Range[f.multiplier];
+    int n = (int)f.x_list.size();
+    std::vector<int64_t> final_y(n);
+    std::vector<uint8_t> step2(n, 0);
+    final_y[0] = y[0];
+    final_y[1] = y[1];
+    step2[0] = step2[1] = 1;
+    for (int i = 2; i < n; i++) {
+        int low = f.low_neighbors[i], high = f.high_neighbors[i];
+        int pred = render_point(f.x_list[low], final_y[low], f.x_list[high],
+                                final_y[high], f.x_list[i]);
+        int64_t val = y[i];
+        int highroom = rng - pred, lowroom = pred;
+        int room = 2 * (highroom < lowroom ? highroom : lowroom);
+        if (val) {
+            step2[low] = step2[high] = step2[i] = 1;
+            if (val >= room)
+                final_y[i] = highroom > lowroom ? val - lowroom + pred
+                                                : pred - (val - highroom) - 1;
+            else if (val & 1)
+                final_y[i] = pred - ((val + 1) >> 1);
+            else
+                final_y[i] = pred + (val >> 1);
+        } else {
+            step2[i] = 0;
+            final_y[i] = pred;
+        }
+    }
+    for (int i = 0; i < n; i++) {
+        if (final_y[i] < 0) final_y[i] = 0;
+        if (final_y[i] > rng - 1) final_y[i] = rng - 1;
+    }
+    const float* db = C.inverse_db;
+    int mult = f.multiplier;
+    for (int i = 0; i < n2; i++) out[i] = 0.0f;
+    int hx = 0;
+    int64_t hy = 0;
+    int lx = 0;
+    int64_t ly = final_y[f.sort_order[0]] * mult;
+    for (size_t k = 1; k < f.sort_order.size(); k++) {
+        int idx = f.sort_order[k];
+        if (!step2[idx]) continue;
+        hx = f.x_list[idx];
+        hy = final_y[idx] * mult;
+        render_line(lx, ly, hx < n2 ? hx : n2, hy, out, n2, db);
+        lx = hx;
+        ly = hy;
+    }
+    if (hx < n2) {
+        int64_t yc = ly < 255 ? ly : 255;
+        float v = db[yc];
+        for (int i = hx; i < n2; i++) out[i] = v;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Floor 0 (vorbis.py floor0_read_channel / floor0_synthesis)
+// ---------------------------------------------------------------------------
+
+static double bark(double x) {
+    return 13.1 * atan(0.00074 * x) + 2.24 * atan(1.85e-8 * x * x) + 1e-4 * x;
+}
+
+static void floor0_bark_map(Floor0& f, int n2) {
+    if (f.bark_n2 == n2) return;
+    f.bark_map.resize(n2);
+    double c = f.bark_map_size / bark(0.5 * f.rate);
+    for (int i = 0; i < n2; i++) {
+        int64_t m = (int64_t)floor(bark((double)f.rate / (2.0 * n2) * i) * c);
+        f.bark_map[i] = (int32_t)(m < f.bark_map_size - 1 ? m : f.bark_map_size - 1);
+    }
+    f.bark_n2 = n2;
+}
+
+static bool floor0_read(BitsRtl& br, Ctx& C, Floor0& f, int64_t* amplitude,
+                        std::vector<double>& two_cos) {
+    int64_t amp = br.read(f.amplitude_bits);
+    if (amp == 0 || br.error) return false;
+    int bidx = (int)br.read(ilog((uint32_t)f.books.size()));
+    if (bidx >= (int)f.books.size()) return false;
+    Cb& cb = C.codebooks[f.books[bidx]];
+    if (cb.vq.empty()) return false;
+    two_cos.clear();
+    double last = 0.0;
+    bool err = false;
+    while ((int)two_cos.size() < f.order) {
+        int entry = cb.lut.decode(br, &err);
+        if (err || br.error) return false;
+        const float* vec = &cb.vq[(size_t)entry * cb.dims];
+        int take = f.order - (int)two_cos.size();
+        if (take > cb.dims) take = cb.dims;
+        double v = last;
+        for (int i = 0; i < take; i++) {
+            v = (double)vec[i] + last;
+            two_cos.push_back(v);
+        }
+        last = v;
+    }
+    for (auto& v : two_cos) v = 2.0 * cos(v);
+    *amplitude = amp;
+    return true;
+}
+
+static bool floor0_synth(int64_t amplitude, const std::vector<double>& tc,
+                         Floor0& f, int n2, float* out) {
+    floor0_bark_map(f, n2);
+    int order = f.order;
+    int i = 0;
+    while (i < n2) {
+        int cond = f.bark_map[i];
+        double omega = M_PI * cond / f.bark_map_size;
+        double cos_omega = cos(omega);
+        double tco = 2.0 * cos_omega;
+        int pairs = order / 2;
+        double p = 1.0, q = 1.0;
+        for (int k = 0; k < pairs; k++) {
+            p *= tc[2 * k + 1] - tco;
+            q *= tc[2 * k] - tco;
+        }
+        if (order & 1) {
+            q *= tc[order - 1] - tco;
+            p = p * p * (1.0 - cos_omega * cos_omega);
+            q = q * q * 0.25;
+        } else {
+            p = p * p * ((1.0 - cos_omega) / 2.0);
+            q = q * q * ((1.0 + cos_omega) / 2.0);
+        }
+        if (p + q == 0.0) return false;
+        double a = (double)amplitude * f.amplitude_offset;
+        double b = sqrt(p + q) * (double)((1 << f.amplitude_bits) - 1);
+        float val = (float)exp(0.11512925 * (a / b - f.amplitude_offset));
+        while (i < n2 && f.bark_map[i] == cond) out[i++] = val;
+    }
+    return true;
+}
+
+// ---------------------------------------------------------------------------
+// Residue (vorbis.py residue_decode / _residue_core / _decode_partition)
+// ---------------------------------------------------------------------------
+
+static void decode_partition(BitsRtl& br, const Residue& R, Cb& cb, float* v,
+                             int offset, bool* err) {
+    int dims = cb.dims;
+    int psize = R.partition_size;
+    if (R.kind == 0) {
+        int step = psize / dims;
+        for (int i = 0; i < step; i++) {
+            int entry = cb.lut.decode(br, err);
+            if (*err || br.error) return;
+            const float* vec = &cb.vq[(size_t)entry * dims];
+            for (int d = 0; d < dims; d++) v[offset + i + d * step] += vec[d];
+        }
+    } else {
+        int i = 0;
+        while (i < psize) {
+            int entry = cb.lut.decode(br, err);
+            if (*err || br.error) return;
+            const float* vec = &cb.vq[(size_t)entry * dims];
+            int take = psize - i < dims ? psize - i : dims;
+            for (int d = 0; d < take; d++) v[offset + i + d] += vec[d];
+            i += dims;
+        }
+    }
+}
+
+static void residue_core(BitsRtl& br, Ctx& C, const Residue& R,
+                         float** vectors, const uint8_t* do_not_decode,
+                         int n_ch, int n) {
+    int begin = R.begin < n ? R.begin : n;
+    int end = R.end < n ? R.end : n;
+    int n_to_read = end - begin;
+    if (n_to_read <= 0) return;
+    Cb& classbook = C.codebooks[R.classbook];
+    int cw = classbook.dims;
+    int parts = n_to_read / R.partition_size;
+    C.classes_buf.assign((size_t)n_ch * (parts + cw), 0);
+    int64_t* classes = C.classes_buf.data();
+    bool err = false;
+    for (int pass = 0; pass < 8; pass++) {
+        int pc = 0;
+        while (pc < parts) {
+            if (pass == 0) {
+                for (int j = 0; j < n_ch; j++) {
+                    if (do_not_decode[j]) continue;
+                    int64_t temp = classbook.lut.decode(br, &err);
+                    if (err || br.error) return;
+                    for (int i = cw - 1; i >= 0; i--) {
+                        classes[(size_t)j * (parts + cw) + pc + i] =
+                            temp % R.classifications;
+                        temp /= R.classifications;
+                    }
+                }
+            }
+            for (int k = 0; k < cw; k++) {
+                if (pc >= parts) break;
+                for (int j = 0; j < n_ch; j++) {
+                    if (do_not_decode[j]) continue;
+                    int vqclass = (int)classes[(size_t)j * (parts + cw) + pc];
+                    int book = R.books[vqclass][pass];
+                    if (book < 0) continue;
+                    Cb& cb = C.codebooks[book];
+                    if (cb.vq.empty()) return;  // invalid; abandon like oracle
+                    int off = begin + pc * R.partition_size;
+                    decode_partition(br, R, cb, vectors[j], off, &err);
+                    if (err || br.error) return;
+                }
+                pc += 1;
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* sh_vorbis_open(const uint8_t* blob, int64_t blob_len) {
+    Reader r{blob, blob + blob_len};
+    if (r.i32() != 0x56535450) return nullptr;  // 'VSTP'
+    if (r.i32() != 1) return nullptr;
+    Ctx* C = new Ctx();
+    C->n_channels = r.i32();
+    C->sample_rate = r.i32();
+    C->bs0 = r.i32();
+    C->bs1 = r.i32();
+    for (int i = 0; i < 256; i++) C->inverse_db[i] = r.f32();
+    int n_cb = r.i32();
+    C->codebooks.resize(r.ok && n_cb >= 0 ? n_cb : 0);
+    for (auto& cb : C->codebooks) {
+        cb.dims = r.i32();
+        int n = r.i32();
+        std::vector<uint32_t> codes(n);
+        std::vector<int32_t> lens(n), vals(n);
+        for (int i = 0; i < n; i++) {
+            codes[i] = (uint32_t)r.i32();
+            lens[i] = r.i32();
+            vals[i] = r.i32();
+        }
+        if (!r.ok) { delete C; return nullptr; }
+        cb.lut.build(codes.data(), lens.data(), vals.data(), n);
+        cb.vq_entries = r.i32();
+        if (cb.vq_entries > 0) {
+            cb.vq.resize((size_t)cb.vq_entries * cb.dims);
+            for (auto& v : cb.vq) v = r.f32();
+        }
+    }
+    int n_fl = r.i32();
+    C->floors.resize(r.ok && n_fl >= 0 ? n_fl : 0);
+    for (auto& fl : C->floors) {
+        fl.kind = r.i32();
+        if (fl.kind == 0) {
+            fl.f0.order = r.i32();
+            fl.f0.rate = r.i32();
+            fl.f0.bark_map_size = r.i32();
+            fl.f0.amplitude_bits = r.i32();
+            fl.f0.amplitude_offset = (double)r.i32();
+            r.vec(fl.f0.books);
+        } else {
+            fl.f1.multiplier = r.i32();
+            r.vec(fl.f1.partition_class_list);
+            r.vec(fl.f1.class_dims);
+            r.vec(fl.f1.class_subclass_bits);
+            r.vec(fl.f1.class_masterbooks);
+            int nsb = r.i32();
+            fl.f1.subclass_books.resize(r.ok && nsb >= 0 ? nsb : 0);
+            for (auto& sb : fl.f1.subclass_books) r.vec(sb);
+            r.vec(fl.f1.x_list);
+            r.vec(fl.f1.sort_order);
+            r.vec(fl.f1.low_neighbors);
+            r.vec(fl.f1.high_neighbors);
+        }
+    }
+    int n_res = r.i32();
+    C->residues.resize(r.ok && n_res >= 0 ? n_res : 0);
+    for (auto& R : C->residues) {
+        R.kind = r.i32();
+        R.begin = r.i32();
+        R.end = r.i32();
+        R.partition_size = r.i32();
+        R.classifications = r.i32();
+        R.classbook = r.i32();
+        int nc = r.i32();
+        R.books.resize(r.ok && nc >= 0 ? nc : 0);
+        for (auto& b : R.books) r.vec(b);
+    }
+    int n_map = r.i32();
+    C->mappings.resize(r.ok && n_map >= 0 ? n_map : 0);
+    for (auto& M : C->mappings) {
+        int ncs = r.i32();
+        for (int i = 0; i < ncs; i++) {
+            int a = r.i32(), b = r.i32();
+            M.coupling_steps.push_back({a, b});
+        }
+        r.vec(M.mux);
+        r.vec(M.submap_floor);
+        r.vec(M.submap_residue);
+    }
+    int n_modes = r.i32();
+    for (int i = 0; i < n_modes; i++) {
+        int bf = r.i32(), mp = r.i32();
+        C->modes.push_back({bf, mp});
+    }
+    if (!r.ok) { delete C; return nullptr; }
+    return C;
+}
+
+void sh_vorbis_close(void* ctx) { delete (Ctx*)ctx; }
+
+// Decode n_pkts audio packets into spectra [n_pkts, n_ch, bs1/2] (each
+// packet's first n2 bins are valid; the rest stay zero). flags[p] gets the
+// block flag; status[p] 0 ok / <0 skip (mirrors the oracle raising
+// DecodeError).
+int32_t sh_vorbis_decode(
+    void* ctx, const uint8_t* data, int64_t data_len,
+    const int64_t* offsets, const int64_t* sizes, int32_t n_pkts,
+    float* spectra, int32_t* flags, int32_t* status) {
+    Ctx& C = *(Ctx*)ctx;
+    int n_ch = C.n_channels;
+    int n2max = C.bs1 / 2;
+    C.residue_buf.resize((size_t)n_ch * n2max);
+    C.flat_buf.resize((size_t)n_ch * n2max);
+    std::vector<float> floor_curve(n2max);
+    std::vector<float*> vecs(n_ch);
+    std::vector<uint8_t> dnd(n_ch);
+    std::vector<int64_t> y1((size_t)n_ch * 256);
+    std::vector<uint8_t> f1_used(n_ch);
+    std::vector<int64_t> f0_amp(n_ch);
+    std::vector<std::vector<double>> f0_coeffs(n_ch);
+
+    for (int32_t p = 0; p < n_pkts; p++) {
+        status[p] = 0;
+        flags[p] = 0;
+        float* out = spectra + (size_t)p * n_ch * n2max;
+        memset(out, 0, (size_t)n_ch * n2max * sizeof(float));
+        if (offsets[p] < 0 || offsets[p] + sizes[p] > data_len || sizes[p] <= 0) {
+            status[p] = -1;
+            continue;
+        }
+        BitsRtl br(data + offsets[p], sizes[p]);
+        if (br.read(1)) { status[p] = -2; continue; }  // not audio
+        int n_modes = (int)C.modes.size();
+        int mode_idx = n_modes > 1 ? (int)br.read(ilog(n_modes - 1)) : 0;
+        if (mode_idx >= n_modes) { status[p] = -3; continue; }
+        int block_flag = C.modes[mode_idx].first;
+        const Mapping& M = C.mappings[C.modes[mode_idx].second];
+        int bs = block_flag ? C.bs1 : C.bs0;
+        int n2 = bs / 2;
+        flags[p] = block_flag;
+        if (block_flag) { br.read(1); br.read(1); }
+
+        // Floor decode per channel.
+        for (int ch = 0; ch < n_ch; ch++) {
+            Floor& fl = C.floors[M.submap_floor[M.mux[ch]]];
+            if (fl.kind == 1)
+                f1_used[ch] = floor1_read(br, C, fl.f1, &y1[(size_t)ch * 256]);
+            else
+                f1_used[ch] = floor0_read(br, C, fl.f0, &f0_amp[ch], f0_coeffs[ch]);
+        }
+        for (int ch = 0; ch < n_ch; ch++) dnd[ch] = !f1_used[ch];
+        for (auto& cs : M.coupling_steps) {
+            if (!(dnd[cs.first] && dnd[cs.second])) {
+                dnd[cs.first] = 0;
+                dnd[cs.second] = 0;
+            }
+        }
+
+        // Residue decode per submap.
+        float* residues = C.residue_buf.data();
+        memset(residues, 0, (size_t)n_ch * n2max * sizeof(float));
+        int n_submaps = (int)M.submap_residue.size();
+        for (int sm = 0; sm < n_submaps; sm++) {
+            int nc = 0;
+            int chans[64];
+            for (int ch = 0; ch < n_ch; ch++)
+                if (M.mux[ch] == sm) chans[nc++] = ch;
+            const Residue& R = C.residues[M.submap_residue[sm]];
+            if (R.kind == 2) {
+                bool all_dnd = true;
+                for (int i = 0; i < nc; i++) all_dnd &= dnd[chans[i]] != 0;
+                if (!all_dnd) {
+                    float* flat = C.flat_buf.data();
+                    memset(flat, 0, (size_t)nc * n2 * sizeof(float));
+                    float* fv[1] = {flat};
+                    uint8_t fdnd[1] = {0};
+                    residue_core(br, C, R, fv, fdnd, 1, nc * n2);
+                    // Deinterleave [n2, nc] -> per channel rows.
+                    for (int i = 0; i < nc; i++) {
+                        float* dst = residues + (size_t)chans[i] * n2max;
+                        for (int k = 0; k < n2; k++) dst[k] = flat[(size_t)k * nc + i];
+                    }
+                }
+            } else {
+                for (int i = 0; i < nc; i++) {
+                    vecs[i] = residues + (size_t)chans[i] * n2max;
+                    // dnd view for this submap
+                }
+                std::vector<uint8_t> sub_dnd(nc);
+                for (int i = 0; i < nc; i++) sub_dnd[i] = dnd[chans[i]];
+                residue_core(br, C, R, vecs.data(), sub_dnd.data(), nc, n2);
+            }
+        }
+
+        // Inverse coupling, reverse step order (spec §4.3.4).
+        for (auto it = M.coupling_steps.rbegin(); it != M.coupling_steps.rend();
+             ++it) {
+            float* m = residues + (size_t)it->first * n2max;
+            float* a = residues + (size_t)it->second * n2max;
+            for (int k = 0; k < n2; k++) {
+                float mv = m[k], av = a[k], nm, na;
+                if (mv > 0) {
+                    if (av > 0) { nm = mv; na = mv - av; }
+                    else { na = mv; nm = mv + av; }
+                } else {
+                    if (av > 0) { nm = mv; na = mv + av; }
+                    else { na = mv; nm = mv - av; }
+                }
+                m[k] = nm;
+                a[k] = na;
+            }
+        }
+
+        // Floor synthesis + dot product.
+        for (int ch = 0; ch < n_ch; ch++) {
+            if (!f1_used[ch]) continue;
+            Floor& fl = C.floors[M.submap_floor[M.mux[ch]]];
+            if (fl.kind == 1) {
+                floor1_synth(&y1[(size_t)ch * 256], C, fl.f1, n2,
+                             floor_curve.data());
+            } else {
+                if (!floor0_synth(f0_amp[ch], f0_coeffs[ch], fl.f0, n2,
+                                  floor_curve.data())) { status[p] = -4; break; }
+            }
+            float* dst = out + (size_t)ch * n2max;
+            const float* rsd = residues + (size_t)ch * n2max;
+            for (int k = 0; k < n2; k++) dst[k] = floor_curve[k] * rsd[k];
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -334,18 +334,43 @@ class VorbisBatchDecoder:
         if track.codec_params.codec != "vorbis":
             raise DecodeError("not a Vorbis stream")
         dec = VorbisDecoder(track.codec_params)
-        spectra, flags, trims = [], [], []
+        pkts, trims = [], []
         while True:
             pkt = reader.next_packet()
             if pkt is None:
                 break
-            try:
-                sp, flag = dec.decode_spectra(pkt.data)
-            except DecodeError:
-                continue
-            spectra.append(sp)
-            flags.append(flag)
+            pkts.append(bytes(pkt.data))
             trims.append((pkt.trim_start, pkt.trim_end))
+        # Entropy stage: native C++ when available (vorbis_entropy.cpp),
+        # Python oracle otherwise.
+        spectra, flags = [], []
+        ext = None
+        try:
+            from . import native
+
+            ext = native.vorbis_decode_spectra(dec, pkts)
+            if ext is not None and (ext[2] != 0).any():
+                ext = None  # malformed packets: robust per-packet path
+        except ImportError:
+            pass
+        if ext is not None:
+            sp_all, fl_all, _ = ext
+            bs0, bs1 = dec.bs0, dec.bs1
+            for i in range(len(pkts)):
+                n2 = (bs1 if fl_all[i] else bs0) // 2
+                spectra.append(sp_all[i, :, :n2])
+                flags.append(bool(fl_all[i]))
+        else:
+            trims2 = []
+            for p, tr in zip(pkts, trims):
+                try:
+                    sp, flag = dec.decode_spectra(p)
+                except DecodeError:
+                    continue
+                spectra.append(sp)
+                flags.append(flag)
+                trims2.append(tr)
+            trims = trims2
         pcm = decode_packets_dense(spectra, flags, dec.bs0, dec.bs1)
         total_trim_end = sum(t[1] for t in trims)
         if total_trim_end:

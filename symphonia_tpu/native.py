@@ -22,7 +22,8 @@ _TRIED = False
 _ROOT = Path(__file__).resolve().parent.parent
 _SRCS = [_ROOT / "native" / "symphonia_host.cpp",
          _ROOT / "native" / "mp3_entropy.cpp",
-         _ROOT / "native" / "aac_entropy.cpp"]
+         _ROOT / "native" / "aac_entropy.cpp",
+         _ROOT / "native" / "vorbis_entropy.cpp"]
 _HDRS = [_ROOT / "native" / "entropy_common.h",
          _ROOT / "native" / "mp3_tables.h"]
 _SO = _ROOT / "native" / "libsymphonia_host.so"
@@ -107,6 +108,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, c_i32p, ctypes.c_int32, c_i32p, ctypes.c_int32,
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+    ]
+    lib.sh_vorbis_open.restype = ctypes.c_void_p
+    lib.sh_vorbis_open.argtypes = [c_u8p, ctypes.c_int64]
+    lib.sh_vorbis_close.restype = None
+    lib.sh_vorbis_close.argtypes = [ctypes.c_void_p]
+    lib.sh_vorbis_decode.restype = ctypes.c_int32
+    lib.sh_vorbis_decode.argtypes = [
+        ctypes.c_void_p, c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), c_i32p, c_i32p,
     ]
     lib.sh_mp3_extract.restype = ctypes.c_int32
     lib.sh_mp3_extract.argtypes = [
@@ -394,3 +404,133 @@ def flac_fast_extract(buf: bytes, si, n_max: int, max_frames: int):
         "offsets": offsets[:F], "status": status[:F],
         "F": F, "C": C, "n_max": n_max,
     }
+
+
+def _vorbis_serialize(ident, setup) -> Optional[bytes]:
+    """Serialize a parsed Vorbis setup for sh_vorbis_open (vorbis_entropy.cpp
+    Reader layout). Returns None when the setup exceeds the native layout's
+    limits (callers use the Python oracle then)."""
+    import struct
+
+    from .codecs.vorbis import floor1_inverse_db_table
+
+    out = bytearray()
+
+    def i32(*vals):
+        for v in vals:
+            out.extend(struct.pack("<i", int(v)))
+
+    def ivec(vals):
+        i32(len(vals))
+        i32(*vals)
+
+    i32(0x56535450, 1)
+    i32(ident.n_channels, ident.sample_rate, 1 << ident.bs0_exp,
+        1 << ident.bs1_exp)
+    out.extend(floor1_inverse_db_table().astype(np.float32).tobytes())
+    i32(len(setup.codebooks))
+    for cb in setup.codebooks:
+        book = cb.codebook
+        if len(book.values) and int(np.max(book.values)) >= (1 << 20):
+            return None
+        i32(cb.dims, len(book.codes))
+        arr = np.empty((len(book.codes), 3), dtype=np.int32)
+        arr[:, 0] = book.codes.astype(np.int64).astype(np.int32)
+        arr[:, 1] = book.lens
+        arr[:, 2] = book.values
+        out.extend(arr.tobytes())
+        if cb.vq is not None:
+            i32(cb.vq.shape[0])
+            out.extend(np.ascontiguousarray(cb.vq, dtype=np.float32).tobytes())
+        else:
+            i32(0)
+    i32(len(setup.floors))
+    for fl in setup.floors:
+        i32(fl.kind)
+        if fl.kind == 0:
+            f = fl.f0
+            i32(f.order, f.rate, f.bark_map_size, f.amplitude_bits,
+                f.amplitude_offset)
+            ivec(f.books)
+        else:
+            f = fl.f1
+            if len(f.x_list) > 256:
+                return None
+            i32(f.multiplier)
+            ivec(f.partition_class_list)
+            ivec(f.class_dims)
+            ivec(f.class_subclass_bits)
+            ivec(f.class_masterbooks)
+            i32(len(f.subclass_books))
+            for sb in f.subclass_books:
+                ivec(sb)
+            ivec(f.x_list)
+            ivec(f.sort_order)
+            ivec(f.low_neighbors)
+            ivec(f.high_neighbors)
+    i32(len(setup.residues))
+    for r in setup.residues:
+        i32(r.kind, r.begin, r.end, r.partition_size, r.classifications,
+            r.classbook)
+        i32(len(r.books))
+        for b in r.books:
+            ivec(b)
+    i32(len(setup.mappings))
+    for m in setup.mappings:
+        i32(len(m.coupling_steps))
+        for a, b in m.coupling_steps:
+            i32(a, b)
+        ivec(m.mux)
+        ivec(m.submap_floor)
+        ivec(m.submap_residue)
+    i32(len(setup.modes))
+    for md in setup.modes:
+        i32(1 if md.block_flag else 0, md.mapping)
+    return bytes(out)
+
+
+def vorbis_decode_spectra(dec, packets):
+    """Native whole-stream Vorbis entropy stage.
+
+    ``dec`` is a VorbisDecoder (provides ident/setup); ``packets`` is a list
+    of audio-packet byte strings. Returns (spectra [N, n_ch, bs1/2] f32,
+    flags [N], status [N]) or None if unavailable.
+    """
+    lib = _load()
+    if lib is None or not packets:
+        return None
+    try:
+        lib.sh_vorbis_open
+    except AttributeError:
+        return None
+    blob = _vorbis_serialize(dec.ident, dec.setup)
+    if blob is None:
+        return None
+    b = np.frombuffer(blob, dtype=np.uint8)
+    ctx = lib.sh_vorbis_open(_u8ptr(b), len(b))
+    if not ctx:
+        return None
+    try:
+        buf = b"".join(packets)
+        a = np.frombuffer(buf, dtype=np.uint8)
+        sizes = np.array([len(p) for p in packets], np.int64)
+        offs = np.zeros(len(packets), np.int64)
+        np.cumsum(sizes[:-1], out=offs[1:])
+        N = len(packets)
+        n_ch = dec.ident.n_channels
+        n2max = (1 << dec.ident.bs1_exp) // 2
+        spectra = np.empty((N, n_ch, n2max), dtype=np.float32)
+        flags = np.empty(N, dtype=np.int32)
+        status = np.empty(N, dtype=np.int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.sh_vorbis_decode(
+            ctx, _u8ptr(a), len(a),
+            offs.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p), N,
+            spectra.ctypes.data_as(f32p), flags.ctypes.data_as(i32p),
+            status.ctypes.data_as(i32p),
+        )
+        return spectra, flags, status
+    finally:
+        lib.sh_vorbis_close(ctx)
