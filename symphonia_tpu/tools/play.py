@@ -149,6 +149,15 @@ def _play_sdl(pcm: np.ndarray, rate: int) -> None:
         import pygame
 
         pygame.mixer.init(frequency=rate, size=-16, channels=pcm.shape[0])
+        # If the device opened at a different rate, convert (resampler.rs
+        # analog; tools/resample.py).
+        got_rate = pygame.mixer.get_init()[0]
+        if got_rate and got_rate != rate:
+            from .resample import resample
+
+            if pcm.dtype.kind != "f":
+                pcm = pcm.astype(np.float32) / 32768.0
+            pcm = resample(pcm, rate, got_rate)
         if pcm.dtype.kind == "f":
             s16 = (np.clip(pcm, -1, 32767 / 32768) * 32768.0).astype(np.int16)
         else:

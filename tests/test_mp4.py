@@ -137,3 +137,96 @@ class TestMp4Aac:
         seeked = r.seek("accurate", sym.SeekTo(ts=3000))
         assert seeked.actual_ts == 2048
         assert r.next_packet().ts == 2048
+
+
+def build_fmp4(frames, rate=44100, n_ch=1, frag_size=4) -> bytes:
+    """Minimal fragmented MP4: moov with empty sample tables + mvex, then
+    one moof/mdat pair per ``frag_size`` frames."""
+    from symphonia_tpu.common.mpeg import AudioSpecificConfig
+
+    asc = AudioSpecificConfig.build(2, rate, n_ch)
+    dsi = bytes([0x05, len(asc)]) + asc
+    dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15]) + b"\x00" * 11 + dsi
+    slc = bytes([0x06, 0x01, 0x02])
+    es = bytes([0x03, 3 + len(dcd) + len(slc)]) + b"\x00\x00\x00" + dcd + slc
+    esds = full_atom(b"esds", es)
+    mp4a = atom(
+        b"mp4a",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+        + struct.pack(">HH", n_ch, 16) + b"\x00" * 4
+        + struct.pack(">I", rate << 16) + esds,
+    )
+    stsd = full_atom(b"stsd", struct.pack(">I", 1) + mp4a)
+    stts = full_atom(b"stts", struct.pack(">I", 0))
+    stsc = full_atom(b"stsc", struct.pack(">I", 0))
+    stsz = full_atom(b"stsz", struct.pack(">II", 0, 0))
+    stco = full_atom(b"stco", struct.pack(">I", 0))
+    stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = atom(b"minf", stbl)
+    mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, rate, 0, 0x55C4, 0))
+    mdia = atom(b"mdia", mdhd + minf)
+    tkhd = full_atom(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 72)
+    trak = atom(b"trak", tkhd + mdia)
+    trex = full_atom(b"trex", struct.pack(">IIIII", 1, 1, 1024, 0, 0))
+    mvex = atom(b"mvex", trex)
+    mvhd = full_atom(b"mvhd", struct.pack(">III", 0, 0, rate) + b"\x00" * 88)
+    moov = atom(b"moov", mvhd + trak + mvex)
+    ftyp = atom(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42isom")
+
+    out = ftyp + moov
+    seq = 1
+    for i in range(0, len(frames), frag_size):
+        grp = frames[i : i + frag_size]
+        mfhd = full_atom(b"mfhd", struct.pack(">I", seq))
+        seq += 1
+        # tfhd: default-sample-duration present (0x8)
+        tfhd = full_atom(b"tfhd", struct.pack(">II", 1, 1024), flags=0x8)
+        # trun: data-offset (0x1) + sample-size (0x200)
+        sizes = b"".join(struct.pack(">I", len(f)) for f in grp)
+        trun_payload = struct.pack(">I", len(grp)) + struct.pack(">i", 0) + sizes
+        trun = full_atom(b"trun", trun_payload, flags=0x201)
+        traf = atom(b"traf", tfhd + trun)
+        moof = atom(b"moof", mfhd + traf)
+        # Patch the trun data offset: moof start + moof size + mdat header.
+        data_offset = len(moof) + 8
+        moof = bytearray(moof)
+        # find trun payload: last 4*len(grp) + 8 bytes before end... locate
+        idx = moof.find(b"trun") + 4 + 4 + 4  # type + ver/flags + count
+        struct.pack_into(">i", moof, idx, data_offset)
+        out += bytes(moof) + atom(b"mdat", b"".join(grp))
+    return out
+
+
+class TestFragmentedMp4:
+    def _frames(self, n, seed=21):
+        rng = np.random.default_rng(seed)
+        return [
+            build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)], [0],
+                            MAX_SFB, GAIN, RATE)
+            for _ in range(n)
+        ]
+
+    def test_parity_with_adts(self):
+        frames = self._frames(10)
+        data = build_fmp4(frames, frag_size=4)
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        assert isinstance(probed.format, IsoMp4Reader)
+        track = probed.format.default_track()
+        dec = sym.get_codecs().make_audio_decoder(track.codec_params)
+        outs = []
+        while True:
+            pkt = probed.format.next_packet()
+            if pkt is None:
+                break
+            outs.append(dec.decode(pkt).planes().copy())
+        ours = np.concatenate(outs, axis=1)
+        ref, _ = decode_adts(build_adts(frames, RATE, 1))
+        n = min(ours.shape[1], ref.shape[1])
+        np.testing.assert_allclose(ours[:, :n], ref[:, :n], atol=1e-6)
+
+    def test_seek(self):
+        frames = self._frames(12)
+        r = IsoMp4Reader(MediaSourceStream(build_fmp4(frames, frag_size=5)))
+        seeked = r.seek("accurate", sym.SeekTo(ts=5000))
+        assert seeked.actual_ts == 4096
+        assert r.next_packet().ts == 4096
