@@ -40,6 +40,15 @@ const int kTnsMaxShortBands[12] = {9, 9, 10, 14, 14, 14, 14, 14, 14, 14, 14, 14}
 Lut g_books[12];
 bool g_book_set[12] = {false};
 
+// Pre-packed single-level fast tables for the spectral hot loops: entry < 0
+// means "take the generic path" (code longer than the root, invalid prefix,
+// or an escape-coded value). Pair books pack
+//   len[30:27] nz[26:25] xa[24:19] xneg[18] ya[17:12] yneg[11]
+// and quad books pack
+//   len[30:27] nz[26:24] (mag[1:0] neg[2]) x4 in [23:12].
+struct FastBook { int bits; int32_t tbl[1 << 12]; };
+FastBook g_fast[12];
+
 struct Tables {
     float pow43[8192];
     float normal_scf[256];
@@ -345,11 +354,17 @@ struct Ics {
         }
     }
 
-    // aac.py decode_spectrum + helpers
+    // aac.py decode_spectrum + helpers. Bands are collected into a flat
+    // plan first, then executed in one loop that keeps the bitstream state
+    // in registers across band boundaries (per-band calls would reload and
+    // write back the reader for every few codewords).
     int decode_spectrum(Bits& br, Lcg& lcg) {
         memset(coeffs, 0, sizeof(coeffs));
         int nb;
         const int32_t* bands = get_bands(&nb);
+        struct Run { int32_t cb, start, end; float scale; };
+        Run runs[MAX_WINDOWS * MAX_SFBS];
+        int n_runs = 0;
         for (int g = 0; g < info.window_groups; g++) {
             int cur_w = info.get_group_start(g);
             int next_w = info.get_group_start(g + 1);
@@ -362,17 +377,117 @@ struct Ics {
                     if (cb_idx == ZERO_HCB || cb_idx == RESERVED_HCB ||
                         cb_idx == INTENSITY_HCB || cb_idx == INTENSITY_HCB2)
                         continue;
-                    int r;
-                    if (cb_idx == NOISE_HCB)
-                        r = decode_noise(lcg, scale, o + start, o + end);
-                    else if (cb_idx <= 4)
-                        r = decode_quads(br, cb_idx, scale, o + start, o + end);
-                    else
-                        r = decode_pairs(br, cb_idx, scale, o + start, o + end);
-                    if (r < 0) return r;
+                    runs[n_runs++] = Run{cb_idx, o + start, o + end, scale};
                 }
             }
         }
+
+        uint64_t buf = br.buf;
+        int cnt = br.cnt;
+        int64_t pos = br.pos;
+        for (int ri = 0; ri < n_runs; ri++) {
+            const Run& R = runs[ri];
+            if (R.cb == NOISE_HCB) {
+                // Draws only from the LCG; independent of the bit reader.
+                int r = decode_noise(lcg, R.scale, R.start, R.end);
+                if (r < 0) { br.buf = buf; br.cnt = cnt; br.pos = pos; return r; }
+                continue;
+            }
+            const int32_t* fr = g_fast[R.cb].tbl;
+            const int fb = g_fast[R.cb].bits;
+            const uint32_t fbmask = (1u << fb) - 1;
+            const float* pow43 = tables().pow43;
+            float scale = R.scale;
+            if (R.cb <= 4) {
+                float iquant2 = (float)(kIquant2 * (double)scale);
+                float mags[3] = {0.0f, scale, iquant2};
+                for (int i = R.start; i < R.end; i += 4) {
+                    if (cnt < 32 && pos + 8 <= br.len) {
+                        int nbytes = (63 - cnt) >> 3;
+                        uint64_t w;
+                        memcpy(&w, br.data + pos, 8);
+                        w = __builtin_bswap64(w);
+                        buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
+                        pos += nbytes;
+                        cnt += nbytes * 8;
+                    }
+                    int32_t e = cnt >= 32 ? fr[(uint32_t)(buf >> (cnt - fb)) & fbmask] : -1;
+                    if (e < 0) {
+                        br.buf = buf; br.cnt = cnt; br.pos = pos;
+                        int r = decode_one_quad(br, R.cb, scale, iquant2, i);
+                        if (r < 0) return r;
+                        buf = br.buf; cnt = br.cnt; pos = br.pos;
+                        continue;
+                    }
+                    int len = (e >> 27) & 15;
+                    int nz = (e >> 24) & 7;
+                    cnt -= len + nz;
+                    uint32_t signs = (uint32_t)(buf >> cnt) & ((1u << nz) - 1);
+                    buf &= (1ULL << cnt) - 1;
+                    int digits = (e >> 12) & 0xFFF;
+                    // Branchless: each nonzero unsigned digit takes the next
+                    // sign bit MSB-first; signed books carry neg in bit 2.
+                    int left = nz;
+                    for (int j = 0; j < 4; j++) {
+                        int d = (digits >> (j * 3)) & 7;
+                        int mag = d & 3;
+                        int take = (int)(mag != 0) & (int)(left > 0);
+                        left -= take;
+                        uint32_t sbit = (signs >> (left & 31)) & (uint32_t)take;
+                        uint32_t neg = ((uint32_t)d >> 2) | (sbit & 1u);
+                        float v = mags[mag];
+                        uint32_t bv;
+                        memcpy(&bv, &v, 4);
+                        bv ^= neg << 31;
+                        memcpy(&coeffs[i + j], &bv, 4);
+                    }
+                }
+            } else {
+                for (int i = R.start; i < R.end; i += 2) {
+                    if (cnt < 32 && pos + 8 <= br.len) {
+                        int nbytes = (63 - cnt) >> 3;
+                        uint64_t w;
+                        memcpy(&w, br.data + pos, 8);
+                        w = __builtin_bswap64(w);
+                        buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
+                        pos += nbytes;
+                        cnt += nbytes * 8;
+                    }
+                    int32_t e = cnt >= 32 ? fr[(uint32_t)(buf >> (cnt - fb)) & fbmask] : -1;
+                    if (e < 0) {
+                        br.buf = buf; br.cnt = cnt; br.pos = pos;
+                        int r = decode_one_pair(br, R.cb, scale, i);
+                        if (r < 0) return r;
+                        buf = br.buf; cnt = br.cnt; pos = br.pos;
+                        continue;
+                    }
+                    int len = (e >> 27) & 15;
+                    int nz = (e >> 25) & 3;
+                    cnt -= len + nz;
+                    uint32_t signs = (uint32_t)(buf >> cnt) & ((1u << nz) - 1);
+                    buf &= (1ULL << cnt) - 1;
+                    int xa = (e >> 19) & 63;
+                    int ya = (e >> 12) & 63;
+                    // Branchless sign resolution: x's stream sign (if any)
+                    // is bit nz-1, y's is bit 0; entry-borne signs for the
+                    // signed books flip the float sign bit directly.
+                    uint32_t xs = ((e >> 18) & 1)
+                        | (((signs >> ((nz - 1) & 31)) & 1u) & (uint32_t)(xa != 0));
+                    uint32_t ys = ((e >> 11) & 1)
+                        | ((signs & 1u) & (uint32_t)(ya != 0));
+                    float vx = pow43[xa] * scale;
+                    float vy = pow43[ya] * scale;
+                    uint32_t bx, by;
+                    memcpy(&bx, &vx, 4);
+                    memcpy(&by, &vy, 4);
+                    bx ^= xs << 31;
+                    by ^= ys << 31;
+                    memcpy(&coeffs[i], &bx, 4);
+                    memcpy(&coeffs[i + 1], &by, 4);
+                }
+            }
+        }
+        br.buf = buf; br.cnt = cnt; br.pos = pos;
         return br.error ? -33 : 0;
     }
 
@@ -390,34 +505,32 @@ struct Ics {
         return 0;
     }
 
-    int decode_quads(Bits& br, int cb_idx, float scale, int start, int end) {
+    int decode_one_quad(Bits& br, int cb_idx, float scale, float iquant2,
+                        int i) {
         const Lut& cb = g_books[cb_idx];
         bool is_signed = cb_idx == 1 || cb_idx == 2;
-        float iquant2 = (float)(kIquant2 * (double)scale);
         bool err = false;
-        for (int i = start; i < end; i += 4) {
-            int code = cb.decode(br, &err);
-            if (err) return -34;
-            int q[4] = {(code >> 6) & 3, (code >> 4) & 3, (code >> 2) & 3, code & 3};
-            if (is_signed) {
-                for (int j = 0; j < 4; j++) coeffs[i + j] = (float)(q[j] - 1) * scale;
-            } else {
-                // One batched read for all sign bits (MSB-first order).
-                int nz = (q[0] != 0) + (q[1] != 0) + (q[2] != 0) + (q[3] != 0);
-                uint32_t signs = nz ? br.read(nz) : 0;
-                for (int j = 0; j < 4; j++) {
-                    if (q[j]) {
-                        nz--;
-                        float sign = (signs >> nz) & 1 ? -1.0f : 1.0f;
-                        coeffs[i + j] = sign * (q[j] == 1 ? scale : iquant2);
-                    }
+        int code = cb.decode(br, &err);
+        if (err) return -34;
+        int q[4] = {(code >> 6) & 3, (code >> 4) & 3, (code >> 2) & 3, code & 3};
+        if (is_signed) {
+            for (int j = 0; j < 4; j++) coeffs[i + j] = (float)(q[j] - 1) * scale;
+        } else {
+            // One batched read for all sign bits (MSB-first order).
+            int nz = (q[0] != 0) + (q[1] != 0) + (q[2] != 0) + (q[3] != 0);
+            uint32_t signs = nz ? br.read(nz) : 0;
+            for (int j = 0; j < 4; j++) {
+                if (q[j]) {
+                    nz--;
+                    float sign = (signs >> nz) & 1 ? -1.0f : 1.0f;
+                    coeffs[i + j] = sign * (q[j] == 1 ? scale : iquant2);
                 }
             }
         }
         return 0;
     }
 
-    // Codeword values are pre-split at build time (sh_aac_set_codebook):
+    // Codeword values    // Codeword values are pre-split at build time (sh_aac_set_codebook):
     // signed books pack (x+4, y+4) in 4-bit fields, unsigned in 5-bit.
     static void pair_value(int cb_idx, int code, int* x, int* y) {
         if (cb_idx == 5 || cb_idx == 6) { *x = (code >> 4) - 4; *y = (code & 15) - 4; }
@@ -425,46 +538,49 @@ struct Ics {
     }
 
     static int read_escape(Bits& br, int* out) {
-        int n = read_unary_ones(br);
+        // Leading-ones count from one peek (the prefix is at most 8 ones
+        // for a valid escape, so a 16-bit window always suffices).
+        uint32_t p = br.peek(16);
+        uint32_t inv = (~p << 16) & 0xFFFF0000u;
+        int n = inv ? __builtin_clz(inv) : 16;
         if (n >= 9 || br.error) return -35;
+        br.consume(n + 1);
         *out = (1 << (n + 4)) + (int)br.read(n + 4);
         return 0;
     }
 
-    int decode_pairs(Bits& br, int cb_idx, float scale, int start, int end) {
+    int decode_one_pair(Bits& br, int cb_idx, float scale, int i) {
         const Lut& cb = g_books[cb_idx];
         bool is_signed = cb_idx == 5 || cb_idx == 6;
         bool escape = cb_idx == 11;
         const float* pow43 = tables().pow43;
         bool err = false;
-        for (int i = start; i < end; i += 2) {
-            int code = cb.decode(br, &err);
-            if (err) return -36;
-            int x, y;
-            pair_value(cb_idx, code, &x, &y);
-            if (is_signed) {
-                float sx = x > 0 ? 1.0f : (x < 0 ? -1.0f : 0.0f);
-                float sy = y > 0 ? 1.0f : (y < 0 ? -1.0f : 0.0f);
-                coeffs[i] = sx * pow43[x < 0 ? -x : x] * scale;
-                coeffs[i + 1] = sy * pow43[y < 0 ? -y : y] * scale;
-            } else {
-                // One batched read for both sign bits (MSB-first order).
-                int nz = (x != 0) + (y != 0);
-                uint32_t signs = nz ? br.read(nz) : 0;
-                float sx = 1.0f, sy = 1.0f;
-                if (x && y) { sx = (signs & 2) ? -1.0f : 1.0f; sy = (signs & 1) ? -1.0f : 1.0f; }
-                else if (x) sx = signs & 1 ? -1.0f : 1.0f;
-                else if (y) sy = signs & 1 ? -1.0f : 1.0f;
-                if (escape && x == 16) { if (read_escape(br, &x) < 0) return -35; }
-                if (escape && y == 16) { if (read_escape(br, &y) < 0) return -35; }
-                coeffs[i] = sx * pow43[x] * scale;
-                coeffs[i + 1] = sy * pow43[y] * scale;
-            }
+        int code = cb.decode(br, &err);
+        if (err) return -36;
+        int x, y;
+        pair_value(cb_idx, code, &x, &y);
+        if (is_signed) {
+            float sx = x > 0 ? 1.0f : (x < 0 ? -1.0f : 0.0f);
+            float sy = y > 0 ? 1.0f : (y < 0 ? -1.0f : 0.0f);
+            coeffs[i] = sx * pow43[x < 0 ? -x : x] * scale;
+            coeffs[i + 1] = sy * pow43[y < 0 ? -y : y] * scale;
+        } else {
+            // One batched read for both sign bits (MSB-first order).
+            int nz = (x != 0) + (y != 0);
+            uint32_t signs = nz ? br.read(nz) : 0;
+            float sx = 1.0f, sy = 1.0f;
+            if (x && y) { sx = (signs & 2) ? -1.0f : 1.0f; sy = (signs & 1) ? -1.0f : 1.0f; }
+            else if (x) sx = signs & 1 ? -1.0f : 1.0f;
+            else if (y) sy = signs & 1 ? -1.0f : 1.0f;
+            if (escape && x == 16) { if (read_escape(br, &x) < 0) return -35; }
+            if (escape && y == 16) { if (read_escape(br, &y) < 0) return -35; }
+            coeffs[i] = sx * pow43[x] * scale;
+            coeffs[i + 1] = sy * pow43[y] * scale;
         }
         return 0;
     }
 
-    // aac.py Ics.decode
+    // aac.py Ics.decode    // aac.py Ics.decode
     int decode(Bits& br, Lcg& lcg, bool common_window) {
         global_gain = (int)br.read(8);
         if (!common_window) {
@@ -595,6 +711,51 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
     }
     g_books[idx].build(codes, l8.data(), vals.data(), n);
     g_book_set[idx] = true;
+
+    // Build the packed fast table (spectral books only): 12-bit lookups
+    // cover every non-escape codeword of most books in one probe.
+    int fb = 12;
+    int maxlen = 0;
+    for (int i = 0; i < n; i++) if (lens[i] > maxlen) maxlen = lens[i];
+    if (maxlen < fb) fb = maxlen < 1 ? 1 : maxlen;
+    g_fast[idx].bits = fb;
+    int32_t* fr = g_fast[idx].tbl;
+    for (int i = 0; i < (1 << fb); i++) fr[i] = -1;
+    if (idx >= 1) {
+        for (int i = 0; i < n; i++) {
+            int l = lens[i];
+            if (l == 0 || l > fb) continue;
+            int32_t v = vals[i];
+            int32_t packed;
+            if (idx <= 4) {  // quads
+                int q[4] = {(v >> 6) & 3, (v >> 4) & 3, (v >> 2) & 3, v & 3};
+                bool is_signed = idx == 1 || idx == 2;
+                int nz = 0;
+                int32_t digits = 0;
+                for (int j = 0; j < 4; j++) {
+                    int mag, neg;
+                    if (is_signed) { mag = q[j] == 1 ? 0 : 1; neg = q[j] == 0; }
+                    else { mag = q[j]; neg = 0; nz += q[j] != 0; }
+                    digits |= ((neg << 2) | mag) << (j * 3);
+                }
+                if (is_signed) nz = 0;
+                packed = (l << 27) | (nz << 24) | (digits << 12);
+            } else {  // pairs
+                int x, y;
+                if (idx == 5 || idx == 6) { x = (v >> 4) - 4; y = (v & 15) - 4; }
+                else { x = v >> 5; y = v & 31; }
+                if (idx == 11 && (x == 16 || y == 16)) continue;  // escape
+                int xa = x < 0 ? -x : x, ya = y < 0 ? -y : y;
+                int xneg = x < 0, yneg = y < 0;
+                int nz = (idx == 5 || idx == 6) ? 0 : (x != 0) + (y != 0);
+                packed = (l << 27) | (nz << 25) | (xa << 19) | (xneg << 18)
+                         | (ya << 12) | (yneg << 11);
+            }
+            uint32_t base = codes[i] << (fb - l);
+            for (uint32_t k = 0; k < (1u << (fb - l)); k++)
+                fr[base + k] = packed;
+        }
+    }
 }
 
 // Parse + dequantize a sequence of AAC raw_data_blocks (one per frame).

@@ -259,16 +259,23 @@ def reference_synthesis(
 def random_quant_spectrum(rng, max_sfb: int, rate: int, seq: int = 0) -> np.ndarray:
     """Sparse random quantized spectrum incl. escape-range values."""
     long_bands, short_bands = swb_tables(rate)
+    def draw(n):
+        # Audio-like quantized magnitudes: Laplacian-ish, mostly small with
+        # occasional escape-range (|v| >= 16) outliers — real AAC spectra
+        # are dominated by small values, unlike a uniform draw.
+        v = np.rint(rng.laplace(0.0, 4.0, size=n)).astype(np.int64)
+        return np.clip(v, -60, 60)
+
     q = np.zeros(1024, dtype=np.int64)
     if seq != 2:
         limit = long_bands[max_sfb]
-        n = int(min(rng.integers(10, 60), limit))
+        n = int(min(rng.integers(limit // 3, max(limit // 3 + 1, limit)), limit))
         idx = rng.choice(limit, size=n, replace=False)
-        q[idx] = rng.integers(-40, 41, size=n)
+        q[idx] = draw(n)
     else:
         limit = short_bands[max_sfb]
         for w in range(8):
-            n = int(min(rng.integers(2, 10), limit))
+            n = int(min(rng.integers(2, max(3, limit)), limit))
             idx = rng.choice(limit, size=n, replace=False)
-            q[w * 128 + idx] = rng.integers(-20, 21, size=n)
+            q[w * 128 + idx] = draw(n)
     return q
