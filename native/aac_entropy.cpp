@@ -156,7 +156,7 @@ struct Ics {
     int global_gain = 0;
     int32_t sfb_cb[MAX_WINDOWS][MAX_SFBS];
     float scales[MAX_WINDOWS][MAX_SFBS];
-    float coeffs[1024];
+    float* coeffs = nullptr;  // decodes in place into the caller's output
     // TNS state (per frame)
     bool has_tns = false;
     int tns_n_filt[MAX_WINDOWS];
@@ -359,7 +359,7 @@ struct Ics {
     // in registers across band boundaries (per-band calls would reload and
     // write back the reader for every few codewords).
     int decode_spectrum(Bits& br, Lcg& lcg) {
-        memset(coeffs, 0, sizeof(coeffs));
+        memset(coeffs, 0, 1024 * sizeof(float));
         int nb;
         const int32_t* bands = get_bands(&nb);
         struct Run { int32_t cb, start, end; float scale; };
@@ -805,6 +805,8 @@ int32_t sh_aac_extract(
                     p.ics1 = p.ics0;
                 } else if (p.is_pair || p.channel != cur_ch) { rc = -3; break; }
                 if (cur_ch + 1 > max_ch) { rc = -4; break; }
+                p.ics0.coeffs =
+                    coeffs_out + ((int64_t)f * max_ch + cur_ch) * 1024;
                 rc = p.decode_sce(br);
                 cur_pair++; cur_ch++;
             } else if (eid == 1) {  // CPE
@@ -818,6 +820,10 @@ int32_t sh_aac_extract(
                     p.ics1 = p.ics0;
                 } else if (!p.is_pair || p.channel != cur_ch) { rc = -3; break; }
                 if (cur_ch + 2 > max_ch) { rc = -4; break; }
+                p.ics0.coeffs =
+                    coeffs_out + ((int64_t)f * max_ch + cur_ch) * 1024;
+                p.ics1.coeffs =
+                    coeffs_out + ((int64_t)f * max_ch + cur_ch + 1) * 1024;
                 rc = p.decode_cpe(br);
                 cur_pair++; cur_ch += 2;
             } else if (eid == 4) {  // DSE
@@ -850,8 +856,8 @@ int32_t sh_aac_extract(
                 Ics& ics = *chans[c];
                 ics.synth_pulse();
                 ics.synth_tns(rate_idx);
+                // Coefficients were decoded in place into the output lane.
                 int64_t lane = ((int64_t)f * max_ch + ch_out);
-                memcpy(coeffs_out + lane * 1024, ics.coeffs, 1024 * sizeof(float));
                 seq_out[lane] = ics.info.window_sequence;
                 shape_out[lane] = ics.info.window_shape ? 1 : 0;
                 prevshape_out[lane] = ics.info.prev_window_shape ? 1 : 0;
