@@ -174,9 +174,10 @@ struct Ics {
 
     // aac.py decode_section_data
     int decode_section_data(Bits& br) {
+        // No full-array clear: sections fill [g][0..max_sfb) exactly, and
+        // every reader is bounded by window_groups/max_sfb.
         int sect_bits = info.long_win ? 5 : 3;
         int esc = (1 << sect_bits) - 1;
-        memset(sfb_cb, 0, sizeof(sfb_cb));
         for (int g = 0; g < info.window_groups; g++) {
             int k = 0, l = 0;
             while (k < info.max_sfb) {
@@ -207,7 +208,8 @@ struct Ics {
         int scf_normal = global_gain;
         const Tables& t = tables();
         const Lut& scf = g_books[0];
-        memset(scales, 0, sizeof(scales));
+        for (int g = 0; g < info.window_groups; g++)
+            memset(scales[g], 0, sizeof(scales[0]));
         bool err = false;
         for (int g = 0; g < info.window_groups; g++) {
             for (int sfb = 0; sfb < info.max_sfb; sfb++) {
@@ -382,6 +384,7 @@ struct Ics {
             }
         }
 
+        const float* pow43 = tables().pow43;
         uint64_t buf = br.buf;
         int cnt = br.cnt;
         int64_t pos = br.pos;
@@ -396,7 +399,6 @@ struct Ics {
             const int32_t* fr = g_fast[R.cb].tbl;
             const int fb = g_fast[R.cb].bits;
             const uint32_t fbmask = (1u << fb) - 1;
-            const float* pow43 = tables().pow43;
             float scale = R.scale;
             if (R.cb <= 4) {
                 float iquant2 = (float)(kIquant2 * (double)scale);
