@@ -436,6 +436,7 @@ static void decode_partition(BitsRtl& br, const Residue& R, Cb& cb, float* v,
                              int offset, bool* err) {
     int dims = cb.dims;
     int psize = R.partition_size;
+    if (dims <= 0) { *err = true; return; }
     if (R.kind == 0) {
         int step = psize / dims;
         for (int i = 0; i < step; i++) {
@@ -464,8 +465,12 @@ static void residue_core(BitsRtl& br, Ctx& C, const Residue& R,
     int end = R.end < n ? R.end : n;
     int n_to_read = end - begin;
     if (n_to_read <= 0) return;
+    if (R.classifications <= 0 || R.partition_size <= 0 ||
+        R.classbook < 0 || R.classbook >= (int)C.codebooks.size())
+        return;
     Cb& classbook = C.codebooks[R.classbook];
     int cw = classbook.dims;
+    if (cw <= 0) return;
     int parts = n_to_read / R.partition_size;
     C.classes_buf.assign((size_t)n_ch * (parts + cw), 0);
     int64_t* classes = C.classes_buf.data();

@@ -102,3 +102,55 @@ class TestDosGuards:
     def test_id3v2_declared_size_overflow(self):
         tag = b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + b"\x00" * 32
         try_decode(tag)
+
+
+HOUSE_OGG = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+
+
+class TestBatchNativeFuzz:
+    """Exercise the batch decoders (native C++ entropy stages) on mutated
+    and truncated streams: any framework Error is acceptable, crashes are
+    not (a segfault aborts the test run)."""
+
+    def _batch_try(self, data: bytes) -> None:
+        from symphonia_tpu import batch
+
+        try:
+            batch.decode_bytes(data)
+        except (Error, ValueError, KeyError, IndexError, OverflowError,
+                ZeroDivisionError):
+            pass
+
+    def _mutate(self, data: bytes, rng, n_flips: int) -> bytes:
+        b = bytearray(data)
+        for _ in range(n_flips):
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+        return bytes(b)
+
+    @pytest.mark.parametrize("name_data", corpus(), ids=lambda nd: nd[0])
+    def test_batch_mutations(self, name_data):
+        name, data = name_data
+        rng = np.random.default_rng(7)
+        for trial in range(8):
+            self._batch_try(self._mutate(data, rng, 20))
+        for frac in (0.2, 0.6, 0.95):
+            self._batch_try(data[: int(len(data) * frac)])
+
+    def test_vorbis_batch_mutations(self):
+        data = open(HOUSE_OGG, "rb").read()
+        rng = np.random.default_rng(8)
+        from symphonia_tpu.batch import VorbisBatchDecoder
+
+        for trial in range(6):
+            mutated = self._mutate(data, rng, 30)
+            try:
+                VorbisBatchDecoder().decode_bytes(mutated)
+            except (Error, ValueError, KeyError, IndexError, OverflowError,
+                    ZeroDivisionError):
+                pass
+        for frac in (0.3, 0.7):
+            try:
+                VorbisBatchDecoder().decode_bytes(data[: int(len(data) * frac)])
+            except (Error, ValueError, KeyError, IndexError, OverflowError):
+                pass
