@@ -291,6 +291,13 @@ def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:
         return FlacBatchDecoder(verify=verify).decode_bytes(data)
     if codec == "mp3":
         return Mp3BatchDecoder().decode_bytes(data)
+    if codec == "vorbis":
+        from .formats.ogg import OggReader
+
+        if isinstance(fmt, OggReader):
+            return VorbisBatchDecoder().decode_bytes(data)
+    if codec == "aac":
+        return AacBatchDecoder().decode_bytes(data)
 
     from .core.codecs import AudioDecoderOptions
 

@@ -66,3 +66,24 @@ class TestFlac32Bit:
         out = FlacBatchDecoder(verify=True).decode_bytes(data)
         np.testing.assert_array_equal(out.samples.astype(np.int64), np.stack(ch))
         assert out.md5_ok is True
+
+
+class TestDispatchRouting:
+    def test_vorbis_routes_to_batch(self):
+        from symphonia_tpu import batch
+
+        data = open("/opt/venv/lib/python3.12/site-packages/pygame/examples/"
+                    "data/house_lo.ogg", "rb").read()
+        out = batch.decode_bytes(data)
+        assert out.samples.dtype == np.float32
+        assert out.samples.shape[1] > 50000
+
+    def test_aac_routes_to_batch(self):
+        from aac_builder import build_adts, build_raw_block, random_quant_spectrum
+        from symphonia_tpu import batch
+
+        rng = np.random.default_rng(31)
+        frames = [build_raw_block([random_quant_spectrum(rng, 40, 44100)], [0],
+                                  40, 140, 44100) for _ in range(4)]
+        out = batch.decode_bytes(build_adts(frames, 44100, 1))
+        assert out.samples.shape == (1, 4096)
