@@ -68,36 +68,57 @@ class FlacBatchDecoder:
                     ).digest() == si.md5
                 )
             return out
-        reader._ensure_scan()
-        starts = reader._frame_starts
-        if len(starts) == 0:
-            return DecodedAudio(
-                np.zeros((si.channels, 0), np.int32), si.sample_rate,
-                si.bits_per_sample,
-            )
-        buf = reader._buf
-        ends = np.empty(len(starts), dtype=np.int64)
-        ends[:-1] = starts[1:]
-        ends[-1] = len(buf)
-        sizes = ends - starts
-        n_max = si.block_len_max or int(reader._frame_dur.max())
-
-        # Entropy stage: native C++ pre-scan when available, Python oracle
-        # otherwise (SURVEY.md §7 Phase A).
+        # Entropy stage (SURVEY.md §7 Phase A), fastest available path:
+        # 1. AVX-512 sync scan + 8-lane SIMD extraction (no demux scan);
+        # 2. scalar native extraction over the demuxer's scan;
+        # 3. Python oracle.
         packed = None
+        blocks = None
         try:
             from . import native
 
-            if native.available():
-                packed = native.flac_extract(buf, starts, sizes, si, n_max)
+            total = reader.mss.byte_len()
+            if native.available() and si.block_len_max and total is not None:
+                mss = reader.mss
+                mss.seek(reader._data_start)
+                buf = mss.read_bytes(int(total - reader._data_start))
+                max_frames = (
+                    si.n_samples // max(1, si.block_len_min) + 8
+                    if si.n_samples else len(buf) // 64 + 16
+                )
+                packed = native.flac_fast_extract(buf, si, si.block_len_max,
+                                                  max_frames)
                 if packed is not None and (packed["status"] != 0).any():
-                    packed = None  # malformed frames: use the robust path
-        except ImportError:
+                    packed = None
+                if packed is not None:
+                    blocks = packed["block"].astype(np.int64)
+        except (ImportError, AttributeError):
             pass
-        # (The demuxer scan already ran; sh_flac_stream_extract fuses scan +
-        # extract for the scan-free path used by bench_flac_host.)
 
-        blocks = reader._frame_dur.astype(np.int64)
+        if packed is None:
+            reader._ensure_scan()
+            starts = reader._frame_starts
+            if len(starts) == 0:
+                return DecodedAudio(
+                    np.zeros((si.channels, 0), np.int32), si.sample_rate,
+                    si.bits_per_sample,
+                )
+            buf = reader._buf
+            ends = np.empty(len(starts), dtype=np.int64)
+            ends[:-1] = starts[1:]
+            ends[-1] = len(buf)
+            sizes = ends - starts
+            n_max = si.block_len_max or int(reader._frame_dur.max())
+            try:
+                from . import native
+
+                if native.available():
+                    packed = native.flac_extract(buf, starts, sizes, si, n_max)
+                    if packed is not None and (packed["status"] != 0).any():
+                        packed = None  # malformed frames: robust path
+            except ImportError:
+                pass
+            blocks = reader._frame_dur.astype(np.int64)
         if packed is not None:
             t0 = time.perf_counter()
             pcm = self._decode_packed_chunked(packed, blocks)
