@@ -72,6 +72,9 @@ class CafReader(FormatReader):
                 mss.ignore_bytes(self._data_len)
             elif ctype == b"kuki":
                 self._kuki = mss.read_bytes(size)
+            elif ctype == b"chan":
+                payload = mss.read_bytes(size)
+                self._parse_chan(payload)
             elif ctype == b"pakt":
                 payload = mss.read_bytes(size)
                 self._parse_pakt(payload)
@@ -145,7 +148,9 @@ class CafReader(FormatReader):
             codec=codec,
             sample_rate=self._rate,
             bits_per_sample=bits or None,
-            channels=Channels.from_count(n_ch),
+            channels=(Channels.positioned(self._chan_bitmap)
+                      if getattr(self, "_chan_bitmap", None)
+                      else Channels.from_count(n_ch)),
             max_frames_per_packet=frames_per_packet or None,
             frames_per_block=frames_per_packet or None,
             block_align=bytes_per_packet or None,
@@ -157,6 +162,17 @@ class CafReader(FormatReader):
             time_base=TimeBase(1, self._rate),
             num_frames=int(n_frames) if n_frames else None,
         )
+
+    def _parse_chan(self, payload: bytes) -> None:
+        """Audio channel layout chunk (chunks.rs ChannelLayout): layout tag
+        or a channel bitmap; stored for the track's channel map."""
+        if len(payload) < 12:
+            return
+        tag, bitmap, _ndesc = struct.unpack(">III", payload[:12])
+        self._chan_bitmap = None
+        if tag == 0x10000:  # kCAFChannelLayoutTag_UseChannelBitmap
+            # CoreAudio bitmap bit order matches the WAVE/Position order.
+            self._chan_bitmap = bitmap
 
     def _parse_desc(self, payload: bytes) -> None:
         if len(payload) < 32:

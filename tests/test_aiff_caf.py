@@ -153,3 +153,24 @@ class TestCaf:
         r = CafReader(MediaSourceStream(make_caf(frames)))
         table = r.packet_table()
         assert table.sizes.sum() == 100 * 4
+
+
+class TestCafChan:
+    def test_channel_bitmap(self):
+        import struct as _s
+
+        # Build a minimal CAF with a chan chunk carrying a bitmap layout.
+        from symphonia_tpu.formats.caf import CafReader
+        from symphonia_tpu.core.audio import Position
+
+        desc = _s.pack(">dIIIIII", 8000.0, 0x6C70636D, 0, 8, 1, 2, 16)  # lpcm, 2ch s16
+        chunks = b"caff" + _s.pack(">hh", 1, 0)
+        chunks += b"desc" + _s.pack(">q", len(desc)) + desc
+        chan = _s.pack(">III", 0x10000, int(Position.STEREO), 0)
+        chunks += b"chan" + _s.pack(">q", len(chan)) + chan
+        frames = _s.pack("<8h", *range(8))  # 4 frames stereo (LE? lpcm flags=0 -> BE)
+        data = _s.pack(">I", 0) + frames
+        chunks += b"data" + _s.pack(">q", len(data)) + data
+        r = CafReader(MediaSourceStream(chunks))
+        t = r.default_track()
+        assert t.codec_params.channels.mask == int(Position.STEREO)
