@@ -93,6 +93,20 @@ class AiffReader(FormatReader):
                 self._data_start = mss.pos()
                 self._data_len = ch.size - 8 - offset
                 break  # audio data; stop walking
+            elif ch.id == b"ID3 ":
+                payload = mss.read_bytes(ch.size)
+                chunks.consume(ch.size)
+                chunks.align(ch)
+                try:
+                    from ..core.io.media_source import BufReader
+                    from ..metadata.id3v2 import Id3v2Reader
+
+                    rev2 = Id3v2Reader().read_all(BufReader(payload))
+                    if rev2 is not None and rev2.tags:
+                        rev.tags.extend(rev2.tags)
+                        rev.visuals.extend(rev2.visuals)
+                except Exception:
+                    pass
             elif ch.id in _TEXT_CHUNKS:
                 text = mss.read_bytes(ch.size).decode("ascii", "replace").rstrip("\x00")
                 chunks.consume(ch.size)

@@ -202,6 +202,26 @@ class Id3v2Reader(MetadataReader):
                 rev.tags.append(RawTag(fid, total, K.DISC_TOTAL))
             else:
                 rev.tags.append(RawTag(fid, text, std))
+        elif fid == "SYLT":
+            # Synchronized lyrics (frames/readers.rs SYLT): text chunks each
+            # followed by a 32-bit timestamp; joined in time order.
+            enc = payload[0]
+            _lang = payload[1:4]
+            _fmt, _ctype = payload[4], payload[5]
+            _desc, rest = split_terminated(enc, payload[6:])
+            parts = []
+            while rest:
+                text, rest = split_terminated(enc, rest)
+                if len(rest) < 4:
+                    break
+                ts = struct.unpack(">I", rest[:4])[0]
+                rest = rest[4:]
+                parts.append((ts, decode_text(enc, text)))
+            if parts:
+                rev.tags.append(
+                    RawTag("SYLT",
+                           "\n".join(t for _, t in sorted(parts)), K.LYRICS)
+                )
         elif fid == "COMM" or fid == "USLT":
             enc = payload[0]
             _lang = payload[1:4]

@@ -174,3 +174,25 @@ class TestCafChan:
         r = CafReader(MediaSourceStream(chunks))
         t = r.default_track()
         assert t.codec_params.channels.mask == int(Position.STEREO)
+
+
+class TestAiffId3:
+    def test_id3_chunk(self):
+        import struct as _s
+        from test_metadata import build_id3v2, text_frame
+
+        tag = build_id3v2([("TIT2", text_frame("Aiff Song"))])
+        if len(tag) % 2:
+            tag += b"\x00"
+        comm = _s.pack(">hIh", 1, 4, 16) + b"\x40\x0b\xfa\x00\x00\x00\x00\x00\x00\x00"
+        ssnd = _s.pack(">II", 0, 0) + _s.pack(">4h", 1, 2, 3, 4)
+        body = b"AIFF"
+        body += b"COMM" + _s.pack(">I", len(comm)) + comm
+        body += b"ID3 " + _s.pack(">I", len(tag)) + tag
+        body += b"SSND" + _s.pack(">I", len(ssnd)) + ssnd
+        data = b"FORM" + _s.pack(">I", len(body)) + body
+        from symphonia_tpu.formats.aiff import AiffReader
+
+        r = AiffReader(MediaSourceStream(data))
+        rev = r.metadata().current()
+        assert rev is not None and rev.get("track_title") == "Aiff Song"

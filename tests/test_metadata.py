@@ -218,3 +218,13 @@ class TestCtoc:
         assert [c.title for c in chaps] == ["Second", "First"]
         assert rev.get("CTOC") is None  # raw tag, no std key
         assert any(t.key == "CTOC" and t.value == "ch2/ch1" for t in rev.tags)
+
+
+class TestSylt:
+    def test_synced_lyrics(self):
+        body = bytes([3]) + b"eng" + bytes([2, 1]) + b"desc\x00"
+        body += b"line one\x00" + struct.pack(">I", 1000)
+        body += b"line two\x00" + struct.pack(">I", 2000)
+        tag = build_id3v2([("SYLT", body)], major=3)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert rev.get("lyrics") == "line one\nline two"
