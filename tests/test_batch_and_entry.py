@@ -87,3 +87,40 @@ class TestDispatchRouting:
                                   40, 140, 44100) for _ in range(4)]
         out = batch.decode_bytes(build_adts(frames, 44100, 1))
         assert out.samples.shape == (1, 4096)
+
+
+class TestExamples:
+    def test_getting_started_runs(self, tmp_path):
+        import os
+        import subprocess
+        import sys as _sys
+
+        mp3 = ("/opt/venv/lib/python3.12/site-packages/pygame/examples/"
+               "data/house_lo.mp3")
+        env = dict(os.environ); env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [_sys.executable, "examples/getting_started.py", mp3],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo", env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "codec:     mp3" in r.stdout
+
+    def test_basic_interleaved_runs(self, tmp_path):
+        import os
+        import subprocess
+        import sys as _sys
+
+        from test_wav_pcm import make_wav
+
+        wav = tmp_path / "t.wav"
+        frames = (np.arange(400, dtype=np.int32) % 100 - 50).reshape(200, 2)
+        wav.write_bytes(make_wav(frames.astype(np.int32), rate=8000))
+        env = dict(os.environ); env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [_sys.executable, "examples/basic_interleaved.py", str(wav)],
+            capture_output=True, text=True, timeout=600,
+            cwd="/root/repo", env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "rate=8000" in r.stdout
