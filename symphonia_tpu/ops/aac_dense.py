@@ -32,7 +32,8 @@ def _imdct_jax(n_in: int):
     import jax
     import jax.numpy as jnp
 
-    m = jnp.asarray(imdct_matrix_scaled(n_in))
+    # numpy closure (converted per-trace; see _ola_jax note).
+    m = imdct_matrix_scaled(n_in)
 
     @jax.jit
     def run(spec):  # [L, n_in] -> [L, 2*n_in]
@@ -96,12 +97,16 @@ def _ola_jax():
     import jax
     import jax.numpy as jnp
 
-    head_t, delay_t, s_first, s_left, s_right = (jnp.asarray(a)
-                                                 for a in _ola_tables())
+    # Close over numpy tables (converted per-trace inside `run`): capturing
+    # jnp arrays here would create tracers when this cache is first built
+    # inside an outer jit trace, leaking them into later traces.
+    tables_np = _ola_tables()
 
     @jax.jit
     def run(pcm, seqs, shapes, prev_shapes):
         # pcm [L,2048] (short frames hold their 8x256 windows flattened).
+        head_t, delay_t, s_first, s_left, s_right = (
+            jnp.asarray(a) for a in tables_np)
         L = pcm.shape[0]
         head_vec = head_t[seqs, prev_shapes]        # [L,1024]
         delay_vec = delay_t[seqs, shapes]

@@ -22,7 +22,9 @@ def _imdct_jax(n: int):
     import jax
     import jax.numpy as jnp
 
-    m = jnp.asarray(imdct_matrix(n))
+    # numpy closure (converted per-trace): a jnp array built here would be
+    # a leaked tracer if this cache is first populated inside an outer jit.
+    m = imdct_matrix(n)
 
     @jax.jit
     def run(spec):  # [L, n/2] -> [L, n]

@@ -43,9 +43,11 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         fn, args = ge.entry()
-        flac_pcm, mp3_pcm = fn(*args)
+        flac_pcm, mp3_pcm, aac_pcm, vorb_pcm = fn(*args)
         assert flac_pcm.shape[0] == args[0].shape[0] // 2
         assert mp3_pcm.shape[-1] == 576
+        assert aac_pcm.shape[-1] == 1024
+        assert vorb_pcm.shape[-1] == 256
 
     def test_dryrun_multichip_8(self):
         import jax
