@@ -247,6 +247,11 @@ int64_t sh_flac_scan(const uint8_t* data, int64_t len,
     int64_t n = 0;
     out_offsets[n++] = 0;
     FlacHeader h;
+    // Header-valid candidates whose chain CRC failed since the last accepted
+    // start: used to re-anchor past a corrupt frame (a pure CRC chain would
+    // drop every frame after one corruption; parser.rs re-syncs instead).
+    int64_t tent[64];
+    int n_tent = 0;
     for (int64_t c = 1; c + 1 < len && n < cap; c++) {
         if (data[c] != 0xFF || (data[c + 1] & 0xFC) != 0xF8) continue;
         if (c <= out_offsets[n - 1]) continue;
@@ -257,8 +262,23 @@ int64_t sh_flac_scan(const uint8_t* data, int64_t len,
         int64_t prev = out_offsets[n - 1];
         if (c - prev < 6) continue;
         uint16_t expect = (uint16_t)((data[c - 2] << 8) | data[c - 1]);
-        if (crc16_buf(data + prev, c - 2 - prev) != expect) continue;
-        out_offsets[n++] = c;
+        if (crc16_buf(data + prev, c - 2 - prev) == expect) {
+            out_offsets[n++] = c;
+            n_tent = 0;
+            continue;
+        }
+        bool anchored = false;
+        for (int t = 0; t < n_tent; t++) {
+            if (c - tent[t] >= 6 &&
+                crc16_buf(data + tent[t], c - 2 - tent[t]) == expect) {
+                out_offsets[n++] = tent[t];
+                if (n < cap) out_offsets[n++] = c;
+                n_tent = 0;
+                anchored = true;
+                break;
+            }
+        }
+        if (!anchored && n_tent < 64) tent[n_tent++] = c;
     }
     return n;
 }
@@ -333,6 +353,10 @@ static int64_t extract_one_frame(
         int order;
         if (sf_type >= 0x20) {  // LPC
             order = (sf_type & 0x1F) + 1;
+            // Warmup count may not exceed the block size: lres has bs (<=
+            // n_max) valid slots, and order 32 with a tiny STREAMINFO
+            // block_len_max would write out of bounds.
+            if (order > bs) return -12;
             for (int i = 0; i < order; i++) lres[i] = (int32_t)br.read_signed(eff);
             int prec = (int)br.read(4);
             if (prec == 0xF) return -5;
@@ -343,6 +367,7 @@ static int64_t extract_one_frame(
             for (int i = 0; i < order; i++) lcoef[i] = (int32_t)br.read_signed(prec);
         } else if ((sf_type & 0x38) == 0x08 && (sf_type & 0x7) <= 4) {  // fixed
             order = sf_type & 0x7;
+            if (order > bs) return -12;
             for (int i = 0; i < order; i++) lres[i] = (int32_t)br.read_signed(eff);
             for (int i = 0; i < order; i++) lcoef[i] = kFixedCoefs[order][i];
         } else {
@@ -587,6 +612,7 @@ static int lane_advance(
         int order;
         if (sf_type >= 0x20) {
             order = (sf_type & 0x1F) + 1;
+            if (order > L.bs) return -12;  // see extract_one_frame
             for (int i = 0; i < order; i++) L.lres[i] = (int32_t)br.read_signed(eff);
             int prec = (int)br.read(4);
             if (prec == 0xF) return -5;
@@ -597,6 +623,7 @@ static int lane_advance(
             for (int i = 0; i < order; i++) lcoef[i] = (int32_t)br.read_signed(prec);
         } else if ((sf_type & 0x38) == 0x08 && (sf_type & 0x7) <= 4) {
             order = sf_type & 0x7;
+            if (order > L.bs) return -12;
             for (int i = 0; i < order; i++) L.lres[i] = (int32_t)br.read_signed(eff);
             for (int i = 0; i < order; i++) lcoef[i] = kFixedCoefs[order][i];
         } else {

@@ -90,6 +90,14 @@ class FlacBatchDecoder:
                                                   max_frames)
                 if packed is not None and (packed["status"] != 0).any():
                     packed = None
+                if packed is not None and si.n_samples and (
+                        int(packed["block"].sum()) < si.n_samples):
+                    # The fast scan's sequence-number chain desyncs
+                    # permanently after one corrupt frame header, silently
+                    # dropping every later frame; a short total means it
+                    # truncated — take the robust scan/extract path instead
+                    # (the reference decoder re-syncs and keeps decoding).
+                    packed = None
                 if packed is not None:
                     blocks = packed["block"].astype(np.int64)
         except (ImportError, AttributeError):
@@ -126,7 +134,19 @@ class FlacBatchDecoder:
                          packed["F"], 1e3 * (time.perf_counter() - t0))
         else:
             table = reader.packet_table()
-            frames = [parse_frame(p, si) for p in table.data]
+            frames = []
+            for p in table.data:
+                try:
+                    frames.append(parse_frame(p, si))
+                except DecodeError:
+                    # Corrupt frame: skip the packet and continue, as the
+                    # reference decode loop does (SURVEY.md §5).
+                    logger.warning("flac: skipping corrupt frame")
+            if not frames:
+                return DecodedAudio(
+                    np.zeros((si.channels, 0), np.int32), si.sample_rate,
+                    si.bits_per_sample,
+                )
             C = max(f.header.n_channels for f in frames)
             frames_per_chunk = max(1, self.lane_chunk // C)
             outs = []
@@ -403,6 +423,11 @@ class VorbisBatchDecoder:
         total_trim_end = sum(t[1] for t in trims)
         if total_trim_end:
             pcm = pcm[:, : pcm.shape[1] - total_trim_end]
+        total_trim_start = sum(t[0] for t in trims)
+        if total_trim_start:
+            # Leading trim (first-page granule offset) mirrors trim_end:
+            # drop from the head of the stitched stream.
+            pcm = pcm[:, total_trim_start:]
         # Vorbis channel order -> output order.
         chmap = _CHANNEL_MAP.get(pcm.shape[0], list(range(pcm.shape[0])))
         out = np.zeros_like(pcm)

@@ -143,6 +143,8 @@ def _read_subframe(br: BitReaderLtr, block_size: int, bps: int) -> Subframe:
                         np.empty(0, np.int64), verbatim=vals)
     if 0b001000 <= sf_type <= 0b001100:
         order = sf_type & 0x7
+        if order > block_size:
+            raise DecodeError("predictor order exceeds block size")
         warmup = np.fromiter(
             (br.read_bits_signed(eff_bps) for _ in range(order)),
             dtype=np.int64, count=order,
@@ -151,6 +153,8 @@ def _read_subframe(br: BitReaderLtr, block_size: int, bps: int) -> Subframe:
         return Subframe(SF_FIXED, order, wasted, warmup, res)
     if sf_type >= 0b100000:
         order = (sf_type & 0x1F) + 1
+        if order > block_size:
+            raise DecodeError("predictor order exceeds block size")
         warmup = np.fromiter(
             (br.read_bits_signed(eff_bps) for _ in range(order)),
             dtype=np.int64, count=order,

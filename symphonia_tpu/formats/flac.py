@@ -76,6 +76,11 @@ def scan_frames(buf: bytes, si: StreamInfo) -> np.ndarray:
     a = np.frombuffer(buf, dtype=np.uint8)
     cand = np.nonzero((a[:-1] == 0xFF) & ((a[1:] & 0xFC) == 0xF8))[0]
     starts = [0]
+    # Header-valid candidates whose chain CRC failed since the last accepted
+    # start: used to re-anchor after a corrupt frame (parser.rs re-syncs and
+    # keeps decoding; a pure CRC chain would drop everything after one bad
+    # frame).
+    tentatives: List[int] = []
     view = memoryview(buf)
     ci = np.searchsorted(cand, 1)
     while ci < len(cand):
@@ -93,9 +98,22 @@ def scan_frames(buf: bytes, si: StreamInfo) -> np.ndarray:
         if c - prev < 6:
             continue
         expect = buf[c - 2] << 8 | buf[c - 1]
-        if crc16_buf(bytes(view[prev : c - 2])) != expect:
+        if crc16_buf(bytes(view[prev : c - 2])) == expect:
+            starts.append(c)
+            tentatives.clear()
             continue
-        starts.append(c)
+        # Re-anchor: if the span from an earlier unconfirmed candidate
+        # checks out, that candidate was a genuine frame start and the
+        # corrupt bytes before it are skipped.
+        for t in tentatives:
+            if c - t >= 6 and crc16_buf(bytes(view[t : c - 2])) == expect:
+                starts.append(t)
+                starts.append(c)
+                tentatives.clear()
+                break
+        else:
+            if len(tentatives) < 64:
+                tentatives.append(c)
     return np.asarray(starts, dtype=np.int64)
 
 

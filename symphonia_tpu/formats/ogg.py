@@ -437,6 +437,26 @@ class OggReader(FormatReader):
         total = ts
         granules = self._stream["page_granules"]
         if granules:
+            # Leading trim: the first audio page's end granule is the
+            # absolute sample position after its packets; when the decoded
+            # duration up to that point exceeds it, the head is trimmed
+            # (logical.rs:330-556 start_ts derivation).
+            first_count, first_granule = granules[0]
+            head_dur = sum(e.dur for e in entries[:first_count])
+            if 0 <= first_granule < head_dur:
+                trim = head_dur - first_granule
+                for e in entries:
+                    t = min(trim, e.dur)
+                    e.trim_start += t
+                    e.dur -= t
+                    trim -= t
+                    if trim <= 0:
+                        break
+                ts = 0
+                for e in entries:
+                    e.ts = ts
+                    ts += e.dur
+                total = ts
             last_count, last_granule = granules[-1]
             # Trailing partial-block trim (end granule < decoded length).
             if last_count == len(entries) and 0 < last_granule < total:

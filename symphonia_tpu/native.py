@@ -146,14 +146,19 @@ def flac_scan_frames(buf: bytes, si) -> np.ndarray:
     """Native frame-boundary scan; mirrors formats.flac.scan_frames."""
     lib = _load()
     a = np.frombuffer(buf, dtype=np.uint8)
+    # Frames can be smaller than 16 bytes (tiny blocks, constant subframes),
+    # so a len//16 guess may hit the cap; grow and rescan until it fits.
     cap = max(16, len(buf) // 16)
-    out = np.zeros(cap, dtype=np.int64)
-    n = lib.sh_flac_scan(
-        _u8ptr(a), len(a), si.channels, si.bits_per_sample, si.sample_rate,
-        si.block_len_max, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        cap,
-    )
-    return out[:n].copy()
+    while True:
+        out = np.zeros(cap, dtype=np.int64)
+        n = lib.sh_flac_scan(
+            _u8ptr(a), len(a), si.channels, si.bits_per_sample,
+            si.sample_rate, si.block_len_max,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+        )
+        if n < cap or cap >= len(buf):
+            return out[:n].copy()
+        cap = min(max(cap * 4, 16), max(len(buf), 16))
 
 
 def flac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray, si,

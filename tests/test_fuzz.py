@@ -154,3 +154,121 @@ class TestBatchNativeFuzz:
                 VorbisBatchDecoder().decode_bytes(data[: int(len(data) * frac)])
             except (Error, ValueError, KeyError, IndexError, OverflowError):
                 pass
+
+
+def _build_order_gt_bs_flac(bs: int = 16) -> bytes:
+    """A FLAC file whose single frame declares an LPC order (32) larger than
+    the block size — the round-1 heap-overflow reproducer (ADVICE high:
+    warmup loop wrote `order` ints into a bs-sized lane)."""
+    from flac_builder import BitWriter, build_streaminfo, _utf8_num
+    from symphonia_tpu.core.checksum import crc8_buf, crc16_buf
+
+    si = build_streaminfo(bs, 44100, 1, 16, bs, b"\x00" * 16)
+    blocks = bytearray([0x80, 0, 0, len(si)]) + si
+
+    hdr = bytearray([0xFF, 0xF8, (0b0111 << 4) | 0b0000,
+                     (0 << 4) | (0b100 << 1)])
+    hdr += _utf8_num(0)
+    hdr += (bs - 1).to_bytes(2, "big")
+    hdr.append(crc8_buf(bytes(hdr)))
+
+    bw = BitWriter()
+    bw.write(0, 1)
+    bw.write(0b100000 | 31, 6)  # LPC order 32 > bs
+    bw.write(0, 1)              # no wasted bits
+    for _ in range(32):         # 32 warmup samples
+        bw.write_signed(1, 16)
+    bw.write(11, 4)             # precision 12
+    bw.write_signed(5, 5)
+    for _ in range(32):
+        bw.write_signed(1, 12)
+    bw.write(0, 2)              # rice method 0
+    bw.write(0, 4)              # partition order 0
+    bw.write(0, 4)              # rice param
+    body = bw.to_bytes()
+    frame = bytes(hdr) + body
+    return b"fLaC" + bytes(blocks) + frame + crc16_buf(frame).to_bytes(2, "big")
+
+
+class TestFlacMalformedRegressions:
+    def test_lpc_order_exceeds_block_size_no_overflow(self):
+        """Native + oracle paths must reject order > block_size (status -12 /
+        DecodeError) rather than writing past the residual lane."""
+        data = _build_order_gt_bs_flac()
+        try_decode(data)
+        from symphonia_tpu.batch import FlacBatchDecoder
+
+        out = FlacBatchDecoder().decode_bytes(data)
+        assert out.samples.shape[1] == 0  # sole frame rejected
+
+    def test_native_extract_status_rejects_order_gt_bs(self):
+        from symphonia_tpu import native
+        from symphonia_tpu.formats.flac import FlacReader
+        from symphonia_tpu.core.io import MediaSourceStream
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        data = _build_order_gt_bs_flac()
+        reader = FlacReader(MediaSourceStream(data))
+        buf = data[reader._data_start:]
+        import numpy as np
+        packed = native.flac_extract(
+            buf, np.array([0], np.int64), np.array([len(buf)], np.int64),
+            reader.stream_info, 16)
+        assert packed["status"][0] == -12
+
+
+class TestFlacCorruptionRecovery:
+    """The scanners must re-anchor past a corrupt frame instead of silently
+    truncating the stream (ADVICE medium, round 1)."""
+
+    def _fixture(self):
+        from flac_builder import build_flac_file, random_walk
+
+        ch = random_walk(256 * 16, 16, seed=5, ch=1)
+        data = build_flac_file(ch, bps=16, block_size=256,
+                               kind="fixed", order=2)
+        starts = [i for i in range(len(data) - 1)
+                  if data[i] == 0xFF and (data[i + 1] & 0xFC) == 0xF8]
+        return ch, bytearray(data), starts
+
+    def test_destroyed_sync_skips_one_frame(self):
+        from symphonia_tpu.batch import FlacBatchDecoder
+
+        ch, data, starts = self._fixture()
+        data[starts[8]] = 0x00
+        out = FlacBatchDecoder().decode_bytes(bytes(data))
+        ref = np.concatenate([ch[0][: 256 * 8], ch[0][256 * 9:]])
+        assert out.samples.shape == (1, 256 * 15)
+        np.testing.assert_array_equal(out.samples[0], ref)
+
+    def test_corrupt_body_keeps_decoding(self):
+        from symphonia_tpu.batch import FlacBatchDecoder
+
+        ch, data, starts = self._fixture()
+        data[starts[8] + 10] ^= 0xFF
+        out = FlacBatchDecoder().decode_bytes(bytes(data))
+        # The stream keeps its full span; frames after the corruption are
+        # exact.
+        assert out.samples.shape[1] >= 256 * 15
+        np.testing.assert_array_equal(out.samples[0][256 * 9 : 256 * 16],
+                                      ch[0][256 * 9 : 256 * 16])
+
+    def test_python_scanner_reanchors(self):
+        from symphonia_tpu.formats.flac import FlacReader, scan_frames
+        from symphonia_tpu.core.io import MediaSourceStream
+
+        ch, data, starts = self._fixture()
+        data[starts[8]] = 0x00
+        reader = FlacReader(MediaSourceStream(bytes(data)))
+        buf = bytes(data[reader._data_start:])
+        rel = [s - reader._data_start for s in starts]
+        import symphonia_tpu.formats.flac as ff
+        orig = ff._try_native_scan
+        ff._try_native_scan = lambda *a: None  # force the Python scanner
+        try:
+            got = list(scan_frames(buf, reader.stream_info))
+        finally:
+            ff._try_native_scan = orig
+        expect = [r for i, r in enumerate(rel) if i != 8]
+        assert got == expect
