@@ -335,6 +335,8 @@ class IsoMp4Reader(FormatReader):
             ).astype(np.int64)
         else:
             co64 = table(b"co64")
+            if co64 is None:
+                raise DecodeError("isomp4: missing stco/co64 sample table")
             cc = int.from_bytes(buf[co64[0] + 4 : co64[0] + 8], "big")
             chunk_offsets = np.frombuffer(
                 buf[co64[0] + 8 : co64[0] + 8 + 8 * cc], dtype=">u8"
@@ -342,6 +344,8 @@ class IsoMp4Reader(FormatReader):
 
         # stsc: samples per chunk runs.
         stsc = table(b"stsc")
+        if stsc is None:
+            raise DecodeError("isomp4: missing stsc sample table")
         sc = int.from_bytes(buf[stsc[0] + 4 : stsc[0] + 8], "big")
         runs = np.frombuffer(
             buf[stsc[0] + 8 : stsc[0] + 8 + 12 * sc], dtype=">u4"
@@ -369,6 +373,8 @@ class IsoMp4Reader(FormatReader):
 
         # stts: durations.
         stts = table(b"stts")
+        if stts is None:
+            raise DecodeError("isomp4: missing stts sample table")
         tc = int.from_bytes(buf[stts[0] + 4 : stts[0] + 8], "big")
         truns = np.frombuffer(
             buf[stts[0] + 8 : stts[0] + 8 + 8 * tc], dtype=">u4"

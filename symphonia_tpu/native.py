@@ -48,15 +48,20 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    stale = not _SO.exists() or any(
-        s.exists() and s.stat().st_mtime > _SO.stat().st_mtime
-        for s in _SRCS + _HDRS
-    )
-    if stale:
-        if not _build():
-            return None
+    # Override hook for instrumented builds (tools/asan_fuzz.sh): load the
+    # given .so verbatim, no mtime rebuild.
+    override = os.environ.get("SYMPHONIA_TPU_NATIVE_SO")
+    so_path = Path(override) if override else _SO
+    if not override:
+        stale = not _SO.exists() or any(
+            s.exists() and s.stat().st_mtime > _SO.stat().st_mtime
+            for s in _SRCS + _HDRS
+        )
+        if stale:
+            if not _build():
+                return None
     try:
-        lib = ctypes.CDLL(str(_SO))
+        lib = ctypes.CDLL(str(so_path))
     except OSError:
         return None
     c_u8p = ctypes.POINTER(ctypes.c_uint8)

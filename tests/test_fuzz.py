@@ -37,7 +37,13 @@ def try_decode(data: bytes) -> None:
         pass
 
 
+HOUSE_OGG = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+
+
 def corpus():
+    """One entry per reference fuzz target family (symphonia/fuzz): decode
+    flac/mpa/aac/vorbis/alac/adpcm/pcm + demux wav/ogg/mkv/isomp4/flac/caf/
+    aiff, via the mirror builders and the baked-in real media."""
     out = []
     ch = random_walk(2048, 16, seed=1, ch=2)
     out.append(("flac", build_flac_file(ch, block_size=512, kind="lpc",
@@ -48,6 +54,26 @@ def corpus():
     frames = [build_raw_block([random_quant_spectrum(rng, 30, 44100)], [0],
                               30, 140, 44100)]
     out.append(("adts", build_adts(frames, 44100, 1)))
+
+    from test_wav_pcm import make_wav
+    from test_aiff_caf import make_aiff, make_caf
+    from test_mp4 import build_m4a, build_fmp4
+    from test_mkv import build_mkv, simple_block
+    from test_adpcm import make_adpcm_wav
+
+    sig = (np.sin(np.arange(1200) * 0.05) * 9000).astype(np.int64)
+    pcm2 = np.stack([sig, -sig], axis=1)
+    out.append(("wav", make_wav(pcm2, bits=16)))
+    out.append(("aiff", make_aiff(pcm2, bits=16)))
+    out.append(("caf", make_caf(pcm2, bits=16)))
+    out.append(("m4a", build_m4a(frames * 3, 44100, 1)))
+    out.append(("fmp4", build_fmp4(frames * 3, 44100, 1)))
+    out.append(("mkv", build_mkv(
+        "A_PCM/INT/LIT", b"",
+        [(0, [simple_block(1, 0, [sig.astype("<i2").tobytes()])])],
+        rate=8000, ch=1, bit_depth=16)))
+    out.append(("adpcm", make_adpcm_wav(bytes(600), 0x11, 256, 505, 1000)))
+    out.append(("ogg", open(HOUSE_OGG, "rb").read()))
     return out
 
 
@@ -102,9 +128,6 @@ class TestDosGuards:
     def test_id3v2_declared_size_overflow(self):
         tag = b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + b"\x00" * 32
         try_decode(tag)
-
-
-HOUSE_OGG = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
 
 
 class TestBatchNativeFuzz:

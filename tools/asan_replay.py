@@ -1,0 +1,197 @@
+"""ASAN replay: drive every native entropy stage over real, mirrored, and
+mutated inputs WITHOUT importing jax (jaxlib's compiler aborts under a
+preloaded ASAN runtime, and the dense stages contain no native code of ours
+anyway). Run through tools/asan_fuzz.sh, which builds the instrumented .so
+and sets SYMPHONIA_TPU_NATIVE_SO + LD_PRELOAD.
+
+Any memory error aborts the process (ASAN_OPTIONS=abort_on_error=1), so a
+zero exit code == ASAN-clean. Framework errors on mutated input are expected
+and swallowed.
+"""
+
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import numpy as np
+
+from symphonia_tpu import native
+from symphonia_tpu.core.errors import Error
+from symphonia_tpu.core.io import MediaSourceStream
+
+PYGAME_DATA = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data"
+N_MUTATION_ROUNDS = int(os.environ.get("ASAN_ROUNDS", "12"))
+TRUNC_FRACS = (0.03, 0.2, 0.5, 0.85, 0.98)
+
+_ERRS = (Error, ValueError, KeyError, IndexError, OverflowError,
+         ZeroDivisionError, EOFError)
+
+
+def _mutate(data: bytes, rng, n_flips: int) -> bytes:
+    b = bytearray(data)
+    for _ in range(n_flips):
+        b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+    return bytes(b)
+
+
+def _variants(data: bytes, seed: int):
+    rng = np.random.default_rng(seed)
+    yield data
+    for _ in range(N_MUTATION_ROUNDS):
+        yield _mutate(data, rng, int(rng.integers(1, 40)))
+    for f in TRUNC_FRACS:
+        yield data[: int(len(data) * f)]
+
+
+def replay_flac() -> int:
+    from flac_builder import build_flac_file, random_walk
+    from test_fuzz import _build_order_gt_bs_flac
+    from symphonia_tpu.formats.flac import FlacReader
+
+    fixtures = [
+        build_flac_file(random_walk(256 * 8, 16, seed=1, ch=2), bps=16,
+                        block_size=256, stereo_mode="mid_side", kind="lpc",
+                        lpc_coefs=[1205, -482], lpc_shift=10),
+        build_flac_file(random_walk(512 * 4, 24, seed=2, ch=1), bps=24,
+                        block_size=512, kind="fixed", order=3,
+                        partition_order=2),
+        build_flac_file([np.full(16 * 40, 3, np.int64)], bps=16,
+                        block_size=16, kind="constant"),
+        _build_order_gt_bs_flac(),
+    ]
+    n = 0
+    for fi, clean in enumerate(fixtures):
+        for data in _variants(clean, seed=100 + fi):
+            try:
+                reader = FlacReader(MediaSourceStream(data))
+                si = reader.stream_info
+                buf = data[reader._data_start:]
+                if not buf or not si.block_len_max:
+                    continue
+                native.flac_fast_extract(buf, si, si.block_len_max,
+                                         len(buf) // 8 + 16)
+                offs = native.flac_scan_frames(buf, si)
+                if len(offs):
+                    sizes = np.empty(len(offs), np.int64)
+                    sizes[:-1] = np.diff(offs)
+                    sizes[-1] = len(buf) - offs[-1]
+                    for simd in (False, True):
+                        native.flac_extract(buf, offs, sizes, si,
+                                            si.block_len_max, use_simd=simd)
+                n += 1
+            except _ERRS:
+                pass
+    return n
+
+
+def replay_mp3() -> int:
+    from mp3_builder import build_mpeg1_l3_stream  # mirror encoder
+    from symphonia_tpu.core.formats import FormatOptions
+    from symphonia_tpu.formats.mpa import MpaReader
+
+    fixtures = [
+        open(os.path.join(PYGAME_DATA, "house_lo.mp3"), "rb").read(),
+        build_mpeg1_l3_stream(24, n_ch=2, seed=3),
+    ]
+    n = 0
+    for fi, clean in enumerate(fixtures):
+        for data in _variants(clean, seed=200 + fi):
+            try:
+                reader = MpaReader(MediaSourceStream(data), FormatOptions())
+                native.mp3_extract(reader._buf, reader._offsets,
+                                   reader._sizes,
+                                   max_granules=2 * len(reader._offsets) + 2)
+                n += 1
+            except _ERRS:
+                pass
+    return n
+
+
+def replay_aac() -> int:
+    from aac_builder import build_adts, build_raw_block, random_quant_spectrum
+    from symphonia_tpu.codecs.aac import AacDecoder
+
+    import symphonia_tpu as sym
+
+    rng = np.random.default_rng(17)
+    frames = [
+        build_raw_block([random_quant_spectrum(rng, 40, 44100)], [0], 40,
+                        140, 44100)
+        for _ in range(12)
+    ]
+    clean = build_adts(frames, 44100, 1)
+    n = 0
+    for data in _variants(clean, seed=300):
+        try:
+            probed = sym.get_probe().probe(MediaSourceStream(data))
+            fmt = probed.format
+            track = fmt.default_track()
+            if track.codec_params.codec != "aac":
+                continue
+            dec = AacDecoder(track.codec_params)
+            pkts = []
+            while True:
+                pkt = fmt.next_packet()
+                if pkt is None:
+                    break
+                pkts.append(bytes(pkt.data))
+            if not pkts:
+                continue
+            buf = b"".join(pkts)
+            sizes = np.array([len(p) for p in pkts], np.int64)
+            offs = np.zeros(len(pkts), np.int64)
+            np.cumsum(sizes[:-1], out=offs[1:])
+            native.aac_extract(buf, offs, sizes, dec.rate_idx,
+                               dec.bands_long, dec.bands_short,
+                               dec.spec.num_channels)
+            n += 1
+        except _ERRS:
+            pass
+    return n
+
+
+def replay_vorbis() -> int:
+    from symphonia_tpu.codecs.vorbis import VorbisDecoder
+    from symphonia_tpu.formats.ogg import OggReader
+
+    clean = open(os.path.join(PYGAME_DATA, "house_lo.ogg"), "rb").read()
+    n = 0
+    for data in _variants(clean, seed=400):
+        try:
+            reader = OggReader(MediaSourceStream(data))
+            track = reader.default_track()
+            if track.codec_params.codec != "vorbis":
+                continue
+            dec = VorbisDecoder(track.codec_params)
+            pkts = []
+            while True:
+                pkt = reader.next_packet()
+                if pkt is None:
+                    break
+                pkts.append(bytes(pkt.data))
+            if pkts:
+                native.vorbis_decode_spectra(dec, pkts)
+                n += 1
+        except _ERRS:
+            pass
+    return n
+
+
+def main() -> None:
+    if not native.available():
+        print("native library unavailable — nothing to replay", file=sys.stderr)
+        sys.exit(2)
+    so = os.environ.get("SYMPHONIA_TPU_NATIVE_SO", "(default)")
+    print(f"[asan_replay] native .so: {so}")
+    for name, fn in (("flac", replay_flac), ("mp3", replay_mp3),
+                     ("aac", replay_aac), ("vorbis", replay_vorbis)):
+        n = fn()
+        print(f"[asan_replay] {name}: {n} native-stage replays survived")
+    print("[asan_replay] done (ASAN-clean if this process exits 0)")
+
+
+if __name__ == "__main__":
+    main()
