@@ -200,22 +200,37 @@ def bench_mp3_device(n_granules: int = 16384, iters: int = 4):
 
 
 def _gen_adts(seconds: int = 8) -> bytes:
+    """242 kbps-class stereo AAC-LC bench content.
+
+    Laplacian-magnitude spectra over the full 40-sfb range, encoded with
+    per-band minimum-bits codebook selection (how real encoders section a
+    spectrum — zero bands cost nothing, small bands use quad books, escapes
+    only where needed). At a fixed bitrate this carries MORE decode work per
+    second than the old force-cb11 coding (which spent bits on cheap (0,0)
+    pairs), so it is the conservative stressor.
+    """
     CACHE.mkdir(exist_ok=True)
-    path = CACHE / f"bench_{seconds}s.adts"
+    path = CACHE / f"bench_{seconds}s_v2.adts"
     if path.exists():
         return path.read_bytes()
     sys.path.insert(0, str(ROOT / "tests"))
-    from aac_builder import build_adts, build_raw_block, random_quant_spectrum
+    from aac_builder import build_adts, build_raw_block, swb_tables
 
     rng = np.random.default_rng(9)
+    long_bands, _ = swb_tables(44100)
+    limit = int(long_bands[40])
+
+    def spec():
+        q = np.zeros(1024, np.int64)
+        n = int(limit * 0.55)
+        idx = rng.choice(limit, size=n, replace=False)
+        v = np.rint(rng.laplace(0.0, 4.0, size=n)).astype(np.int64)
+        q[idx] = np.clip(v, -60, 60)
+        return q
+
     n_frames = 44100 * seconds // 1024 + 1
-    frames = [
-        build_raw_block(
-            [random_quant_spectrum(rng, 40, 44100),
-             random_quant_spectrum(rng, 40, 44100)],
-            [0, 0], 40, 140, 44100)
-        for _ in range(n_frames)
-    ]
+    frames = [build_raw_block([spec(), spec()], [0, 0], 40, 140, 44100)
+              for _ in range(n_frames)]
     data = build_adts(frames, 44100, 2)
     path.write_bytes(data)
     return data

@@ -83,6 +83,69 @@ inline void realign(Bits& bs) {
 }
 
 // ---------------------------------------------------------------------------
+// Fast-table codeword emission (shared by the scalar and interleaved
+// engines; both must produce bit-identical output).
+// ---------------------------------------------------------------------------
+
+// Decode one packed quad entry: consumes len+nz bits from (buf, cnt), writes
+// 4 dequantized coefficients.
+static inline void emit_fast_quad(int32_t e, uint64_t& buf, int& cnt,
+                                  float scale, float iquant2, float* out) {
+    float mags[3] = {0.0f, scale, iquant2};
+    int len = (e >> 27) & 15;
+    int nz = (e >> 24) & 7;
+    cnt -= len + nz;
+    uint32_t signs = (uint32_t)(buf >> cnt) & ((1u << nz) - 1);
+    buf &= (1ULL << cnt) - 1;
+    int digits = (e >> 12) & 0xFFF;
+    // Branchless: each nonzero unsigned digit takes the next sign bit
+    // MSB-first; signed books carry neg in bit 2.
+    int left = nz;
+    for (int j = 0; j < 4; j++) {
+        int d = (digits >> (j * 3)) & 7;
+        int mag = d & 3;
+        int take = (int)(mag != 0) & (int)(left > 0);
+        left -= take;
+        uint32_t sbit = (signs >> (left & 31)) & (uint32_t)take;
+        uint32_t neg = ((uint32_t)d >> 2) | (sbit & 1u);
+        float v = mags[mag];
+        uint32_t bv;
+        memcpy(&bv, &v, 4);
+        bv ^= neg << 31;
+        memcpy(&out[j], &bv, 4);
+    }
+}
+
+// Decode one packed pair entry: consumes len+nz bits, writes 2 coefficients.
+static inline void emit_fast_pair(int32_t e, uint64_t& buf, int& cnt,
+                                  float scale, const float* pow43,
+                                  float* out) {
+    int len = (e >> 27) & 15;
+    int nz = (e >> 25) & 3;
+    cnt -= len + nz;
+    uint32_t signs = (uint32_t)(buf >> cnt) & ((1u << nz) - 1);
+    buf &= (1ULL << cnt) - 1;
+    int xa = (e >> 19) & 63;
+    int ya = (e >> 12) & 63;
+    // Branchless sign resolution: x's stream sign (if any) is bit nz-1,
+    // y's is bit 0; entry-borne signs for the signed books flip the float
+    // sign bit directly.
+    uint32_t xs = ((e >> 18) & 1)
+        | (((signs >> ((nz - 1) & 31)) & 1u) & (uint32_t)(xa != 0));
+    uint32_t ys = ((e >> 11) & 1)
+        | ((signs & 1u) & (uint32_t)(ya != 0));
+    float vx = pow43[xa] * scale;
+    float vy = pow43[ya] * scale;
+    uint32_t bx, by;
+    memcpy(&bx, &vx, 4);
+    memcpy(&by, &vy, 4);
+    bx ^= xs << 31;
+    by ^= ys << 31;
+    memcpy(&out[0], &bx, 4);
+    memcpy(&out[1], &by, 4);
+}
+
+// ---------------------------------------------------------------------------
 // ICS
 // ---------------------------------------------------------------------------
 
@@ -356,17 +419,38 @@ struct Ics {
         }
     }
 
-    // aac.py decode_spectrum + helpers. Bands are collected into a flat
-    // plan first, then executed in one loop that keeps the bitstream state
-    // in registers across band boundaries (per-band calls would reload and
-    // write back the reader for every few codewords).
-    int decode_spectrum(Bits& br, Lcg& lcg) {
-        memset(coeffs, 0, 1024 * sizeof(float));
+    // Flat spectral decode plan: one entry per (group, sfb, window) band
+    // that carries codewords (or noise). Shared by both engines.
+    struct Run { int32_t cb, start, end; float scale; };
+
+    int build_runs(Run* runs) {
         int nb;
         const int32_t* bands = get_bands(&nb);
-        struct Run { int32_t cb, start, end; float scale; };
-        Run runs[MAX_WINDOWS * MAX_SFBS];
         int n_runs = 0;
+        if (info.long_win) {
+            // Long windows: run starts ascend, so zero only the gaps the
+            // decode won't write (zero/intensity bands + the tail) instead
+            // of the whole 4 KB lane — the memset was a measurable share of
+            // the stage's memory traffic.
+            int cursor = 0;
+            for (int sfb = 0; sfb < info.max_sfb; sfb++) {
+                int start = bands[sfb], end = bands[sfb + 1];
+                int cb_idx = sfb_cb[0][sfb];
+                if (cb_idx == ZERO_HCB || cb_idx == RESERVED_HCB ||
+                    cb_idx == INTENSITY_HCB || cb_idx == INTENSITY_HCB2)
+                    continue;
+                if (cursor < start)
+                    memset(coeffs + cursor, 0,
+                           (size_t)(start - cursor) * sizeof(float));
+                cursor = end;
+                runs[n_runs++] = Run{cb_idx, start, end, scales[0][sfb]};
+            }
+            if (cursor < 1024)
+                memset(coeffs + cursor, 0,
+                       (size_t)(1024 - cursor) * sizeof(float));
+            return n_runs;
+        }
+        memset(coeffs, 0, 1024 * sizeof(float));
         for (int g = 0; g < info.window_groups; g++) {
             int cur_w = info.get_group_start(g);
             int next_w = info.get_group_start(g + 1);
@@ -383,6 +467,16 @@ struct Ics {
                 }
             }
         }
+        return n_runs;
+    }
+
+    // aac.py decode_spectrum + helpers. Bands are collected into a flat
+    // plan first, then executed in one loop that keeps the bitstream state
+    // in registers across band boundaries (per-band calls would reload and
+    // write back the reader for every few codewords).
+    int decode_spectrum(Bits& br, Lcg& lcg) {
+        Run runs[MAX_WINDOWS * MAX_SFBS];
+        int n_runs = build_runs(runs);
 
         const float* pow43 = tables().pow43;
         uint64_t buf = br.buf;
@@ -402,7 +496,6 @@ struct Ics {
             float scale = R.scale;
             if (R.cb <= 4) {
                 float iquant2 = (float)(kIquant2 * (double)scale);
-                float mags[3] = {0.0f, scale, iquant2};
                 for (int i = R.start; i < R.end; i += 4) {
                     if (cnt < 32 && pos + 8 <= br.len) {
                         int nbytes = (63 - cnt) >> 3;
@@ -421,28 +514,7 @@ struct Ics {
                         buf = br.buf; cnt = br.cnt; pos = br.pos;
                         continue;
                     }
-                    int len = (e >> 27) & 15;
-                    int nz = (e >> 24) & 7;
-                    cnt -= len + nz;
-                    uint32_t signs = (uint32_t)(buf >> cnt) & ((1u << nz) - 1);
-                    buf &= (1ULL << cnt) - 1;
-                    int digits = (e >> 12) & 0xFFF;
-                    // Branchless: each nonzero unsigned digit takes the next
-                    // sign bit MSB-first; signed books carry neg in bit 2.
-                    int left = nz;
-                    for (int j = 0; j < 4; j++) {
-                        int d = (digits >> (j * 3)) & 7;
-                        int mag = d & 3;
-                        int take = (int)(mag != 0) & (int)(left > 0);
-                        left -= take;
-                        uint32_t sbit = (signs >> (left & 31)) & (uint32_t)take;
-                        uint32_t neg = ((uint32_t)d >> 2) | (sbit & 1u);
-                        float v = mags[mag];
-                        uint32_t bv;
-                        memcpy(&bv, &v, 4);
-                        bv ^= neg << 31;
-                        memcpy(&coeffs[i + j], &bv, 4);
-                    }
+                    emit_fast_quad(e, buf, cnt, scale, iquant2, &coeffs[i]);
                 }
             } else {
                 for (int i = R.start; i < R.end; i += 2) {
@@ -456,36 +528,15 @@ struct Ics {
                         cnt += nbytes * 8;
                     }
                     int32_t e = cnt >= 32 ? fr[(uint32_t)(buf >> (cnt - fb)) & fbmask] : -1;
-                    if (e < 0) {
+                    if (e < 0 || (e & 1)) {
                         br.buf = buf; br.cnt = cnt; br.pos = pos;
-                        int r = decode_one_pair(br, R.cb, scale, i);
+                        int r = e < 0 ? decode_one_pair(br, R.cb, scale, i)
+                                      : decode_escape_pair(br, e, scale, i);
                         if (r < 0) return r;
                         buf = br.buf; cnt = br.cnt; pos = br.pos;
                         continue;
                     }
-                    int len = (e >> 27) & 15;
-                    int nz = (e >> 25) & 3;
-                    cnt -= len + nz;
-                    uint32_t signs = (uint32_t)(buf >> cnt) & ((1u << nz) - 1);
-                    buf &= (1ULL << cnt) - 1;
-                    int xa = (e >> 19) & 63;
-                    int ya = (e >> 12) & 63;
-                    // Branchless sign resolution: x's stream sign (if any)
-                    // is bit nz-1, y's is bit 0; entry-borne signs for the
-                    // signed books flip the float sign bit directly.
-                    uint32_t xs = ((e >> 18) & 1)
-                        | (((signs >> ((nz - 1) & 31)) & 1u) & (uint32_t)(xa != 0));
-                    uint32_t ys = ((e >> 11) & 1)
-                        | ((signs & 1u) & (uint32_t)(ya != 0));
-                    float vx = pow43[xa] * scale;
-                    float vy = pow43[ya] * scale;
-                    uint32_t bx, by;
-                    memcpy(&bx, &vx, 4);
-                    memcpy(&by, &vy, 4);
-                    bx ^= xs << 31;
-                    by ^= ys << 31;
-                    memcpy(&coeffs[i], &bx, 4);
-                    memcpy(&coeffs[i + 1], &by, 4);
+                    emit_fast_pair(e, buf, cnt, scale, pow43, &coeffs[i]);
                 }
             }
         }
@@ -518,7 +569,9 @@ struct Ics {
         if (is_signed) {
             for (int j = 0; j < 4; j++) coeffs[i + j] = (float)(q[j] - 1) * scale;
         } else {
-            // One batched read for all sign bits (MSB-first order).
+            // One batched read for all sign bits (MSB-first order). Zero
+            // digits are written explicitly: with gap-only lane zeroing the
+            // band is not pre-cleared.
             int nz = (q[0] != 0) + (q[1] != 0) + (q[2] != 0) + (q[3] != 0);
             uint32_t signs = nz ? br.read(nz) : 0;
             for (int j = 0; j < 4; j++) {
@@ -526,6 +579,8 @@ struct Ics {
                     nz--;
                     float sign = (signs >> nz) & 1 ? -1.0f : 1.0f;
                     coeffs[i + j] = sign * (q[j] == 1 ? scale : iquant2);
+                } else {
+                    coeffs[i + j] = 0.0f;
                 }
             }
         }
@@ -548,6 +603,30 @@ struct Ics {
         if (n >= 9 || br.error) return -35;
         br.consume(n + 1);
         *out = (1 << (n + 4)) + (int)br.read(n + 4);
+        return 0;
+    }
+
+    // cb11 escape continuation for a fast-table entry with bit 0 set: the
+    // codeword fit the table, but one or both magnitudes are 16 and carry
+    // an escape-coded value after the sign bits.
+    int decode_escape_pair(Bits& br, int32_t e, float scale, int i) {
+        const float* pow43 = tables().pow43;
+        int len = (e >> 27) & 15;
+        int nz = (e >> 25) & 3;
+        br.consume(len);
+        uint32_t signs = nz ? br.read(nz) : 0;
+        int x = (e >> 19) & 63;
+        int y = (e >> 12) & 63;
+        // Escaped magnitudes (16) are nonzero by construction, so the sign
+        // layout matches the non-escape case: x's sign (if any) is the MSB.
+        float sx = 1.0f, sy = 1.0f;
+        if (x && y) { sx = (signs & 2) ? -1.0f : 1.0f; sy = (signs & 1) ? -1.0f : 1.0f; }
+        else if (x) sx = signs & 1 ? -1.0f : 1.0f;
+        else if (y) sy = signs & 1 ? -1.0f : 1.0f;
+        if (x == 16) { if (read_escape(br, &x) < 0) return -35; }
+        if (y == 16) { if (read_escape(br, &y) < 0) return -35; }
+        coeffs[i] = sx * pow43[x] * scale;
+        coeffs[i + 1] = sy * pow43[y] * scale;
         return 0;
     }
 
@@ -582,8 +661,10 @@ struct Ics {
         return 0;
     }
 
-    // aac.py Ics.decode    // aac.py Ics.decode
-    int decode(Bits& br, Lcg& lcg, bool common_window) {
+    // aac.py Ics.decode, split before the spectrum so the interleaved
+    // engine can take over run execution (decode == pre_spectrum +
+    // decode_spectrum).
+    int decode_pre_spectrum(Bits& br, bool common_window) {
         global_gain = (int)br.read(8);
         if (!common_window) {
             int r = info.decode(br);
@@ -598,6 +679,12 @@ struct Ics {
         if ((r = decode_pulse(br)) < 0) return r;
         if ((r = decode_tns(br)) < 0) return r;
         if (br.read(1)) return -38;  // gain control unsupported
+        return 0;
+    }
+
+    int decode(Bits& br, Lcg& lcg, bool common_window) {
+        int r = decode_pre_spectrum(br, common_window);
+        if (r < 0) return r;
         if ((r = decode_spectrum(br, lcg)) < 0) return r;
         return 0;
     }
@@ -617,7 +704,9 @@ struct ChannelPair {
 
     int decode_sce(Bits& br) { return ics0.decode(br, lcg, false); }
 
-    int decode_cpe(Bits& br) {
+    // CPE header up to (excluding) the first ICS: common_window flag, the
+    // shared ics_info, and the MS mask. Returns ms_mask via out-param.
+    int decode_cpe_header(Bits& br, bool* common_window_out, int* ms_mask_out) {
         bool common_window = br.read(1) != 0;
         int ms_mask = 0;
         if (common_window) {
@@ -641,10 +730,24 @@ struct ChannelPair {
             }
             ics1.info.copy_from_common(ics0.info);
         }
-        int r;
+        *common_window_out = common_window;
+        *ms_mask_out = ms_mask;
+        return 0;
+    }
+
+    int decode_cpe(Bits& br) {
+        bool common_window;
+        int ms_mask;
+        int r = decode_cpe_header(br, &common_window, &ms_mask);
+        if (r < 0) return r;
         if ((r = ics0.decode(br, lcg, common_window)) < 0) return r;
         if ((r = ics1.decode(br, lcg, common_window)) < 0) return r;
+        joint_postproc(common_window, ms_mask);
+        return 0;
+    }
 
+    // Mid-side + intensity stereo application after both ICS decode.
+    void joint_postproc(bool common_window, int ms_mask) {
         if (common_window) {
             IcsInfo& info = ics0.info;
             int nb;
@@ -675,9 +778,435 @@ struct ChannelPair {
                 }
             }
         }
-        return 0;
     }
 };
+
+// ---------------------------------------------------------------------------
+// Scalar per-frame decode (shared by the sequential engine and the PNS
+// re-decode pass of the interleaved engine).
+// ---------------------------------------------------------------------------
+
+struct FrameOut {
+    float* coeffs_out;
+    int32_t *seq_out, *shape_out, *prevshape_out, *nch_out, *status;
+    int32_t max_ch;
+    int32_t rate_idx;
+    const int32_t* bands_long; int32_t n_bands_long;
+    const int32_t* bands_short; int32_t n_bands_short;
+};
+
+static void decode_frame_scalar(
+    const uint8_t* data, int64_t data_len, int64_t off, int64_t size,
+    int32_t f, std::vector<ChannelPair>& pairs, const FrameOut& O) {
+    O.nch_out[f] = 0;
+    O.status[f] = 0;
+    if (off < 0 || off + size > data_len) {
+        O.status[f] = -1;
+        return;
+    }
+    Bits br(data + off, size);
+    int cur_pair = 0, cur_ch = 0, rc = 0;
+    while ((int64_t)br.bits_read() + 3 < size * 8 && rc == 0) {
+        int eid = (int)br.read(3);
+        if (br.error) { rc = -2; break; }
+        if (eid == 7) break;  // END
+        if (eid == 0 || eid == 3) {  // SCE / LFE
+            br.read(4);
+            if ((size_t)cur_pair >= pairs.size()) pairs.emplace_back();
+            ChannelPair& p = pairs[cur_pair];
+            if (!p.initialized) {
+                p.is_pair = false; p.channel = cur_ch; p.initialized = true;
+                p.ics0.bands_long = O.bands_long; p.ics0.n_bands_long = O.n_bands_long;
+                p.ics0.bands_short = O.bands_short; p.ics0.n_bands_short = O.n_bands_short;
+                p.ics1 = p.ics0;
+            } else if (p.is_pair || p.channel != cur_ch) { rc = -3; break; }
+            if (cur_ch + 1 > O.max_ch) { rc = -4; break; }
+            p.ics0.coeffs =
+                O.coeffs_out + ((int64_t)f * O.max_ch + cur_ch) * 1024;
+            rc = p.decode_sce(br);
+            cur_pair++; cur_ch++;
+        } else if (eid == 1) {  // CPE
+            br.read(4);
+            if ((size_t)cur_pair >= pairs.size()) pairs.emplace_back();
+            ChannelPair& p = pairs[cur_pair];
+            if (!p.initialized) {
+                p.is_pair = true; p.channel = cur_ch; p.initialized = true;
+                p.ics0.bands_long = O.bands_long; p.ics0.n_bands_long = O.n_bands_long;
+                p.ics0.bands_short = O.bands_short; p.ics0.n_bands_short = O.n_bands_short;
+                p.ics1 = p.ics0;
+            } else if (!p.is_pair || p.channel != cur_ch) { rc = -3; break; }
+            if (cur_ch + 2 > O.max_ch) { rc = -4; break; }
+            p.ics0.coeffs =
+                O.coeffs_out + ((int64_t)f * O.max_ch + cur_ch) * 1024;
+            p.ics1.coeffs =
+                O.coeffs_out + ((int64_t)f * O.max_ch + cur_ch + 1) * 1024;
+            rc = p.decode_cpe(br);
+            cur_pair++; cur_ch += 2;
+        } else if (eid == 4) {  // DSE
+            br.read(4);
+            int align = (int)br.read(1);
+            int count = (int)br.read(8);
+            if (count == 255) count += (int)br.read(8);
+            if (align) realign(br);
+            br.ignore((int64_t)count * 8);
+        } else if (eid == 6) {  // FIL
+            int count = (int)br.read(4);
+            if (count == 15) count += (int)br.read(8) - 1;
+            if (count > 0) {
+                br.read(4);  // extension type (SBR payloads skipped)
+                br.ignore(4);
+                br.ignore((int64_t)(count - 1) * 8);
+            }
+        } else {  // CCE / PCE unsupported
+            rc = -5;
+        }
+        if (br.error) rc = -2;
+    }
+    if (rc < 0) { O.status[f] = rc; return; }
+    // Emit channels: pulse + TNS synthesis, then coefficients.
+    int ch_out = 0;
+    for (int pi = 0; pi < cur_pair; pi++) {
+        ChannelPair& p = pairs[pi];
+        Ics* chans[2] = {&p.ics0, p.is_pair ? &p.ics1 : nullptr};
+        for (int c = 0; c < 2 && chans[c]; c++) {
+            Ics& ics = *chans[c];
+            ics.synth_pulse();
+            ics.synth_tns(O.rate_idx);
+            // Coefficients were decoded in place into the output lane.
+            int64_t lane = ((int64_t)f * O.max_ch + ch_out);
+            O.seq_out[lane] = ics.info.window_sequence;
+            O.shape_out[lane] = ics.info.window_shape ? 1 : 0;
+            O.prevshape_out[lane] = ics.info.prev_window_shape ? 1 : 0;
+            ch_out++;
+        }
+    }
+    O.nch_out[f] = ch_out;
+}
+
+// ---------------------------------------------------------------------------
+// Interleaved multi-frame engine.
+//
+// ADTS frames are independent bitstreams, so K of them decode concurrently
+// in one scalar loop: each lane owns a bit cursor and the round-robin inner
+// loop gives the CPU K independent dependency chains where the sequential
+// engine is latency-bound on one (buf -> table load -> cnt -> buf). Header
+// parse, quad runs, PNS, and escapes stay scalar inside lane_advance; the
+// hot loop handles only fast-table pair codewords (the bulk of real
+// content).
+//
+// Cross-frame couplings handled outside the lanes:
+//  * PNS: the LCG is persistent decoder state; lanes decode with a scratch
+//    LCG and flag frames containing NOISE_HCB, which are then re-decoded
+//    sequentially with the persistent LCG (draws happen only in noise
+//    bands, so the sequence matches the fully-sequential engine).
+//  * prev_window_shape: filled in a final pass from the previous good
+//    frame's shape per channel.
+// ---------------------------------------------------------------------------
+
+struct LaneCtx {
+    Bits br{nullptr, 0};
+    int fidx = -1;
+    int status = 0;
+    int phase = 0;       // 0 = element walk, 1 = spectrum runs
+    int64_t frame_bits = 0;
+    int cur_ch = 0;      // output channel cursor within the frame
+    ChannelPair pair;    // current element's decode state (reset per element)
+    bool common_window = false;
+    int ms_mask = 0;
+    int ics_idx = 0;     // which ICS of a CPE is executing
+    int elem_ch0 = 0;    // first output channel of the current element
+    // Spectrum run execution.
+    Ics* ics = nullptr;
+    Ics::Run runs[MAX_WINDOWS * MAX_SFBS];
+    int n_runs = 0, ri = 0;
+    // Hot pair-run state.
+    int i = 0, end = 0;
+    const int32_t* tbl = nullptr;
+    float scale = 0.0f;
+    int cb = 0;
+    Lcg lcg;             // scratch; frames with PNS are re-decoded
+    bool has_pns = false;
+};
+
+// Scalar execution of one quad run (books 1-4) on a lane's bit reader.
+static int run_quad_scalar(Ics& ics, Bits& br, const Ics::Run& R) {
+    const int32_t* fr = g_fast[R.cb].tbl;
+    float scale = R.scale;
+    float iquant2 = (float)(kIquant2 * (double)scale);
+    for (int i = R.start; i < R.end; i += 4) {
+        if (br.cnt < 32) br.fill();
+        int32_t e = br.cnt >= 32
+            ? fr[(uint32_t)(br.buf >> (br.cnt - 12)) & 4095] : -1;
+        if (e < 0) {
+            int r = ics.decode_one_quad(br, R.cb, scale, iquant2, i);
+            if (r < 0) return r;
+            continue;
+        }
+        emit_fast_quad(e, br.buf, br.cnt, scale, iquant2, &ics.coeffs[i]);
+    }
+    return 0;
+}
+
+// Advance a lane until it is inside a fast-decodable pair run (returns
+// true) or the frame completes / errors (returns false; lane output and
+// status are final).
+static bool lane_advance(LaneCtx& L, const FrameOut& O) {
+    Bits& br = L.br;
+    for (;;) {
+        if (L.status < 0) {
+            O.status[L.fidx] = L.status;
+            O.nch_out[L.fidx] = 0;
+            return false;
+        }
+        if (L.phase == 1) {
+            // Execute/skip runs until a pair run is ready.
+            Ics& ics = *L.ics;
+            while (L.ri < L.n_runs) {
+                const Ics::Run& R = L.runs[L.ri];
+                if (R.cb == NOISE_HCB) {
+                    L.has_pns = true;
+                    ics.decode_noise(L.lcg, R.scale, R.start, R.end);
+                    L.ri++;
+                    continue;
+                }
+                if (R.cb <= 4) {
+                    int r = run_quad_scalar(ics, br, R);
+                    if (r < 0) { L.status = r; break; }
+                    L.ri++;
+                    continue;
+                }
+                // Pair run: hand to the hot loop.
+                L.tbl = g_fast[R.cb].tbl;
+                L.scale = R.scale;
+                L.cb = R.cb;
+                L.i = R.start;
+                L.end = R.end;
+                if (L.i < L.end) return true;
+                L.ri++;
+            }
+            if (L.status < 0) continue;
+            if (br.error) { L.status = -33; continue; }
+            // ICS complete.
+            if (L.pair.is_pair && L.ics_idx == 0) {
+                L.ics_idx = 1;
+                L.ics = &L.pair.ics1;
+                int r = L.pair.ics1.decode_pre_spectrum(br, L.common_window);
+                if (r < 0 || br.error) { L.status = r < 0 ? r : -2; continue; }
+                L.n_runs = L.pair.ics1.build_runs(L.runs);
+                L.ri = 0;
+                continue;
+            }
+            // Element complete: joint stereo, synthesis, emission.
+            if (L.pair.is_pair)
+                L.pair.joint_postproc(L.common_window, L.ms_mask);
+            Ics* chans[2] = {&L.pair.ics0,
+                             L.pair.is_pair ? &L.pair.ics1 : nullptr};
+            for (int c = 0; c < 2 && chans[c]; c++) {
+                Ics& ics2 = *chans[c];
+                ics2.synth_pulse();
+                ics2.synth_tns(O.rate_idx);
+                int64_t lane = ((int64_t)L.fidx * O.max_ch + L.elem_ch0 + c);
+                O.seq_out[lane] = ics2.info.window_sequence;
+                O.shape_out[lane] = ics2.info.window_shape ? 1 : 0;
+                O.prevshape_out[lane] = 0;  // chained in a final pass
+            }
+            L.phase = 0;
+            continue;
+        }
+        // Element walk.
+        if ((int64_t)br.bits_read() + 3 >= L.frame_bits) {
+            O.status[L.fidx] = 0;
+            O.nch_out[L.fidx] = L.cur_ch;
+            return false;
+        }
+        int eid = (int)br.read(3);
+        if (br.error) { L.status = -2; continue; }
+        if (eid == 7) {  // END
+            O.status[L.fidx] = 0;
+            O.nch_out[L.fidx] = L.cur_ch;
+            return false;
+        }
+        if (eid == 0 || eid == 3 || eid == 1) {  // SCE / LFE / CPE
+            br.read(4);
+            bool is_pair = eid == 1;
+            int want = is_pair ? 2 : 1;
+            if (L.cur_ch + want > O.max_ch) { L.status = -4; continue; }
+            ChannelPair& p = L.pair;
+            p.is_pair = is_pair;
+            p.channel = L.cur_ch;
+            p.ics0.info = IcsInfo();
+            p.ics1.info = IcsInfo();
+            p.ics0.coeffs =
+                O.coeffs_out + ((int64_t)L.fidx * O.max_ch + L.cur_ch) * 1024;
+            p.ics1.coeffs = is_pair
+                ? O.coeffs_out +
+                  ((int64_t)L.fidx * O.max_ch + L.cur_ch + 1) * 1024
+                : nullptr;
+            L.elem_ch0 = L.cur_ch;
+            L.cur_ch += want;
+            L.common_window = false;
+            L.ms_mask = 0;
+            int r = 0;
+            if (is_pair) {
+                r = p.decode_cpe_header(br, &L.common_window, &L.ms_mask);
+                if (r < 0) { L.status = r; continue; }
+            }
+            r = p.ics0.decode_pre_spectrum(br, L.common_window);
+            if (r < 0 || br.error) { L.status = r < 0 ? r : -2; continue; }
+            L.ics = &p.ics0;
+            L.ics_idx = 0;
+            L.n_runs = p.ics0.build_runs(L.runs);
+            L.ri = 0;
+            L.phase = 1;
+            continue;
+        }
+        if (eid == 4) {  // DSE
+            br.read(4);
+            int align = (int)br.read(1);
+            int count = (int)br.read(8);
+            if (count == 255) count += (int)br.read(8);
+            if (align) realign(br);
+            br.ignore((int64_t)count * 8);
+            if (br.error) L.status = -2;
+            continue;
+        }
+        if (eid == 6) {  // FIL
+            int count = (int)br.read(4);
+            if (count == 15) count += (int)br.read(8) - 1;
+            if (count > 0) {
+                br.read(4);
+                br.ignore(4);
+                br.ignore((int64_t)(count - 1) * 8);
+            }
+            if (br.error) L.status = -2;
+            continue;
+        }
+        L.status = -5;  // CCE / PCE unsupported
+    }
+}
+
+// One fast pair codeword on a lane. 0 = decoded, 1 = run finished,
+// 2 = needs the scalar path (long code or stream tail). Per-codeword lane
+// rotation beats burst decoding here: the rotation itself provides the
+// instruction-level parallelism (independent bitstream chains); a burst
+// serializes on one lane's chain again (measured 2.4 -> 3.2 ms).
+static inline int lane_step(LaneCtx& L, const float* pow43) {
+    Bits& br = L.br;
+    if (br.cnt < 32) {
+        if (br.pos + 8 > br.len)
+            return 2;  // near stream end: byte-wise fill via scalar path
+        int nbytes = (63 - br.cnt) >> 3;
+        uint64_t w;
+        memcpy(&w, br.data + br.pos, 8);
+        w = __builtin_bswap64(w);
+        br.buf = (br.buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
+        br.pos += nbytes;
+        br.cnt += nbytes * 8;
+    }
+    int32_t e = L.tbl[(uint32_t)(br.buf >> (br.cnt - 12)) & 4095];
+    if (e < 0) return 2;
+    if (e & 1) {  // cb11 escape continuation (lane br is already synced)
+        int r = L.ics->decode_escape_pair(br, e, L.scale, L.i);
+        if (r < 0) { L.status = r; return 1; }
+        L.i += 2;
+        return L.i < L.end ? 0 : 1;
+    }
+    emit_fast_pair(e, br.buf, br.cnt, L.scale, pow43, &L.ics->coeffs[L.i]);
+    L.i += 2;
+    return L.i < L.end ? 0 : 1;
+}
+
+static void extract_ilp(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* offsets, const int64_t* sizes, int32_t n_frames,
+    const FrameOut& O) {
+    constexpr int K = 4;
+    std::vector<LaneCtx> lanes(K);
+    std::vector<uint8_t> pns(n_frames, 0);
+    int next = 0;
+    const float* pow43 = tables().pow43;
+
+    auto init_bands = [&](LaneCtx& L) {
+        for (Ics* ics : {&L.pair.ics0, &L.pair.ics1}) {
+            ics->bands_long = O.bands_long;
+            ics->n_bands_long = O.n_bands_long;
+            ics->bands_short = O.bands_short;
+            ics->n_bands_short = O.n_bands_short;
+        }
+    };
+    // Load the next frame into a lane and advance it until hot; frames with
+    // no pair runs complete inside. Returns false when frames are exhausted.
+    auto feed = [&](LaneCtx& L) -> bool {
+        for (;;) {
+            if (L.fidx >= 0 && L.has_pns) pns[L.fidx] = 1;
+            if (next >= n_frames) return false;
+            int f = next++;
+            L.fidx = f;
+            L.status = 0;
+            L.phase = 0;
+            L.cur_ch = 0;
+            L.has_pns = false;
+            L.lcg = Lcg();
+            init_bands(L);
+            if (offsets[f] < 0 || offsets[f] + sizes[f] > data_len) {
+                O.status[f] = -1;
+                O.nch_out[f] = 0;
+                continue;
+            }
+            L.br = Bits(data + offsets[f], sizes[f]);
+            L.frame_bits = sizes[f] * 8;
+            if (lane_advance(L, O)) return true;
+        }
+    };
+
+    LaneCtx* act[K];
+    int n_act = 0;
+    for (int k = 0; k < K; k++)
+        if (feed(lanes[k])) act[n_act++] = &lanes[k];
+
+    while (n_act) {
+        for (int k = 0; k < n_act; k++) {
+            LaneCtx& L = *act[k];
+            int s = lane_step(L, pow43);
+            if (s == 0) continue;
+            if (s == 2) {
+                int r = L.ics->decode_one_pair(L.br, L.cb, L.scale, L.i);
+                if (r < 0) L.status = r;
+                else L.i += 2;
+                if (L.status >= 0 && L.i < L.end) continue;
+            }
+            if (L.status >= 0) L.ri++;  // current run consumed
+            if (!lane_advance(L, O) && !feed(L)) {
+                act[k] = act[--n_act];
+                k--;
+            }
+        }
+    }
+    for (int k = 0; k < K; k++)
+        if (lanes[k].fidx >= 0 && lanes[k].has_pns) pns[lanes[k].fidx] = 1;
+
+    // PNS re-decode: sequential with the persistent decoder LCG (draws
+    // happen only in noise bands, so skipping non-PNS frames preserves the
+    // sequence of the fully-sequential engine).
+    std::vector<ChannelPair> pairs;
+    for (int f = 0; f < n_frames; f++) {
+        if (!pns[f]) continue;
+        decode_frame_scalar(data, data_len, offsets[f], sizes[f], f, pairs,
+                            O);
+    }
+
+    // prev_window_shape chain across good frames, per channel.
+    int32_t carry[64] = {0};
+    for (int f = 0; f < n_frames; f++) {
+        if (O.status[f] != 0) continue;
+        int nc = O.nch_out[f] < 64 ? O.nch_out[f] : 64;
+        for (int c = 0; c < nc; c++) {
+            int64_t lane = (int64_t)f * O.max_ch + c;
+            O.prevshape_out[lane] = carry[c];
+            carry[c] = O.shape_out[lane];
+        }
+    }
+}
 
 }  // namespace
 
@@ -715,11 +1244,10 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
     g_book_set[idx] = true;
 
     // Build the packed fast table (spectral books only): 12-bit lookups
-    // cover every non-escape codeword of most books in one probe.
-    int fb = 12;
-    int maxlen = 0;
-    for (int i = 0; i < n; i++) if (lens[i] > maxlen) maxlen = lens[i];
-    if (maxlen < fb) fb = maxlen < 1 ? 1 : maxlen;
+    // cover every non-escape codeword of most books in one probe. Width is
+    // uniformly 12 for every spectral book (short codes replicate) so the
+    // interleaved engine can use one shift for all lanes.
+    const int fb = 12;
     g_fast[idx].bits = fb;
     int32_t* fr = g_fast[idx].tbl;
     for (int i = 0; i < (1 << fb); i++) fr[i] = -1;
@@ -746,12 +1274,14 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
                 int x, y;
                 if (idx == 5 || idx == 6) { x = (v >> 4) - 4; y = (v & 15) - 4; }
                 else { x = v >> 5; y = v & 31; }
-                if (idx == 11 && (x == 16 || y == 16)) continue;  // escape
                 int xa = x < 0 ? -x : x, ya = y < 0 ? -y : y;
                 int xneg = x < 0, yneg = y < 0;
                 int nz = (idx == 5 || idx == 6) ? 0 : (x != 0) + (y != 0);
                 packed = (l << 27) | (nz << 25) | (xa << 19) | (xneg << 18)
                          | (ya << 12) | (yneg << 11);
+                // cb11 escape codewords (magnitude 16) stay in the fast
+                // table: bit 0 flags the inline escape continuation.
+                if (idx == 11 && (x == 16 || y == 16)) packed |= 1;
             }
             uint32_t base = codes[i] << (fb - l);
             for (uint32_t k = 0; k < (1u << (fb - l)); k++)
@@ -780,94 +1310,18 @@ int32_t sh_aac_extract(
     int32_t max_ch,
     float* coeffs_out, int32_t* seq_out, int32_t* shape_out,
     int32_t* prevshape_out, int32_t* nch_out, int32_t* status) {
+    FrameOut O{coeffs_out, seq_out, shape_out, prevshape_out, nch_out,
+               status, max_ch, rate_idx,
+               bands_long, n_bands_long, bands_short, n_bands_short};
+    if (n_frames >= 4) {
+        extract_ilp(data, data_len, offsets, sizes, n_frames, O);
+        return n_frames;
+    }
     std::vector<ChannelPair> pairs;
     pairs.reserve(4);
-
-    for (int32_t f = 0; f < n_frames; f++) {
-        nch_out[f] = 0;
-        status[f] = 0;
-        if (offsets[f] < 0 || offsets[f] + sizes[f] > data_len) {
-            status[f] = -1;
-            continue;
-        }
-        Bits br(data + offsets[f], sizes[f]);
-        int cur_pair = 0, cur_ch = 0, rc = 0;
-        while ((int64_t)br.bits_read() + 3 < sizes[f] * 8 && rc == 0) {
-            int eid = (int)br.read(3);
-            if (br.error) { rc = -2; break; }
-            if (eid == 7) break;  // END
-            if (eid == 0 || eid == 3) {  // SCE / LFE
-                br.read(4);
-                if ((size_t)cur_pair >= pairs.size()) pairs.emplace_back();
-                ChannelPair& p = pairs[cur_pair];
-                if (!p.initialized) {
-                    p.is_pair = false; p.channel = cur_ch; p.initialized = true;
-                    p.ics0.bands_long = bands_long; p.ics0.n_bands_long = n_bands_long;
-                    p.ics0.bands_short = bands_short; p.ics0.n_bands_short = n_bands_short;
-                    p.ics1 = p.ics0;
-                } else if (p.is_pair || p.channel != cur_ch) { rc = -3; break; }
-                if (cur_ch + 1 > max_ch) { rc = -4; break; }
-                p.ics0.coeffs =
-                    coeffs_out + ((int64_t)f * max_ch + cur_ch) * 1024;
-                rc = p.decode_sce(br);
-                cur_pair++; cur_ch++;
-            } else if (eid == 1) {  // CPE
-                br.read(4);
-                if ((size_t)cur_pair >= pairs.size()) pairs.emplace_back();
-                ChannelPair& p = pairs[cur_pair];
-                if (!p.initialized) {
-                    p.is_pair = true; p.channel = cur_ch; p.initialized = true;
-                    p.ics0.bands_long = bands_long; p.ics0.n_bands_long = n_bands_long;
-                    p.ics0.bands_short = bands_short; p.ics0.n_bands_short = n_bands_short;
-                    p.ics1 = p.ics0;
-                } else if (!p.is_pair || p.channel != cur_ch) { rc = -3; break; }
-                if (cur_ch + 2 > max_ch) { rc = -4; break; }
-                p.ics0.coeffs =
-                    coeffs_out + ((int64_t)f * max_ch + cur_ch) * 1024;
-                p.ics1.coeffs =
-                    coeffs_out + ((int64_t)f * max_ch + cur_ch + 1) * 1024;
-                rc = p.decode_cpe(br);
-                cur_pair++; cur_ch += 2;
-            } else if (eid == 4) {  // DSE
-                br.read(4);
-                int align = (int)br.read(1);
-                int count = (int)br.read(8);
-                if (count == 255) count += (int)br.read(8);
-                if (align) realign(br);
-                br.ignore((int64_t)count * 8);
-            } else if (eid == 6) {  // FIL
-                int count = (int)br.read(4);
-                if (count == 15) count += (int)br.read(8) - 1;
-                if (count > 0) {
-                    br.read(4);  // extension type (SBR payloads skipped)
-                    br.ignore(4);
-                    br.ignore((int64_t)(count - 1) * 8);
-                }
-            } else {  // CCE / PCE unsupported
-                rc = -5;
-            }
-            if (br.error) rc = -2;
-        }
-        if (rc < 0) { status[f] = rc; continue; }
-        // Emit channels: pulse + TNS synthesis, then coefficients.
-        int ch_out = 0;
-        for (int pi = 0; pi < cur_pair; pi++) {
-            ChannelPair& p = pairs[pi];
-            Ics* chans[2] = {&p.ics0, p.is_pair ? &p.ics1 : nullptr};
-            for (int c = 0; c < 2 && chans[c]; c++) {
-                Ics& ics = *chans[c];
-                ics.synth_pulse();
-                ics.synth_tns(rate_idx);
-                // Coefficients were decoded in place into the output lane.
-                int64_t lane = ((int64_t)f * max_ch + ch_out);
-                seq_out[lane] = ics.info.window_sequence;
-                shape_out[lane] = ics.info.window_shape ? 1 : 0;
-                prevshape_out[lane] = ics.info.prev_window_shape ? 1 : 0;
-                ch_out++;
-            }
-        }
-        nch_out[f] = ch_out;
-    }
+    for (int32_t f = 0; f < n_frames; f++)
+        decode_frame_scalar(data, data_len, offsets[f], sizes[f], f, pairs,
+                            O);
     return n_frames;
 }
 

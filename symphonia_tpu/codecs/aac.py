@@ -469,9 +469,11 @@ class Ics:
     def _decode_noise(self, lcg: Lcg, scale: float, start: int, end: int) -> None:
         vals = np.array([float(np.int16(lcg.next() >> 16)) for _ in range(end - start)],
                         dtype=np.float32)
-        energy = float((vals * vals).sum())
+        # Energy accumulates in f64 (exact for int16^2 sums, so independent
+        # of summation order — keeps the native stage bit-identical).
+        energy = float((vals.astype(np.float64) ** 2).sum())
         if energy > 0:
-            vals *= scale / np.sqrt(energy)
+            vals *= np.float32(scale / np.sqrt(energy))
         self.coeffs[start:end] = vals
 
     def _decode_quads(self, br, cb_idx, scale, start, end) -> None:

@@ -1,9 +1,12 @@
 """Minimal AAC-LC encoder for decoder tests.
 
-Emits conformant raw_data_blocks (SCE/CPE) using codebook 11 (escape pairs)
-for all coded bands, any window sequence with sine windows, uniform
-scalefactors, optional TNS headers. Wrapped in ADTS by ``build_adts``.
-Independent of the decoder implementation (uses only the spec code tables).
+Emits conformant raw_data_blocks (SCE/CPE) with per-band minimum-bits
+codebook selection (ZERO_HCB for silent bands, quad books for |q|<=2, pair
+books up to escapes — how real encoders section a spectrum), any window
+sequence with sine windows, uniform scalefactors, optional TNS headers.
+Wrapped in ADTS by ``build_adts``. Independent of the decoder implementation
+(uses only the spec code tables). Pass ``book_select="cb11"`` to force the
+old escape-book-everywhere coding (pessimal decode stressor).
 """
 
 from __future__ import annotations
@@ -67,6 +70,75 @@ def write_scf_delta(bw: BitWriter, delta: int) -> None:
     bw.write(int(_T["scf_codes"][idx]), int(_T["scf_lens"][idx]))
 
 
+# --- Per-band codebook selection (minimum-bits, like a real encoder) -------
+
+ZERO_HCB = 0
+
+
+def _pick_book(seg: np.ndarray) -> int:
+    """Smallest codebook class that can represent the band (14496-3 table
+    4.151 ranges); within a class the variant with fewer total bits wins."""
+    m = int(np.abs(seg).max()) if len(seg) else 0
+    if m == 0:
+        return ZERO_HCB
+    if m <= 1:
+        cands = (1, 2)
+    elif m <= 2:
+        cands = (3, 4)
+    elif m <= 4:
+        cands = (5, 6)
+    elif m <= 7:
+        cands = (7, 8)
+    elif m <= 12:
+        cands = (9, 10)
+    else:
+        return 11
+    return min(cands, key=lambda cb: _band_bits(cb, seg))
+
+
+def _codeword(cb: int, vals) -> tuple:
+    """(table_index, n_sign_bits_vals) for one quad/pair of a book."""
+    if cb in (1, 2):
+        q = [int(v) + 1 for v in vals]
+        return q[0] * 27 + q[1] * 9 + q[2] * 3 + q[3], ()
+    if cb in (3, 4):
+        a = [abs(int(v)) for v in vals]
+        return a[0] * 27 + a[1] * 9 + a[2] * 3 + a[3], tuple(
+            int(v) for v in vals if v)
+    if cb in (5, 6):
+        return (int(vals[0]) + 4) * 9 + (int(vals[1]) + 4), ()
+    dim = {7: 8, 8: 8, 9: 13, 10: 13}[cb]
+    a = [abs(int(v)) for v in vals]
+    return a[0] * dim + a[1], tuple(int(v) for v in vals if v)
+
+
+def _band_bits(cb: int, seg: np.ndarray) -> int:
+    lens = _T[f"spec_lens_{cb}"]
+    step = 4 if cb <= 4 else 2
+    total = 0
+    for i in range(0, len(seg), step):
+        idx, signs = _codeword(cb, seg[i : i + step])
+        total += int(lens[idx]) + len(signs)
+    return total
+
+
+def write_band(bw: BitWriter, cb: int, seg: np.ndarray) -> None:
+    """Emit one scalefactor band's codewords for the chosen book."""
+    if cb == ZERO_HCB:
+        return
+    if cb == 11:
+        for i in range(0, len(seg), 2):
+            write_cb11_pair(bw, int(seg[i]), int(seg[i + 1]))
+        return
+    codes, lens = _T[f"spec_codes_{cb}"], _T[f"spec_lens_{cb}"]
+    step = 4 if cb <= 4 else 2
+    for i in range(0, len(seg), step):
+        idx, signs = _codeword(cb, seg[i : i + step])
+        bw.write(int(codes[idx]), int(lens[idx]))
+        for s in signs:  # sign bits MSB-first in coefficient order
+            bw.write(1 if s < 0 else 0, 1)
+
+
 def swb_tables(rate: int):
     table = [
         (92017, "swb_96k_long", "swb_64k_short"),
@@ -95,8 +167,14 @@ def encode_ics(
     global_gain: int,
     rate: int,
     common_window: bool = False,
+    book_select: str = "auto",
+    special_books: Optional[dict] = None,
 ) -> None:
-    """Encode one individual_channel_stream."""
+    """Encode one individual_channel_stream.
+
+    ``special_books``: {sfb: cb} forcing NOISE_HCB (13) / INTENSITY (14/15)
+    on given bands (long windows; the band's quant values are ignored).
+    """
     long_bands, short_bands = swb_tables(rate)
     bw.write(global_gain, 8)
     if not common_window:
@@ -105,31 +183,63 @@ def encode_ics(
     bands = long_bands if long_win else short_bands
     n_groups = 1 if long_win else 8  # no grouping: 8 groups of 1 window
 
-    # Section data: one section per sfb run; we use cb11 for ALL sfbs.
+    # Per-(group, sfb) codebook selection.
+    def band_seg(g, sfb):
+        start, end = bands[sfb], bands[sfb + 1]
+        w = g if not long_win else 0
+        return quant[w * 128 + start : w * 128 + end]
+
+    if book_select == "cb11":
+        books = [[11] * max_sfb for _ in range(n_groups)]
+    else:
+        books = [[_pick_book(band_seg(g, sfb)) for sfb in range(max_sfb)]
+                 for g in range(n_groups)]
+    if special_books:
+        for sfb, cb in special_books.items():
+            for g in range(n_groups):
+                books[g][sfb] = cb
+
+    # Section data: merge adjacent equal-book sfbs into runs.
     sect_bits = 5 if long_win else 3
     esc = (1 << sect_bits) - 1
     for g in range(n_groups):
-        remaining = max_sfb
-        while remaining > 0:
-            run = min(remaining, esc - 1)
-            bw.write(11, 4)
-            bw.write(run, sect_bits)
-            remaining -= run
-    # Scalefactors: all equal to global_gain (delta 0 each).
+        sfb = 0
+        while sfb < max_sfb:
+            cb = books[g][sfb]
+            run = 1
+            while sfb + run < max_sfb and books[g][sfb + run] == cb:
+                run += 1
+            bw.write(cb, 4)
+            rem = run
+            while rem >= esc:
+                bw.write(esc, sect_bits)
+                rem -= esc
+            bw.write(rem, sect_bits)
+            sfb += run
+    # Scalefactors (coded bands only): normal bands keep global_gain
+    # (delta 0); the first noise band carries the 9-bit PCM delta (0 ->
+    # raw 256), later noise and intensity bands use the scf book (delta 0).
+    noise_first = True
     for g in range(n_groups):
-        for _ in range(max_sfb):
-            write_scf_delta(bw, 0)
+        for sfb in range(max_sfb):
+            cb = books[g][sfb]
+            if cb == ZERO_HCB:
+                continue
+            if cb == 13 and noise_first:  # NOISE_HCB PCM
+                bw.write(256, 9)
+                noise_first = False
+            else:
+                write_scf_delta(bw, 0)
     bw.write(0, 1)  # no pulse
     bw.write(0, 1)  # no tns
     bw.write(0, 1)  # no gain control
-    # Spectrum: per group, per sfb, per window-in-group (1 window each).
+    # Spectrum: per group, per sfb, per window-in-group (1 window each);
+    # noise/intensity bands carry no codewords.
     for g in range(n_groups):
         for sfb in range(max_sfb):
-            start, end = bands[sfb], bands[sfb + 1]
-            w = g if not long_win else 0
-            seg = quant[w * 128 + start : w * 128 + end]
-            for i in range(0, len(seg), 2):
-                write_cb11_pair(bw, int(seg[i]), int(seg[i + 1]))
+            if books[g][sfb] in (13, 14, 15):
+                continue
+            write_band(bw, books[g][sfb], band_seg(g, sfb))
 
 
 def encode_ics_info(bw: BitWriter, seq: int, max_sfb: int) -> None:
@@ -151,6 +261,12 @@ def build_raw_block(
     global_gain: int,
     rate: int,
     use_cpe: Optional[bool] = None,
+    book_select: str = "auto",
+    common_window: bool = False,
+    ms_mask: int = 0,
+    ms_used: Optional[Sequence[int]] = None,
+    special_books0: Optional[dict] = None,
+    special_books1: Optional[dict] = None,
 ) -> bytes:
     bw = BitWriter()
     n_ch = len(channel_quants)
@@ -159,14 +275,25 @@ def build_raw_block(
     if use_cpe:
         bw.write(1, 3)  # CPE
         bw.write(0, 4)  # tag
-        bw.write(0, 1)  # not common window
-        encode_ics(bw, channel_quants[0], seqs[0], max_sfb, global_gain, rate)
-        encode_ics(bw, channel_quants[1], seqs[1], max_sfb, global_gain, rate)
+        bw.write(1 if common_window else 0, 1)
+        if common_window:
+            encode_ics_info(bw, seqs[0], max_sfb)
+            bw.write(ms_mask, 2)
+            if ms_mask == 1:
+                for sfb in range(max_sfb):  # one group (long windows)
+                    bw.write(1 if (ms_used and sfb in ms_used) else 0, 1)
+        encode_ics(bw, channel_quants[0], seqs[0], max_sfb, global_gain, rate,
+                   common_window=common_window, book_select=book_select,
+                   special_books=special_books0)
+        encode_ics(bw, channel_quants[1], seqs[1], max_sfb, global_gain, rate,
+                   common_window=common_window, book_select=book_select,
+                   special_books=special_books1)
     else:
         for q, s in zip(channel_quants, seqs):
             bw.write(0, 3)  # SCE
             bw.write(0, 4)
-            encode_ics(bw, q, s, max_sfb, global_gain, rate)
+            encode_ics(bw, q, s, max_sfb, global_gain, rate,
+                       book_select=book_select, special_books=special_books0)
     bw.write(7, 3)  # END
     return bw.to_bytes()
 

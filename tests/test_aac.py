@@ -278,3 +278,56 @@ class TestBatchedOla:
         a = window_ola_chain(pcms, seqs, shapes, prevs)
         b = window_ola_batch(pcms, seqs, shapes, prevs)
         np.testing.assert_array_equal(a, b)
+
+
+class TestNativeEntropySpecialBands(TestNativeEntropy):
+    """PNS / MS / intensity coverage for the native engines — in particular
+    the interleaved engine's PNS handling (scratch-LCG decode + sequential
+    re-decode of flagged frames must equal the oracle's persistent LCG)."""
+
+    def test_pns_cross_frame_lcg(self):
+        rng = np.random.default_rng(70)
+        frames = []
+        for f in range(10):
+            q = random_quant_spectrum(rng, 20, RATE)
+            # Noise bands on some frames only: the LCG must advance only on
+            # noise draws, in frame order.
+            special = {3: 13, 7: 13} if f % 3 != 1 else None
+            frames.append(build_raw_block([q], [0], 20, GAIN, RATE,
+                                          special_books0=special))
+        self._compare(frames, RATE, 1)
+
+    def test_common_window_ms_all(self):
+        rng = np.random.default_rng(71)
+        frames = [
+            build_raw_block(
+                [random_quant_spectrum(rng, 20, RATE),
+                 random_quant_spectrum(rng, 20, RATE)],
+                [0, 0], 20, GAIN, RATE, common_window=True, ms_mask=2)
+            for _ in range(5)
+        ]
+        self._compare(frames, RATE, 2)
+
+    def test_common_window_ms_per_band_and_intensity(self):
+        rng = np.random.default_rng(72)
+        frames = [
+            build_raw_block(
+                [random_quant_spectrum(rng, 20, RATE),
+                 random_quant_spectrum(rng, 20, RATE)],
+                [0, 0], 20, GAIN, RATE, common_window=True, ms_mask=1,
+                ms_used={1, 4, 9}, special_books1={5: 15, 11: 14})
+            for _ in range(5)
+        ]
+        self._compare(frames, RATE, 2)
+
+    def test_pns_with_ms_noise_exclusion(self):
+        rng = np.random.default_rng(73)
+        frames = [
+            build_raw_block(
+                [random_quant_spectrum(rng, 20, RATE),
+                 random_quant_spectrum(rng, 20, RATE)],
+                [0, 0], 20, GAIN, RATE, common_window=True, ms_mask=2,
+                special_books0={6: 13}, special_books1={6: 13, 12: 13})
+            for _ in range(6)
+        ]
+        self._compare(frames, RATE, 2)
