@@ -123,6 +123,11 @@ class Mapper:
     def reset(self) -> None:
         pass
 
+    def prime(self, packet: bytes) -> None:
+        """Restore cross-packet duration state from the packet just BEFORE
+        a seek landing point (no duration is emitted). Codecs whose packet
+        durations are self-contained ignore this."""
+
 
 class VorbisMapper(Mapper):
     """mappings/vorbis.rs: duration from mode block sizes."""
@@ -192,6 +197,11 @@ class VorbisMapper(Mapper):
 
     def reset(self) -> None:
         self._prev_bs = None
+
+    def prime(self, packet: bytes) -> None:
+        # Extracting the mode flag sets _prev_bs; discard the duration.
+        self._prev_bs = None
+        self.packet_dur(packet)
 
 
 class FlacMapper(Mapper):
@@ -538,6 +548,304 @@ class OggReader(FormatReader):
         )
 
 
+class OggStreamReader(FormatReader):
+    """Incremental OGG reader: O(window) memory over the MSS, one page at a
+    time (demuxer.rs:134 + logical.rs packet reassembly), with byte-bisection
+    seek on granule positions for seekable sources (demuxer.rs:163-304).
+
+    This is the streaming counterpart of the read-all :class:`OggReader`
+    (the bulk/batch path); unseekable sources (pipes) are routed here by the
+    probe factory.
+    """
+
+    MAX_PAGE = 27 + 255 + 255 * 255  # header + segment table + max body
+
+    def __init__(self, mss, options: Optional[FormatOptions] = None):
+        super().__init__(mss, options)
+        self._metadata = MetadataLog()
+        self._data_start = mss.pos()
+        self._queue: List[Packet] = []
+        self._pending = b""
+        self._ts = 0
+        self._anchored = False
+        self._first_granule_pending = True
+        self._eos = False
+        self.mapper: Optional[Mapper] = None
+        self._serial: Optional[int] = None
+        self._read_headers()
+
+    # -- page IO -------------------------------------------------------------
+
+    def _try_page_here(self) -> Optional[Tuple[OggPage, int]]:
+        """Parse a page at the current MSS position without consuming.
+        Returns (page, byte_len) or None if the bytes here aren't a page."""
+        hdr = self.mss.peek_bytes(27)
+        if len(hdr) < 27 or hdr[:4] != OGG_MARKER or hdr[4] != 0:
+            return None
+        n_segs = hdr[26]
+        head = self.mss.peek_bytes(27 + n_segs)
+        if len(head) < 27 + n_segs:
+            return None
+        body_len = int(sum(head[27:]))
+        total = 27 + n_segs + body_len
+        buf = self.mss.peek_bytes(total)
+        if len(buf) < total:
+            return None
+        try:
+            page, _ = parse_page(buf, 0)
+        except DecodeError:
+            return None
+        return page, total
+
+    def _next_page(self, resync_limit: int = 1 << 20) -> Optional[OggPage]:
+        """Read the next CRC-valid page, resyncing over junk (bounded)."""
+        skipped = 0
+        while skipped <= resync_limit:
+            got = self._try_page_here()
+            if got is not None:
+                page, total = got
+                self.mss.ignore_bytes(total)
+                return page
+            b = self.mss.read_upto(1)
+            if not b:
+                return None
+            skipped += 1
+        return None
+
+    # -- logical stream ------------------------------------------------------
+
+    def _read_headers(self, bos_page: Optional[OggPage] = None) -> None:
+        """Identify the primary mappable stream and absorb its headers.
+        ``bos_page``: an already-consumed BOS page starting a (chained)
+        physical stream."""
+        self.mapper = None
+        self._serial = None
+        self._headers_done = False
+        hdr_pages = 0
+        while self.mapper is None or not self._headers_done:
+            if bos_page is not None:
+                page, bos_page = bos_page, None
+            else:
+                page = self._next_page()
+            if page is None:
+                raise Unsupported("no mappable codec in OGG stream")
+            hdr_pages += 1
+            if hdr_pages > 1024:
+                raise Unsupported("OGG header phase too long")
+            if self.mapper is None:
+                if not (page.header_type & 0x02) or not page.packets:
+                    continue
+                m = make_mapper(page.packets[0])
+                if m is None:
+                    continue  # skip unmappable BOS streams
+                self.mapper = m
+                self._serial = page.serial
+                for p in page.packets[1:]:
+                    if not self.mapper.absorb_header(p, self._metadata):
+                        self._headers_done = True
+                self._pending = page.partial or b""
+                continue
+            if page.serial != self._serial:
+                continue
+            pkts = self._page_packets(page)
+            for p in pkts:
+                if not self._headers_done:
+                    if not self.mapper.absorb_header(p, self._metadata):
+                        self._headers_done = True
+                else:
+                    self._enqueue_packet(p)
+            self._after_page(page)
+        params = self.mapper.codec_params()
+        self._track = Track(
+            id=0,
+            codec_params=params,
+            time_base=TimeBase(1, self.mapper.sample_rate),
+            num_frames=None,
+        )
+
+    def _page_packets(self, page: OggPage) -> List[bytes]:
+        pkts = list(page.packets)
+        if page.continued:
+            if self._pending:
+                if pkts:
+                    pkts[0] = self._pending + pkts[0]
+                    self._pending = page.partial or b""
+                    return pkts
+                self._pending += page.partial or b""
+                return []
+            # continuation with no pending data (post-seek): drop the head
+            if pkts:
+                pkts = pkts[1:]
+        self._pending = page.partial or b""
+        return pkts
+
+    def _enqueue_packet(self, data: bytes) -> None:
+        dur = self.mapper.packet_dur(data)
+        self._queue.append(Packet(track_id=0, ts=self._ts, dur=dur,
+                                  data=data))
+        self._ts += dur
+
+    def _after_page(self, page: OggPage) -> None:
+        """Granule anchoring + first/last page trims (logical.rs:330-556)."""
+        if page.header_type & 0x04:
+            self._eos = True
+        g = page.granule
+        if g < 0 or page.partial is not None:
+            return
+        if self._first_granule_pending:
+            self._first_granule_pending = False
+            # Leading trim: decoded duration up to here exceeding the first
+            # granule is pre-roll that the encoder expects dropped.
+            if 0 <= g < self._ts:
+                trim = self._ts - g
+                delta = trim
+                for pkt in self._queue:
+                    t = min(delta, pkt.dur)
+                    pkt.trim_start += t
+                    pkt.dur -= t
+                    delta -= t
+                    if delta <= 0:
+                        break
+                ts = self._queue[0].ts if self._queue else 0
+                for pkt in self._queue:
+                    pkt.ts = ts
+                    ts += pkt.dur
+                self._ts = g if not self._queue else ts
+        if self._eos and 0 < g < self._ts:
+            trim = self._ts - g
+            for pkt in reversed(self._queue):
+                t = min(trim, pkt.dur)
+                pkt.trim_end += t
+                pkt.dur -= t
+                trim -= t
+                if trim <= 0:
+                    break
+            self._ts = g
+        elif self._anchored or not self._first_granule_pending:
+            self._ts = g  # re-anchor on every completed-granule page
+        self._anchored = True
+
+    # -- FormatReader ----------------------------------------------------------
+
+    def tracks(self) -> List[Track]:
+        return [self._track]
+
+    def metadata(self) -> MetadataLog:
+        return self._metadata
+
+    def next_packet(self) -> Optional[Packet]:
+        while not self._queue:
+            page = self._next_page()
+            if page is None:
+                return None
+            if page.header_type & 0x02 and (self._eos
+                                            or page.serial != self._serial):
+                # New physical stream (chained; the serial may repeat across
+                # chains): rebuild the logical stream from this BOS page and
+                # signal the caller to recreate its decoders
+                # (formats/mod.rs:644).
+                if self._eos and page.packets and make_mapper(page.packets[0]):
+                    self._queue.clear()
+                    self._pending = b""
+                    self._ts = 0
+                    self._anchored = False
+                    self._first_granule_pending = True
+                    self._eos = False
+                    self._read_headers(bos_page=page)
+                    raise ResetRequired("chained OGG physical stream")
+                continue
+            if page.serial != self._serial:
+                continue
+            for p in self._page_packets(page):
+                self._enqueue_packet(p)
+            self._after_page(page)
+        return self._queue.pop(0)
+
+    def seek(self, mode: str, to: SeekTo) -> SeekedTo:
+        if to.ts is not None:
+            ts = to.ts
+        elif to.time is not None:
+            ts = self._track.time_base.calc_timestamp(to.time)
+        else:
+            raise SeekError("no seek target")
+        if not self.mss.is_seekable():
+            raise SeekError("source is not seekable")
+        total = self.mss.byte_len()
+
+        def first_granule_from(pos: int) -> Optional[int]:
+            """Granule of the first completed-granule page of our stream at
+            or after byte pos (bounded forward scan)."""
+            self.mss.seek(pos)
+            for _ in range(64):
+                page = self._next_page()
+                if page is None:
+                    return None
+                if page.serial == self._serial and page.granule >= 0:
+                    return page.granule
+            return None
+
+        # Byte bisection on end-granules (demuxer.rs:163-304).
+        lo, hi = self._data_start, total
+        while hi - lo > (1 << 16):
+            mid = (lo + hi) // 2
+            g = first_granule_from(mid)
+            if g is None or g >= ts:
+                hi = mid
+            else:
+                lo = mid
+        # Linear page walk from lo: start after the last page whose end
+        # granule is <= ts (the decoder re-primes on the next packet).
+        self.mss.seek(lo)
+        start_pos = lo
+        anchor = 0 if lo == self._data_start else None
+        prime_pkt: Optional[bytes] = None  # last full packet before landing
+        last_full: Optional[bytes] = None
+        while True:
+            pos = self.mss.pos()
+            got = self._try_page_here()
+            if got is None:
+                if not self.mss.read_upto(1):
+                    break
+                continue
+            page, tot = got
+            if page.serial == self._serial:
+                if page.granule >= 0 and page.granule > ts:
+                    break
+                full = page.packets[1:] if page.continued else page.packets
+                if full:
+                    last_full = full[-1]
+                if page.granule >= 0:
+                    anchor = page.granule
+                    start_pos = pos + tot
+                    prime_pkt = last_full
+            self.mss.ignore_bytes(tot)
+        if anchor is None:
+            # No anchoring page before the window: restart from the top.
+            start_pos, anchor, prime_pkt = self._data_start, 0, None
+        self.mss.seek(start_pos)
+        self._queue.clear()
+        self._pending = b""
+        self._ts = anchor
+        self._anchored = True
+        self._first_granule_pending = start_pos == self._data_start
+        self._eos = False
+        self.mapper.reset()
+        if prime_pkt is not None:
+            # Restore the cross-packet duration state (Vorbis previous
+            # block size) so the first post-seek packet's duration — and
+            # every timestamp after it — matches the table path exactly.
+            self.mapper.prime(prime_pkt)
+        return SeekedTo(0, ts, anchor)
+
+
+def _make_reader(mss, options: Optional[FormatOptions] = None):
+    """Probe factory: bulk read-all table for seekable sources (the batch
+    path), incremental streaming reader for pipes."""
+    if mss.is_seekable():
+        return OggReader(mss, options)
+    return OggStreamReader(mss, options)
+
+
 def _score(context: bytes) -> int:
     return 255 if context.startswith(OGG_MARKER) else 0
 
@@ -545,6 +853,6 @@ def _score(context: bytes) -> int:
 DESCRIPTOR = Descriptor(
     name="ogg",
     markers=[OGG_MARKER],
-    factory=OggReader,
+    factory=_make_reader,
     score=_score,
 )
