@@ -76,6 +76,18 @@ ID_FILE_NAME = 0x466E
 ID_FILE_MIME = 0x4660
 ID_FILE_DATA = 0x465C
 ID_FILE_DESCRIPTION = 0x467E
+ID_BLOCK_DURATION = 0x9B
+ID_DEFAULT_DURATION = 0x23E383
+ID_CUES = 0x1C53BB6B
+ID_CUE_POINT = 0xBB
+ID_CUE_TIME = 0xB3
+ID_CUE_TRACK_POSITIONS = 0xB7
+ID_CUE_TRACK = 0xF7
+ID_CUE_CLUSTER_POSITION = 0xF1
+ID_SEEK_HEAD = 0x114D9B74
+ID_SEEK = 0x4DBB
+ID_SEEK_ID = 0x53AB
+ID_SEEK_POSITION = 0x53AC
 
 _MASTER_IDS = {ID_SEGMENT, ID_INFO, ID_TRACKS, ID_TRACK_ENTRY, ID_AUDIO,
                ID_CLUSTER, ID_BLOCK_GROUP, ID_TAGS, ID_TAG, ID_SIMPLE_TAG}
@@ -139,6 +151,7 @@ class MkvTrack:
     sample_rate: float = 8000.0
     channels: int = 1
     bit_depth: Optional[int] = None
+    default_duration_ns: Optional[int] = None
     codec: Optional[str] = None
     params: Optional[AudioCodecParameters] = None
 
@@ -235,6 +248,44 @@ def unlace(buf: bytes) -> List[bytes]:
     return out
 
 
+def _expand_blocks(
+    blocks: List[Tuple[int, int, List[bytes], Optional[int]]],
+    tracks: Dict[int, "MkvTrack"],
+    timescale_ns: int,
+) -> List[Tuple[int, int, int, bytes]]:
+    """Blocks -> per-frame (track_no, ts, dur, data) packets.
+
+    Block duration precedence (demuxer.rs / segment.rs): explicit
+    BlockDuration, else the gap to the track's next block, else the track's
+    DefaultDuration; laced frames split the block duration evenly and get
+    consecutive timestamps.
+    """
+    # Next-block gap per track.
+    idx_by_track: Dict[int, List[int]] = {}
+    for i, (no, ts, _f, _d) in enumerate(blocks):
+        idx_by_track.setdefault(no, []).append(i)
+    gaps: List[Optional[int]] = [None] * len(blocks)
+    for no, idxs in idx_by_track.items():
+        for j, i in enumerate(idxs):
+            if j + 1 < len(idxs):
+                g = blocks[idxs[j + 1]][1] - blocks[i][1]
+                gaps[i] = g if g > 0 else None
+    out: List[Tuple[int, int, int, bytes]] = []
+    for i, (no, ts, frames, bdur) in enumerate(blocks):
+        t = tracks.get(no)
+        if bdur is None:
+            bdur = gaps[i]
+        if bdur is None and t is not None and t.default_duration_ns:
+            bdur = max(1, round(t.default_duration_ns * len(frames)
+                                / timescale_ns))
+        if bdur is None:
+            bdur = 0
+        fdur = bdur // len(frames)
+        for k, f in enumerate(frames):
+            out.append((no, ts + k * fdur, fdur, f))
+    return out
+
+
 class MkvReader(FormatReader):
     """Matroska format reader (mkv demuxer.rs:52)."""
 
@@ -266,7 +317,10 @@ class MkvReader(FormatReader):
 
         timescale_ns = 1_000_000
         self._mkv_tracks: Dict[int, MkvTrack] = {}
-        packets: List[Tuple[int, int, bytes]] = []  # (track_no, ts_ticks, data)
+        # Blocks: (track_no, ts_ticks, [frames], block_dur_ticks|None)
+        blocks: List[Tuple[int, int, List[bytes], Optional[int]]] = []
+        self._cues: List[Tuple[int, int]] = []  # (time_ticks, cluster_pos)
+        self._segment_start = segment[0]
         rev = MetadataRevision()
 
         for eid, b, e in iter_elements(buf, *segment):
@@ -289,6 +343,8 @@ class MkvReader(FormatReader):
                             t.number = _uint(buf, b3, e3)
                         elif eid3 == ID_TRACK_TYPE:
                             ttype = _uint(buf, b3, e3)
+                        elif eid3 == ID_DEFAULT_DURATION:
+                            t.default_duration_ns = _uint(buf, b3, e3)
                         elif eid3 == ID_CODEC_ID:
                             t.codec_id = buf[b3:e3].decode("ascii", "replace")
                         elif eid3 == ID_CODEC_PRIVATE:
@@ -312,12 +368,15 @@ class MkvReader(FormatReader):
                         cluster_ts = _uint(buf, b2, e2)
                     elif eid2 in (ID_SIMPLE_BLOCK, ID_BLOCK_GROUP):
                         block = None
+                        bdur = None
                         if eid2 == ID_SIMPLE_BLOCK:
                             block = (b2, e2)
                         else:
                             for eid3, b3, e3 in iter_elements(buf, b2, e2):
                                 if eid3 == ID_BLOCK:
                                     block = (b3, e3)
+                                elif eid3 == ID_BLOCK_DURATION:
+                                    bdur = _uint(buf, b3, e3)
                         if block is None:
                             continue
                         bb, be = block
@@ -326,8 +385,11 @@ class MkvReader(FormatReader):
                             continue
                         rel_ts = struct.unpack(">h", buf[p2 : p2 + 2])[0]
                         frames = unlace(buf[p2 + 2 : be])
-                        for f in frames:
-                            packets.append((track_no, cluster_ts + rel_ts, f))
+                        if frames:
+                            blocks.append((track_no, cluster_ts + rel_ts,
+                                           frames, bdur))
+            elif eid == ID_CUES:
+                self._parse_cues(buf, b, e)
             elif eid == ID_TAGS:
                 self._parse_tags(buf, b, e, rev)
             elif eid == ID_CHAPTERS:
@@ -341,7 +403,7 @@ class MkvReader(FormatReader):
             self._metadata.push(rev)
 
         self._timescale_ns = timescale_ns
-        self._packets = packets
+        self._packets = _expand_blocks(blocks, self._mkv_tracks, timescale_ns)
         self._cursor = 0
         self._track_objs = []
         for no, t in sorted(self._mkv_tracks.items()):
@@ -352,6 +414,23 @@ class MkvReader(FormatReader):
                     time_base=TimeBase(timescale_ns, 1_000_000_000),
                 )
             )
+
+    def _parse_cues(self, buf, b, e) -> None:
+        """Cues element -> (time_ticks, cluster_pos) list (segment.rs)."""
+        for eid, b2, e2 in iter_elements(buf, b, e):
+            if eid != ID_CUE_POINT:
+                continue
+            cue_time = None
+            cluster_pos = None
+            for eid2, b3, e3 in iter_elements(buf, b2, e2):
+                if eid2 == ID_CUE_TIME:
+                    cue_time = _uint(buf, b3, e3)
+                elif eid2 == ID_CUE_TRACK_POSITIONS:
+                    for eid3, b4, e4 in iter_elements(buf, b3, e3):
+                        if eid3 == ID_CUE_CLUSTER_POSITION:
+                            cluster_pos = _uint(buf, b4, e4)
+            if cue_time is not None and cluster_pos is not None:
+                self._cues.append((cue_time, cluster_pos))
 
     def _parse_chapters(self, buf, b, e) -> None:
         """Chapters element -> ChapterGroup (demuxer.rs:583-590)."""
@@ -434,9 +513,9 @@ class MkvReader(FormatReader):
     def next_packet(self) -> Optional[Packet]:
         if self._cursor >= len(self._packets):
             return None
-        no, ts, data = self._packets[self._cursor]
+        no, ts, dur, data = self._packets[self._cursor]
         self._cursor += 1
-        return Packet(track_id=no, ts=ts, dur=0, data=data)
+        return Packet(track_id=no, ts=ts, dur=dur, data=data)
 
     def seek(self, mode: str, to: SeekTo) -> SeekedTo:
         if to.ts is not None:
@@ -453,21 +532,365 @@ class MkvReader(FormatReader):
         return SeekedTo(self._track_objs[0].id, ts,
                         self._packets[i][1] if self._packets else 0)
 
+    def cues(self) -> List[Tuple[int, int]]:
+        """(time_ticks, cluster_pos) Cues entries (empty if none)."""
+        return self._cues
+
     def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
         if track_id is None:
             track_id = self._track_objs[0].id
-        sel = [(ts, d) for no, ts, d in self._packets if no == track_id]
+        sel = [(ts, dur, d) for no, ts, dur, d in self._packets
+               if no == track_id]
         n = len(sel)
         return PacketTable(
             track_id=track_id,
             offsets=np.full(n, -1, dtype=np.int64),
-            sizes=np.asarray([len(d) for _, d in sel], dtype=np.int64),
-            ts=np.asarray([ts for ts, _ in sel], dtype=np.int64),
-            dur=np.zeros(n, dtype=np.int64),
+            sizes=np.asarray([len(d) for _, _, d in sel], dtype=np.int64),
+            ts=np.asarray([ts for ts, _, _ in sel], dtype=np.int64),
+            dur=np.asarray([dur for _, dur, _ in sel], dtype=np.int64),
             trim_start=np.zeros(n, np.int32),
             trim_end=np.zeros(n, np.int32),
-            data=[d for _, d in sel],
+            data=[d for _, _, d in sel],
         )
+
+
+_UNKNOWN_SIZE = object()
+
+# Top-level segment children that terminate an unknown-size cluster.
+_TOP_IDS = {ID_SEGMENT, ID_INFO, ID_TRACKS, ID_CLUSTER, ID_CUES, ID_TAGS,
+            ID_CHAPTERS, ID_ATTACHMENTS, ID_SEEK_HEAD}
+
+
+class MkvStreamReader(FormatReader):
+    """Streamed Matroska reader: incremental EBML walk over the MSS window
+    (segment.rs streamed / no-cues mode), O(window) memory, Cues-based seek
+    when a SeekHead reveals them (demuxer.rs:345-462), forward cluster scan
+    otherwise. Handles unknown-size segments/clusters (live streams)."""
+
+    def __init__(self, mss, options: Optional[FormatOptions] = None):
+        super().__init__(mss, options)
+        self._metadata = MetadataLog()
+        self._queue: List[Packet] = []
+        # One pending block per track for next-gap durations.
+        self._pending: Dict[int, Tuple[int, List[bytes], Optional[int]]] = {}
+        magic = mss.read_bytes(4)
+        if magic != EBML_MAGIC:
+            raise Unsupported("not an EBML stream")
+        # Skip the EBML header body (its size is always coded).
+        size, _ = self._read_vint_header()
+        if size is _UNKNOWN_SIZE:
+            raise Unsupported("unknown-size EBML header")
+        mss.ignore_bytes(size)
+
+        # Find the Segment element.
+        eid, size = self._read_element()
+        while eid is not None and eid != ID_SEGMENT:
+            if size is _UNKNOWN_SIZE:
+                raise Unsupported("unknown-size non-segment element")
+            mss.ignore_bytes(size)
+            eid, size = self._read_element()
+        if eid is None:
+            raise Unsupported("missing Matroska segment")
+        self._segment_start = mss.pos()
+        self._segment_end = (None if size is _UNKNOWN_SIZE
+                             else self._segment_start + size)
+
+        self._timescale_ns = 1_000_000
+        self._mkv_tracks: Dict[int, MkvTrack] = {}
+        self._cues: List[Tuple[int, int]] = []
+        cues_pos: Optional[int] = None
+        self._first_cluster_pos: Optional[int] = None
+
+        # Header phase: walk top-level children until the first cluster.
+        while True:
+            pos = mss.pos()
+            eid, size = self._read_element()
+            if eid is None:
+                break
+            if eid == ID_CLUSTER:
+                self._first_cluster_pos = pos
+                self._cluster_end = (None if size is _UNKNOWN_SIZE
+                                     else mss.pos() + size)
+                self._cluster_ts = 0
+                break
+            if size is _UNKNOWN_SIZE:
+                raise Unsupported("unknown-size header element")
+            body = mss.read_bytes(size)
+            if eid == ID_INFO:
+                for eid2, b2, e2 in iter_elements(body, 0, len(body)):
+                    if eid2 == ID_TIMESTAMP_SCALE:
+                        self._timescale_ns = _uint(body, b2, e2)
+            elif eid == ID_TRACKS:
+                self._parse_tracks(body)
+            elif eid == ID_SEEK_HEAD:
+                for eid2, b2, e2 in iter_elements(body, 0, len(body)):
+                    if eid2 != ID_SEEK:
+                        continue
+                    sid = spos = None
+                    for eid3, b3, e3 in iter_elements(body, b2, e2):
+                        if eid3 == ID_SEEK_ID:
+                            sid = _uint(body, b3, e3)
+                        elif eid3 == ID_SEEK_POSITION:
+                            spos = _uint(body, b3, e3)
+                    if sid == ID_CUES and spos is not None:
+                        cues_pos = self._segment_start + spos
+            elif eid == ID_CUES:
+                self._parse_cues_body(body)
+        if not self._mkv_tracks:
+            raise Unsupported("no supported audio tracks in Matroska")
+
+        # Load Cues from the SeekHead pointer (seekable sources only).
+        if cues_pos is not None and not self._cues and mss.is_seekable():
+            back = mss.pos()
+            try:
+                mss.seek(cues_pos)
+                eid, size = self._read_element()
+                if eid == ID_CUES and size is not _UNKNOWN_SIZE:
+                    self._parse_cues_body(mss.read_bytes(size))
+            except Exception:
+                self._cues = []
+            mss.seek(back)
+
+        self._track_objs = [
+            Track(id=no, codec_params=t.params,
+                  time_base=TimeBase(self._timescale_ns, 1_000_000_000))
+            for no, t in sorted(self._mkv_tracks.items())
+        ]
+
+    # -- EBML over MSS -------------------------------------------------------
+
+    def _read_vint_header(self):
+        """Read a size vint from the MSS; returns (value|_UNKNOWN_SIZE, n)."""
+        head = self.mss.peek_bytes(1)
+        if not head or head[0] == 0:
+            raise DecodeError("invalid EBML vint")
+        length = 8 - head[0].bit_length() + 1
+        raw = self.mss.read_bytes(length)
+        val = raw[0] & ((1 << (8 - length)) - 1)
+        for i in range(1, length):
+            val = (val << 8) | raw[i]
+        if val == (1 << (7 * length)) - 1:
+            return _UNKNOWN_SIZE, length
+        return val, length
+
+    def _read_element(self):
+        """Read (element_id, size|_UNKNOWN_SIZE) or (None, None) at EOF."""
+        head = self.mss.peek_bytes(1)
+        if not head:
+            return None, None
+        if head[0] == 0:
+            raise DecodeError("invalid EBML element id")
+        length = 8 - head[0].bit_length() + 1
+        raw = self.mss.peek_bytes(length)
+        if len(raw) < length:
+            return None, None
+        eid = 0
+        for b in raw:
+            eid = (eid << 8) | b
+        self.mss.ignore_bytes(length)
+        size, _ = self._read_vint_header()
+        return eid, size
+
+    def _parse_tracks(self, body: bytes) -> None:
+        for eid2, b2, e2 in iter_elements(body, 0, len(body)):
+            if eid2 != ID_TRACK_ENTRY:
+                continue
+            t = MkvTrack()
+            ttype = 0
+            for eid3, b3, e3 in iter_elements(body, b2, e2):
+                if eid3 == ID_TRACK_NUMBER:
+                    t.number = _uint(body, b3, e3)
+                elif eid3 == ID_TRACK_TYPE:
+                    ttype = _uint(body, b3, e3)
+                elif eid3 == ID_DEFAULT_DURATION:
+                    t.default_duration_ns = _uint(body, b3, e3)
+                elif eid3 == ID_CODEC_ID:
+                    t.codec_id = body[b3:e3].decode("ascii", "replace")
+                elif eid3 == ID_CODEC_PRIVATE:
+                    t.codec_private = body[b3:e3]
+                elif eid3 == ID_AUDIO:
+                    for eid4, b4, e4 in iter_elements(body, b3, e3):
+                        if eid4 == ID_SAMPLING_FREQ:
+                            t.sample_rate = _float(body, b4, e4)
+                        elif eid4 == ID_CHANNELS:
+                            t.channels = _uint(body, b4, e4)
+                        elif eid4 == ID_BIT_DEPTH:
+                            t.bit_depth = _uint(body, b4, e4)
+            if ttype == 2:
+                _map_codec(t)
+                if t.codec is not None:
+                    self._mkv_tracks[t.number] = t
+
+    def _parse_cues_body(self, body: bytes) -> None:
+        for eid, b2, e2 in iter_elements(body, 0, len(body)):
+            if eid != ID_CUE_POINT:
+                continue
+            cue_time = cluster_pos = None
+            for eid2, b3, e3 in iter_elements(body, b2, e2):
+                if eid2 == ID_CUE_TIME:
+                    cue_time = _uint(body, b3, e3)
+                elif eid2 == ID_CUE_TRACK_POSITIONS:
+                    for eid3, b4, e4 in iter_elements(body, b3, e3):
+                        if eid3 == ID_CUE_CLUSTER_POSITION:
+                            cluster_pos = _uint(body, b4, e4)
+            if cue_time is not None and cluster_pos is not None:
+                self._cues.append((cue_time, cluster_pos))
+
+    # -- cluster walk --------------------------------------------------------
+
+    def _flush_pending(self, no: int, next_ts: Optional[int]) -> None:
+        """Emit a track's held-back block; its duration is the gap to the
+        next block (or BlockDuration / DefaultDuration)."""
+        held = self._pending.pop(no, None)
+        if held is None:
+            return
+        ts, frames, bdur = held
+        if bdur is None and next_ts is not None and next_ts > ts:
+            bdur = next_ts - ts
+        t = self._mkv_tracks.get(no)
+        if bdur is None and t is not None and t.default_duration_ns:
+            bdur = max(1, round(t.default_duration_ns * len(frames)
+                                / self._timescale_ns))
+        if bdur is None:
+            bdur = 0
+        fdur = bdur // len(frames)
+        for k, f in enumerate(frames):
+            self._queue.append(Packet(track_id=no, ts=ts + k * fdur,
+                                      dur=fdur, data=f))
+
+    def _absorb_block(self, raw: bytes, bdur: Optional[int]) -> None:
+        track_no, p2 = read_vint(raw, 0, keep_marker=False)
+        if track_no not in self._mkv_tracks:
+            return
+        rel_ts = struct.unpack(">h", raw[p2 : p2 + 2])[0]
+        frames = unlace(raw[p2 + 2 :])
+        if not frames:
+            return
+        ts = self._cluster_ts + rel_ts
+        self._flush_pending(track_no, ts)
+        self._pending[track_no] = (ts, frames, bdur)
+
+    def _advance(self) -> bool:
+        """Read one element of the current cluster (or enter the next
+        cluster). False at end of stream."""
+        if self._first_cluster_pos is None:
+            return False
+        pos = self.mss.pos()
+        if self._segment_end is not None and pos >= self._segment_end:
+            return False
+        if self._cluster_end is not None and pos >= self._cluster_end:
+            self._cluster_end = None  # expect a new top-level element
+        from ..core.errors import EndOfStream
+
+        try:
+            eid, size = self._read_element()
+            if eid is None:
+                return False
+            if eid == ID_CLUSTER:
+                self._cluster_end = (None if size is _UNKNOWN_SIZE
+                                     else self.mss.pos() + size)
+                self._cluster_ts = 0
+                return True
+            if size is _UNKNOWN_SIZE:
+                return False
+            if eid == ID_CLUSTER_TIMESTAMP:
+                self._cluster_ts = _uint(self.mss.read_bytes(size), 0, size)
+                return True
+            if eid == ID_SIMPLE_BLOCK:
+                self._absorb_block(self.mss.read_bytes(size), None)
+                return True
+            if eid == ID_BLOCK_GROUP:
+                body = self.mss.read_bytes(size)
+                block = bdur = None
+                for eid2, b2, e2 in iter_elements(body, 0, len(body)):
+                    if eid2 == ID_BLOCK:
+                        block = body[b2:e2]
+                    elif eid2 == ID_BLOCK_DURATION:
+                        bdur = _uint(body, b2, e2)
+                if block is not None:
+                    self._absorb_block(block, bdur)
+                return True
+            # Any other element (incl. trailing Cues/Tags): skip its body.
+            self.mss.ignore_bytes(size)
+            return True
+        except (DecodeError, EndOfStream):
+            # Truncated element: treat as end of stream (the reference's
+            # streamed mode ends at the last complete block).
+            return False
+
+    # -- FormatReader ----------------------------------------------------------
+
+    def tracks(self) -> List[Track]:
+        return self._track_objs
+
+    def metadata(self) -> MetadataLog:
+        return self._metadata
+
+    def next_packet(self) -> Optional[Packet]:
+        while not self._queue:
+            if not self._advance():
+                # EOS: flush held-back blocks (durations fall back to
+                # DefaultDuration).
+                for no in list(self._pending):
+                    self._flush_pending(no, None)
+                if not self._queue:
+                    return None
+                break
+        return self._queue.pop(0)
+
+    def cues(self) -> List[Tuple[int, int]]:
+        return self._cues
+
+    def seek(self, mode: str, to: SeekTo) -> SeekedTo:
+        if to.ts is not None:
+            ts = to.ts
+        elif to.time is not None:
+            ts = int(to.time.to_seconds() * 1_000_000_000 / self._timescale_ns)
+        else:
+            raise SeekError("no seek target")
+        if not self.mss.is_seekable():
+            raise SeekError("source is not seekable")
+        if self._first_cluster_pos is None:
+            raise SeekError("no clusters")
+        # Cues: jump to the last cue point at or before the target.
+        target_pos = self._first_cluster_pos
+        actual = 0
+        if self._cues:
+            import bisect
+
+            times = [c[0] for c in self._cues]
+            i = max(0, bisect.bisect_right(times, ts) - 1)
+            target_pos = self._segment_start + self._cues[i][1]
+            actual = self._cues[i][0]
+        self.mss.seek(target_pos)
+        self._queue.clear()
+        self._pending.clear()
+        self._cluster_end = None
+        self._cluster_ts = 0
+        # Forward scan within/after the landing cluster up to the target.
+        # (No-cues mode degenerates to a forward scan from the first
+        # cluster, demuxer.rs:345-462.)
+        emitted: List[Packet] = []
+        while True:
+            while not self._queue:
+                if not self._advance():
+                    break
+            if not self._queue:
+                break
+            p = self._queue[0]
+            if p.ts + max(p.dur, 0) > ts or p.ts >= ts:
+                break
+            emitted.append(self._queue.pop(0))
+        return SeekedTo(self._track_objs[0].id, ts,
+                        self._queue[0].ts if self._queue else actual)
+
+
+def _make_mkv_reader(mss, options: Optional[FormatOptions] = None):
+    """Probe factory: read-all table for seekable sources, incremental
+    streamed reader for pipes."""
+    if mss.is_seekable():
+        return MkvReader(mss, options)
+    return MkvStreamReader(mss, options)
 
 
 def _score(context: bytes) -> int:
@@ -477,6 +900,6 @@ def _score(context: bytes) -> int:
 DESCRIPTOR = Descriptor(
     name="mkv",
     markers=[EBML_MAGIC],
-    factory=MkvReader,
+    factory=_make_mkv_reader,
     score=_score,
 )

@@ -218,3 +218,224 @@ class TestChaptersAttachments:
         assert atts[0].name == "cover.png"
         assert atts[0].media_type == "image/png"
         assert atts[0].data == img
+
+
+def build_mkv_cued(codec_id: str, private: bytes, clusters, rate=44100,
+                   ch=1, bit_depth=None, default_dur_ns=None,
+                   block_durs=None, unknown_cluster_size=False,
+                   with_cues=True, with_seekhead=True) -> bytes:
+    """Full-featured mux: SeekHead -> Cues, DefaultDuration, BlockDuration
+    (via BlockGroup), optional unknown-size clusters.
+
+    clusters: [(cluster_ts, [(rel_ts, frame_bytes), ...]), ...]
+    block_durs: optional parallel [[dur_ticks|None, ...], ...]
+    """
+    track_entry = (
+        uint_elem(0xD7, 1) + uint_elem(0x83, 2)
+        + elem(0x86, codec_id.encode())
+        + (uint_elem(0x23E383, default_dur_ns) if default_dur_ns else b"")
+        + (elem(0x63A2, private) if private else b"")
+        + elem(0xE1, float_elem(0xB5, float(rate)) + uint_elem(0x9F, ch)
+               + (uint_elem(0x6264, bit_depth) if bit_depth else b""))
+    )
+    tracks = elem(0x1654AE6B, elem(0xAE, track_entry))
+    info = elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+
+    def cluster_bytes(ci, cluster_ts, blks):
+        body = uint_elem(0xE7, cluster_ts)
+        for bi, (rel_ts, frame) in enumerate(blks):
+            bdur = block_durs[ci][bi] if block_durs else None
+            if bdur is not None:
+                blk = bytes([0x81]) + struct.pack(">h", rel_ts) \
+                    + bytes([0x00]) + frame
+                body += elem(0xA0, elem(0xA1, blk) + uint_elem(0x9B, bdur))
+            else:
+                body += simple_block(1, rel_ts, [frame])
+        if unknown_cluster_size:
+            eid = (0x1F43B675).to_bytes(4, "big")
+            return eid + b"\xff" + body  # unknown size (1-byte all-ones)
+        return elem(0x1F43B675, body)
+
+    # Lay out: SeekHead placeholder, info, tracks, clusters, cues.
+    # SeekHead is fixed-size so positions are computable in one pass.
+    cluster_blobs = []
+    for ci, (cts, blks) in enumerate(clusters):
+        cluster_blobs.append(cluster_bytes(ci, cts, blks))
+
+    def seekhead(cues_pos):
+        s = elem(0x4DBB, elem(0x53AB, (0x1C53BB6B).to_bytes(4, "big"))
+                 + elem(0x53AC, cues_pos.to_bytes(8, "big")))
+        return elem(0x114D9B74, s)
+
+    sh_len = len(seekhead(0)) if with_seekhead else 0
+    head = info + tracks
+    positions = []
+    off = sh_len + len(head)
+    for blob in cluster_blobs:
+        positions.append(off)
+        off += len(blob)
+    cues_pos = off
+    cues_body = b""
+    if with_cues:
+        for (cts, _), pos in zip(clusters, positions):
+            cues_body += elem(0xBB, uint_elem(0xB3, cts)
+                              + elem(0xB7, uint_elem(0xF7, 1)
+                                     + uint_elem(0xF1, pos)))
+    cues = elem(0x1C53BB6B, cues_body) if with_cues else b""
+    seg_body = (seekhead(cues_pos) if with_seekhead else b"") + head \
+        + b"".join(cluster_blobs) + cues
+    ebml_hdr = elem(0x1A45DFA3,
+                    elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
+    return ebml_hdr + elem(0x18538067, seg_body)
+
+
+class _Pipe:
+    def __init__(self, b):
+        self.b = b
+        self.i = 0
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return False
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = len(self.b) - self.i
+        out = self.b[self.i : self.i + n]
+        self.i += len(out)
+        return out
+
+
+def _pcm_clusters(n_clusters=6, blocks_per=4, spb=500):
+    """PCM16 content: 500 samples per block at 8 kHz, ts in ms ticks."""
+    sig = (np.sin(np.arange(n_clusters * blocks_per * spb) * 0.03) * 8000) \
+        .astype("<i2")
+    clusters = []
+    k = 0
+    ms_per_block = spb * 1000 // 8000  # 62 ms
+    for c in range(n_clusters):
+        blks = []
+        for b in range(blocks_per):
+            frame = sig[k * spb : (k + 1) * spb].tobytes()
+            blks.append((b * ms_per_block, frame))
+            k += 1
+        clusters.append((c * blocks_per * ms_per_block, blks))
+    return sig, clusters
+
+
+class TestMkvDurationsAndCues:
+    def test_block_durations_from_gaps(self):
+        sig, clusters = _pcm_clusters()
+        data = build_mkv_cued("A_PCM/INT/LIT", b"", clusters, rate=8000,
+                              bit_depth=16, with_cues=False,
+                              with_seekhead=False)
+        r = MkvReader(MediaSourceStream(data))
+        pkts = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            pkts.append(p)
+        # Every packet carries dur > 0 (gap-derived; last falls back).
+        assert all(p.dur == 62 for p in pkts[:-1])
+        assert pkts[-1].dur in (0, 62)  # no gap/default for the last one
+
+    def test_block_duration_element_and_default(self):
+        sig, clusters = _pcm_clusters(n_clusters=2, blocks_per=3)
+        bdurs = [[50, None, 70], [None, 40, None]]
+        data = build_mkv_cued("A_PCM/INT/LIT", b"", clusters, rate=8000,
+                              bit_depth=16, block_durs=bdurs,
+                              default_dur_ns=62_000_000, with_cues=False,
+                              with_seekhead=False)
+        r = MkvReader(MediaSourceStream(data))
+        durs = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            durs.append(p.dur)
+        # Explicit BlockDuration wins; gaps next; DefaultDuration last.
+        assert durs[0] == 50 and durs[2] == 70 and durs[4] == 40
+        assert durs[5] == 62  # from DefaultDuration (62 ms)
+
+    def test_cues_parsed_bulk(self):
+        sig, clusters = _pcm_clusters()
+        data = build_mkv_cued("A_PCM/INT/LIT", b"", clusters, rate=8000,
+                              bit_depth=16)
+        r = MkvReader(MediaSourceStream(data))
+        assert len(r.cues()) == len(clusters)
+        assert r.cues()[0][0] == 0
+
+
+class TestMkvStreaming:
+    def _decode_all(self, reader):
+        pkts = []
+        while True:
+            p = reader.next_packet()
+            if p is None:
+                return pkts
+            pkts.append(p)
+
+    def test_pipe_parity_with_bulk(self):
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+
+        sig, clusters = _pcm_clusters()
+        data = build_mkv_cued("A_PCM/INT/LIT", b"", clusters, rate=8000,
+                              bit_depth=16)
+        bulk = self._decode_all(MkvReader(MediaSourceStream(data)))
+        mss = MediaSourceStream(_Pipe(data))
+        got = self._decode_all(MkvStreamReader(mss))
+        assert [(p.ts, p.dur, p.data) for p in got] == \
+               [(p.ts, p.dur, p.data) for p in bulk]
+
+    def test_probe_routes_pipe_to_streaming(self):
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+
+        sig, clusters = _pcm_clusters()
+        data = build_mkv_cued("A_PCM/INT/LIT", b"", clusters, rate=8000,
+                              bit_depth=16)
+        probed = sym.get_probe().probe(MediaSourceStream(_Pipe(data)))
+        assert isinstance(probed.format, MkvStreamReader)
+
+    def test_unknown_size_clusters_stream(self):
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+
+        sig, clusters = _pcm_clusters(n_clusters=3)
+        data = build_mkv_cued("A_PCM/INT/LIT", b"", clusters, rate=8000,
+                              bit_depth=16, unknown_cluster_size=True,
+                              with_cues=False, with_seekhead=False)
+        got = self._decode_all(MkvStreamReader(MediaSourceStream(_Pipe(data))))
+        assert len(got) == 3 * 4
+        assert b"".join(p.data for p in got) == sig[: 3 * 4 * 500].tobytes()
+
+    def test_cues_seek_via_seekhead(self):
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+        from symphonia_tpu.core.formats import SeekMode, SeekTo
+
+        sig, clusters = _pcm_clusters()
+        data = build_mkv_cued("A_PCM/INT/LIT", b"", clusters, rate=8000,
+                              bit_depth=16)
+        r = MkvStreamReader(MediaSourceStream(data))
+        assert len(r.cues()) == len(clusters)  # loaded via SeekHead
+        bulk = self._decode_all(MkvReader(MediaSourceStream(data)))
+        for ts in (0, 200, 700, 1300):
+            seeked = r.seek(SeekMode.ACCURATE, SeekTo(ts=ts))
+            p = r.next_packet()
+            ref = max((b for b in bulk if b.ts <= ts), key=lambda b: b.ts)
+            assert p.ts == ref.ts and p.data == ref.data
+
+    def test_no_cues_forward_seek(self):
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+        from symphonia_tpu.core.formats import SeekMode, SeekTo
+
+        sig, clusters = _pcm_clusters()
+        data = build_mkv_cued("A_PCM/INT/LIT", b"", clusters, rate=8000,
+                              bit_depth=16, with_cues=False,
+                              with_seekhead=False)
+        r = MkvStreamReader(MediaSourceStream(data))
+        assert r.cues() == []
+        seeked = r.seek(SeekMode.ACCURATE, SeekTo(ts=700))
+        p = r.next_packet()
+        assert p.ts <= 700 < p.ts + max(p.dur, 63)
