@@ -182,8 +182,18 @@ class IsoMp4Reader(FormatReader):
             elif atype == b"udta":
                 self._parse_udta(buf, b, e)
 
-        # Fragmented movies: append moof samples.
-        self._parse_fragments(buf)
+        # Fragmented movies: sidx-indexed lazy loading when the moov carries
+        # no usable sample tables (demuxer.rs:500-584); otherwise an eager
+        # moof scan appends samples to the tables.
+        self._parse_sidx(buf)
+        self._frag_loaded = 0
+        tables_empty = all(len(t.offsets) == 0 for t in self._tracks)
+        if self._sidx_segments and tables_empty:
+            # Lazy: load the first segment so packet params/cursors work.
+            self._ensure_fragments_loaded(0)
+        else:
+            self._sidx_segments = []
+            self._parse_fragments(buf)
 
         if not self._tracks:
             raise Unsupported("no supported audio tracks in MP4")
@@ -198,12 +208,17 @@ class IsoMp4Reader(FormatReader):
                 bits_per_sample=t.bits_per_sample,
                 extra_data=t.extra_data,
             )
+            num_frames = int(t.durs.sum()) if t.durs is not None else None
+            if self._sidx_segments and self._sidx_timescale:
+                # Lazy mode: the total comes from the segment index.
+                num_frames = (self._sidx_total_dur * (t.timescale or 1)
+                              // self._sidx_timescale)
             self._track_objs.append(
                 Track(
                     id=t.track_id,
                     codec_params=params,
                     time_base=TimeBase(1, t.timescale or 1),
-                    num_frames=int(t.durs.sum()) if t.durs is not None else None,
+                    num_frames=num_frames,
                     delay=t.delay,
                 )
             )
@@ -390,9 +405,60 @@ class IsoMp4Reader(FormatReader):
         t.ts = ts
         t.durs = durs
 
-    def _parse_fragments(self, buf) -> None:
-        """Minimal moof/traf/trun support (fragmented MP4, stream.rs:83)."""
+    def _parse_sidx(self, buf) -> None:
+        """Segment index atoms -> [(start_ts, byte_lo, byte_hi)] per
+        referenced subsegment (demuxer.rs:500-584 seek path). Offsets are
+        relative to the first byte after the sidx atom."""
+        self._sidx_segments: List[Tuple[int, int, int]] = []
+        self._sidx_timescale = 0
+        self._sidx_track_id: Optional[int] = None
         for atype, b, e in iter_atoms(buf, 0, len(buf)):
+            if atype != b"sidx":
+                continue
+            version = buf[b]
+            ref_id = int.from_bytes(buf[b + 4 : b + 8], "big")
+            timescale = int.from_bytes(buf[b + 8 : b + 12], "big")
+            pos = b + 12
+            if version == 0:
+                earliest = int.from_bytes(buf[pos : pos + 4], "big")
+                first_off = int.from_bytes(buf[pos + 4 : pos + 8], "big")
+                pos += 8
+            else:
+                earliest = int.from_bytes(buf[pos : pos + 8], "big")
+                first_off = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                pos += 16
+            count = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+            pos += 4
+            anchor = e + first_off
+            ts = earliest
+            for _ in range(count):
+                word = int.from_bytes(buf[pos : pos + 4], "big")
+                ref_type = word >> 31
+                size = word & 0x7FFFFFFF
+                dur = int.from_bytes(buf[pos + 4 : pos + 8], "big")
+                pos += 12
+                if ref_type == 0:  # media reference
+                    self._sidx_segments.append((ts, anchor, anchor + size))
+                ts += dur
+                anchor += size
+            self._sidx_timescale = timescale
+            self._sidx_track_id = ref_id
+            self._sidx_total_dur = ts - earliest
+            break  # one index per presentation is the common layout
+
+    def _ensure_fragments_loaded(self, upto_segment: int) -> None:
+        """Lazily parse moof/trun tables for sidx segments [loaded..upto]."""
+        while self._frag_loaded <= upto_segment and \
+                self._frag_loaded < len(self._sidx_segments):
+            _ts, lo, hi = self._sidx_segments[self._frag_loaded]
+            self._parse_fragments(self._buf, lo, min(hi, len(self._buf)))
+            self._frag_loaded += 1
+
+    def _parse_fragments(self, buf, lo: int = 0, hi: Optional[int] = None) -> None:
+        """Minimal moof/traf/trun support (fragmented MP4, stream.rs:83)."""
+        if hi is None:
+            hi = len(buf)
+        for atype, b, e in iter_atoms(buf, lo, hi):
             if atype != b"moof":
                 continue
             moof_start = b - 8
@@ -513,6 +579,10 @@ class IsoMp4Reader(FormatReader):
             if best is None or key < best[0]:
                 best = (key, t, i)
         if best is None:
+            if self._sidx_segments and \
+                    self._frag_loaded < len(self._sidx_segments):
+                self._ensure_fragments_loaded(self._frag_loaded)
+                return self.next_packet()
             return None
         _, t, i = best
         self._cursor[t.track_id] = i + 1
@@ -534,6 +604,17 @@ class IsoMp4Reader(FormatReader):
             ts = int(to.time.to_seconds() * track.timescale)
         else:
             raise SeekError("no seek target")
+        if self._sidx_segments:
+            # sidx-directed: load fragments only up to the target's
+            # subsegment (demuxer.rs:500-584); the byte range comes from
+            # the segment index, not a full moof scan.
+            ts_sidx = ts
+            if self._sidx_timescale and track.timescale and \
+                    self._sidx_timescale != track.timescale:
+                ts_sidx = ts * self._sidx_timescale // track.timescale
+            starts = [s[0] for s in self._sidx_segments]
+            seg = max(0, int(np.searchsorted(starts, ts_sidx, side="right")) - 1)
+            self._ensure_fragments_loaded(seg)
         i = int(np.searchsorted(track.ts, ts, side="right")) - 1
         i = max(0, i)
         for t in self._tracks:
@@ -542,6 +623,8 @@ class IsoMp4Reader(FormatReader):
         return SeekedTo(track.track_id, ts, int(track.ts[i]))
 
     def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
+        if self._sidx_segments:  # bulk consumer: materialize everything
+            self._ensure_fragments_loaded(len(self._sidx_segments) - 1)
         t = self._tracks[0]
         if track_id is not None:
             t = next(tt for tt in self._tracks if tt.track_id == track_id)

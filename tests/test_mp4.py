@@ -139,9 +139,11 @@ class TestMp4Aac:
         assert r.next_packet().ts == 2048
 
 
-def build_fmp4(frames, rate=44100, n_ch=1, frag_size=4) -> bytes:
+def build_fmp4(frames, rate=44100, n_ch=1, frag_size=4,
+               with_sidx=False) -> bytes:
     """Minimal fragmented MP4: moov with empty sample tables + mvex, then
-    one moof/mdat pair per ``frag_size`` frames."""
+    one moof/mdat pair per ``frag_size`` frames; with_sidx inserts a
+    segment index referencing each moof+mdat subsegment."""
     from symphonia_tpu.common.mpeg import AudioSpecificConfig
 
     asc = AudioSpecificConfig.build(2, rate, n_ch)
@@ -174,6 +176,7 @@ def build_fmp4(frames, rate=44100, n_ch=1, frag_size=4) -> bytes:
     ftyp = atom(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42isom")
 
     out = ftyp + moov
+    segments = []
     seq = 1
     for i in range(0, len(frames), frag_size):
         grp = frames[i : i + frag_size]
@@ -193,7 +196,14 @@ def build_fmp4(frames, rate=44100, n_ch=1, frag_size=4) -> bytes:
         # find trun payload: last 4*len(grp) + 8 bytes before end... locate
         idx = moof.find(b"trun") + 4 + 4 + 4  # type + ver/flags + count
         struct.pack_into(">i", moof, idx, data_offset)
-        out += bytes(moof) + atom(b"mdat", b"".join(grp))
+        segments.append((bytes(moof) + atom(b"mdat", b"".join(grp)),
+                         len(grp) * 1024))
+    if with_sidx:
+        payload = struct.pack(">IIIIHH", 1, rate, 0, 0, 0, len(segments))
+        for blob, dur in segments:
+            payload += struct.pack(">III", len(blob), dur, 0x90000000)
+        out += full_atom(b"sidx", payload)
+    out += b"".join(blob for blob, _ in segments)
     return out
 
 
@@ -230,3 +240,62 @@ class TestFragmentedMp4:
         seeked = r.seek("accurate", sym.SeekTo(ts=5000))
         assert seeked.actual_ts == 4096
         assert r.next_packet().ts == 4096
+
+
+class TestSidxSeek:
+    """sidx-indexed fragmented MP4 (demuxer.rs:500-584): lazy fragment
+    loading driven by the segment index; seek loads only up to the target
+    subsegment; no usable moov sample tables."""
+
+    def _fixture(self, n_frames=24, frag_size=4):
+        rng = np.random.default_rng(33)
+        frames = [
+            build_raw_block([random_quant_spectrum(rng, 30, RATE)], [0],
+                            30, GAIN, RATE)
+            for _ in range(n_frames)
+        ]
+        return frames, build_fmp4(frames, RATE, 1, frag_size=frag_size,
+                                  with_sidx=True)
+
+    def test_lazy_load_and_full_decode(self):
+        frames, data = self._fixture()
+        r = IsoMp4Reader(MediaSourceStream(data))
+        # Only the first subsegment is materialized at open.
+        t = r._tracks[0]
+        assert len(t.offsets) == 4
+        assert r._sidx_segments and len(r._sidx_segments) == 6
+        # num_frames comes from the segment index, not loaded tables.
+        assert r.default_track().num_frames == 24 * 1024
+        n = 0
+        while r.next_packet() is not None:
+            n += 1
+        assert n == 24
+
+    def test_sidx_seek_loads_only_target_prefix(self):
+        frames, data = self._fixture()
+        r = IsoMp4Reader(MediaSourceStream(data))
+        seeked = r.seek("accurate", sym.SeekTo(ts=17 * 1024))
+        # Target is in subsegment 4 (frames 16..19): segments 0..4 loaded.
+        assert r._frag_loaded == 5
+        p = r.next_packet()
+        assert p.ts == 17 * 1024
+        assert p.data == frames[17]
+
+    def test_sidx_decode_matches_plain_fmp4(self):
+        frames, data = self._fixture()
+        plain = build_fmp4(frames, RATE, 1, frag_size=4, with_sidx=False)
+        a = IsoMp4Reader(MediaSourceStream(data))
+        b = IsoMp4Reader(MediaSourceStream(plain))
+        while True:
+            pa, pb = a.next_packet(), b.next_packet()
+            assert (pa is None) == (pb is None)
+            if pa is None:
+                break
+            assert (pa.ts, pa.dur, pa.data) == (pb.ts, pb.dur, pb.data)
+
+    def test_packet_table_materializes_all(self):
+        frames, data = self._fixture()
+        r = IsoMp4Reader(MediaSourceStream(data))
+        table = r.packet_table()
+        assert len(table.data) == 24
+        assert table.data == frames
