@@ -8,9 +8,8 @@ Two decode surfaces:
 * a scalar tree-walk ``decode_ltr``/``decode_rtl`` used for host header
   parsing and as the test oracle, and
 * a flat multi-level lookup table (``build_lut``) of uniform ``block_bits``
-  blocks, consumed by the *vectorized* batch decoders in
-  ``symphonia_tpu.ops.bitpack`` (numpy host path) and the Pallas entropy
-  kernels — the TPU-first replacement for the reference's per-symbol loop.
+  blocks — the layout the native C++ entropy stages (``native/*.cpp``)
+  mirror with their two-level LUTs and packed single-probe fast tables.
 
 Codewords are canonical MSB-first integers. Vorbis codebooks (lengths only)
 get codewords assigned with the Vorbis canonical algorithm

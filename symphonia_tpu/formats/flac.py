@@ -117,6 +117,68 @@ def scan_frames(buf: bytes, si: StreamInfo) -> np.ndarray:
     return np.asarray(starts, dtype=np.int64)
 
 
+def parse_flac_cuesheet(payload: bytes, sample_rate: int):
+    """CUESHEET metadata block -> ChapterGroup (embedded/flac.rs
+    read_flac_cuesheet_block). Tracks become chapters (one per index point
+    when present); the catalog number and per-track ISRCs are carried as
+    tags."""
+    from ..core.meta import Chapter, ChapterGroup, RawTag
+
+    if len(payload) < 128 + 8 + 1 + 258 + 1:
+        raise DecodeError("flac: truncated cuesheet")
+    catalog = payload[:128].rstrip(b"\x00")
+    if any(b < 0x20 or b > 0x7E for b in catalog):
+        raise DecodeError("flac: cuesheet catalog number invalid")
+    pos = 128
+    lead_in = int.from_bytes(payload[pos : pos + 8], "big")
+    pos += 8
+    is_cdda = bool(payload[pos] & 0x80)
+    pos += 1
+    if not is_cdda and lead_in:
+        raise DecodeError("flac: cuesheet lead-in without CD-DA")
+    pos += 258  # reserved
+    n_tracks = payload[pos]
+    pos += 1
+    if n_tracks == 0:
+        raise DecodeError("flac: cuesheet has no tracks")
+
+    group = ChapterGroup()
+    if catalog:
+        group.title = catalog.decode("ascii")
+    for _ in range(n_tracks):
+        if pos + 36 > len(payload):
+            raise DecodeError("flac: truncated cuesheet track")
+        offset = int.from_bytes(payload[pos : pos + 8], "big")
+        number = payload[pos + 8]
+        if number == 0:
+            raise DecodeError("flac: cuesheet track number 0")
+        isrc = payload[pos + 9 : pos + 21].rstrip(b"\x00")
+        pos += 21 + 14  # + flags/reserved
+        n_idx = payload[pos]
+        pos += 1
+        is_lead_out = is_cdda and number == 170
+        tags = ([RawTag("ISRC", isrc.decode("ascii", "replace"), "ident_isrc")]
+                if isrc else [])
+        if n_idx == 0:
+            if not is_lead_out:
+                group.items.append(Chapter(
+                    start_time=offset / sample_rate,
+                    title=f"Track {number}", tags=tags))
+        for _ in range(n_idx):
+            if pos + 12 > len(payload):
+                raise DecodeError("flac: truncated cuesheet index")
+            idx_off = int.from_bytes(payload[pos : pos + 8], "big")
+            idx_no = payload[pos + 8]
+            pos += 12
+            if not is_lead_out:
+                group.items.append(Chapter(
+                    start_time=(offset + idx_off) / sample_rate,
+                    title=f"Track {number}"
+                          + (f" Index {idx_no}" if n_idx > 1 else ""),
+                    tags=list(tags)))
+    return group
+
+
 class FlacReader(FormatReader):
     """FLAC format reader (bundle-flac demuxer.rs:42)."""
 
@@ -157,7 +219,15 @@ class FlacReader(FormatReader):
                 if vis is not None:
                     rev.visuals.append(vis)
                     have_meta = True
-            # PADDING/APPLICATION/CUESHEET payloads are skipped.
+            elif btype == BLOCK_CUESHEET:
+                try:
+                    sr = self.stream_info.sample_rate if self.stream_info else 44100
+                    group = parse_flac_cuesheet(payload, sr)
+                    if group.items:
+                        self._chapters = group
+                except DecodeError:
+                    pass  # malformed cuesheet: ignore, like other metadata
+            # PADDING/APPLICATION payloads are skipped.
             if last:
                 break
         if have_meta:
@@ -301,6 +371,90 @@ class FlacReader(FormatReader):
         )
 
 
+class FlacStreamReader(FlacReader):
+    """Streaming FLAC reader for unseekable sources: metadata blocks parse
+    incrementally in FlacReader.__init__ already; this override extracts
+    one frame at a time over the MSS window (parser.rs incremental
+    PacketBuilder) instead of slurping the stream for a table scan."""
+
+    MIN_WINDOW = 1 << 13
+    MAX_WINDOW = 1 << 21
+
+    def next_packet(self) -> Optional[Packet]:
+        si = self.stream_info
+        win_size = self.MIN_WINDOW
+        while True:
+            win = self.mss.peek_bytes(win_size)
+            if len(win) < 2:
+                return None
+            try:
+                hdr = parse_frame_header(win[:16], si)
+            except DecodeError:
+                # Junk at the cursor: resync to the next parseable header.
+                a = np.frombuffer(win, dtype=np.uint8)
+                cand = np.nonzero((a[:-1] == 0xFF)
+                                  & ((a[1:] & 0xFC) == 0xF8))[0]
+                for c in cand:
+                    if c == 0:
+                        continue
+                    try:
+                        parse_frame_header(win[c : c + 16], si)
+                        self.mss.ignore_bytes(int(c))
+                        break
+                    except DecodeError:
+                        continue
+                else:
+                    if len(win) < win_size:  # EOF, nothing parseable
+                        return None
+                    self.mss.ignore_bytes(max(1, len(win) - 16))
+                continue
+            # Find the end: next sync whose CRC-16 trailer confirms the
+            # span; like scan_frames, re-anchor past a corrupt frame via
+            # tentative candidates (the emitted span then contains the bad
+            # frame, which the decoder flags, and the stream continues).
+            a = np.frombuffer(win, dtype=np.uint8)
+            cand = np.nonzero((a[6:-1] == 0xFF)
+                              & ((a[7:] & 0xFC) == 0xF8))[0] + 6
+            end = None
+            tentatives: List[int] = []
+            for c in cand:
+                c = int(c)
+                try:
+                    parse_frame_header(win[c : c + 16], si)
+                except DecodeError:
+                    continue
+                expect = win[c - 2] << 8 | win[c - 1]
+                if crc16_buf(win[:c - 2]) == expect:
+                    end = c
+                    break
+                for t in tentatives:
+                    if c - t >= 6 and crc16_buf(win[t : c - 2]) == expect:
+                        end = t
+                        break
+                if end is not None:
+                    break
+                if len(tentatives) < 64:
+                    tentatives.append(c)
+            if end is None:
+                if len(win) == win_size and win_size < self.MAX_WINDOW:
+                    win_size *= 2
+                    continue
+                end = len(win)  # final frame extends to EOF
+            data = win[:end]
+            self.mss.ignore_bytes(end)
+            ts = first_sample_of(hdr, si)
+            return Packet(track_id=0, ts=ts, dur=hdr.block_size, data=data)
+
+    def seek(self, mode: str, to: SeekTo) -> SeekedTo:
+        raise SeekError("source is not seekable")
+
+
+def _make_flac_reader(mss, options: Optional[FormatOptions] = None):
+    if mss.is_seekable():
+        return FlacReader(mss, options)
+    return FlacStreamReader(mss, options)
+
+
 def _score(context: bytes) -> int:
     return 255 if context.startswith(FLAC_MARKER) else 0
 
@@ -308,6 +462,6 @@ def _score(context: bytes) -> int:
 DESCRIPTOR = Descriptor(
     name="flac",
     markers=[FLAC_MARKER],
-    factory=FlacReader,
+    factory=_make_flac_reader,
     score=_score,
 )

@@ -306,10 +306,114 @@ for b1 in range(0xE0, 0x100):
         continue
     _MARKERS.append(bytes([0xFF, b1]))
 
+class MpaStreamReader(FormatReader):
+    """Streaming MPEG audio reader: one strictly-verified frame at a time
+    over the MSS window (O(window) memory; demuxer.rs next_packet), for
+    unseekable sources. Gapless delay trims apply at the head; the LAME
+    padding is applied at EOF through a small hold-back queue."""
+
+    RESYNC_WINDOW = 1 << 16
+
+    def __init__(self, mss, options: Optional[FormatOptions] = None):
+        super().__init__(mss, options)
+        self._metadata = MetadataLog()
+        win = mss.peek_bytes(self.RESYNC_WINDOW)
+        off, hdr = MpaReader._find_first_frame(win)
+        mss.ignore_bytes(off)
+        first = mss.peek_bytes(hdr.frame_size)
+        info = parse_info_tag(first, hdr)
+        if info.present:
+            mss.ignore_bytes(hdr.frame_size)
+        self.header = hdr
+        self._spf = hdr.duration
+        self._delay = info.enc_delay if self.options.enable_gapless else 0
+        self._padding = info.enc_padding if self.options.enable_gapless else 0
+        self._raw_ts = 0
+        self._hold: List[Packet] = []
+        self._eof = False
+        codec = {LAYER1: CODEC_ID_MP1, LAYER2: CODEC_ID_MP2,
+                 LAYER3: CODEC_ID_MP3}[hdr.layer]
+        params = AudioCodecParameters(
+            codec=codec,
+            sample_rate=hdr.sample_rate,
+            channels=Channels.from_count(hdr.n_channels),
+            max_frames_per_packet=self._spf,
+        )
+        self._track = Track(id=0, codec_params=params,
+                            time_base=TimeBase(1, hdr.sample_rate),
+                            num_frames=None)
+
+    def tracks(self) -> List[Track]:
+        return [self._track]
+
+    def metadata(self) -> MetadataLog:
+        return self._metadata
+
+    def _read_frame(self) -> Optional[Packet]:
+        while True:
+            head = self.mss.peek_bytes(4)
+            if len(head) < 4:
+                return None
+            h = try_parse_header(head, 0)
+            if h is None or not _compatible(h, self.header):
+                win = self.mss.peek_bytes(self.RESYNC_WINDOW)
+                nxt = MpaReader._resync(win, 1, self.header)
+                if nxt is None:
+                    skip = max(1, len(win) - 4)
+                    if len(win) < 8:
+                        return None
+                    self.mss.ignore_bytes(skip)
+                    continue
+                self.mss.ignore_bytes(nxt)
+                continue
+            data = self.mss.peek_bytes(h.frame_size)
+            if len(data) < h.frame_size:
+                return None  # truncated final frame
+            self.mss.ignore_bytes(h.frame_size)
+            raw_ts = self._raw_ts
+            self._raw_ts += self._spf
+            trim_start = min(max(self._delay - raw_ts, 0), self._spf)
+            return Packet(track_id=0, ts=max(raw_ts - self._delay, 0),
+                          dur=self._spf - trim_start, data=data,
+                          trim_start=trim_start)
+
+    def next_packet(self) -> Optional[Packet]:
+        # Hold back enough frames to absorb the trailing padding at EOF.
+        hold = (self._padding + self._spf - 1) // self._spf if self._padding else 0
+        while not self._eof and len(self._hold) <= hold:
+            p = self._read_frame()
+            if p is None:
+                self._eof = True
+                if self._padding and self._hold:
+                    # Distribute the padding over the last frames.
+                    trim = self._padding
+                    for pkt in reversed(self._hold):
+                        t = min(trim, pkt.dur)
+                        pkt.trim_end += t
+                        pkt.dur -= t
+                        trim -= t
+                        if trim <= 0:
+                            break
+                break
+            self._hold.append(p)
+        if not self._hold:
+            return None
+        return self._hold.pop(0)
+
+    def seek(self, mode: str, to: SeekTo) -> SeekedTo:
+        raise SeekError("source is not seekable")
+
+
+def _make_mpa_reader(mss, options: Optional[FormatOptions] = None):
+    if mss.is_seekable():
+        return MpaReader(mss, options)
+    return MpaStreamReader(mss, options)
+
+
 DESCRIPTOR = Descriptor(
     name="mpa",
     markers=_MARKERS,
-    factory=MpaReader,
+    factory=_make_mpa_reader,
     score=_score,
     tier=2,  # fallback tier: weak marker (common.rs:54 Tier semantics)
 )

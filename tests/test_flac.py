@@ -221,3 +221,139 @@ class TestRobustness:
                 failed = True
         if not failed:
             assert dec.finalize().verify_ok is False
+
+
+class TestCuesheet:
+    """FLAC CUESHEET metadata block -> ChapterGroup (embedded/flac.rs
+    read_flac_cuesheet_block)."""
+
+    def _cuesheet(self, tracks, catalog=b"1234567890123", cdda=True):
+        out = bytearray()
+        out += catalog.ljust(128, b"\x00")
+        out += (88 * 2 * 75 if cdda else 0).to_bytes(8, "big")
+        out += bytes([0x80 if cdda else 0x00])
+        out += bytes(258)
+        out += bytes([len(tracks)])
+        for offset, number, isrc, indices in tracks:
+            out += offset.to_bytes(8, "big")
+            out += bytes([number])
+            out += isrc.ljust(12, b"\x00")
+            out += bytes(14)
+            out += bytes([len(indices)])
+            for idx_off, idx_no in indices:
+                out += idx_off.to_bytes(8, "big")
+                out += bytes([idx_no]) + bytes(3)
+        return bytes(out)
+
+    def test_parse_tracks_and_indices(self):
+        from symphonia_tpu.formats.flac import parse_flac_cuesheet
+
+        cs = self._cuesheet([
+            (0, 1, b"USRC17607839", [(0, 1)]),
+            (588 * 100, 2, b"", [(0, 0), (588 * 5, 1)]),
+            (588 * 400, 170, b"", []),  # lead-out: excluded
+        ])
+        g = parse_flac_cuesheet(cs, 44100)
+        assert g.title == "1234567890123"
+        assert len(g.items) == 3  # 1 + 2 indices, lead-out dropped
+        assert g.items[0].start_time == 0.0
+        assert g.items[0].tags[0].value == "USRC17607839"
+        assert abs(g.items[2].start_time - (588 * 105) / 44100) < 1e-9
+        assert g.items[2].title == "Track 2 Index 1"
+
+    def test_reader_attaches_chapters(self):
+        from flac_builder import build_flac_file, random_walk
+
+        cs = self._cuesheet([(0, 1, b"", [(0, 1)])])
+        ch = random_walk(1024, 16, seed=3, ch=1)
+        data = build_flac_file(
+            ch, block_size=256, kind="fixed", order=1,
+            extra_metadata_blocks=[bytes([5]) + cs])
+        r = FlacReader(MediaSourceStream(data))
+        assert r.chapters() is not None
+        assert len(r.chapters().items) == 1
+
+    def test_malformed_cuesheet_ignored(self):
+        from flac_builder import build_flac_file, random_walk
+
+        ch = random_walk(1024, 16, seed=3, ch=1)
+        data = build_flac_file(
+            ch, block_size=256, kind="fixed", order=1,
+            extra_metadata_blocks=[bytes([5]) + b"\xff" * 40])
+        r = FlacReader(MediaSourceStream(data))
+        assert r.chapters() is None
+
+
+class _FwdPipe:
+    def __init__(self, b):
+        self.b, self.i = b, 0
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return False
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = len(self.b) - self.i
+        out = self.b[self.i : self.i + n]
+        self.i += len(out)
+        return out
+
+
+class TestFlacStreaming:
+    """FlacStreamReader: one frame at a time over the MSS window for
+    unseekable sources (parser.rs incremental PacketBuilder)."""
+
+    def _fixture(self):
+        from flac_builder import build_flac_file, random_walk
+
+        ch = random_walk(4096 * 4, 16, seed=11, ch=2)
+        return build_flac_file(ch, block_size=1024, stereo_mode="mid_side",
+                               kind="lpc", lpc_coefs=[900, -300],
+                               lpc_shift=10)
+
+    def test_pipe_parity_and_bounded_window(self):
+        from symphonia_tpu.formats.flac import FlacStreamReader
+
+        data = self._fixture()
+        bulk = []
+        r0 = FlacReader(MediaSourceStream(data))
+        while True:
+            p = r0.next_packet()
+            if p is None:
+                break
+            bulk.append(p)
+        mss = MediaSourceStream(_FwdPipe(data))
+        r = FlacStreamReader(mss)
+        got, mx = [], 0
+        while True:
+            p = r.next_packet()
+            mx = max(mx, len(mss._buf))
+            if p is None:
+                break
+            got.append(p)
+        assert [(p.ts, p.dur, p.data) for p in got] == \
+               [(p.ts, p.dur, p.data) for p in bulk]
+        assert mx < 4 * 64 * 1024 + 96 * 1024
+
+    def test_probe_routes_pipe(self):
+        import symphonia_tpu as sym
+        from symphonia_tpu.formats.flac import FlacStreamReader
+
+        probed = sym.get_probe().probe(MediaSourceStream(_FwdPipe(self._fixture())))
+        assert isinstance(probed.format, FlacStreamReader)
+
+    def test_mid_stream_corruption_resyncs(self):
+        from symphonia_tpu.formats.flac import FlacStreamReader
+
+        data = bytearray(self._fixture())
+        starts = [i for i in range(len(data) - 1)
+                  if data[i] == 0xFF and (data[i + 1] & 0xFC) == 0xF8]
+        data[starts[7]] = 0x00  # kill a mid-frame sync
+        r = FlacStreamReader(MediaSourceStream(_FwdPipe(bytes(data))))
+        n = 0
+        while r.next_packet() is not None:
+            n += 1
+        assert n >= 14  # one frame lost at most (16 total)

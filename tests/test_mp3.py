@@ -301,3 +301,39 @@ class TestMp3BatchDecoder:
         pcm_nat = np.stack([np.concatenate(c) for c in chans])
         n = min(pcm_nat.shape[1], pcm_py.shape[1])
         np.testing.assert_array_equal(pcm_nat[:, :n], pcm_py[:, :n])
+
+
+class TestMpaStreaming:
+    """MpaStreamReader: frame-at-a-time over the MSS window on pipes, with
+    gapless trims preserved (delay at head, LAME padding at EOF)."""
+
+    def test_pipe_parity_with_bulk(self):
+        from test_flac import _FwdPipe
+        from symphonia_tpu.formats.mpa import MpaReader, MpaStreamReader
+
+        data = open(HOUSE_MP3, "rb").read()
+        r0 = MpaReader(MediaSourceStream(data))
+        bulk = []
+        while True:
+            p = r0.next_packet()
+            if p is None:
+                break
+            bulk.append(p)
+        r = MpaStreamReader(MediaSourceStream(_FwdPipe(data)))
+        got = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            got.append(p)
+        assert [(p.ts, p.dur, p.trim_start, p.trim_end, p.data) for p in got] \
+            == [(p.ts, p.dur, p.trim_start, p.trim_end, p.data) for p in bulk]
+
+    def test_probe_routes_pipe(self):
+        import symphonia_tpu as sym
+        from test_flac import _FwdPipe
+        from symphonia_tpu.formats.mpa import MpaStreamReader
+
+        data = open(HOUSE_MP3, "rb").read()
+        probed = sym.get_probe().probe(MediaSourceStream(_FwdPipe(data)))
+        assert isinstance(probed.format, MpaStreamReader)
