@@ -16,6 +16,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 #include "entropy_common.h"
 
 namespace {
@@ -85,13 +89,17 @@ inline void realign(Bits& bs) {
 // ---------------------------------------------------------------------------
 // Fast-table codeword emission (shared by the scalar and interleaved
 // engines; both must produce bit-identical output).
+//
+// The serial bitstream loops emit SIGNED int16 quantized values into a
+// scratch lane; the dequantization (sign * |q|^(4/3) * scale) runs as one
+// vectorized pass per ICS afterwards (dequant_run) — it was a measurable
+// share of the per-codeword critical path.
 // ---------------------------------------------------------------------------
 
 // Decode one packed quad entry: consumes len+nz bits from (buf, cnt), writes
-// 4 dequantized coefficients.
+// 4 signed quantized values.
 static inline void emit_fast_quad(int32_t e, uint64_t& buf, int& cnt,
-                                  float scale, float iquant2, float* out) {
-    float mags[3] = {0.0f, scale, iquant2};
+                                  int16_t* out) {
     int len = (e >> 27) & 15;
     int nz = (e >> 24) & 7;
     cnt -= len + nz;
@@ -106,20 +114,16 @@ static inline void emit_fast_quad(int32_t e, uint64_t& buf, int& cnt,
         int mag = d & 3;
         int take = (int)(mag != 0) & (int)(left > 0);
         left -= take;
-        uint32_t sbit = (signs >> (left & 31)) & (uint32_t)take;
-        uint32_t neg = ((uint32_t)d >> 2) | (sbit & 1u);
-        float v = mags[mag];
-        uint32_t bv;
-        memcpy(&bv, &v, 4);
-        bv ^= neg << 31;
-        memcpy(&out[j], &bv, 4);
+        int32_t sbit = (int32_t)((signs >> (left & 31)) & (uint32_t)take);
+        int32_t neg = (int32_t)((uint32_t)d >> 2) | sbit;
+        // q = neg ? -mag : mag
+        out[j] = (int16_t)((mag ^ -neg) + neg);
     }
 }
 
-// Decode one packed pair entry: consumes len+nz bits, writes 2 coefficients.
+// Decode one packed pair entry: consumes len+nz bits, writes 2 values.
 static inline void emit_fast_pair(int32_t e, uint64_t& buf, int& cnt,
-                                  float scale, const float* pow43,
-                                  float* out) {
+                                  int16_t* out) {
     int len = (e >> 27) & 15;
     int nz = (e >> 25) & 3;
     cnt -= len + nz;
@@ -128,22 +132,60 @@ static inline void emit_fast_pair(int32_t e, uint64_t& buf, int& cnt,
     int xa = (e >> 19) & 63;
     int ya = (e >> 12) & 63;
     // Branchless sign resolution: x's stream sign (if any) is bit nz-1,
-    // y's is bit 0; entry-borne signs for the signed books flip the float
-    // sign bit directly.
-    uint32_t xs = ((e >> 18) & 1)
-        | (((signs >> ((nz - 1) & 31)) & 1u) & (uint32_t)(xa != 0));
-    uint32_t ys = ((e >> 11) & 1)
-        | ((signs & 1u) & (uint32_t)(ya != 0));
-    float vx = pow43[xa] * scale;
-    float vy = pow43[ya] * scale;
-    uint32_t bx, by;
-    memcpy(&bx, &vx, 4);
-    memcpy(&by, &vy, 4);
-    bx ^= xs << 31;
-    by ^= ys << 31;
-    memcpy(&out[0], &bx, 4);
-    memcpy(&out[1], &by, 4);
+    // y's is bit 0; entry-borne signs for the signed books are in the
+    // entry itself.
+    int32_t xs = (int32_t)(((uint32_t)e >> 18) & 1)
+        | (int32_t)(((signs >> ((nz - 1) & 31)) & 1u) & (uint32_t)(xa != 0));
+    int32_t ys = (int32_t)(((uint32_t)e >> 11) & 1)
+        | (int32_t)((signs & 1u) & (uint32_t)(ya != 0));
+    out[0] = (int16_t)((xa ^ -xs) + xs);
+    out[1] = (int16_t)((ya ^ -ys) + ys);
 }
+
+// Dequantize one run: out[i] = sign(q) * |q|^(4/3) * scale. AVX-512 path
+// keeps pow43[0..63] register-resident (covers every non-escape codeword);
+// escape magnitudes (<8192) take a masked gather.
+#if defined(__AVX512F__)
+static void dequant_run(const int16_t* q, float* out, int n, float scale,
+                        const float* pow43) {
+    const __m512 t0 = _mm512_loadu_ps(pow43 + 0);
+    const __m512 t1 = _mm512_loadu_ps(pow43 + 16);
+    const __m512 t2 = _mm512_loadu_ps(pow43 + 32);
+    const __m512 t3 = _mm512_loadu_ps(pow43 + 48);
+    const __m512 vs = _mm512_set1_ps(scale);
+    const __m512i v63 = _mm512_set1_epi32(63);
+    for (int i = 0; i < n; i += 16) {
+        __mmask16 m = n - i >= 16 ? (__mmask16)0xFFFF
+                                  : (__mmask16)((1u << (n - i)) - 1);
+        __m256i qh = _mm256_maskz_loadu_epi16(m, q + i);
+        __m512i qi = _mm512_cvtepi16_epi32(qh);
+        __m512i aq = _mm512_abs_epi32(qi);
+        __m512 lo = _mm512_permutex2var_ps(t0, aq, t1);
+        __m512 hi = _mm512_permutex2var_ps(t2, aq, t3);
+        __mmask16 b5 = _mm512_test_epi32_mask(aq, _mm512_set1_epi32(32));
+        __m512 mag = _mm512_mask_blend_ps(b5, lo, hi);
+        __mmask16 big = _mm512_cmpgt_epi32_mask(aq, v63);
+        if (big)
+            mag = _mm512_mask_i32gather_ps(mag, big, aq, pow43, 4);
+        __m512 v = _mm512_mul_ps(mag, vs);
+        // Apply q's sign by flipping the float sign bit.
+        __m512i sgn = _mm512_and_epi32(qi, _mm512_set1_epi32(0x80000000u));
+        v = _mm512_castsi512_ps(
+            _mm512_xor_epi32(_mm512_castps_si512(v), sgn));
+        _mm512_mask_storeu_ps(out + i, m, v);
+    }
+}
+#else
+static void dequant_run(const int16_t* q, float* out, int n, float scale,
+                        const float* pow43) {
+    for (int i = 0; i < n; i++) {
+        int v = q[i];
+        int a = v < 0 ? -v : v;
+        float f = pow43[a] * scale;
+        out[i] = v < 0 ? -f : f;
+    }
+}
+#endif
 
 // ---------------------------------------------------------------------------
 // ICS
@@ -220,6 +262,7 @@ struct Ics {
     int32_t sfb_cb[MAX_WINDOWS][MAX_SFBS];
     float scales[MAX_WINDOWS][MAX_SFBS];
     float* coeffs = nullptr;  // decodes in place into the caller's output
+    int16_t qbuf[1024];       // signed quantized values (dequant_run input)
     // TNS state (per frame)
     bool has_tns = false;
     int tns_n_filt[MAX_WINDOWS];
@@ -478,7 +521,6 @@ struct Ics {
         Run runs[MAX_WINDOWS * MAX_SFBS];
         int n_runs = build_runs(runs);
 
-        const float* pow43 = tables().pow43;
         uint64_t buf = br.buf;
         int cnt = br.cnt;
         int64_t pos = br.pos;
@@ -493,9 +535,7 @@ struct Ics {
             const int32_t* fr = g_fast[R.cb].tbl;
             const int fb = g_fast[R.cb].bits;
             const uint32_t fbmask = (1u << fb) - 1;
-            float scale = R.scale;
             if (R.cb <= 4) {
-                float iquant2 = (float)(kIquant2 * (double)scale);
                 for (int i = R.start; i < R.end; i += 4) {
                     if (cnt < 32 && pos + 8 <= br.len) {
                         int nbytes = (63 - cnt) >> 3;
@@ -509,12 +549,12 @@ struct Ics {
                     int32_t e = cnt >= 32 ? fr[(uint32_t)(buf >> (cnt - fb)) & fbmask] : -1;
                     if (e < 0) {
                         br.buf = buf; br.cnt = cnt; br.pos = pos;
-                        int r = decode_one_quad(br, R.cb, scale, iquant2, i);
+                        int r = decode_one_quad(br, R.cb, i);
                         if (r < 0) return r;
                         buf = br.buf; cnt = br.cnt; pos = br.pos;
                         continue;
                     }
-                    emit_fast_quad(e, buf, cnt, scale, iquant2, &coeffs[i]);
+                    emit_fast_quad(e, buf, cnt, &qbuf[i]);
                 }
             } else {
                 for (int i = R.start; i < R.end; i += 2) {
@@ -530,18 +570,31 @@ struct Ics {
                     int32_t e = cnt >= 32 ? fr[(uint32_t)(buf >> (cnt - fb)) & fbmask] : -1;
                     if (e < 0 || (e & 1)) {
                         br.buf = buf; br.cnt = cnt; br.pos = pos;
-                        int r = e < 0 ? decode_one_pair(br, R.cb, scale, i)
-                                      : decode_escape_pair(br, e, scale, i);
+                        int r = e < 0 ? decode_one_pair(br, R.cb, i)
+                                      : decode_escape_pair(br, e, i);
                         if (r < 0) return r;
                         buf = br.buf; cnt = br.cnt; pos = br.pos;
                         continue;
                     }
-                    emit_fast_pair(e, buf, cnt, scale, pow43, &coeffs[i]);
+                    emit_fast_pair(e, buf, cnt, &qbuf[i]);
                 }
             }
         }
         br.buf = buf; br.cnt = cnt; br.pos = pos;
-        return br.error ? -33 : 0;
+        if (br.error) return -33;
+        dequant_runs(runs, n_runs);
+        return 0;
+    }
+
+    // Vectorized dequantization of every coded (non-noise) run.
+    void dequant_runs(const Run* runs, int n_runs) {
+        const float* pow43 = tables().pow43;
+        for (int ri = 0; ri < n_runs; ri++) {
+            const Run& R = runs[ri];
+            if (R.cb == NOISE_HCB) continue;
+            dequant_run(qbuf + R.start, coeffs + R.start, R.end - R.start,
+                        R.scale, pow43);
+        }
     }
 
     int decode_noise(Lcg& lcg, float scale, int start, int end) {
@@ -558,8 +611,7 @@ struct Ics {
         return 0;
     }
 
-    int decode_one_quad(Bits& br, int cb_idx, float scale, float iquant2,
-                        int i) {
+    int decode_one_quad(Bits& br, int cb_idx, int i) {
         const Lut& cb = g_books[cb_idx];
         bool is_signed = cb_idx == 1 || cb_idx == 2;
         bool err = false;
@@ -567,7 +619,7 @@ struct Ics {
         if (err) return -34;
         int q[4] = {(code >> 6) & 3, (code >> 4) & 3, (code >> 2) & 3, code & 3};
         if (is_signed) {
-            for (int j = 0; j < 4; j++) coeffs[i + j] = (float)(q[j] - 1) * scale;
+            for (int j = 0; j < 4; j++) qbuf[i + j] = (int16_t)(q[j] - 1);
         } else {
             // One batched read for all sign bits (MSB-first order). Zero
             // digits are written explicitly: with gap-only lane zeroing the
@@ -577,10 +629,9 @@ struct Ics {
             for (int j = 0; j < 4; j++) {
                 if (q[j]) {
                     nz--;
-                    float sign = (signs >> nz) & 1 ? -1.0f : 1.0f;
-                    coeffs[i + j] = sign * (q[j] == 1 ? scale : iquant2);
+                    qbuf[i + j] = (int16_t)((signs >> nz) & 1 ? -q[j] : q[j]);
                 } else {
-                    coeffs[i + j] = 0.0f;
+                    qbuf[i + j] = 0;
                 }
             }
         }
@@ -609,8 +660,7 @@ struct Ics {
     // cb11 escape continuation for a fast-table entry with bit 0 set: the
     // codeword fit the table, but one or both magnitudes are 16 and carry
     // an escape-coded value after the sign bits.
-    int decode_escape_pair(Bits& br, int32_t e, float scale, int i) {
-        const float* pow43 = tables().pow43;
+    int decode_escape_pair(Bits& br, int32_t e, int i) {
         int len = (e >> 27) & 15;
         int nz = (e >> 25) & 3;
         br.consume(len);
@@ -619,44 +669,41 @@ struct Ics {
         int y = (e >> 12) & 63;
         // Escaped magnitudes (16) are nonzero by construction, so the sign
         // layout matches the non-escape case: x's sign (if any) is the MSB.
-        float sx = 1.0f, sy = 1.0f;
-        if (x && y) { sx = (signs & 2) ? -1.0f : 1.0f; sy = (signs & 1) ? -1.0f : 1.0f; }
-        else if (x) sx = signs & 1 ? -1.0f : 1.0f;
-        else if (y) sy = signs & 1 ? -1.0f : 1.0f;
+        int sx = 0, sy = 0;
+        if (x && y) { sx = (signs >> 1) & 1; sy = signs & 1; }
+        else if (x) sx = signs & 1;
+        else if (y) sy = signs & 1;
         if (x == 16) { if (read_escape(br, &x) < 0) return -35; }
         if (y == 16) { if (read_escape(br, &y) < 0) return -35; }
-        coeffs[i] = sx * pow43[x] * scale;
-        coeffs[i + 1] = sy * pow43[y] * scale;
+        qbuf[i] = (int16_t)(sx ? -x : x);
+        qbuf[i + 1] = (int16_t)(sy ? -y : y);
         return 0;
     }
 
-    int decode_one_pair(Bits& br, int cb_idx, float scale, int i) {
+    int decode_one_pair(Bits& br, int cb_idx, int i) {
         const Lut& cb = g_books[cb_idx];
         bool is_signed = cb_idx == 5 || cb_idx == 6;
         bool escape = cb_idx == 11;
-        const float* pow43 = tables().pow43;
         bool err = false;
         int code = cb.decode(br, &err);
         if (err) return -36;
         int x, y;
         pair_value(cb_idx, code, &x, &y);
         if (is_signed) {
-            float sx = x > 0 ? 1.0f : (x < 0 ? -1.0f : 0.0f);
-            float sy = y > 0 ? 1.0f : (y < 0 ? -1.0f : 0.0f);
-            coeffs[i] = sx * pow43[x < 0 ? -x : x] * scale;
-            coeffs[i + 1] = sy * pow43[y < 0 ? -y : y] * scale;
+            qbuf[i] = (int16_t)x;
+            qbuf[i + 1] = (int16_t)y;
         } else {
             // One batched read for both sign bits (MSB-first order).
             int nz = (x != 0) + (y != 0);
             uint32_t signs = nz ? br.read(nz) : 0;
-            float sx = 1.0f, sy = 1.0f;
-            if (x && y) { sx = (signs & 2) ? -1.0f : 1.0f; sy = (signs & 1) ? -1.0f : 1.0f; }
-            else if (x) sx = signs & 1 ? -1.0f : 1.0f;
-            else if (y) sy = signs & 1 ? -1.0f : 1.0f;
+            int sx = 0, sy = 0;
+            if (x && y) { sx = (signs >> 1) & 1; sy = signs & 1; }
+            else if (x) sx = signs & 1;
+            else if (y) sy = signs & 1;
             if (escape && x == 16) { if (read_escape(br, &x) < 0) return -35; }
             if (escape && y == 16) { if (read_escape(br, &y) < 0) return -35; }
-            coeffs[i] = sx * pow43[x] * scale;
-            coeffs[i + 1] = sy * pow43[y] * scale;
+            qbuf[i] = (int16_t)(sx ? -x : x);
+            qbuf[i + 1] = (int16_t)(sy ? -y : y);
         }
         return 0;
     }
@@ -931,18 +978,16 @@ struct LaneCtx {
 // Scalar execution of one quad run (books 1-4) on a lane's bit reader.
 static int run_quad_scalar(Ics& ics, Bits& br, const Ics::Run& R) {
     const int32_t* fr = g_fast[R.cb].tbl;
-    float scale = R.scale;
-    float iquant2 = (float)(kIquant2 * (double)scale);
     for (int i = R.start; i < R.end; i += 4) {
         if (br.cnt < 32) br.fill();
         int32_t e = br.cnt >= 32
             ? fr[(uint32_t)(br.buf >> (br.cnt - 12)) & 4095] : -1;
         if (e < 0) {
-            int r = ics.decode_one_quad(br, R.cb, scale, iquant2, i);
+            int r = ics.decode_one_quad(br, R.cb, i);
             if (r < 0) return r;
             continue;
         }
-        emit_fast_quad(e, br.buf, br.cnt, scale, iquant2, &ics.coeffs[i]);
+        emit_fast_quad(e, br.buf, br.cnt, &ics.qbuf[i]);
     }
     return 0;
 }
@@ -986,7 +1031,8 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
             }
             if (L.status < 0) continue;
             if (br.error) { L.status = -33; continue; }
-            // ICS complete.
+            // ICS complete: vectorized dequantization of its coded runs.
+            ics.dequant_runs(L.runs, L.n_runs);
             if (L.pair.is_pair && L.ics_idx == 0) {
                 L.ics_idx = 1;
                 L.ics = &L.pair.ics1;
@@ -1106,12 +1152,12 @@ static inline int lane_step(LaneCtx& L, const float* pow43) {
     int32_t e = L.tbl[(uint32_t)(br.buf >> (br.cnt - 12)) & 4095];
     if (e < 0) return 2;
     if (e & 1) {  // cb11 escape continuation (lane br is already synced)
-        int r = L.ics->decode_escape_pair(br, e, L.scale, L.i);
+        int r = L.ics->decode_escape_pair(br, e, L.i);
         if (r < 0) { L.status = r; return 1; }
         L.i += 2;
         return L.i < L.end ? 0 : 1;
     }
-    emit_fast_pair(e, br.buf, br.cnt, L.scale, pow43, &L.ics->coeffs[L.i]);
+    emit_fast_pair(e, br.buf, br.cnt, &L.ics->qbuf[L.i]);
     L.i += 2;
     return L.i < L.end ? 0 : 1;
 }
@@ -1170,7 +1216,7 @@ static void extract_ilp(
             int s = lane_step(L, pow43);
             if (s == 0) continue;
             if (s == 2) {
-                int r = L.ics->decode_one_pair(L.br, L.cb, L.scale, L.i);
+                int r = L.ics->decode_one_pair(L.br, L.cb, L.i);
                 if (r < 0) L.status = r;
                 else L.i += 2;
                 if (L.status >= 0 && L.i < L.end) continue;

@@ -462,7 +462,7 @@ class Ics:
                     if cb_idx == NOISE_HCB:
                         self._decode_noise(lcg, scale, o + start, o + end)
                     elif cb_idx <= 4:
-                        self._decode_quads(br, cb_idx, scale, o + start, o + end)
+                        self._decode_quads(br, cb_idx, scale, o + start, o + end, pow43)
                     else:
                         self._decode_pairs(br, cb_idx, scale, o + start, o + end, pow43)
 
@@ -476,22 +476,24 @@ class Ics:
             vals *= np.float32(scale / np.sqrt(energy))
         self.coeffs[start:end] = vals
 
-    def _decode_quads(self, br, cb_idx, scale, start, end) -> None:
+    def _decode_quads(self, br, cb_idx, scale, start, end, pow43) -> None:
         cb = spectrum_codebook(cb_idx)
         signed = cb_idx in (1, 2)
         c = self.coeffs
-        iquant2 = 2.51984209978974632953 * scale
+        # Same dequant formula as the pair books (sign * pow43[|q|] * scale,
+        # one f32 multiply) so the vectorized native stage is bit-identical.
         for i in range(start, end, 4):
             code = cb.decode_ltr(br)
             q = aac_quad(code)
             if signed:
                 for j, v in enumerate(q):
-                    c[i + j] = (v - 1) * scale
+                    v -= 1
+                    c[i + j] = np.sign(v) * pow43[abs(v)] * scale
             else:
                 for j, v in enumerate(q):
                     if v:
                         sign = -1.0 if br.read_bits(1) else 1.0
-                        c[i + j] = sign * (scale if v == 1 else iquant2)
+                        c[i + j] = sign * pow43[v] * scale
 
     def _decode_pairs(self, br, cb_idx, scale, start, end, pow43) -> None:
         cb = spectrum_codebook(cb_idx)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from enum import Enum
-from typing import Optional, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
@@ -104,15 +104,26 @@ class Position:
 
 @dataclass(frozen=True)
 class Channels:
-    """A channel map: positioned speaker mask or N discrete channels
-    (audio/channels.rs:276)."""
+    """A channel map (audio/channels.rs:276): positioned speaker mask,
+    N discrete channels, a full Ambisonic set of a given order (ACN order,
+    SN3D normalization; (1+n)^2 components), or custom channel labels."""
 
-    mask: int = 0  # positioned bitmask; 0 if discrete
-    discrete: int = 0  # discrete channel count; 0 if positioned
+    mask: int = 0  # positioned bitmask; 0 otherwise
+    discrete: int = 0  # discrete channel count; 0 otherwise
+    ambisonic_order: Optional[int] = None  # highest Ambisonic order
+    custom: Optional[Tuple[str, ...]] = None  # channel labels
 
     @staticmethod
     def positioned(mask: int) -> "Channels":
         return Channels(mask=mask)
+
+    @staticmethod
+    def ambisonic(order: int) -> "Channels":
+        return Channels(ambisonic_order=order)
+
+    @staticmethod
+    def custom_labels(labels) -> "Channels":
+        return Channels(custom=tuple(labels))
 
     @staticmethod
     def from_count(n: int) -> "Channels":
@@ -138,6 +149,10 @@ class Channels:
 
     @property
     def count(self) -> int:
+        if self.ambisonic_order is not None:
+            return (1 + self.ambisonic_order) ** 2
+        if self.custom is not None:
+            return len(self.custom)
         return self.discrete if self.discrete else bin(self.mask).count("1")
 
     def __len__(self) -> int:

@@ -59,6 +59,8 @@ def main(argv=None) -> int:
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--no-gapless", action="store_true")
     ap.add_argument("--play", action="store_true", help="play via SDL")
+    ap.add_argument("--dump-visuals", action="store_true",
+                    help="write attached pictures next to the input file")
     args = ap.parse_args(argv)
 
     import symphonia_tpu as sym
@@ -78,6 +80,32 @@ def main(argv=None) -> int:
 
     print(f"{type(fmt).__name__}:")
     print_probe_info(probed, track)
+
+    if args.dump_visuals:
+        # symphonia-play --dump-visuals: write each attached picture to
+        # <input>-<n>.<ext>.
+        import os
+
+        exts = {"image/jpeg": "jpg", "image/png": "png", "image/gif": "gif",
+                "image/bmp": "bmp"}
+        revs = [fmt.metadata().current()] if fmt.metadata() else []
+        if probed.metadata and probed.metadata.current():
+            revs.append(probed.metadata.current())
+        count = 0
+        base, _ = os.path.splitext(args.file)
+        for rev in revs:
+            if rev is None:
+                continue
+            for v in rev.visuals:
+                ext = exts.get(v.media_type or "", "bin")
+                out_path = f"{base}-{count}.{ext}"
+                with open(out_path, "wb") as fo:
+                    fo.write(v.data)
+                print(f"  wrote visual: {out_path} ({len(v.data)} bytes)")
+                count += 1
+        if count == 0:
+            print("  no visuals to dump")
+
     if args.probe_only:
         return 0
 
