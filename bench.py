@@ -165,7 +165,7 @@ def bench_mp3_host(repeats: int = 30):
     return audio, best
 
 
-def bench_mp3_device(n_granules: int = 16384, iters: int = 4):
+def bench_mp3_device(n_granules: int = 24576, iters: int = 8):
     import jax
     import jax.numpy as jnp
 

@@ -59,6 +59,8 @@ def main(argv=None) -> int:
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--no-gapless", action="store_true")
     ap.add_argument("--play", action="store_true", help="play via SDL")
+    ap.add_argument("--tui", action="store_true",
+                    help="curses now-playing UI during --play (ui.rs analog)")
     ap.add_argument("--dump-visuals", action="store_true",
                     help="write attached pictures next to the input file")
     args = ap.parse_args(argv)
@@ -151,7 +153,22 @@ def main(argv=None) -> int:
         _write_wav(args.output, pcm, rate)
         print(f"  wrote {args.output}")
     if args.play:
-        _play_sdl(pcm, rate)
+        ui = None
+        if args.tui:
+            from .ui import NowPlayingUI
+
+            rev = fmt.metadata().current() if fmt.metadata() else None
+            info = [("codec", track.codec_params.codec or "?"),
+                    ("rate", str(rate)),
+                    ("channels", str(pcm.shape[0]))]
+            title = args.file
+            if rev:
+                for tag in rev.tags[:8]:
+                    info.append((tag.std_key or tag.key, str(tag.value)))
+                    if tag.std_key == "track_title":
+                        title = str(tag.value)
+            ui = NowPlayingUI(title, info, pcm.shape[1] / rate)
+        _play_sdl(pcm, rate, ui)
     return 0
 
 
@@ -172,7 +189,7 @@ def _write_wav(path: str, pcm: np.ndarray, rate: int) -> None:
         w.writeframes(inter.tobytes())
 
 
-def _play_sdl(pcm: np.ndarray, rate: int) -> None:
+def _play_sdl(pcm: np.ndarray, rate: int, ui=None) -> None:
     try:
         import pygame
 
@@ -190,10 +207,17 @@ def _play_sdl(pcm: np.ndarray, rate: int) -> None:
             s16 = (np.clip(pcm, -1, 32767 / 32768) * 32768.0).astype(np.int16)
         else:
             s16 = np.clip(pcm, -32768, 32767).astype(np.int16)
-        snd = pygame.sndarray.make_sound(np.ascontiguousarray(s16.T))
+        arr = s16.T if s16.shape[0] > 1 else s16[0]  # mono mixer wants 1-D
+        snd = pygame.sndarray.make_sound(np.ascontiguousarray(arr))
         ch = snd.play()
-        while ch.get_busy():
-            time.sleep(0.1)
+        if ui is not None:
+            ui.controls = {"pause": pygame.mixer.pause,
+                           "resume": pygame.mixer.unpause,
+                           "stop": pygame.mixer.stop}
+            ui.run(ch.get_busy)
+        else:
+            while ch.get_busy():
+                time.sleep(0.1)
     except Exception as e:  # no audio device etc.
         print(f"  playback unavailable: {e}", file=sys.stderr)
 

@@ -126,3 +126,58 @@ class TestExamples:
         )
         assert r.returncode == 0, r.stderr
         assert "rate=8000" in r.stdout
+
+
+class TestPlayTui:
+    def test_tui_smoke_under_pty(self):
+        """Drive the curses now-playing UI (ui.rs analog) in a pty: render,
+        pause, resume, quit."""
+        import os
+        import pty
+        import select
+        import sys as _sys
+        import time as _time
+        import wave
+
+        wav = "/tmp/symtpu_tui_test.wav"
+        sig = (np.sin(np.arange(16000) * 0.2) * 12000).astype("<i2")
+        with wave.open(wav, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(sig.tobytes())
+        env = dict(os.environ, SDL_AUDIODRIVER="dummy", TERM="xterm-256color")
+        pid, fd = pty.fork()
+        if pid == 0:
+            os.environ.update(env)
+            os.execvp(_sys.executable,
+                      [_sys.executable, "-m", "symphonia_tpu.tools.play",
+                       "--play", "--tui", wav])
+        out = b""
+        t0 = _time.time()
+        sent = 0
+        while _time.time() - t0 < 30:
+            r, _, _ = select.select([fd], [], [], 0.3)
+            if r:
+                try:
+                    chunk = os.read(fd, 65536)
+                except OSError:
+                    break
+                if not chunk:
+                    break
+                out += chunk
+            dt = _time.time() - t0
+            if sent == 0 and dt > 3:
+                os.write(fd, b" ")
+                sent = 1
+            elif sent == 1 and dt > 4:
+                os.write(fd, b" ")
+                sent = 2
+            elif sent == 2 and dt > 5:
+                os.write(fd, b"q")
+                sent = 3
+        _, status = os.waitpid(pid, 0)
+        txt = out.decode("utf-8", "replace")
+        assert status == 0
+        assert "symphonia_tpu" in txt and "PLAYING" in txt
+        assert "PAUSED" in txt  # the space key paused playback
