@@ -16,7 +16,7 @@
 #include <cstring>
 #include <vector>
 
-#if defined(__AVX512F__)
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
 #include <immintrin.h>
 #endif
 
@@ -145,7 +145,7 @@ static inline void emit_fast_pair(int32_t e, uint64_t& buf, int& cnt,
 // Dequantize one run: out[i] = sign(q) * |q|^(4/3) * scale. AVX-512 path
 // keeps pow43[0..63] register-resident (covers every non-escape codeword);
 // escape magnitudes (<8192) take a masked gather.
-#if defined(__AVX512F__)
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
 static void dequant_run(const int16_t* q, float* out, int n, float scale,
                         const float* pow43) {
     const __m512 t0 = _mm512_loadu_ps(pow43 + 0);
@@ -973,6 +973,9 @@ struct LaneCtx {
     int cb = 0;
     Lcg lcg;             // scratch; frames with PNS are re-decoded
     bool has_pns = false;
+    // Shared element-layout record (cross-frame consistency, scalar -3).
+    std::vector<std::pair<int, int>>* layout = nullptr;
+    int elem_idx = 0;
 };
 
 // Scalar execution of one quad run (books 1-4) on a lane's bit reader.
@@ -1077,6 +1080,21 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
             bool is_pair = eid == 1;
             int want = is_pair ? 2 : 1;
             if (L.cur_ch + want > O.max_ch) { L.status = -4; continue; }
+            if (L.layout) {
+                // Element layout must match across frames (the sequential
+                // engine's persistent-pairs check; whichever frame
+                // mismatches gets -3 and callers fall back).
+                if ((size_t)L.elem_idx < L.layout->size()) {
+                    auto& exp = (*L.layout)[L.elem_idx];
+                    if (exp.first != (int)is_pair || exp.second != L.cur_ch) {
+                        L.status = -3;
+                        continue;
+                    }
+                } else {
+                    L.layout->push_back({(int)is_pair, L.cur_ch});
+                }
+            }
+            L.elem_idx++;
             ChannelPair& p = L.pair;
             p.is_pair = is_pair;
             p.channel = L.cur_ch;
@@ -1168,6 +1186,8 @@ static void extract_ilp(
     const FrameOut& O) {
     constexpr int K = 4;
     std::vector<LaneCtx> lanes(K);
+    std::vector<std::pair<int, int>> layout;
+    for (auto& L : lanes) L.layout = &layout;
     std::vector<uint8_t> pns(n_frames, 0);
     int next = 0;
     const float* pow43 = tables().pow43;
@@ -1191,6 +1211,7 @@ static void extract_ilp(
             L.status = 0;
             L.phase = 0;
             L.cur_ch = 0;
+            L.elem_idx = 0;
             L.has_pns = false;
             L.lcg = Lcg();
             init_bands(L);

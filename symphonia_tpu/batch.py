@@ -90,14 +90,20 @@ class FlacBatchDecoder:
                                                   max_frames)
                 if packed is not None and (packed["status"] != 0).any():
                     packed = None
-                if packed is not None and si.n_samples and (
-                        int(packed["block"].sum()) < si.n_samples):
+                if packed is not None:
                     # The fast scan's sequence-number chain desyncs
                     # permanently after one corrupt frame header, silently
-                    # dropping every later frame; a short total means it
-                    # truncated — take the robust scan/extract path instead
-                    # (the reference decoder re-syncs and keeps decoding).
-                    packed = None
+                    # dropping every later frame; truncation shows as a
+                    # short sample total (known length) or a large unscanned
+                    # tail (unknown length) — take the robust scan/extract
+                    # path instead (the reference re-syncs and continues).
+                    if si.n_samples:
+                        if int(packed["block"].sum()) < si.n_samples:
+                            packed = None
+                    elif packed["F"] > 0:
+                        tail = len(buf) - int(packed["offsets"][-1])
+                        if tail > max(4096, 8 * len(buf) // packed["F"]):
+                            packed = None
                 if packed is not None:
                     blocks = packed["block"].astype(np.int64)
         except (ImportError, AttributeError):
@@ -495,7 +501,12 @@ class AacBatchDecoder:
                     )
         else:
             for p in pkts:
-                chans = dec.decode_coeffs(p)
+                try:
+                    chans = dec.decode_coeffs(p)
+                except DecodeError:
+                    # Skip the packet and continue (reference decode-loop
+                    # error handling, SURVEY.md §5).
+                    continue
                 for c, item in enumerate(chans[:C]):
                     per_ch[c].append(item)
         outs = []

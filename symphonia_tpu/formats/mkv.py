@@ -92,6 +92,10 @@ ID_SEEK_POSITION = 0x53AC
 _MASTER_IDS = {ID_SEGMENT, ID_INFO, ID_TRACKS, ID_TRACK_ENTRY, ID_AUDIO,
                ID_CLUSTER, ID_BLOCK_GROUP, ID_TAGS, ID_TAG, ID_SIMPLE_TAG}
 
+# Top-level segment children: an unknown-size cluster ends at the next one.
+_TOP_LEVEL_IDS = {ID_SEGMENT, ID_INFO, ID_TRACKS, ID_CLUSTER, ID_CUES,
+                  ID_TAGS, ID_CHAPTERS, ID_ATTACHMENTS, ID_SEEK_HEAD}
+
 
 def read_vint(buf: bytes, pos: int, keep_marker: bool) -> Tuple[int, int]:
     """Read an EBML variable-size integer; returns (value, next_pos)."""
@@ -109,22 +113,35 @@ def read_vint(buf: bytes, pos: int, keep_marker: bool) -> Tuple[int, int]:
     return val, pos + length
 
 
+def read_element_header_ex(buf: bytes, pos: int) -> Tuple[int, int, int, bool]:
+    """Returns (element_id, data_size, data_start, unknown_size).
+
+    "Unknown size" is a size vint whose data bits are ALL ones at ANY coded
+    length (a 1-byte 0xFF means unknown, not 127)."""
+    eid, p1 = read_vint(buf, pos, keep_marker=True)
+    size, p2 = read_vint(buf, p1, keep_marker=False)
+    length = p2 - p1
+    unknown = size == (1 << (7 * length)) - 1
+    return eid, size, p2, unknown
+
+
 def read_element_header(buf: bytes, pos: int) -> Tuple[int, int, int]:
     """Returns (element_id, data_size, data_start)."""
-    eid, pos = read_vint(buf, pos, keep_marker=True)
-    size, pos = read_vint(buf, pos, keep_marker=False)
-    return eid, size, pos
+    eid, size, body, _ = read_element_header_ex(buf, pos)
+    return eid, size, body
 
 
 def iter_elements(buf: bytes, start: int, end: int):
     pos = start
     while pos < end:
         try:
-            eid, size, body = read_element_header(buf, pos)
+            eid, size, body, unknown = read_element_header_ex(buf, pos)
         except DecodeError:
             return
-        # "Unknown size" (all ones) extends to end of parent.
-        if size == (1 << 56) - 1 or body + size > end:
+        # "Unknown size" extends to end of parent (callers that can contain
+        # unknown-size CLUSTERS must walk manually and bound them at the
+        # next top-level id).
+        if unknown or body + size > end:
             size = end - body
         yield eid, body, body + size
         pos = body + size
@@ -248,6 +265,23 @@ def unlace(buf: bytes) -> List[bytes]:
     return out
 
 
+def parse_block(buf, bb: int, be: int):
+    """(Simple)Block payload -> (track_no, rel_ts, frames) or None on a
+    truncated/foreign body (malformed input must not crash)."""
+    try:
+        track_no, p2 = read_vint(buf, bb, keep_marker=False)
+    except DecodeError:
+        return None
+    if p2 + 3 > be:
+        return None  # too short for rel_ts + flags
+    rel_ts = struct.unpack(">h", buf[p2 : p2 + 2])[0]
+    try:
+        frames = unlace(buf[p2 + 2 : be])
+    except (IndexError, DecodeError):
+        return None
+    return track_no, rel_ts, frames
+
+
 def _expand_blocks(
     blocks: List[Tuple[int, int, List[bytes], Optional[int]]],
     tracks: Dict[int, "MkvTrack"],
@@ -323,7 +357,38 @@ class MkvReader(FormatReader):
         self._segment_start = segment[0]
         rev = MetadataRevision()
 
-        for eid, b, e in iter_elements(buf, *segment):
+        # Manual segment walk: unknown-size CLUSTERS (live captures saved to
+        # disk) end at the next top-level element, which iter_elements can't
+        # express.
+        seg_b, seg_e = segment
+        seg_children = []
+        pos = seg_b
+        while pos < seg_e:
+            try:
+                eid, size, body, unknown = read_element_header_ex(buf, pos)
+            except DecodeError:
+                break
+            if eid == ID_CLUSTER and unknown:
+                p2 = body
+                end2 = p2
+                while p2 < seg_e:
+                    try:
+                        eid2, size2, body2, unk2 = read_element_header_ex(buf, p2)
+                    except DecodeError:
+                        break
+                    if eid2 in _TOP_LEVEL_IDS or unk2:
+                        break
+                    p2 = min(seg_e, body2 + size2)
+                    end2 = p2
+                seg_children.append((eid, body, end2))
+                pos = end2
+                continue
+            if unknown or body + size > seg_e:
+                size = seg_e - body
+            seg_children.append((eid, body, body + size))
+            pos = body + size
+
+        for eid, b, e in seg_children:
             if eid == ID_INFO:
                 for eid2, b2, e2 in iter_elements(buf, b, e):
                     if eid2 == ID_TIMESTAMP_SCALE:
@@ -379,12 +444,12 @@ class MkvReader(FormatReader):
                                     bdur = _uint(buf, b3, e3)
                         if block is None:
                             continue
-                        bb, be = block
-                        track_no, p2 = read_vint(buf, bb, keep_marker=False)
+                        parsed = parse_block(buf, *block)
+                        if parsed is None:
+                            continue
+                        track_no, rel_ts, frames = parsed
                         if track_no not in self._mkv_tracks:
                             continue
-                        rel_ts = struct.unpack(">h", buf[p2 : p2 + 2])[0]
-                        frames = unlace(buf[p2 + 2 : be])
                         if frames:
                             blocks.append((track_no, cluster_ts + rel_ts,
                                            frames, bdur))
@@ -555,10 +620,6 @@ class MkvReader(FormatReader):
 
 
 _UNKNOWN_SIZE = object()
-
-# Top-level segment children that terminate an unknown-size cluster.
-_TOP_IDS = {ID_SEGMENT, ID_INFO, ID_TRACKS, ID_CLUSTER, ID_CUES, ID_TAGS,
-            ID_CHAPTERS, ID_ATTACHMENTS, ID_SEEK_HEAD}
 
 
 class MkvStreamReader(FormatReader):
@@ -759,11 +820,12 @@ class MkvStreamReader(FormatReader):
                                       dur=fdur, data=f))
 
     def _absorb_block(self, raw: bytes, bdur: Optional[int]) -> None:
-        track_no, p2 = read_vint(raw, 0, keep_marker=False)
+        parsed = parse_block(raw, 0, len(raw))
+        if parsed is None:
+            return  # truncated/malformed block
+        track_no, rel_ts, frames = parsed
         if track_no not in self._mkv_tracks:
             return
-        rel_ts = struct.unpack(">h", raw[p2 : p2 + 2])[0]
-        frames = unlace(raw[p2 + 2 :])
         if not frames:
             return
         ts = self._cluster_ts + rel_ts
@@ -870,7 +932,6 @@ class MkvStreamReader(FormatReader):
         # Forward scan within/after the landing cluster up to the target.
         # (No-cues mode degenerates to a forward scan from the first
         # cluster, demuxer.rs:345-462.)
-        emitted: List[Packet] = []
         while True:
             while not self._queue:
                 if not self._advance():
@@ -880,7 +941,7 @@ class MkvStreamReader(FormatReader):
             p = self._queue[0]
             if p.ts + max(p.dur, 0) > ts or p.ts >= ts:
                 break
-            emitted.append(self._queue.pop(0))
+            self._queue.pop(0)
         return SeekedTo(self._track_objs[0].id, ts,
                         self._queue[0].ts if self._queue else actual)
 

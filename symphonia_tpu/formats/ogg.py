@@ -450,8 +450,11 @@ class OggReader(FormatReader):
             # Leading trim: the first audio page's end granule is the
             # absolute sample position after its packets; when the decoded
             # duration up to that point exceeds it, the head is trimmed
-            # (logical.rs:330-556 start_ts derivation).
-            first_count, first_granule = granules[0]
+            # (logical.rs:330-556 start_ts derivation). Header pages carry
+            # granule 0 with no audio packets — skip to the first entry
+            # that covers at least one packet.
+            first_count, first_granule = next(
+                ((c, g) for c, g in granules if c > 0), (0, -1))
             head_dur = sum(e.dur for e in entries[:first_count])
             if 0 <= first_granule < head_dur:
                 trim = head_dur - first_granule
@@ -557,8 +560,6 @@ class OggStreamReader(FormatReader):
     (the bulk/batch path); unseekable sources (pipes) are routed here by the
     probe factory.
     """
-
-    MAX_PAGE = 27 + 255 + 255 * 255  # header + segment table + max body
 
     def __init__(self, mss, options: Optional[FormatOptions] = None):
         super().__init__(mss, options)
@@ -673,9 +674,13 @@ class OggStreamReader(FormatReader):
                     return pkts
                 self._pending += page.partial or b""
                 return []
-            # continuation with no pending data (post-seek): drop the head
-            if pkts:
-                pkts = pkts[1:]
+            # Continuation with no pending data (post-seek): drop the
+            # headless span. A page that is entirely the middle of a
+            # spanning packet must keep _pending empty — its partial has no
+            # head either (the next continued page drops it too).
+            if not pkts:
+                return []
+            pkts = pkts[1:]
         self._pending = page.partial or b""
         return pkts
 
@@ -690,9 +695,11 @@ class OggStreamReader(FormatReader):
         if page.header_type & 0x04:
             self._eos = True
         g = page.granule
-        if g < 0 or page.partial is not None:
+        if g < 0:
             return
         if self._first_granule_pending:
+            if g == 0 and self._ts == 0 and not self._queue:
+                return  # pre-audio header page (granule 0, no packets yet)
             self._first_granule_pending = False
             # Leading trim: decoded duration up to here exceeding the first
             # granule is pre-roll that the encoder expects dropped.
@@ -817,7 +824,10 @@ class OggStreamReader(FormatReader):
                 if page.granule >= 0:
                     anchor = page.granule
                     start_pos = pos + tot
-                    prime_pkt = last_full
+                    # If the anchor page ends with a spanning packet, that
+                    # packet (not the last completed one) precedes the
+                    # landing point; its head bytes carry the mode.
+                    prime_pkt = page.partial if page.partial else last_full
             self.mss.ignore_bytes(tot)
         if anchor is None:
             # No anchoring page before the window: restart from the top.
@@ -827,7 +837,10 @@ class OggStreamReader(FormatReader):
         self._pending = b""
         self._ts = anchor
         self._anchored = True
-        self._first_granule_pending = start_pos == self._data_start
+        # anchor == 0 means we land at (or before) the first audio page:
+        # the leading-trim logic must re-run (header pages carry granule 0,
+        # so start_pos has usually advanced past them even for ts=0).
+        self._first_granule_pending = anchor == 0
         self._eos = False
         self.mapper.reset()
         if prime_pkt is not None:

@@ -439,3 +439,50 @@ class TestMkvStreaming:
         seeked = r.seek(SeekMode.ACCURATE, SeekTo(ts=700))
         p = r.next_packet()
         assert p.ts <= 700 < p.ts + max(p.dur, 63)
+
+
+class TestMkvReviewRegressions:
+    def test_unknown_size_clusters_seekable_bulk(self):
+        """A seekable file with unknown-size clusters (saved live stream)
+        must parse every cluster in the bulk reader, bounded at the next
+        top-level element (review: 1-byte 0xFF size vint means unknown)."""
+        sig, clusters = _pcm_clusters(n_clusters=3)
+        data = build_mkv_cued("A_PCM/INT/LIT", b"", clusters, rate=8000,
+                              bit_depth=16, unknown_cluster_size=True,
+                              with_cues=False, with_seekhead=False)
+        r = MkvReader(MediaSourceStream(data))
+        pkts = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            pkts.append(p)
+        assert len(pkts) == 3 * 4
+        assert b"".join(p.data for p in pkts) == sig[: 3 * 4 * 500].tobytes()
+
+    def test_truncated_block_body_no_crash(self):
+        """A (Simple)Block too short for track+ts+flags must be skipped,
+        not crash with struct.error."""
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+
+        bad_block = elem(0xA3, bytes([0x81, 0x00]))  # track vint + 1 byte
+        good = simple_block(1, 0, [b"\x01\x02\x03\x04"])
+        data = build_mkv("A_PCM/INT/LIT", b"",
+                         [(0, [bad_block, good])], rate=8000, ch=1,
+                         bit_depth=16)
+        r = MkvReader(MediaSourceStream(data))
+        pkts = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            pkts.append(p)
+        assert [p.data for p in pkts] == [b"\x01\x02\x03\x04"]
+        r2 = MkvStreamReader(MediaSourceStream(_Pipe(data)))
+        pkts2 = []
+        while True:
+            p = r2.next_packet()
+            if p is None:
+                break
+            pkts2.append(p)
+        assert [p.data for p in pkts2] == [b"\x01\x02\x03\x04"]

@@ -404,3 +404,46 @@ class TestOggStreaming:
         assert n == 307 * 4
         # Bounded by the MSS compaction policy (4 x RETAIN + readahead).
         assert max_win <= 4 * 64 * 1024 + 96 * 1024
+
+    def test_seek_to_zero_preserves_leading_trim(self):
+        """seek(ts=0) must re-apply the first-page leading trim (header
+        pages carry granule 0, so the landing point is after them)."""
+        from symphonia_tpu.core.formats import SeekMode, SeekTo
+        from symphonia_tpu.formats.ogg import OggReader, OggStreamReader, parse_page
+
+        raw = open(HOUSE_OGG, "rb").read()
+        # Rewrite the first audio page's granule 100 samples early to
+        # synthesize encoder pre-roll, fixing up the CRC.
+        from symphonia_tpu.core.checksum import crc32_buf
+
+        out = bytearray()
+        pos = 0
+        patched = False
+        while pos < len(raw):
+            page, nxt = parse_page(raw, pos)
+            blob = bytearray(raw[pos:nxt])
+            if not patched and page.granule > 0:
+                g = page.granule - 100
+                blob[6:14] = g.to_bytes(8, "little", signed=True)
+                blob[22:26] = b"\x00" * 4
+                crc = crc32_buf(bytes(blob))
+                blob[22:26] = crc.to_bytes(4, "little")
+                patched = True
+            out += blob
+            pos = nxt
+        data = bytes(out)
+
+        def trims(reader):
+            total = 0
+            while True:
+                p = reader.next_packet()
+                if p is None:
+                    return total
+                total += p.trim_start
+
+        bulk_trim = trims(OggReader(MediaSourceStream(data)))
+        assert bulk_trim == 100
+        r = OggStreamReader(MediaSourceStream(data))
+        assert trims(r) == 100
+        r.seek(SeekMode.ACCURATE, SeekTo(ts=0))
+        assert trims(r) == 100  # trim survives a seek back to the start
