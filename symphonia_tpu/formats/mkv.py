@@ -872,7 +872,21 @@ class MkvStreamReader(FormatReader):
                 if block is not None:
                     self._absorb_block(block, bdur)
                 return True
-            # Any other element (incl. trailing Cues/Tags): skip its body.
+            if eid in (ID_TAGS, ID_CHAPTERS, ID_ATTACHMENTS):
+                # Trailing metadata in streamed mode: parse in place (the
+                # bulk reader's element parsers only need a body buffer).
+                body = self.mss.read_bytes(size)
+                if eid == ID_TAGS:
+                    rev = MetadataRevision()
+                    MkvReader._parse_tags(self, body, 0, len(body), rev)
+                    if rev.tags:
+                        self._metadata.push(rev)
+                elif eid == ID_CHAPTERS:
+                    MkvReader._parse_chapters(self, body, 0, len(body))
+                else:
+                    MkvReader._parse_attachments(self, body, 0, len(body))
+                return True
+            # Any other element (incl. a trailing Cues): skip its body.
             self.mss.ignore_bytes(size)
             return True
         except (DecodeError, EndOfStream):

@@ -776,7 +776,25 @@ class OggStreamReader(FormatReader):
         else:
             raise SeekError("no seek target")
         if not self.mss.is_seekable():
-            raise SeekError("source is not seekable")
+            # Forward-only source: seek ahead by reading (the reference can
+            # consume pages forward on a pipe); backward is impossible.
+            while True:
+                while not self._queue:
+                    page = self._next_page()
+                    if page is None:
+                        raise SeekError("seek target beyond end of stream")
+                    if page.serial != self._serial:
+                        continue
+                    for p2 in self._page_packets(page):
+                        self._enqueue_packet(p2)
+                    self._after_page(page)
+                head = self._queue[0]
+                if ts < head.ts:
+                    raise SeekError(
+                        "cannot seek backward on an unseekable source")
+                if head.ts + max(head.dur, 0) > ts or head.ts >= ts:
+                    return SeekedTo(0, ts, head.ts)
+                self._queue.pop(0)
         total = self.mss.byte_len()
 
         def first_granule_from(pos: int) -> Optional[int]:

@@ -486,3 +486,24 @@ class TestMkvReviewRegressions:
                 break
             pkts2.append(p)
         assert [p.data for p in pkts2] == [b"\x01\x02\x03\x04"]
+
+    def test_streamed_trailing_metadata(self):
+        """Tags/Chapters after the clusters parse in streamed mode too."""
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+
+        atom = (uint_elem(0x91, 1_000_000_000)
+                + elem(0x80, elem(0x85, b"Ch One")))
+        chapters = elem(0x1043A770, elem(0x45B9, elem(0xB6, atom)))
+        tags = elem(0x1254C367, elem(0x7373,
+                    elem(0x67C8, elem(0x45A3, b"TITLE")
+                         + elem(0x4487, b"Stream Song"))))
+        data = build_mkv("A_PCM/INT/LIT", b"",
+                         [(0, [simple_block(1, 0, [b"\x00\x01" * 8])])],
+                         rate=8000, ch=1, bit_depth=16,
+                         extra_segment=chapters + tags)
+        r = MkvStreamReader(MediaSourceStream(_Pipe(data)))
+        while r.next_packet() is not None:
+            pass
+        rev = r.metadata().current()
+        assert rev is not None and rev.get("track_title") == "Stream Song"
+        assert [c.title for c in r.chapters().items] == ["Ch One"]

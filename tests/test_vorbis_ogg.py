@@ -447,3 +447,16 @@ class TestOggStreaming:
         assert trims(r) == 100
         r.seek(SeekMode.ACCURATE, SeekTo(ts=0))
         assert trims(r) == 100  # trim survives a seek back to the start
+
+    def test_pipe_forward_seek(self):
+        from symphonia_tpu.core.errors import SeekError
+        from symphonia_tpu.core.formats import SeekMode, SeekTo
+        from symphonia_tpu.formats.ogg import OggStreamReader
+
+        data = open(HOUSE_OGG, "rb").read()
+        r = OggStreamReader(MediaSourceStream(_Pipe(data)))
+        s = r.seek(SeekMode.ACCURATE, SeekTo(ts=30000))
+        p = r.next_packet()
+        assert p.ts <= 30000 and s.actual_ts == p.ts
+        with pytest.raises(SeekError):
+            r.seek(SeekMode.ACCURATE, SeekTo(ts=100))  # backward on a pipe
