@@ -75,12 +75,6 @@ struct Lcg {
     }
 };
 
-inline int read_unary_ones(Bits& bs) {
-    int n = 0;
-    while (!bs.error && bs.read(1) == 1) n++;
-    return n;
-}
-
 inline void realign(Bits& bs) {
     int off = (int)(bs.bits_read() & 7);
     if (off) bs.consume(8 - off);
@@ -95,6 +89,19 @@ inline void realign(Bits& bs) {
 // vectorized pass per ICS afterwards (dequant_run) — it was a measurable
 // share of the per-codeword critical path.
 // ---------------------------------------------------------------------------
+
+// Top up a register-resident bit window with one unaligned 8-byte
+// big-endian load (callers guarantee pos + 8 <= len).
+static inline void refill_be(const uint8_t* data, uint64_t& buf, int& cnt,
+                             int64_t& pos) {
+    int nbytes = (63 - cnt) >> 3;
+    uint64_t w;
+    memcpy(&w, data + pos, 8);
+    w = __builtin_bswap64(w);
+    buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
+    pos += nbytes;
+    cnt += nbytes * 8;
+}
 
 // Decode one packed quad entry: consumes len+nz bits from (buf, cnt), writes
 // 4 signed quantized values.
@@ -537,15 +544,8 @@ struct Ics {
             const uint32_t fbmask = (1u << fb) - 1;
             if (R.cb <= 4) {
                 for (int i = R.start; i < R.end; i += 4) {
-                    if (cnt < 32 && pos + 8 <= br.len) {
-                        int nbytes = (63 - cnt) >> 3;
-                        uint64_t w;
-                        memcpy(&w, br.data + pos, 8);
-                        w = __builtin_bswap64(w);
-                        buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
-                        pos += nbytes;
-                        cnt += nbytes * 8;
-                    }
+                    if (cnt < 32 && pos + 8 <= br.len)
+                        refill_be(br.data, buf, cnt, pos);
                     int32_t e = cnt >= 32 ? fr[(uint32_t)(buf >> (cnt - fb)) & fbmask] : -1;
                     if (e < 0) {
                         br.buf = buf; br.cnt = cnt; br.pos = pos;
@@ -558,15 +558,8 @@ struct Ics {
                 }
             } else {
                 for (int i = R.start; i < R.end; i += 2) {
-                    if (cnt < 32 && pos + 8 <= br.len) {
-                        int nbytes = (63 - cnt) >> 3;
-                        uint64_t w;
-                        memcpy(&w, br.data + pos, 8);
-                        w = __builtin_bswap64(w);
-                        buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
-                        pos += nbytes;
-                        cnt += nbytes * 8;
-                    }
+                    if (cnt < 32 && pos + 8 <= br.len)
+                        refill_be(br.data, buf, cnt, pos);
                     int32_t e = cnt >= 32 ? fr[(uint32_t)(buf >> (cnt - fb)) & fbmask] : -1;
                     if (e < 0 || (e & 1)) {
                         br.buf = buf; br.cnt = cnt; br.pos = pos;
@@ -828,6 +821,26 @@ struct ChannelPair {
     }
 };
 
+// Skip a DSE (eid 4) or FIL (eid 6) element body (both engines).
+static void skip_dse_fil(Bits& br, int eid) {
+    if (eid == 4) {  // DSE
+        br.read(4);
+        int align = (int)br.read(1);
+        int count = (int)br.read(8);
+        if (count == 255) count += (int)br.read(8);
+        if (align) realign(br);
+        br.ignore((int64_t)count * 8);
+    } else {  // FIL
+        int count = (int)br.read(4);
+        if (count == 15) count += (int)br.read(8) - 1;
+        if (count > 0) {
+            br.read(4);  // extension type (SBR payloads skipped)
+            br.ignore(4);
+            br.ignore((int64_t)(count - 1) * 8);
+        }
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Scalar per-frame decode (shared by the sequential engine and the PNS
 // re-decode pass of the interleaved engine).
@@ -889,21 +902,8 @@ static void decode_frame_scalar(
                 O.coeffs_out + ((int64_t)f * O.max_ch + cur_ch + 1) * 1024;
             rc = p.decode_cpe(br);
             cur_pair++; cur_ch += 2;
-        } else if (eid == 4) {  // DSE
-            br.read(4);
-            int align = (int)br.read(1);
-            int count = (int)br.read(8);
-            if (count == 255) count += (int)br.read(8);
-            if (align) realign(br);
-            br.ignore((int64_t)count * 8);
-        } else if (eid == 6) {  // FIL
-            int count = (int)br.read(4);
-            if (count == 15) count += (int)br.read(8) - 1;
-            if (count > 0) {
-                br.read(4);  // extension type (SBR payloads skipped)
-                br.ignore(4);
-                br.ignore((int64_t)(count - 1) * 8);
-            }
+        } else if (eid == 4 || eid == 6) {  // DSE / FIL
+            skip_dse_fil(br, eid);
         } else {  // CCE / PCE unsupported
             rc = -5;
         }
@@ -1124,24 +1124,8 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
             L.phase = 1;
             continue;
         }
-        if (eid == 4) {  // DSE
-            br.read(4);
-            int align = (int)br.read(1);
-            int count = (int)br.read(8);
-            if (count == 255) count += (int)br.read(8);
-            if (align) realign(br);
-            br.ignore((int64_t)count * 8);
-            if (br.error) L.status = -2;
-            continue;
-        }
-        if (eid == 6) {  // FIL
-            int count = (int)br.read(4);
-            if (count == 15) count += (int)br.read(8) - 1;
-            if (count > 0) {
-                br.read(4);
-                br.ignore(4);
-                br.ignore((int64_t)(count - 1) * 8);
-            }
+        if (eid == 4 || eid == 6) {  // DSE / FIL
+            skip_dse_fil(br, eid);
             if (br.error) L.status = -2;
             continue;
         }
@@ -1154,18 +1138,12 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
 // rotation beats burst decoding here: the rotation itself provides the
 // instruction-level parallelism (independent bitstream chains); a burst
 // serializes on one lane's chain again (measured 2.4 -> 3.2 ms).
-static inline int lane_step(LaneCtx& L, const float* pow43) {
+static inline int lane_step(LaneCtx& L) {
     Bits& br = L.br;
     if (br.cnt < 32) {
         if (br.pos + 8 > br.len)
             return 2;  // near stream end: byte-wise fill via scalar path
-        int nbytes = (63 - br.cnt) >> 3;
-        uint64_t w;
-        memcpy(&w, br.data + br.pos, 8);
-        w = __builtin_bswap64(w);
-        br.buf = (br.buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
-        br.pos += nbytes;
-        br.cnt += nbytes * 8;
+        refill_be(br.data, br.buf, br.cnt, br.pos);
     }
     int32_t e = L.tbl[(uint32_t)(br.buf >> (br.cnt - 12)) & 4095];
     if (e < 0) return 2;
@@ -1190,7 +1168,6 @@ static void extract_ilp(
     for (auto& L : lanes) L.layout = &layout;
     std::vector<uint8_t> pns(n_frames, 0);
     int next = 0;
-    const float* pow43 = tables().pow43;
 
     auto init_bands = [&](LaneCtx& L) {
         for (Ics* ics : {&L.pair.ics0, &L.pair.ics1}) {
@@ -1234,7 +1211,7 @@ static void extract_ilp(
     while (n_act) {
         for (int k = 0; k < n_act; k++) {
             LaneCtx& L = *act[k];
-            int s = lane_step(L, pow43);
+            int s = lane_step(L);
             if (s == 0) continue;
             if (s == 2) {
                 int r = L.ics->decode_one_pair(L.br, L.cb, L.i);

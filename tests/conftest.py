@@ -21,3 +21,25 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class ForwardPipe:
+    """Forward-only byte source (simulates a pipe) for streaming-reader
+    tests; shared across test modules."""
+
+    def __init__(self, b):
+        self.b = b
+        self.i = 0
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return False
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = len(self.b) - self.i
+        out = self.b[self.i : self.i + n]
+        self.i += len(out)
+        return out

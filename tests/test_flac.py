@@ -284,22 +284,8 @@ class TestCuesheet:
         assert r.chapters() is None
 
 
-class _FwdPipe:
-    def __init__(self, b):
-        self.b, self.i = b, 0
+from conftest import ForwardPipe as _FwdPipe  # noqa: E402
 
-    def readable(self):
-        return True
-
-    def seekable(self):
-        return False
-
-    def read(self, n=-1):
-        if n is None or n < 0:
-            n = len(self.b) - self.i
-        out = self.b[self.i : self.i + n]
-        self.i += len(out)
-        return out
 
 
 class TestFlacStreaming:

@@ -289,23 +289,8 @@ def build_mkv_cued(codec_id: str, private: bytes, clusters, rate=44100,
     return ebml_hdr + elem(0x18538067, seg_body)
 
 
-class _Pipe:
-    def __init__(self, b):
-        self.b = b
-        self.i = 0
+from conftest import ForwardPipe as _Pipe  # noqa: E402
 
-    def readable(self):
-        return True
-
-    def seekable(self):
-        return False
-
-    def read(self, n=-1):
-        if n is None or n < 0:
-            n = len(self.b) - self.i
-        out = self.b[self.i : self.i + n]
-        self.i += len(out)
-        return out
 
 
 def _pcm_clusters(n_clusters=6, blocks_per=4, spb=500):

@@ -257,25 +257,8 @@ class TestNativeVorbisEntropy:
         np.testing.assert_allclose(out.samples[:, :n], ref[:, :n], atol=1e-6)
 
 
-class _Pipe:
-    """Forward-only byte source (simulates a pipe)."""
+from conftest import ForwardPipe as _Pipe  # noqa: E402
 
-    def __init__(self, b):
-        self.b = b
-        self.i = 0
-
-    def readable(self):
-        return True
-
-    def seekable(self):
-        return False
-
-    def read(self, n=-1):
-        if n is None or n < 0:
-            n = len(self.b) - self.i
-        out = self.b[self.i : self.i + n]
-        self.i += len(out)
-        return out
 
 
 class TestOggStreaming:
