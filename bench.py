@@ -313,13 +313,24 @@ def main() -> None:
     device_stages = [("flac_device", bench_flac_device),
                      ("mp3_device", bench_mp3_device),
                      ("aac_device", bench_aac_device)]
-    for name, fn in host_stages:
-        try:
-            audio, wall = fn()
-            stages[name] = audio / wall if wall > 0 else 0.0
-        except Exception as e:  # pragma: no cover
-            print(f"bench stage {name} failed: {e}", file=sys.stderr)
-            stages[name] = 0.0
+    # Interleaved multi-pass sampling: this shared VM's noise comes in
+    # multi-second bursts, so a single best-of-N burst can land entirely
+    # inside a noisy phase. Spreading passes over ~30 s and taking the
+    # global best recovers the steady-state number (still plain best-of-N
+    # wall time, just sampled wider).
+    best = {name: (0.0, float("inf")) for name, _ in host_stages}
+    for _pass in range(5):
+        for name, fn in host_stages:
+            try:
+                audio, wall = fn(repeats=12)
+                if wall < best[name][1]:
+                    best[name] = (audio, wall)
+            except Exception as e:  # pragma: no cover
+                print(f"bench stage {name} failed: {e}", file=sys.stderr)
+        time.sleep(1.5)
+    for name, _fn in host_stages:
+        audio, wall = best[name]
+        stages[name] = audio / wall if wall > 0 and audio else 0.0
     _configure_jax()
     for name, fn in device_stages:
         try:
@@ -334,10 +345,12 @@ def main() -> None:
         for codec in ("flac", "mp3", "aac")
     }
     # Aggregate over an equal-audio-share workload of the three codecs.
+    # A failed stage invalidates the aggregate (reporting the max of the
+    # survivors would inflate it).
     if all(v > 0 for v in pipelined.values()):
         rtx = len(pipelined) / sum(1.0 / v for v in pipelined.values())
     else:
-        rtx = max(pipelined.values())
+        rtx = 0.0
     print("stage realtime-x: "
           + str({k: round(v, 1) for k, v in stages.items()}), file=sys.stderr)
     print("pipelined: "
