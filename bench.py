@@ -327,7 +327,8 @@ def main() -> None:
                     best[name] = (audio, wall)
             except Exception as e:  # pragma: no cover
                 print(f"bench stage {name} failed: {e}", file=sys.stderr)
-        time.sleep(1.5)
+        if _pass < 4:
+            time.sleep(1.5)
     for name, _fn in host_stages:
         audio, wall = best[name]
         stages[name] = audio / wall if wall > 0 and audio else 0.0

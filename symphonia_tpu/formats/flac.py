@@ -209,11 +209,15 @@ class FlacReader(FormatReader):
                     off = int.from_bytes(payload[i + 8 : i + 16], "big")
                     self._seek_points.append((sample, off))
             elif btype == BLOCK_VORBIS_COMMENT:
-                sub = parse_vorbis_comment(payload)
-                rev.tags.extend(sub.tags)
-                rev.visuals.extend(sub.visuals)
-                rev.vendor = sub.vendor
-                have_meta = True
+                try:
+                    sub = parse_vorbis_comment(payload)
+                except DecodeError:
+                    sub = None  # malformed comment block: skip it
+                if sub is not None:
+                    rev.tags.extend(sub.tags)
+                    rev.visuals.extend(sub.visuals)
+                    rev.vendor = sub.vendor
+                    have_meta = True
             elif btype == BLOCK_PICTURE:
                 vis = parse_flac_picture(payload)
                 if vis is not None:

@@ -320,6 +320,81 @@ def _expand_blocks(
     return out
 
 
+def parse_mkv_chapters(buf, b, e):
+    """Chapters element -> ChapterGroup or None (demuxer.rs:583-590)."""
+    from ..core.meta import Chapter, ChapterGroup
+
+    group = ChapterGroup()
+    for eid, b2, e2 in iter_elements(buf, b, e):
+        if eid != ID_EDITION_ENTRY:
+            continue
+        for eid2, b3, e3 in iter_elements(buf, b2, e2):
+            if eid2 != ID_CHAPTER_ATOM:
+                continue
+            start_ns = 0
+            end_ns = None
+            title = None
+            for eid3, b4, e4 in iter_elements(buf, b3, e3):
+                if eid3 == ID_CHAPTER_TIME_START:
+                    start_ns = _uint(buf, b4, e4)
+                elif eid3 == ID_CHAPTER_TIME_END:
+                    end_ns = _uint(buf, b4, e4)
+                elif eid3 == ID_CHAPTER_DISPLAY:
+                    for eid4, b5, e5 in iter_elements(buf, b4, e4):
+                        if eid4 == ID_CHAP_STRING:
+                            title = buf[b5:e5].decode("utf-8", "replace")
+            group.items.append(
+                Chapter(start_time=start_ns / 1e9,
+                        end_time=end_ns / 1e9 if end_ns is not None else None,
+                        title=title)
+            )
+    return group if group.items else None
+
+
+def parse_mkv_attachments(buf, b, e):
+    """Attachments element -> Attachment list (demuxer.rs:583-590)."""
+    from ..core.meta import Attachment
+
+    out = []
+    for eid, b2, e2 in iter_elements(buf, b, e):
+        if eid != ID_ATTACHED_FILE:
+            continue
+        name = mime = desc = None
+        data = b""
+        for eid2, b3, e3 in iter_elements(buf, b2, e2):
+            if eid2 == ID_FILE_NAME:
+                name = buf[b3:e3].decode("utf-8", "replace")
+            elif eid2 == ID_FILE_MIME:
+                mime = buf[b3:e3].decode("ascii", "replace")
+            elif eid2 == ID_FILE_DATA:
+                data = buf[b3:e3]
+            elif eid2 == ID_FILE_DESCRIPTION:
+                desc = buf[b3:e3].decode("utf-8", "replace")
+        out.append(Attachment(name=name, media_type=mime, data=data,
+                              description=desc))
+    return out
+
+
+def parse_mkv_tags(buf, b, e, rev: MetadataRevision) -> None:
+    """Tags element -> RawTags appended to ``rev`` (tags.rs)."""
+    from ..metadata.vorbis import STD_KEYS
+
+    for eid, b2, e2 in iter_elements(buf, b, e):
+        if eid != ID_TAG:
+            continue
+        for eid2, b3, e3 in iter_elements(buf, b2, e2):
+            if eid2 != ID_SIMPLE_TAG:
+                continue
+            name = val = None
+            for eid3, b4, e4 in iter_elements(buf, b3, e3):
+                if eid3 == ID_TAG_NAME:
+                    name = buf[b4:e4].decode("utf-8", "replace")
+                elif eid3 == ID_TAG_STRING:
+                    val = buf[b4:e4].decode("utf-8", "replace")
+            if name and val is not None:
+                rev.tags.append(RawTag(name, val, STD_KEYS.get(name.lower())))
+
+
 class MkvReader(FormatReader):
     """Matroska format reader (mkv demuxer.rs:52)."""
 
@@ -456,11 +531,15 @@ class MkvReader(FormatReader):
             elif eid == ID_CUES:
                 self._parse_cues(buf, b, e)
             elif eid == ID_TAGS:
-                self._parse_tags(buf, b, e, rev)
+                parse_mkv_tags(buf, b, e, rev)
             elif eid == ID_CHAPTERS:
-                self._parse_chapters(buf, b, e)
+                group = parse_mkv_chapters(buf, b, e)
+                if group:
+                    self._chapters = group
             elif eid == ID_ATTACHMENTS:
-                self._parse_attachments(buf, b, e)
+                att = parse_mkv_attachments(buf, b, e)
+                if att:
+                    self._attachments = att
 
         if not self._mkv_tracks:
             raise Unsupported("no supported audio tracks in Matroska")
@@ -497,78 +576,8 @@ class MkvReader(FormatReader):
             if cue_time is not None and cluster_pos is not None:
                 self._cues.append((cue_time, cluster_pos))
 
-    def _parse_chapters(self, buf, b, e) -> None:
-        """Chapters element -> ChapterGroup (demuxer.rs:583-590)."""
-        from ..core.meta import Chapter, ChapterGroup
 
-        group = ChapterGroup()
-        for eid, b2, e2 in iter_elements(buf, b, e):
-            if eid != ID_EDITION_ENTRY:
-                continue
-            for eid2, b3, e3 in iter_elements(buf, b2, e2):
-                if eid2 != ID_CHAPTER_ATOM:
-                    continue
-                start_ns = 0
-                end_ns = None
-                title = None
-                for eid3, b4, e4 in iter_elements(buf, b3, e3):
-                    if eid3 == ID_CHAPTER_TIME_START:
-                        start_ns = _uint(buf, b4, e4)
-                    elif eid3 == ID_CHAPTER_TIME_END:
-                        end_ns = _uint(buf, b4, e4)
-                    elif eid3 == ID_CHAPTER_DISPLAY:
-                        for eid4, b5, e5 in iter_elements(buf, b4, e4):
-                            if eid4 == ID_CHAP_STRING:
-                                title = buf[b5:e5].decode("utf-8", "replace")
-                group.items.append(
-                    Chapter(start_time=start_ns / 1e9,
-                            end_time=end_ns / 1e9 if end_ns is not None else None,
-                            title=title)
-                )
-        if group.items:
-            self._chapters = group
 
-    def _parse_attachments(self, buf, b, e) -> None:
-        """Attachments element -> Attachment list (demuxer.rs:583-590)."""
-        from ..core.meta import Attachment
-
-        out = []
-        for eid, b2, e2 in iter_elements(buf, b, e):
-            if eid != ID_ATTACHED_FILE:
-                continue
-            name = mime = desc = None
-            data = b""
-            for eid2, b3, e3 in iter_elements(buf, b2, e2):
-                if eid2 == ID_FILE_NAME:
-                    name = buf[b3:e3].decode("utf-8", "replace")
-                elif eid2 == ID_FILE_MIME:
-                    mime = buf[b3:e3].decode("ascii", "replace")
-                elif eid2 == ID_FILE_DATA:
-                    data = buf[b3:e3]
-                elif eid2 == ID_FILE_DESCRIPTION:
-                    desc = buf[b3:e3].decode("utf-8", "replace")
-            out.append(Attachment(name=name, media_type=mime, data=data,
-                                  description=desc))
-        if out:
-            self._attachments = out
-
-    def _parse_tags(self, buf, b, e, rev: MetadataRevision) -> None:
-        from ..metadata.vorbis import STD_KEYS
-
-        for eid, b2, e2 in iter_elements(buf, b, e):
-            if eid != ID_TAG:
-                continue
-            for eid2, b3, e3 in iter_elements(buf, b2, e2):
-                if eid2 != ID_SIMPLE_TAG:
-                    continue
-                name = val = None
-                for eid3, b4, e4 in iter_elements(buf, b3, e3):
-                    if eid3 == ID_TAG_NAME:
-                        name = buf[b4:e4].decode("utf-8", "replace")
-                    elif eid3 == ID_TAG_STRING:
-                        val = buf[b4:e4].decode("utf-8", "replace")
-                if name and val is not None:
-                    rev.tags.append(RawTag(name, val, STD_KEYS.get(name.lower())))
 
     # -- FormatReader ------------------------------------------------------
 
@@ -878,13 +887,17 @@ class MkvStreamReader(FormatReader):
                 body = self.mss.read_bytes(size)
                 if eid == ID_TAGS:
                     rev = MetadataRevision()
-                    MkvReader._parse_tags(self, body, 0, len(body), rev)
+                    parse_mkv_tags(body, 0, len(body), rev)
                     if rev.tags:
                         self._metadata.push(rev)
                 elif eid == ID_CHAPTERS:
-                    MkvReader._parse_chapters(self, body, 0, len(body))
+                    group = parse_mkv_chapters(body, 0, len(body))
+                    if group:
+                        self._chapters = group
                 else:
-                    MkvReader._parse_attachments(self, body, 0, len(body))
+                    att = parse_mkv_attachments(body, 0, len(body))
+                    if att:
+                        self._attachments = att
                 return True
             # Any other element (incl. a trailing Cues): skip its body.
             self.mss.ignore_bytes(size)

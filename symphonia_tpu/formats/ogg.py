@@ -147,8 +147,10 @@ class VorbisMapper(Mapper):
 
     def absorb_header(self, packet: bytes, meta: MetadataLog) -> bool:
         if packet[:7] == b"\x03vorbis":
-            rev = parse_vorbis_comment(packet[7:])
-            meta.push(rev)
+            try:
+                meta.push(parse_vorbis_comment(packet[7:]))
+            except DecodeError:
+                pass  # malformed comment header: skip the metadata
             return True
         if packet[:7] == b"\x05vorbis":
             from ..codecs.vorbis_setup import read_setup_header
@@ -223,7 +225,10 @@ class FlacMapper(Mapper):
         btype = packet[0] & 0x7F
         last = bool(packet[0] & 0x80)
         if btype == 4:
-            meta.push(parse_vorbis_comment(packet[4:]))
+            try:
+                meta.push(parse_vorbis_comment(packet[4:]))
+            except DecodeError:
+                pass
         return not last
 
     def packet_dur(self, packet: bytes) -> int:
@@ -278,7 +283,10 @@ class OpusMapper(Mapper):
 
     def absorb_header(self, packet: bytes, meta: MetadataLog) -> bool:
         if packet[:8] == b"OpusTags":
-            meta.push(parse_vorbis_comment(packet[8:]))
+            try:
+                meta.push(parse_vorbis_comment(packet[8:]))
+            except DecodeError:
+                pass
         return False
 
     def packet_dur(self, packet: bytes) -> int:
@@ -778,11 +786,28 @@ class OggStreamReader(FormatReader):
         if not self.mss.is_seekable():
             # Forward-only source: seek ahead by reading (the reference can
             # consume pages forward on a pipe); backward is impossible.
+            first = True
             while True:
                 while not self._queue:
                     page = self._next_page()
                     if page is None:
                         raise SeekError("seek target beyond end of stream")
+                    if page.header_type & 0x02 and (
+                            self._eos or page.serial != self._serial):
+                        # Chained physical stream boundary mid-seek: rebuild
+                        # and tell the caller to recreate decoders (it can
+                        # re-issue the seek afterwards).
+                        if self._eos and page.packets                                 and make_mapper(page.packets[0]):
+                            self._queue.clear()
+                            self._pending = b""
+                            self._ts = 0
+                            self._anchored = False
+                            self._first_granule_pending = True
+                            self._eos = False
+                            self._read_headers(bos_page=page)
+                            raise ResetRequired(
+                                "chained OGG physical stream during seek")
+                        continue
                     if page.serial != self._serial:
                         continue
                     for p2 in self._page_packets(page):
@@ -790,8 +815,15 @@ class OggStreamReader(FormatReader):
                     self._after_page(page)
                 head = self._queue[0]
                 if ts < head.ts:
-                    raise SeekError(
-                        "cannot seek backward on an unseekable source")
+                    if first:
+                        # Target precedes everything still readable.
+                        raise SeekError(
+                            "cannot seek backward on an unseekable source")
+                    # Granule gap: the target falls in a timestamp hole —
+                    # land on the first packet past it (same as the
+                    # bisection path landing at the anchor before the gap).
+                    return SeekedTo(0, ts, head.ts)
+                first = False
                 if head.ts + max(head.dur, 0) > ts or head.ts >= ts:
                     return SeekedTo(0, ts, head.ts)
                 self._queue.pop(0)

@@ -99,11 +99,18 @@ def parse_flac_picture(data: bytes) -> Optional[Visual]:
 
 
 def parse_vorbis_comment(data: bytes, framing_bit: bool = False) -> MetadataRevision:
-    """Parse a Vorbis comment block (embedded/vorbis.rs)."""
+    """Parse a Vorbis comment block (embedded/vorbis.rs). Truncated or
+    length-corrupted blocks raise DecodeError (never struct.error)."""
+    from ..core.errors import DecodeError
+
     rev = MetadataRevision()
     pos = 0
+    if len(data) < 4:
+        raise DecodeError("truncated vorbis comment")
     (vlen,) = struct.unpack_from("<I", data, pos)
     pos += 4
+    if pos + vlen + 4 > len(data):
+        raise DecodeError("vorbis comment vendor length exceeds block")
     rev.vendor = data[pos : pos + vlen].decode("utf-8", "replace")
     pos += vlen
     (count,) = struct.unpack_from("<I", data, pos)

@@ -295,3 +295,22 @@ class TestFlacCorruptionRecovery:
             ff._try_native_scan = orig
         expect = [r for i, r in enumerate(rel) if i != 8]
         assert got == expect
+
+
+class TestMalformedMetadata:
+    def test_corrupt_vorbis_comment_lengths_skip_metadata(self):
+        """Soak-found: insane vendor/comment lengths must not raise
+        struct.error; the metadata block is skipped and audio decodes."""
+        from flac_builder import build_flac_file, random_walk
+
+        ch = random_walk(1024, 16, seed=2, ch=1)
+        for vc in ((0x0FFF0004).to_bytes(4, "little") + b"shrt",
+                   b"\x04\x00\x00",  # truncated before vendor
+                   b""):
+            data = build_flac_file(ch, block_size=256, kind="fixed", order=1,
+                                   extra_metadata_blocks=[bytes([4]) + vc])
+            n = 0
+            probed = sym.get_probe().probe(MediaSourceStream(data))
+            while probed.format.next_packet() is not None:
+                n += 1
+            assert n == 4

@@ -41,7 +41,6 @@ int main() {
         for (int l = 0; l < 8; l++) p0[l] = (int64_t)l * BYTES;
         pos = _mm512_loadu_si512(p0);
     }
-    __m512i iidx = _mm512_setzero_si512();           // output index per lane (i32 in low lanes)
 
     auto t0 = chrono::steady_clock::now();
     const __m512i v32 = _mm512_set1_epi64(32);
@@ -94,9 +93,15 @@ int main() {
             out[l][2 * o] = (int16_t)xs_a[l];
             out[l][2 * o + 1] = (int16_t)ys_a[l];
         }
-        // wrap positions to stay in each lane's region
-        pos = _mm512_and_si512(pos, _mm512_set1_epi64(~0xFFF80000LL | 0x7FFFF));
-        // (crude wrap; dataflow cost is what we measure)
+        // Wrap each lane's cursor within its own 512 KB region (keep the
+        // per-lane base bits so gathers stay on independent streams).
+        {
+            const __m512i basebits = _mm512_set_epi64(
+                7ll << 20, 6ll << 20, 5ll << 20, 4ll << 20,
+                3ll << 20, 2ll << 20, 1ll << 20, 0);
+            pos = _mm512_or_si512(basebits,
+                                  _mm512_and_si512(pos, _mm512_set1_epi64(0x7FFFF)));
+        }
     }
     auto t1 = chrono::steady_clock::now();
     double dt = chrono::duration<double>(t1 - t0).count();

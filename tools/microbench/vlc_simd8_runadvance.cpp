@@ -1,7 +1,8 @@
-// Ceiling test for 8-lane AVX-512 VLC decode: per iteration each of 8 lanes
-// decodes one pair codeword: gather window refill + table gather + vector
-// field extraction + int16 emit via scatter-free transpose (store to lane
-// scratch via 8 scalar extracts — the realistic cheap option).
+// Ceiling test for 8-lane AVX-512 VLC decode WITH in-vector run advance:
+// like vlc_simd8.cpp plus, per iteration, finished lanes load their next
+// (start, end, table) triple from per-lane pre-flattened run plans via
+// masked gathers (runs are ~10 codewords, so this block runs nearly every
+// iteration in steady state).
 #include <cstdio>
 #include <cstdint>
 #include <cstring>
@@ -41,7 +42,6 @@ int main() {
         for (int l = 0; l < 8; l++) p0[l] = (int64_t)l * BYTES;
         pos = _mm512_loadu_si512(p0);
     }
-    __m512i iidx = _mm512_setzero_si512();           // output index per lane (i32 in low lanes)
     // Pre-flattened pair-run plan per lane: (start, end, tblofs) triples.
     const int PM = 512;
     static int32_t plan_start[8 * 512], plan_end[8 * 512], plan_tbl[8 * 512];
@@ -133,9 +133,15 @@ int main() {
             // wrap pri to stay inside the synthetic plan
             pri = _mm512_and_si512(pri, _mm512_set1_epi64(PM - 1));
         }
-        // wrap positions to stay in each lane's region
-        pos = _mm512_and_si512(pos, _mm512_set1_epi64(~0xFFF80000LL | 0x7FFFF));
-        // (crude wrap; dataflow cost is what we measure)
+        // Wrap each lane's cursor within its own 512 KB region (keep the
+        // per-lane base bits so gathers stay on independent streams).
+        {
+            const __m512i basebits = _mm512_set_epi64(
+                7ll << 20, 6ll << 20, 5ll << 20, 4ll << 20,
+                3ll << 20, 2ll << 20, 1ll << 20, 0);
+            pos = _mm512_or_si512(basebits,
+                                  _mm512_and_si512(pos, _mm512_set1_epi64(0x7FFFF)));
+        }
     }
     auto t1 = chrono::steady_clock::now();
     double dt = chrono::duration<double>(t1 - t0).count();
