@@ -334,16 +334,22 @@ def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:
     track = fmt.default_track()
     codec = track.codec_params.codec
 
-    if codec == "flac":
-        return FlacBatchDecoder(verify=verify).decode_bytes(data)
-    if codec == "mp3":
-        return Mp3BatchDecoder().decode_bytes(data)
-    if codec == "vorbis":
-        from .formats.ogg import OggReader
+    # Batch pipelines re-demux with their native container readers; codec
+    # streams embedded in OTHER containers (FLAC-in-MKV, MP3-in-MP4, ...)
+    # take the generic per-packet loop below.
+    from .formats.flac import FlacReader
+    from .formats.mpa import MpaReader
+    from .formats.ogg import OggReader
 
-        if isinstance(fmt, OggReader):
-            return VorbisBatchDecoder().decode_bytes(data)
+    if codec == "flac" and isinstance(fmt, FlacReader):
+        return FlacBatchDecoder(verify=verify).decode_bytes(data)
+    if codec == "mp3" and isinstance(fmt, MpaReader):
+        return Mp3BatchDecoder().decode_bytes(data)
+    if codec == "vorbis" and isinstance(fmt, OggReader):
+        return VorbisBatchDecoder().decode_bytes(data)
     if codec == "aac":
+        # AacBatchDecoder re-probes through the generic probe, so any
+        # container works.
         return AacBatchDecoder().decode_bytes(data)
 
     from .core.codecs import AudioDecoderOptions

@@ -90,6 +90,47 @@ class TestDispatchRouting:
         out = batch.decode_bytes(build_adts(frames, 44100, 1))
         assert out.samples.shape == (1, 4096)
 
+    def test_flac_in_mkv_falls_through_to_generic(self):
+        # The FLAC batch pipeline re-demuxes with FlacReader; FLAC inside a
+        # foreign container must take the generic per-packet loop instead of
+        # crashing on the missing fLaC marker (regression).
+        from symphonia_tpu import batch
+        from test_mkv import build_mkv, simple_block
+
+        ch = random_walk(1024, 16, seed=9, ch=1)
+        flac = build_flac_file(ch, block_size=256, kind="fixed", order=1)
+        streaminfo = flac[: 4 + 4 + 34]
+        starts = [i for i in range(42, len(flac) - 1)
+                  if flac[i] == 0xFF and (flac[i + 1] & 0xFC) == 0xF8]
+        frames = [flac[s:e]
+                  for s, e in zip(starts, starts[1:] + [len(flac)])]
+        blocks = [(0, [simple_block(1, i * 6, [f])
+                       for i, f in enumerate(frames)])]
+        mkv = build_mkv("A_FLAC", streaminfo, blocks, rate=44100, ch=1,
+                        bit_depth=16)
+        out = batch.decode_bytes(mkv)
+        assert out.samples.shape == (1, 1024)
+        assert (out.samples[0] == ch[0]).all()
+
+    def test_mp3_in_mkv_falls_through_to_generic(self):
+        from mp3_builder import build_mpeg1_l3_stream
+        from symphonia_tpu import batch
+        from test_mkv import build_mkv, simple_block
+
+        stream = build_mpeg1_l3_stream(4, n_ch=1, seed=5)
+        starts = [i for i in range(len(stream) - 1)
+                  if stream[i] == 0xFF and (stream[i + 1] & 0xE0) == 0xE0]
+        frames = [stream[s:e]
+                  for s, e in zip(starts, starts[1:] + [len(stream)])]
+        assert len(frames) == 4
+        blocks = [(0, [simple_block(1, int(i * 1152 / 44.1), [f])
+                       for i, f in enumerate(frames)])]
+        mkv = build_mkv("A_MPEG/L3", b"", blocks, rate=44100, ch=1)
+        out = batch.decode_bytes(mkv)
+        assert out.samples.shape[0] == 1
+        assert out.samples.shape[1] >= 4 * 1152 - 529
+        assert np.isfinite(out.samples).all()
+
 
 class TestExamples:
     def test_getting_started_runs(self, tmp_path):
