@@ -90,19 +90,6 @@ inline void realign(Bits& bs) {
 // share of the per-codeword critical path.
 // ---------------------------------------------------------------------------
 
-// Top up a register-resident bit window with one unaligned 8-byte
-// big-endian load (callers guarantee pos + 8 <= len).
-static inline void refill_be(const uint8_t* data, uint64_t& buf, int& cnt,
-                             int64_t& pos) {
-    int nbytes = (63 - cnt) >> 3;
-    uint64_t w;
-    memcpy(&w, data + pos, 8);
-    w = __builtin_bswap64(w);
-    buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
-    pos += nbytes;
-    cnt += nbytes * 8;
-}
-
 // Decode one packed quad entry: consumes len+nz bits from (buf, cnt), writes
 // 4 signed quantized values.
 static inline void emit_fast_quad(int32_t e, uint64_t& buf, int& cnt,
@@ -544,8 +531,15 @@ struct Ics {
             const uint32_t fbmask = (1u << fb) - 1;
             if (R.cb <= 4) {
                 for (int i = R.start; i < R.end; i += 4) {
-                    if (cnt < 32 && pos + 8 <= br.len)
-                        refill_be(br.data, buf, cnt, pos);
+                    if (cnt < 32 && pos + 8 <= br.len) {
+                        int nbytes = (63 - cnt) >> 3;
+                        uint64_t w;
+                        memcpy(&w, br.data + pos, 8);
+                        w = __builtin_bswap64(w);
+                        buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
+                        pos += nbytes;
+                        cnt += nbytes * 8;
+                    }
                     int32_t e = cnt >= 32 ? fr[(uint32_t)(buf >> (cnt - fb)) & fbmask] : -1;
                     if (e < 0) {
                         br.buf = buf; br.cnt = cnt; br.pos = pos;
@@ -558,8 +552,15 @@ struct Ics {
                 }
             } else {
                 for (int i = R.start; i < R.end; i += 2) {
-                    if (cnt < 32 && pos + 8 <= br.len)
-                        refill_be(br.data, buf, cnt, pos);
+                    if (cnt < 32 && pos + 8 <= br.len) {
+                        int nbytes = (63 - cnt) >> 3;
+                        uint64_t w;
+                        memcpy(&w, br.data + pos, 8);
+                        w = __builtin_bswap64(w);
+                        buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
+                        pos += nbytes;
+                        cnt += nbytes * 8;
+                    }
                     int32_t e = cnt >= 32 ? fr[(uint32_t)(buf >> (cnt - fb)) & fbmask] : -1;
                     if (e < 0 || (e & 1)) {
                         br.buf = buf; br.cnt = cnt; br.pos = pos;
@@ -821,26 +822,6 @@ struct ChannelPair {
     }
 };
 
-// Skip a DSE (eid 4) or FIL (eid 6) element body (both engines).
-static void skip_dse_fil(Bits& br, int eid) {
-    if (eid == 4) {  // DSE
-        br.read(4);
-        int align = (int)br.read(1);
-        int count = (int)br.read(8);
-        if (count == 255) count += (int)br.read(8);
-        if (align) realign(br);
-        br.ignore((int64_t)count * 8);
-    } else {  // FIL
-        int count = (int)br.read(4);
-        if (count == 15) count += (int)br.read(8) - 1;
-        if (count > 0) {
-            br.read(4);  // extension type (SBR payloads skipped)
-            br.ignore(4);
-            br.ignore((int64_t)(count - 1) * 8);
-        }
-    }
-}
-
 // ---------------------------------------------------------------------------
 // Scalar per-frame decode (shared by the sequential engine and the PNS
 // re-decode pass of the interleaved engine).
@@ -902,8 +883,21 @@ static void decode_frame_scalar(
                 O.coeffs_out + ((int64_t)f * O.max_ch + cur_ch + 1) * 1024;
             rc = p.decode_cpe(br);
             cur_pair++; cur_ch += 2;
-        } else if (eid == 4 || eid == 6) {  // DSE / FIL
-            skip_dse_fil(br, eid);
+        } else if (eid == 4) {  // DSE
+            br.read(4);
+            int align = (int)br.read(1);
+            int count = (int)br.read(8);
+            if (count == 255) count += (int)br.read(8);
+            if (align) realign(br);
+            br.ignore((int64_t)count * 8);
+        } else if (eid == 6) {  // FIL
+            int count = (int)br.read(4);
+            if (count == 15) count += (int)br.read(8) - 1;
+            if (count > 0) {
+                br.read(4);  // extension type (SBR payloads skipped)
+                br.ignore(4);
+                br.ignore((int64_t)(count - 1) * 8);
+            }
         } else {  // CCE / PCE unsupported
             rc = -5;
         }
@@ -973,10 +967,34 @@ struct LaneCtx {
     int cb = 0;
     Lcg lcg;             // scratch; frames with PNS are re-decoded
     bool has_pns = false;
-    // Shared element-layout record (cross-frame consistency, scalar -3).
-    std::vector<std::pair<int, int>>* layout = nullptr;
-    int elem_idx = 0;
+    // Element-layout record for this frame: (is_pair << 6) | first_channel
+    // per SCE/LFE/CPE, validated post-hoc by finalize_layout. Keeping the
+    // element walk free of any vector machinery measurably matters: an
+    // in-walk std::vector check cost ~15% on the whole stage (codegen, not
+    // the executed instructions — this file is alignment/layout sensitive;
+    // A/B any refactor with tools/microbench discipline before landing).
+    uint8_t elems[64];
+    int n_elems = 0;
 };
+
+// Cross-frame element-layout consistency (the sequential engine's
+// persistent-pairs check at aac_entropy.cpp decode_frame_scalar): the first
+// frame to complete defines the layout; a frame whose walk differs gets -3
+// and callers fall back to the oracle for it.
+
+static __attribute__((noinline)) void finalize_layout(
+    LaneCtx& L, std::vector<uint8_t>& layout, const FrameOut& O) {
+    int n = L.n_elems;
+    int common = (size_t)n < layout.size() ? n : (int)layout.size();
+    for (int i = 0; i < common; i++) {
+        if (L.elems[i] != layout[i]) {
+            O.status[L.fidx] = -3;
+            O.nch_out[L.fidx] = 0;
+            return;
+        }
+    }
+    for (int i = (int)layout.size(); i < n; i++) layout.push_back(L.elems[i]);
+}
 
 // Scalar execution of one quad run (books 1-4) on a lane's bit reader.
 static int run_quad_scalar(Ics& ics, Bits& br, const Ics::Run& R) {
@@ -1079,22 +1097,12 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
             br.read(4);
             bool is_pair = eid == 1;
             int want = is_pair ? 2 : 1;
-            if (L.cur_ch + want > O.max_ch) { L.status = -4; continue; }
-            if (L.layout) {
-                // Element layout must match across frames (the sequential
-                // engine's persistent-pairs check; whichever frame
-                // mismatches gets -3 and callers fall back).
-                if ((size_t)L.elem_idx < L.layout->size()) {
-                    auto& exp = (*L.layout)[L.elem_idx];
-                    if (exp.first != (int)is_pair || exp.second != L.cur_ch) {
-                        L.status = -3;
-                        continue;
-                    }
-                } else {
-                    L.layout->push_back({(int)is_pair, L.cur_ch});
-                }
+            if (L.cur_ch + want > O.max_ch || L.n_elems >= 64) {
+                L.status = -4;
+                continue;
             }
-            L.elem_idx++;
+            L.elems[L.n_elems++] =
+                (uint8_t)(((int)is_pair << 6) | L.cur_ch);
             ChannelPair& p = L.pair;
             p.is_pair = is_pair;
             p.channel = L.cur_ch;
@@ -1124,8 +1132,24 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
             L.phase = 1;
             continue;
         }
-        if (eid == 4 || eid == 6) {  // DSE / FIL
-            skip_dse_fil(br, eid);
+        if (eid == 4) {  // DSE
+            br.read(4);
+            int align = (int)br.read(1);
+            int count = (int)br.read(8);
+            if (count == 255) count += (int)br.read(8);
+            if (align) realign(br);
+            br.ignore((int64_t)count * 8);
+            if (br.error) L.status = -2;
+            continue;
+        }
+        if (eid == 6) {  // FIL
+            int count = (int)br.read(4);
+            if (count == 15) count += (int)br.read(8) - 1;
+            if (count > 0) {
+                br.read(4);
+                br.ignore(4);
+                br.ignore((int64_t)(count - 1) * 8);
+            }
             if (br.error) L.status = -2;
             continue;
         }
@@ -1138,12 +1162,18 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
 // rotation beats burst decoding here: the rotation itself provides the
 // instruction-level parallelism (independent bitstream chains); a burst
 // serializes on one lane's chain again (measured 2.4 -> 3.2 ms).
-static inline int lane_step(LaneCtx& L) {
+static inline int lane_step(LaneCtx& L, const float* pow43) {
     Bits& br = L.br;
     if (br.cnt < 32) {
         if (br.pos + 8 > br.len)
             return 2;  // near stream end: byte-wise fill via scalar path
-        refill_be(br.data, br.buf, br.cnt, br.pos);
+        int nbytes = (63 - br.cnt) >> 3;
+        uint64_t w;
+        memcpy(&w, br.data + br.pos, 8);
+        w = __builtin_bswap64(w);
+        br.buf = (br.buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
+        br.pos += nbytes;
+        br.cnt += nbytes * 8;
     }
     int32_t e = L.tbl[(uint32_t)(br.buf >> (br.cnt - 12)) & 4095];
     if (e < 0) return 2;
@@ -1164,10 +1194,10 @@ static void extract_ilp(
     const FrameOut& O) {
     constexpr int K = 4;
     std::vector<LaneCtx> lanes(K);
-    std::vector<std::pair<int, int>> layout;
-    for (auto& L : lanes) L.layout = &layout;
+    std::vector<uint8_t> layout;
     std::vector<uint8_t> pns(n_frames, 0);
     int next = 0;
+    const float* pow43 = tables().pow43;
 
     auto init_bands = [&](LaneCtx& L) {
         for (Ics* ics : {&L.pair.ics0, &L.pair.ics1}) {
@@ -1181,14 +1211,17 @@ static void extract_ilp(
     // no pair runs complete inside. Returns false when frames are exhausted.
     auto feed = [&](LaneCtx& L) -> bool {
         for (;;) {
-            if (L.fidx >= 0 && L.has_pns) pns[L.fidx] = 1;
+            if (L.fidx >= 0) {
+                if (L.has_pns) pns[L.fidx] = 1;
+                finalize_layout(L, layout, O);
+            }
             if (next >= n_frames) return false;
             int f = next++;
             L.fidx = f;
             L.status = 0;
             L.phase = 0;
             L.cur_ch = 0;
-            L.elem_idx = 0;
+            L.n_elems = 0;
             L.has_pns = false;
             L.lcg = Lcg();
             init_bands(L);
@@ -1211,7 +1244,7 @@ static void extract_ilp(
     while (n_act) {
         for (int k = 0; k < n_act; k++) {
             LaneCtx& L = *act[k];
-            int s = lane_step(L);
+            int s = lane_step(L, pow43);
             if (s == 0) continue;
             if (s == 2) {
                 int r = L.ics->decode_one_pair(L.br, L.cb, L.i);
@@ -1226,8 +1259,12 @@ static void extract_ilp(
             }
         }
     }
-    for (int k = 0; k < K; k++)
-        if (lanes[k].fidx >= 0 && lanes[k].has_pns) pns[lanes[k].fidx] = 1;
+    for (int k = 0; k < K; k++) {
+        LaneCtx& L = lanes[k];
+        if (L.fidx < 0) continue;
+        if (L.has_pns) pns[L.fidx] = 1;
+        finalize_layout(L, layout, O);
+    }
 
     // PNS re-decode: sequential with the persistent decoder LCG (draws
     // happen only in noise bands, so skipping non-PNS frames preserves the
