@@ -1036,17 +1036,34 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
                     continue;
                 }
                 if (R.cb <= 4) {
-                    int r = run_quad_scalar(ics, br, R);
+                    Ics::Run RR = R;  // merge adjacent same-book quad runs
+                    while (L.ri + 1 < L.n_runs &&
+                           L.runs[L.ri + 1].cb == RR.cb &&
+                           L.runs[L.ri + 1].start == RR.end)
+                        RR.end = L.runs[++L.ri].end;
+                    int r = run_quad_scalar(ics, br, RR);
                     if (r < 0) { L.status = r; break; }
                     L.ri++;
                     continue;
                 }
-                // Pair run: hand to the hot loop.
+                // Pair run: hand to the hot loop. Runs are per scalefactor
+                // band (dequant needs the per-band scale) but the codebook
+                // only changes per section, so adjacent contiguous runs of
+                // the same book merge into one decode span — run
+                // transitions, not codewords, dominate the interleaved
+                // engine's overhead (~34k lane exits vs ~217k codewords on
+                // dense content). dequant_runs still sees the original
+                // per-band runs.
                 L.tbl = g_fast[R.cb].tbl;
                 L.scale = R.scale;
                 L.cb = R.cb;
                 L.i = R.start;
-                L.end = R.end;
+                int end = R.end;
+                while (L.ri + 1 < L.n_runs &&
+                       L.runs[L.ri + 1].cb == R.cb &&
+                       L.runs[L.ri + 1].start == end)
+                    end = L.runs[++L.ri].end;
+                L.end = end;
                 if (L.i < L.end) return true;
                 L.ri++;
             }
@@ -1240,6 +1257,186 @@ static void extract_ilp(
     int n_act = 0;
     for (int k = 0; k < K; k++)
         if (feed(lanes[k])) act[n_act++] = &lanes[k];
+
+    // ------------------------------------------------------------------
+    // Burst rotation: while all K lanes are hot, their bitstream cursors
+    // and run bounds live in compact parallel locals (one stack cache
+    // line) instead of being re-read from the ~27KB LaneCtx structs every
+    // codeword — four of those are 4x the L1 and the pointer-chased
+    // rotation measured 32 cyc per pair codeword against the ~9 cyc
+    // register-resident ceiling (tools/microbench/vlc_interleave.cpp).
+    // Run/frame transitions, escapes, long codes and stream tails exit to
+    // lane_exit (cold), which syncs LaneCtx, advances, and reloads.
+    // ------------------------------------------------------------------
+    if (n_act == K) {
+        uint64_t hbuf[K];
+        int hcnt[K], hi[K], hend[K];
+        int64_t hpos[K], hlen[K];
+        const uint8_t* hdata[K];
+        const int32_t* htbl[K];
+        int16_t* hq[K];
+        auto load_hot = [&](int k) {
+            LaneCtx& L = *act[k];
+            hbuf[k] = L.br.buf; hcnt[k] = L.br.cnt; hpos[k] = L.br.pos;
+            hlen[k] = L.br.len; hdata[k] = L.br.data;
+            htbl[k] = L.tbl; hi[k] = L.i; hend[k] = L.end;
+            hq[k] = L.ics->qbuf;
+        };
+        auto store_hot = [&](int k) {
+            LaneCtx& L = *act[k];
+            L.br.buf = hbuf[k]; L.br.cnt = hcnt[k]; L.br.pos = hpos[k];
+            L.i = hi[k];
+        };
+        // Exit the fast rotation for lane k. e >= 0: escape codeword
+        // (fast-table entry, bit 0 set); e == -1: long code or byte-wise
+        // stream tail (generic single-pair decode); e == INT32_MIN: run
+        // complete, no assist. Returns false when the lane dies.
+        auto lane_exit = [&](int k, int32_t e) -> bool {
+            LaneCtx& L = *act[k];
+            store_hot(k);
+            if (e != INT32_MIN) {
+                int r = e >= 0 ? L.ics->decode_escape_pair(L.br, e, L.i)
+                               : L.ics->decode_one_pair(L.br, L.cb, L.i);
+                if (r < 0) L.status = r;
+                else L.i += 2;
+                if (L.status >= 0 && L.i < L.end) { load_hot(k); return true; }
+            }
+            if (L.status >= 0) L.ri++;  // current run consumed
+            if (lane_advance(L, O) || feed(L)) { load_hot(k); return true; }
+            return false;
+        };
+        // Light run advance on run completion: pair -> pair within the same
+        // ICS (optionally across NOISE runs, which read no spectral bits)
+        // needs no bit-cursor sync — only the table pointer and span move.
+        // Full store/reload transitions measured ~130 cyc each at ~34k per
+        // call, a quarter of the whole stage. Returns false when the next
+        // step needs the generic path (quad run / ICS complete / error).
+        auto advance_run = [&](int k) -> bool {
+            LaneCtx& L = *act[k];
+            int ri = L.ri + 1;
+            for (;;) {
+                if (ri >= L.n_runs) { L.ri = ri - 1; return false; }
+                const Ics::Run& R = L.runs[ri];
+                if (R.cb == NOISE_HCB) {
+                    L.has_pns = true;
+                    L.ics->decode_noise(L.lcg, R.scale, R.start, R.end);
+                    ri++;
+                    continue;
+                }
+                if (R.cb <= 4) { L.ri = ri - 1; return false; }
+                int cb = R.cb, end = R.end;
+                while (ri + 1 < L.n_runs && L.runs[ri + 1].cb == cb &&
+                       L.runs[ri + 1].start == end)
+                    end = L.runs[++ri].end;
+                L.ri = ri;
+                L.cb = cb;
+                L.tbl = g_fast[cb].tbl;
+                L.scale = R.scale;
+                L.i = R.start;
+                L.end = end;
+                htbl[k] = L.tbl;
+                hi[k] = R.start;
+                hend[k] = end;
+                return true;
+            }
+        };
+        for (int k = 0; k < K; k++) load_hot(k);
+        int dead = -1;
+        while (dead < 0) {
+            #pragma GCC unroll 4
+            for (int k = 0; k < K; k++) {
+                if (hcnt[k] < 32) {
+                    if (__builtin_expect(hpos[k] + 8 > hlen[k], 0)) {  // stream tail
+                        if (!lane_exit(k, -1)) { dead = k; break; }
+                        continue;
+                    }
+                    int nbytes = (63 - hcnt[k]) >> 3;
+                    uint64_t w;
+                    memcpy(&w, hdata[k] + hpos[k], 8);
+                    w = __builtin_bswap64(w);
+                    hbuf[k] = (hbuf[k] << (nbytes * 8)) |
+                              (w >> (64 - nbytes * 8));
+                    hpos[k] += nbytes;
+                    hcnt[k] += nbytes * 8;
+                }
+                int32_t e =
+                    htbl[k][(uint32_t)(hbuf[k] >> (hcnt[k] - 12)) & 4095];
+                if (__builtin_expect(e < 0 || (e & 1), 0)) {
+                    if (e >= 0 && hpos[k] + 8 <= hlen[k]) {
+                        // Inline cb11 escape continuation (mirrors
+                        // Ics::decode_escape_pair bit for bit): one refill
+                        // guarantees >= 56 window bits, enough for the
+                        // worst case len+signs + 2 escapes (14+21+21).
+                        // The full-exit assist costs ~190 cyc and escapes
+                        // are ~4% of codewords on dense content.
+                        if (hcnt[k] < 56) {  // nbytes == 0 would shift by 64
+                            int nbytes = (63 - hcnt[k]) >> 3;
+                            uint64_t w;
+                            memcpy(&w, hdata[k] + hpos[k], 8);
+                            w = __builtin_bswap64(w);
+                            hbuf[k] = (hbuf[k] << (nbytes * 8)) |
+                                      (w >> (64 - nbytes * 8));
+                            hpos[k] += nbytes;
+                            hcnt[k] += nbytes * 8;
+                        }
+                        int len = (e >> 27) & 15, nz = (e >> 25) & 3;
+                        hcnt[k] -= len + nz;
+                        uint32_t signs =
+                            (uint32_t)(hbuf[k] >> hcnt[k]) & ((1u << nz) - 1);
+                        int x = (e >> 19) & 63, y = (e >> 12) & 63;
+                        int sx = 0, sy = 0;
+                        if (x && y) { sx = (signs >> 1) & 1; sy = signs & 1; }
+                        else if (x) sx = signs & 1;
+                        else if (y) sy = signs & 1;
+                        bool bad = false;
+                        for (int esc = 0; esc < 2; esc++) {
+                            int* v = esc ? &y : &x;
+                            if (*v != 16) continue;
+                            uint32_t p =
+                                (uint32_t)(hbuf[k] >> (hcnt[k] - 16)) & 0xFFFF;
+                            uint32_t inv = (~p << 16) & 0xFFFF0000u;
+                            int nn = inv ? __builtin_clz(inv) : 16;
+                            if (nn >= 9) { bad = true; break; }
+                            hcnt[k] -= nn + 1;
+                            hcnt[k] -= nn + 4;
+                            *v = (1 << (nn + 4)) +
+                                 (int)((hbuf[k] >> hcnt[k]) &
+                                       ((1u << (nn + 4)) - 1));
+                        }
+                        if (__builtin_expect(bad, 0)) {
+                            LaneCtx& L = *act[k];
+                            store_hot(k);
+                            L.status = -35;
+                            if (!lane_exit(k, INT32_MIN)) { dead = k; break; }
+                            continue;
+                        }
+                        hbuf[k] &= (1ULL << hcnt[k]) - 1;
+                        hq[k][hi[k]] = (int16_t)(sx ? -x : x);
+                        hq[k][hi[k] + 1] = (int16_t)(sy ? -y : y);
+                        hi[k] += 2;
+                        if (hi[k] >= hend[k]) {
+                            if (advance_run(k)) continue;
+                            if (!lane_exit(k, INT32_MIN)) { dead = k; break; }
+                        }
+                        continue;
+                    }
+                    if (!lane_exit(k, e < 0 ? -1 : e)) { dead = k; break; }
+                    continue;
+                }
+                emit_fast_pair(e, hbuf[k], hcnt[k], hq[k] + hi[k]);
+                hi[k] += 2;
+                if (__builtin_expect(hi[k] >= hend[k], 0)) {
+                    if (advance_run(k)) continue;
+                    if (!lane_exit(k, INT32_MIN)) { dead = k; break; }
+                }
+            }
+        }
+        // Frames exhausted: sync the survivors and drop the dead lane; the
+        // generic rotation below drains the remaining <K lanes.
+        for (int k = 0; k < K; k++)
+            if (k != dead) store_hot(k);
+        act[dead] = act[--n_act];
+    }
 
     while (n_act) {
         for (int k = 0; k < n_act; k++) {
