@@ -53,6 +53,19 @@ bool g_book_set[12] = {false};
 struct FastBook { int bits; int32_t tbl[1 << 12]; };
 FastBook g_fast[12];
 
+// 13-bit fast tables for the AVX-512 gather engine, pair books 5..11
+// concatenated (one gather base; a plan entry's table "pointer" is an i32
+// offset (cb-5) << 13). 13 bits covers every codeword of books 6/7/8/10/11
+// and all but the rare longest codes of 5 and 9 (those fall to the scalar
+// assist, like stream tails). Entries share the packed pair format; -1 =
+// assist.
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__) \
+    && defined(__AVX512CD__) && defined(__AVX512DQ__)
+#define SH_AAC_SIMD 1
+constexpr int FB_SIMD = 13;
+int32_t g_simd_tbl[7 << FB_SIMD];
+#endif
+
 struct Tables {
     float pow43[8192];
     float normal_scf[256];
@@ -975,6 +988,11 @@ struct LaneCtx {
     // A/B any refactor with tools/microbench discipline before landing).
     uint8_t elems[64];
     int n_elems = 0;
+    // SIMD-engine mode: lane_advance returns right after build_runs (fresh
+    // ICS) instead of executing runs; the vector engine owns run execution
+    // via pre-built span plans and re-enters with ri == n_runs to trigger
+    // the ICS-complete block (dequant + next ICS / element / frame).
+    bool simd = false;
 };
 
 // Cross-frame element-layout consistency (the sequential engine's
@@ -994,6 +1012,32 @@ static __attribute__((noinline)) void finalize_layout(
         }
     }
     for (int i = (int)layout.size(); i < n; i++) layout.push_back(L.elems[i]);
+}
+
+// Shared multi-frame-engine tail: PNS re-decode (sequential with the
+// persistent decoder LCG — draws happen only in noise bands, so skipping
+// non-PNS frames preserves the fully-sequential engine's sequence) and the
+// prev_window_shape chain across good frames, per channel.
+static void pns_prevshape_pass(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* offsets, const int64_t* sizes, int32_t n_frames,
+    const FrameOut& O, const uint8_t* pns) {
+    std::vector<ChannelPair> pairs;
+    for (int f = 0; f < n_frames; f++) {
+        if (!pns[f]) continue;
+        decode_frame_scalar(data, data_len, offsets[f], sizes[f], f, pairs,
+                            O);
+    }
+    int32_t carry[64] = {0};
+    for (int f = 0; f < n_frames; f++) {
+        if (O.status[f] != 0) continue;
+        int nc = O.nch_out[f] < 64 ? O.nch_out[f] : 64;
+        for (int c = 0; c < nc; c++) {
+            int64_t lane = (int64_t)f * O.max_ch + c;
+            O.prevshape_out[lane] = carry[c];
+            carry[c] = O.shape_out[lane];
+        }
+    }
 }
 
 // Scalar execution of one quad run (books 1-4) on a lane's bit reader.
@@ -1078,6 +1122,7 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
                 if (r < 0 || br.error) { L.status = r < 0 ? r : -2; continue; }
                 L.n_runs = L.pair.ics1.build_runs(L.runs);
                 L.ri = 0;
+                if (L.simd) return true;  // fresh ICS: caller builds a plan
                 continue;
             }
             // Element complete: joint stereo, synthesis, emission.
@@ -1147,6 +1192,7 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
             L.n_runs = p.ics0.build_runs(L.runs);
             L.ri = 0;
             L.phase = 1;
+            if (L.simd) return true;  // fresh ICS: caller builds a plan
             continue;
         }
         if (eid == 4) {  // DSE
@@ -1463,28 +1509,497 @@ static void extract_ilp(
         finalize_layout(L, layout, O);
     }
 
-    // PNS re-decode: sequential with the persistent decoder LCG (draws
-    // happen only in noise bands, so skipping non-PNS frames preserves the
-    // sequence of the fully-sequential engine).
-    std::vector<ChannelPair> pairs;
-    for (int f = 0; f < n_frames; f++) {
-        if (!pns[f]) continue;
-        decode_frame_scalar(data, data_len, offsets[f], sizes[f], f, pairs,
-                            O);
+    pns_prevshape_pass(data, data_len, offsets, sizes, n_frames, O,
+                       pns.data());
+}
+
+#ifdef SH_AAC_SIMD
+// ---------------------------------------------------------------------------
+// 8-lane AVX-512 gather engine.
+//
+// Eight frames decode concurrently with ALL per-lane state in ZMM lanes:
+// bit window, bit count, byte cursor, qbuf index, span end, and a per-lane
+// table offset into the concatenated 13-bit pair tables (g_simd_tbl). Run
+// transitions happen IN-VECTOR via masked gathers from pre-built span plans
+// (one (start,end,tblofs) triple per merged same-book span of an ICS), and
+// cb11 escape continuations decode in-vector too — the scalar ILP engine
+// plateaus at ~24 cyc/codeword because of exactly these events
+// (tools/microbench/README.md), while this engine's model measures ~9.
+//
+// Everything the vector can't do exits to the scalar machinery: quad runs,
+// ICS/element/frame boundaries (lane_advance/feed with LaneCtx.simd set, so
+// lane_advance returns at each fresh ICS for plan building), codes longer
+// than 13 bits, stream tails, and corrupt escapes. Output is bit-identical
+// to the scalar engines (same packed-entry emission; PNS re-decode and
+// prev_window_shape chain shared via pns_prevshape_pass).
+// ---------------------------------------------------------------------------
+static void extract_simd8(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* offsets, const int64_t* sizes, int32_t n_frames,
+    const FrameOut& O) {
+    constexpr int K = 8;
+    constexpr int PM = MAX_WINDOWS * MAX_SFBS + 2;  // spans + end marker
+    std::vector<LaneCtx> lanes(K);
+    std::vector<uint8_t> layout;
+    std::vector<uint8_t> pns(n_frames, 0);
+    int next = 0;
+    for (auto& L : lanes) L.simd = true;
+
+    auto init_bands = [&](LaneCtx& L) {
+        for (Ics* ics : {&L.pair.ics0, &L.pair.ics1}) {
+            ics->bands_long = O.bands_long;
+            ics->n_bands_long = O.n_bands_long;
+            ics->bands_short = O.bands_short;
+            ics->n_bands_short = O.n_bands_short;
+        }
+    };
+    auto feed = [&](LaneCtx& L) -> bool {
+        for (;;) {
+            if (L.fidx >= 0) {
+                if (L.has_pns) pns[L.fidx] = 1;
+                finalize_layout(L, layout, O);
+            }
+            if (next >= n_frames) return false;
+            int f = next++;
+            L.fidx = f;
+            L.status = 0;
+            L.phase = 0;
+            L.cur_ch = 0;
+            L.n_elems = 0;
+            L.has_pns = false;
+            L.lcg = Lcg();
+            init_bands(L);
+            if (offsets[f] < 0 || offsets[f] + sizes[f] > data_len) {
+                O.status[f] = -1;
+                O.nch_out[f] = 0;
+                continue;
+            }
+            L.br = Bits(data + offsets[f], sizes[f]);
+            L.frame_bits = sizes[f] * 8;
+            if (lane_advance(L, O)) return true;  // fresh ICS (simd mode)
+        }
+    };
+
+    // Per-lane span plans: pt >= 0 pair span (value = table offset);
+    // pt == -1 ICS complete; pt <= -2 quad span with cb = -2 - pt.
+    // pse packs (start | end << 32) so the in-vector advance needs two
+    // gathers, not three (the loop is gather-throughput-bound).
+    // pr = last run index the span covers (generic-engine handover).
+    std::vector<int64_t> pse(K * PM);
+    std::vector<int32_t> pt(K * PM), pr(K * PM);
+    auto build_plan = [&](int l) {
+        LaneCtx& L = lanes[l];
+        int64_t* se = &pse[l * PM];
+        int32_t* t = &pt[l * PM];
+        int32_t* r = &pr[l * PM];
+        int n = 0;
+        for (int ri = 0; ri < L.n_runs; ri++) {
+            const Ics::Run& R = L.runs[ri];
+            if (R.cb == NOISE_HCB) {
+                // No spectral bits; draw order among a lane's noise runs is
+                // preserved (plan build walks in run order) and PNS frames
+                // are re-decoded sequentially in the shared tail anyway.
+                L.has_pns = true;
+                L.ics->decode_noise(L.lcg, R.scale, R.start, R.end);
+                continue;
+            }
+            int cb = R.cb, start = R.start, end = R.end;
+            while (ri + 1 < L.n_runs && L.runs[ri + 1].cb == cb &&
+                   L.runs[ri + 1].start == end)
+                end = L.runs[++ri].end;
+            se[n] = (int64_t)(uint32_t)start | ((int64_t)end << 32);
+            t[n] = cb <= 4 ? -2 - cb : (cb - 5) << FB_SIMD;
+            r[n] = ri;
+            n++;
+        }
+        se[n] = 0; t[n] = -1; r[n] = L.n_runs;
+    };
+
+    // Committed lane state (vector registers spill here around fixups).
+    alignas(64) int64_t buf_a[K], cnt_a[K], pos_a[K], i_a[K], end_a[K],
+        tofs_a[K], pri_a[K];
+    int64_t fbase[K], fend[K];
+    int16_t* hq[K];
+    uint8_t reason[K] = {0};  // 1 tail/miss (assist), 2 bad escape, 3 plan
+    bool lane_live[K] = {false};
+
+    auto sync_to_ctx = [&](int l) {
+        LaneCtx& L = lanes[l];
+        L.br.buf = (uint64_t)buf_a[l];
+        L.br.cnt = (int)cnt_a[l];
+        L.br.pos = pos_a[l] - fbase[l];
+        L.i = (int)i_a[l];
+    };
+    auto sync_from_ctx = [&](int l) {
+        LaneCtx& L = lanes[l];
+        buf_a[l] = (int64_t)L.br.buf;
+        cnt_a[l] = L.br.cnt;
+        pos_a[l] = fbase[l] + L.br.pos;
+        i_a[l] = L.i;
+    };
+
+    // Walk lane l's plan (L.br synced) until it sits on a pair span (true)
+    // or frames run out (false): quad spans execute scalar, markers advance
+    // ICS/element/frame via lane_advance/feed and rebuild the plan.
+    auto lane_to_hot = [&](int l) -> bool {
+        LaneCtx& L = lanes[l];
+        for (;;) {
+            if (L.status < 0) {
+                if (!(lane_advance(L, O) || feed(L))) return false;
+                fbase[l] = offsets[L.fidx];
+                fend[l] = offsets[L.fidx] + sizes[L.fidx];
+                build_plan(l);
+                pri_a[l] = 0;
+                sync_from_ctx(l);
+                continue;
+            }
+            int64_t pi = l * PM + pri_a[l];
+            int32_t t = pt[pi];
+            int start = (int32_t)pse[pi];
+            int end = (int32_t)(pse[pi] >> 32);
+            if (t >= 0) {
+                i_a[l] = start;
+                end_a[l] = end;
+                tofs_a[l] = t;
+                L.cb = (t >> FB_SIMD) + 5;
+                L.tbl = g_fast[L.cb].tbl;
+                L.ri = pr[pi];
+                L.i = start;
+                L.end = end;
+                hq[l] = L.ics->qbuf;
+                return true;
+            }
+            if (t == -1) {  // ICS complete -> dequant + next ICS/elem/frame
+                L.ri = L.n_runs;
+                if (!(lane_advance(L, O) || feed(L))) return false;
+                fbase[l] = offsets[L.fidx];
+                fend[l] = offsets[L.fidx] + sizes[L.fidx];
+                build_plan(l);
+                pri_a[l] = 0;
+                sync_from_ctx(l);
+                continue;
+            }
+            Ics::Run RR{-2 - t, start, end, 0.0f};
+            int rq = run_quad_scalar(*L.ics, L.br, RR);
+            if (rq < 0) { L.status = rq; continue; }
+            if (L.br.error) { L.status = -33; continue; }
+            L.ri = pr[pi];
+            pri_a[l]++;
+            sync_from_ctx(l);
+        }
+    };
+
+    bool died = false;
+    for (int l = 0; l < K; l++) {
+        if (!feed(lanes[l])) { died = true; continue; }
+        lane_live[l] = true;
+        fbase[l] = offsets[lanes[l].fidx];
+        fend[l] = offsets[lanes[l].fidx] + sizes[lanes[l].fidx];
+        build_plan(l);
+        pri_a[l] = 0;
+        sync_from_ctx(l);
+        if (!lane_to_hot(l)) { lane_live[l] = false; died = true; }
     }
 
-    // prev_window_shape chain across good frames, per channel.
-    int32_t carry[64] = {0};
-    for (int f = 0; f < n_frames; f++) {
-        if (O.status[f] != 0) continue;
-        int nc = O.nch_out[f] < 64 ? O.nch_out[f] : 64;
-        for (int c = 0; c < nc; c++) {
-            int64_t lane = (int64_t)f * O.max_ch + c;
-            O.prevshape_out[lane] = carry[c];
-            carry[c] = O.shape_out[lane];
+    if (!died) {
+        const __m512i vz = _mm512_setzero_si512();
+        const __m512i v1 = _mm512_set1_epi64(1);
+        const __m512i v8 = _mm512_set1_epi64(8);
+        const __m512i v32 = _mm512_set1_epi64(32);
+        const __m512i v56 = _mm512_set1_epi64(56);
+        const __m512i v63 = _mm512_set1_epi64(63);
+        const __m512i v64 = _mm512_set1_epi64(64);
+        const __m512i vFB = _mm512_set1_epi64(FB_SIMD);
+        const __m512i vFBm = _mm512_set1_epi64((1 << FB_SIMD) - 1);
+        const __m512i bsw = _mm512_broadcast_i32x4(
+            _mm_set_epi8(8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7));
+        __m512i lanebase;
+        {
+            int64_t lb[K];
+            for (int l = 0; l < K; l++) lb[l] = (int64_t)l * PM;
+            lanebase = _mm512_loadu_si512(lb);
+        }
+        __m512i bufv = _mm512_load_si512(buf_a);
+        __m512i cntv = _mm512_load_si512(cnt_a);
+        __m512i posv = _mm512_load_si512(pos_a);
+        __m512i iv = _mm512_load_si512(i_a);
+        __m512i endv = _mm512_load_si512(end_a);
+        __m512i tofsv = _mm512_load_si512(tofs_a);
+        __m512i priv_ = _mm512_load_si512(pri_a);
+        __m512i lenv = _mm512_loadu_si512(fend);
+
+        auto refill = [&](__mmask8 m) {
+            __m512i w = _mm512_mask_i64gather_epi64(vz, m, posv, data, 1);
+            w = _mm512_shuffle_epi8(w, bsw);
+            __m512i nbytes =
+                _mm512_srli_epi64(_mm512_sub_epi64(v63, cntv), 3);
+            __m512i nbits = _mm512_slli_epi64(nbytes, 3);
+            __m512i merged = _mm512_or_si512(
+                _mm512_sllv_epi64(bufv, nbits),
+                _mm512_srlv_epi64(w, _mm512_sub_epi64(v64, nbits)));
+            bufv = _mm512_mask_mov_epi64(bufv, m, merged);
+            posv = _mm512_mask_add_epi64(posv, m, posv, nbytes);
+            cntv = _mm512_mask_add_epi64(cntv, m, cntv, nbits);
+        };
+
+        for (;;) {
+            __mmask8 freeze = 0;
+            for (;;) {
+                // (1) refill lanes below 32 window bits; stream tails exit.
+                __mmask8 need = _mm512_cmplt_epi64_mask(cntv, v32);
+                __mmask8 act = 0xFF;
+                if (need) {
+                    __mmask8 tailm = _mm512_mask_cmpgt_epi64_mask(
+                        need, _mm512_add_epi64(posv, v8), lenv);
+                    if (tailm) {
+                        for (int l = 0; l < K; l++)
+                            if ((tailm >> l) & 1) reason[l] = 1;
+                        freeze |= tailm;
+                        act &= ~tailm;
+                        need &= ~tailm;
+                    }
+                    if (need) refill(need);
+                }
+                // (2) probe the concatenated 13-bit tables.
+                __m512i sh = _mm512_sub_epi64(cntv, vFB);
+                __m512i idx = _mm512_add_epi64(
+                    _mm512_and_si512(_mm512_srlv_epi64(bufv, sh), vFBm),
+                    tofsv);
+                __m256i e32 = _mm512_mask_i64gather_epi32(
+                    _mm256_setzero_si256(), act, idx, g_simd_tbl, 4);
+                __m512i e64 = _mm512_cvtepi32_epi64(e32);
+                __mmask8 miss =
+                    _mm512_mask_cmplt_epi64_mask(act, e64, vz);
+                if (miss) {
+                    for (int l = 0; l < K; l++)
+                        if ((miss >> l) & 1) reason[l] = 1;
+                    freeze |= miss;
+                    act &= ~miss;
+                }
+                // (3) escape lanes need up to 56 window bits up front.
+                __mmask8 esc = _mm512_mask_test_epi64_mask(act, e64, v1);
+                if (esc) {
+                    __mmask8 need2 =
+                        _mm512_mask_cmplt_epi64_mask(esc, cntv, v56);
+                    __mmask8 t2 = _mm512_mask_cmpgt_epi64_mask(
+                        need2, _mm512_add_epi64(posv, v8), lenv);
+                    if (t2) {
+                        for (int l = 0; l < K; l++)
+                            if ((t2 >> l) & 1) reason[l] = 1;
+                        freeze |= t2;
+                        act &= ~t2;
+                        esc &= ~t2;
+                        need2 &= ~t2;
+                    }
+                    if (need2) refill(need2);
+                }
+                // (4) consume len + sign bits, extract magnitudes.
+                __m512i len = _mm512_and_si512(_mm512_srli_epi64(e64, 27),
+                                               _mm512_set1_epi64(15));
+                __m512i nz = _mm512_and_si512(_mm512_srli_epi64(e64, 25),
+                                              _mm512_set1_epi64(3));
+                __m512i cnt2 =
+                    _mm512_sub_epi64(cntv, _mm512_add_epi64(len, nz));
+                __m512i signs = _mm512_and_si512(
+                    _mm512_srlv_epi64(bufv, cnt2),
+                    _mm512_sub_epi64(_mm512_sllv_epi64(v1, nz), v1));
+                __m512i xa = _mm512_and_si512(_mm512_srli_epi64(e64, 19),
+                                              _mm512_set1_epi64(63));
+                __m512i ya = _mm512_and_si512(_mm512_srli_epi64(e64, 12),
+                                              _mm512_set1_epi64(63));
+                // Stream sign bits: x takes bit nz-1 (iff xa != 0), y bit 0
+                // (iff ya != 0); entry-borne signs are bits 18/11.
+                __m512i xs = _mm512_or_si512(
+                    _mm512_and_si512(_mm512_srli_epi64(e64, 18), v1),
+                    _mm512_and_si512(
+                        _mm512_and_si512(
+                            _mm512_srlv_epi64(signs,
+                                              _mm512_sub_epi64(nz, v1)),
+                            v1),
+                        _mm512_min_epu64(xa, v1)));
+                __m512i ys = _mm512_or_si512(
+                    _mm512_and_si512(_mm512_srli_epi64(e64, 11), v1),
+                    _mm512_and_si512(_mm512_and_si512(signs, v1),
+                                     _mm512_min_epu64(ya, v1)));
+                // (5) in-vector cb11 escape continuations, x then y.
+                if (esc) {
+                    const __m512i v16 = _mm512_set1_epi64(16);
+                    const __m512i vFFFF = _mm512_set1_epi64(0xFFFF);
+                    for (int which = 0; which < 2; which++) {
+                        __m512i& mag = which ? ya : xa;
+                        __mmask8 m = _mm512_mask_cmpeq_epi64_mask(
+                            esc & act, mag, v16);
+                        if (!m) continue;
+                        __m512i peek = _mm512_and_si512(
+                            _mm512_srlv_epi64(
+                                bufv, _mm512_sub_epi64(cnt2, v16)),
+                            vFFFF);
+                        __m512i opnd = _mm512_slli_epi64(
+                            _mm512_andnot_si512(peek, vFFFF), 48);
+                        __m512i n = _mm512_lzcnt_epi64(opnd);
+                        __mmask8 bad = _mm512_mask_cmpge_epi64_mask(
+                            m, n, _mm512_set1_epi64(9));
+                        if (bad) {
+                            for (int l = 0; l < K; l++)
+                                if ((bad >> l) & 1) reason[l] = 2;
+                            freeze |= bad;
+                            act &= ~bad;
+                            esc &= ~bad;
+                            m &= ~bad;
+                        }
+                        if (!m) continue;
+                        __m512i n4 = _mm512_add_epi64(n,
+                                                      _mm512_set1_epi64(4));
+                        cnt2 = _mm512_mask_sub_epi64(
+                            cnt2, m, cnt2,
+                            _mm512_add_epi64(_mm512_add_epi64(n, v1), n4));
+                        __m512i mant = _mm512_and_si512(
+                            _mm512_srlv_epi64(bufv, cnt2),
+                            _mm512_sub_epi64(_mm512_sllv_epi64(v1, n4), v1));
+                        mag = _mm512_mask_add_epi64(
+                            mag, m, _mm512_sllv_epi64(v1, n4), mant);
+                    }
+                }
+                // (6) signed values and state commit.
+                __m512i xv = _mm512_add_epi64(
+                    _mm512_xor_si512(xa, _mm512_sub_epi64(vz, xs)), xs);
+                __m512i yv = _mm512_add_epi64(
+                    _mm512_xor_si512(ya, _mm512_sub_epi64(vz, ys)), ys);
+                cntv = _mm512_mask_mov_epi64(cntv, act, cnt2);
+                bufv = _mm512_mask_and_epi64(
+                    bufv, act, bufv,
+                    _mm512_sub_epi64(_mm512_sllv_epi64(v1, cnt2), v1));
+                // (7) emit two int16 per active lane.
+                alignas(64) int64_t xv_a[K], yv_a[K], ii_a[K];
+                _mm512_store_si512(xv_a, xv);
+                _mm512_store_si512(yv_a, yv);
+                _mm512_store_si512(ii_a, iv);
+                for (int l = 0; l < K; l++) {
+                    if (!((act >> l) & 1)) continue;
+                    hq[l][ii_a[l]] = (int16_t)xv_a[l];
+                    hq[l][ii_a[l] + 1] = (int16_t)yv_a[l];
+                }
+                // (8) span cursors + in-vector plan advance.
+                iv = _mm512_mask_add_epi64(iv, act, iv,
+                                           _mm512_set1_epi64(2));
+                __mmask8 fin =
+                    _mm512_mask_cmpge_epi64_mask(act, iv, endv);
+                if (fin) {
+                    priv_ = _mm512_mask_add_epi64(priv_, fin, priv_, v1);
+                    __m512i pidx = _mm512_add_epi64(lanebase, priv_);
+                    __m512i nse = _mm512_mask_i64gather_epi64(
+                        vz, fin, pidx, pse.data(), 8);
+                    __m512i nt = _mm512_cvtepi32_epi64(
+                        _mm512_mask_i64gather_epi32(_mm256_setzero_si256(),
+                                                    fin, pidx, pt.data(), 4));
+                    __mmask8 marker =
+                        _mm512_mask_cmplt_epi64_mask(fin, nt, vz);
+                    if (marker) {
+                        for (int l = 0; l < K; l++)
+                            if ((marker >> l) & 1) reason[l] = 3;
+                        freeze |= marker;
+                    }
+                    __mmask8 ok = fin & ~marker;
+                    iv = _mm512_mask_and_epi64(iv, ok, nse,
+                                               _mm512_set1_epi64(0xFFFFFFFF));
+                    endv = _mm512_mask_srli_epi64(endv, ok, nse, 32);
+                    tofsv = _mm512_mask_mov_epi64(tofsv, ok, nt);
+                }
+                if (freeze) break;
+            }
+            // Fixup: spill, resolve each frozen lane scalar, reload.
+            _mm512_store_si512(buf_a, bufv);
+            _mm512_store_si512(cnt_a, cntv);
+            _mm512_store_si512(pos_a, posv);
+            _mm512_store_si512(i_a, iv);
+            _mm512_store_si512(end_a, endv);
+            _mm512_store_si512(tofs_a, tofsv);
+            _mm512_store_si512(pri_a, priv_);
+            for (int l = 0; l < K; l++) {
+                if (!reason[l]) continue;
+                LaneCtx& L = lanes[l];
+                sync_to_ctx(l);
+                if (reason[l] == 1) {  // stream tail or long code
+                    L.cb = (int)(tofs_a[l] >> FB_SIMD) + 5;
+                    // A long code mid-stream needs one scalar pair and the
+                    // vector resumes; in the last 8 bytes of the frame the
+                    // vector would re-freeze per codeword, so drain the
+                    // span scalar while the cursor stays in the tail.
+                    do {
+                        int r = L.ics->decode_one_pair(L.br, L.cb, L.i);
+                        if (r < 0) L.status = r;
+                        else L.i += 2;
+                    } while (L.status >= 0 && L.i < (int)end_a[l] &&
+                             L.br.pos + 8 > L.br.len);
+                    sync_from_ctx(l);
+                    if (L.status >= 0 && L.i < (int)end_a[l]) {
+                        reason[l] = 0;
+                        continue;  // still inside the span
+                    }
+                    if (L.status >= 0) pri_a[l]++;
+                } else if (reason[l] == 2) {
+                    L.status = -35;  // corrupt escape prefix
+                }
+                reason[l] = 0;
+                if (!lane_to_hot(l)) { lane_live[l] = false; died = true; }
+            }
+            if (died) break;
+            bufv = _mm512_load_si512(buf_a);
+            cntv = _mm512_load_si512(cnt_a);
+            posv = _mm512_load_si512(pos_a);
+            iv = _mm512_load_si512(i_a);
+            endv = _mm512_load_si512(end_a);
+            tofsv = _mm512_load_si512(tofs_a);
+            priv_ = _mm512_load_si512(pri_a);
+            lenv = _mm512_loadu_si512(fend);
         }
     }
+
+    // Frames exhausted: hand surviving lanes (mid-span state in the spill
+    // arrays) to the scalar rotation to drain.
+    LaneCtx* act2[K];
+    int n_act = 0;
+    const float* pow43 = tables().pow43;
+    for (int l = 0; l < K; l++) {
+        if (!lane_live[l]) continue;
+        LaneCtx& L = lanes[l];
+        sync_to_ctx(l);
+        L.cb = (int)(tofs_a[l] >> FB_SIMD) + 5;
+        L.tbl = g_fast[L.cb].tbl;
+        L.end = (int)end_a[l];
+        L.ri = pr[l * PM + pri_a[l]];
+        L.simd = false;
+        act2[n_act++] = &L;
+    }
+    for (auto& L : lanes) L.simd = false;
+    while (n_act) {
+        for (int k = 0; k < n_act; k++) {
+            LaneCtx& L = *act2[k];
+            int s = lane_step(L, pow43);
+            if (s == 0) continue;
+            if (s == 2) {
+                int r = L.ics->decode_one_pair(L.br, L.cb, L.i);
+                if (r < 0) L.status = r;
+                else L.i += 2;
+                if (L.status >= 0 && L.i < L.end) continue;
+            }
+            if (L.status >= 0) L.ri++;  // current run consumed
+            if (!lane_advance(L, O) && !feed(L)) {
+                act2[k] = act2[--n_act];
+                k--;
+            }
+        }
+    }
+    for (int l = 0; l < K; l++) {
+        LaneCtx& L = lanes[l];
+        if (L.fidx < 0) continue;
+        if (L.has_pns) pns[L.fidx] = 1;
+        finalize_layout(L, layout, O);
+    }
+    pns_prevshape_pass(data, data_len, offsets, sizes, n_frames, O,
+                       pns.data());
 }
+#endif  // SH_AAC_SIMD
 
 }  // namespace
 
@@ -1566,6 +2081,28 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
                 fr[base + k] = packed;
         }
     }
+#ifdef SH_AAC_SIMD
+    if (idx >= 5) {
+        int32_t* sr = g_simd_tbl + ((idx - 5) << FB_SIMD);
+        for (int i = 0; i < (1 << FB_SIMD); i++) sr[i] = -1;
+        for (int i = 0; i < n; i++) {
+            int l = lens[i];
+            if (l == 0 || l > FB_SIMD) continue;
+            uint16_t v = vals[i];
+            int x, y;
+            if (idx == 5 || idx == 6) { x = (v >> 4) - 4; y = (v & 15) - 4; }
+            else { x = v >> 5; y = v & 31; }
+            int xa = x < 0 ? -x : x, ya = y < 0 ? -y : y;
+            int nz = (idx == 5 || idx == 6) ? 0 : (x != 0) + (y != 0);
+            int32_t packed = (l << 27) | (nz << 25) | (xa << 19)
+                             | ((x < 0) << 18) | (ya << 12) | ((y < 0) << 11);
+            if (idx == 11 && (x == 16 || y == 16)) packed |= 1;
+            uint32_t base = codes[i] << (FB_SIMD - l);
+            for (uint32_t k = 0; k < (1u << (FB_SIMD - l)); k++)
+                sr[base + k] = packed;
+        }
+    }
+#endif
 }
 
 // Parse + dequantize a sequence of AAC raw_data_blocks (one per frame).
@@ -1592,7 +2129,20 @@ int32_t sh_aac_extract(
                status, max_ch, rate_idx,
                bands_long, n_bands_long, bands_short, n_bands_short};
     if (n_frames >= 4) {
+#ifdef SH_AAC_SIMD
+        // SYMPHONIA_TPU_AAC_ENGINE=ilp forces the scalar interleaved
+        // engine (testing / A-B measurement); both are bit-identical.
+        static const bool force_ilp = [] {
+            const char* e = getenv("SYMPHONIA_TPU_AAC_ENGINE");
+            return e && strcmp(e, "ilp") == 0;
+        }();
+        if (n_frames >= 8 && !force_ilp)
+            extract_simd8(data, data_len, offsets, sizes, n_frames, O);
+        else
+            extract_ilp(data, data_len, offsets, sizes, n_frames, O);
+#else
         extract_ilp(data, data_len, offsets, sizes, n_frames, O);
+#endif
         return n_frames;
     }
     std::vector<ChannelPair> pairs;

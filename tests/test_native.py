@@ -178,3 +178,108 @@ class TestSimdExtract:
             assert (packed["status"] == 0).all()
             out = decode_packed(packed)
             assert out.shape[0] == packed["F"]
+
+
+class TestSimdEngineParity:
+    """The AVX-512 gather engine (n_frames >= 8) must be bit-identical to
+    the interleaved scalar engine across content shapes. The engine choice
+    is cached per process, so each runs in a subprocess."""
+
+    def test_engines_bit_identical(self, tmp_path):
+        import os
+        import subprocess
+        import sys as _sys
+
+        gen = tmp_path / "gen.py"
+        gen.write_text(
+            """
+import sys, os, pickle
+sys.path.insert(0, %r); sys.path.insert(0, %r)
+import numpy as np
+from aac_builder import build_adts, build_raw_block, random_quant_spectrum
+rng = np.random.default_rng(321)
+cases = []
+for case in range(6):
+    nch = 2 if case %% 2 == 0 else 1
+    frames = []
+    for f in range(int(rng.integers(9, 24))):
+        if case %% 3 == 2:
+            seq = [0, 1, 2, 2, 3, 0][f %% 6]
+            specs = [random_quant_spectrum(rng, 12, 44100, seq)
+                     for _ in range(nch)]
+            frames.append(build_raw_block(specs, [seq] * nch, 12, 140,
+                                          44100, common_window=nch == 2))
+        else:
+            specs = []
+            for c in range(nch):
+                spec = np.zeros(1024, np.int64)
+                idx = rng.choice(1000, 200, replace=False)
+                spec[idx] = rng.integers(-300, 301, 200)
+                specs.append(spec)
+            frames.append(build_raw_block(specs, [0] * nch, 40, 140, 44100,
+                                          common_window=nch == 2,
+                                          ms_mask=int(rng.integers(2)) if nch == 2 else 0))
+    cases.append((build_adts(frames, 44100, nch), nch))
+pickle.dump(cases, open(sys.argv[1], "wb"))
+"""
+            % (str(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+               str(os.path.dirname(os.path.abspath(__file__))))
+        )
+        run = tmp_path / "run.py"
+        run.write_text(
+            """
+import sys, os, pickle
+sys.path.insert(0, %r); sys.path.insert(0, %r)
+import numpy as np
+from symphonia_tpu import native
+from symphonia_tpu.codecs.aac import subband_info
+from symphonia_tpu.core.io import MediaSourceStream
+from symphonia_tpu.formats.adts import AdtsReader
+cases = pickle.load(open(sys.argv[1], "rb"))
+outs = {}
+for i, (adts, ch) in enumerate(cases):
+    r = AdtsReader(MediaSourceStream(adts))
+    pkts = []
+    while True:
+        p = r.next_packet()
+        if p is None:
+            break
+        pkts.append(bytes(p.data))
+    buf = b"".join(pkts)
+    sizes = np.array([len(p) for p in pkts], np.int64)
+    offs = np.zeros(len(pkts), np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    ri, bl, bs = subband_info(44100)
+    o = native.aac_extract(buf, offs, sizes, ri, bl, bs, ch)
+    for k, v in o.items():
+        if isinstance(v, np.ndarray):
+            outs["c%%d_%%s" %% (i, k)] = v
+np.savez(sys.argv[2], **outs)
+"""
+            % (str(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+               str(os.path.dirname(os.path.abspath(__file__))))
+        )
+        import numpy as np
+
+        from symphonia_tpu import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        cases = tmp_path / "cases.pkl"
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        subprocess.run([_sys.executable, str(gen), str(cases)], check=True,
+                       env=env)
+        a = tmp_path / "simd.npz"
+        b = tmp_path / "ilp.npz"
+        subprocess.run([_sys.executable, str(run), str(cases), str(a)],
+                       check=True, env=env)
+        env["SYMPHONIA_TPU_AAC_ENGINE"] = "ilp"
+        subprocess.run([_sys.executable, str(run), str(cases), str(b)],
+                       check=True, env=env)
+        da, db = np.load(a), np.load(b)
+        assert set(da.keys()) == set(db.keys())
+        for k in da.keys():
+            assert np.array_equal(da[k], db[k]), k
