@@ -44,6 +44,11 @@ const int kTnsMaxShortBands[12] = {9, 9, 10, 14, 14, 14, 14, 14, 14, 14, 14, 14}
 Lut g_books[12];
 bool g_book_set[12] = {false};
 
+// Scalefactor fast table: 12-bit prefix -> (len << 8 | value), -1 = take
+// the generic Lut (codes up to 19 bits exist, but the short codes around
+// the +-0 diff dominate real scalefactor streams).
+int32_t g_scf_fast[1 << 12];
+
 // Pre-packed single-level fast tables for the spectral hot loops: entry < 0
 // means "take the generic path" (code longer than the root, invalid prefix,
 // or an escape-coded value). Pair books pack
@@ -324,31 +329,63 @@ struct Ics {
         for (int g = 0; g < info.window_groups; g++)
             memset(scales[g], 0, sizeof(scales[0]));
         bool err = false;
+        // Register-resident bit window across the band loop: per-band
+        // Lut::decode calls re-touched the reader every few bits and were
+        // a measurable share of the multi-frame engines' scalar fixups.
+        uint64_t buf = br.buf;
+        int cnt = br.cnt;
+        int64_t pos = br.pos;
+        auto sdec = [&]() -> int {
+            if (cnt < 32 && pos + 8 <= br.len) {
+                int nbytes = (63 - cnt) >> 3;
+                uint64_t w;
+                memcpy(&w, br.data + pos, 8);
+                w = __builtin_bswap64(w);
+                buf = (buf << (nbytes * 8)) | (w >> (64 - nbytes * 8));
+                pos += nbytes;
+                cnt += nbytes * 8;
+            }
+            if (cnt >= 12) {
+                int32_t e = g_scf_fast[(uint32_t)(buf >> (cnt - 12)) & 4095];
+                if (e >= 0) {
+                    cnt -= e >> 8;
+                    buf &= (1ULL << cnt) - 1;
+                    return e & 255;
+                }
+            }
+            br.buf = buf; br.cnt = cnt; br.pos = pos;
+            int v = scf.decode(br, &err);
+            buf = br.buf; cnt = br.cnt; pos = br.pos;
+            return v;
+        };
         for (int g = 0; g < info.window_groups; g++) {
             for (int sfb = 0; sfb < info.max_sfb; sfb++) {
                 int cb = sfb_cb[g][sfb];
                 if (cb == ZERO_HCB) {
                     scales[g][sfb] = 0.0f;
                 } else if (cb == INTENSITY_HCB || cb == INTENSITY_HCB2) {
-                    scf_intensity += scf.decode(br, &err) - 60;
+                    scf_intensity += sdec() - 60;
                     if (err || scf_intensity < 0 || scf_intensity >= 256) return -26;
                     scales[g][sfb] = t.intensity_scf[scf_intensity];
                 } else if (cb == NOISE_HCB) {
                     if (noise_pcm_flag) {
                         noise_pcm_flag = false;
+                        br.buf = buf; br.cnt = cnt; br.pos = pos;
                         scf_noise += (int)br.read(9) - 256;
+                        buf = br.buf; cnt = br.cnt; pos = br.pos;
                     } else {
-                        scf_noise += scf.decode(br, &err) - 60;
+                        scf_noise += sdec() - 60;
                     }
                     if (err || scf_noise < 0 || scf_noise >= 256) return -27;
                     scales[g][sfb] = t.normal_scf[scf_noise];
                 } else {
-                    scf_normal += scf.decode(br, &err) - 60;
+                    scf_normal += sdec() - 60;
                     if (err || scf_normal < 0 || scf_normal >= 256) return -28;
                     scales[g][sfb] = t.normal_scf[scf_normal];
                 }
             }
         }
+        br.buf = buf; br.cnt = cnt; br.pos = pos;
         return br.error ? -29 : 0;
     }
 
@@ -1869,15 +1906,24 @@ static void extract_simd8(
                 bufv = _mm512_mask_and_epi64(
                     bufv, act, bufv,
                     _mm512_sub_epi64(_mm512_sllv_epi64(v1, cnt2), v1));
-                // (7) emit two int16 per active lane.
-                alignas(64) int64_t xv_a[K], yv_a[K], ii_a[K];
-                _mm512_store_si512(xv_a, xv);
-                _mm512_store_si512(yv_a, yv);
+                // (7) emit both int16 values as one aligned 32-bit
+                // store per lane (span starts are multiples of 4, i steps
+                // by 2, so i is always even).
+                __m512i packv = _mm512_or_si512(
+                    _mm512_and_si512(xv, _mm512_set1_epi64(0xFFFF)),
+                    _mm512_slli_epi64(_mm512_and_si512(
+                                          yv, _mm512_set1_epi64(0xFFFF)),
+                                      16));
+                alignas(64) int64_t pk_a[K], ii_a[K];
+                _mm512_store_si512(pk_a, packv);
                 _mm512_store_si512(ii_a, iv);
-                for (int l = 0; l < K; l++) {
-                    if (!((act >> l) & 1)) continue;
-                    hq[l][ii_a[l]] = (int16_t)xv_a[l];
-                    hq[l][ii_a[l] + 1] = (int16_t)yv_a[l];
+                if (__builtin_expect(act == 0xFF, 1)) {
+                    for (int l = 0; l < K; l++)
+                        *(uint32_t*)(hq[l] + ii_a[l]) = (uint32_t)pk_a[l];
+                } else {
+                    for (int l = 0; l < K; l++)
+                        if ((act >> l) & 1)
+                            *(uint32_t*)(hq[l] + ii_a[l]) = (uint32_t)pk_a[l];
                 }
                 // (8) span cursors + in-vector plan advance.
                 iv = _mm512_mask_add_epi64(iv, act, iv,
@@ -2035,6 +2081,17 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
     }
     g_books[idx].build(codes, l8.data(), vals.data(), n);
     g_book_set[idx] = true;
+    if (idx == 0) {
+        for (int i = 0; i < (1 << 12); i++) g_scf_fast[i] = -1;
+        for (int i = 0; i < n; i++) {
+            int l = lens[i];
+            if (l == 0 || l > 12) continue;
+            int32_t packed = (l << 8) | i;
+            uint32_t base = codes[i] << (12 - l);
+            for (uint32_t k = 0; k < (1u << (12 - l)); k++)
+                g_scf_fast[base + k] = packed;
+        }
+    }
 
     // Build the packed fast table (spectral books only): 12-bit lookups
     // cover every non-escape codeword of most books in one probe. Width is
