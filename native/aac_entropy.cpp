@@ -22,6 +22,28 @@
 
 #include "entropy_common.h"
 
+// Cycle-level profiling, compile-gated so the production token stream is
+// untouched (this file is codegen-sensitive; see CLAUDE.md). Build a
+// variant .so with -DSH_AAC_PROF and read the counters via sh_aac_prof():
+//   0 total extract  1 vector burst  2 fixup+lane_to_hot  3 pre_spectrum
+//   4 dequant_runs   5 build_plan    6 pns/prevshape pass 7 final drain
+//   8 burst iters    9 emitted lanes (popcnt act)        10 freezes
+#ifdef SH_AAC_PROF
+#include <x86intrin.h>
+namespace {
+uint64_t g_prof[16];
+}
+extern "C" const uint64_t* sh_aac_prof() { return g_prof; }
+extern "C" void sh_aac_prof_reset() { memset(g_prof, 0, sizeof(g_prof)); }
+#define PROF_START(x) uint64_t _t_##x = __rdtsc()
+#define PROF_STOP(x, i) g_prof[i] += __rdtsc() - _t_##x
+#define PROF_COUNT(i, n) g_prof[i] += (uint64_t)(n)
+#else
+#define PROF_START(x)
+#define PROF_STOP(x, i)
+#define PROF_COUNT(i, n)
+#endif
+
 namespace {
 
 constexpr int MAX_WINDOWS = 8;
@@ -631,7 +653,16 @@ struct Ics {
     }
 
     // Vectorized dequantization of every coded (non-noise) run.
+#ifdef SH_AAC_PROF
     void dequant_runs(const Run* runs, int n_runs) {
+        PROF_START(dq);
+        dequant_runs_inner(runs, n_runs);
+        PROF_STOP(dq, 4);
+    }
+    void dequant_runs_inner(const Run* runs, int n_runs) {
+#else
+    void dequant_runs(const Run* runs, int n_runs) {
+#endif
         const float* pow43 = tables().pow43;
         for (int ri = 0; ri < n_runs; ri++) {
             const Run& R = runs[ri];
@@ -755,7 +786,17 @@ struct Ics {
     // aac.py Ics.decode, split before the spectrum so the interleaved
     // engine can take over run execution (decode == pre_spectrum +
     // decode_spectrum).
+#ifdef SH_AAC_PROF
     int decode_pre_spectrum(Bits& br, bool common_window) {
+        PROF_START(ps);
+        int r_ = decode_pre_spectrum_inner(br, common_window);
+        PROF_STOP(ps, 3);
+        return r_;
+    }
+    int decode_pre_spectrum_inner(Bits& br, bool common_window) {
+#else
+    int decode_pre_spectrum(Bits& br, bool common_window) {
+#endif
         global_gain = (int)br.read(8);
         if (!common_window) {
             int r = info.decode(br);
@@ -1037,7 +1078,19 @@ struct LaneCtx {
 // frame to complete defines the layout; a frame whose walk differs gets -3
 // and callers fall back to the oracle for it.
 
+#ifdef SH_AAC_PROF
+static void finalize_layout_inner(LaneCtx&, std::vector<uint8_t>&,
+                                  const FrameOut&);
+static void finalize_layout(LaneCtx& L, std::vector<uint8_t>& layout,
+                            const FrameOut& O) {
+    PROF_START(fl);
+    finalize_layout_inner(L, layout, O);
+    PROF_STOP(fl, 13);
+}
+static void finalize_layout_inner(
+#else
 static __attribute__((noinline)) void finalize_layout(
+#endif
     LaneCtx& L, std::vector<uint8_t>& layout, const FrameOut& O) {
     int n = L.n_elems;
     int common = (size_t)n < layout.size() ? n : (int)layout.size();
@@ -1078,7 +1131,18 @@ static void pns_prevshape_pass(
 }
 
 // Scalar execution of one quad run (books 1-4) on a lane's bit reader.
+#ifdef SH_AAC_PROF
+static int run_quad_scalar_inner(Ics& ics, Bits& br, const Ics::Run& R);
 static int run_quad_scalar(Ics& ics, Bits& br, const Ics::Run& R) {
+    PROF_START(qs);
+    int r_ = run_quad_scalar_inner(ics, br, R);
+    PROF_STOP(qs, 11);
+    return r_;
+}
+static int run_quad_scalar_inner(Ics& ics, Bits& br, const Ics::Run& R) {
+#else
+static int run_quad_scalar(Ics& ics, Bits& br, const Ics::Run& R) {
+#endif
     const int32_t* fr = g_fast[R.cb].tbl;
     for (int i = R.start; i < R.end; i += 4) {
         if (br.cnt < 32) br.fill();
@@ -1157,12 +1221,15 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
                 L.ics = &L.pair.ics1;
                 int r = L.pair.ics1.decode_pre_spectrum(br, L.common_window);
                 if (r < 0 || br.error) { L.status = r < 0 ? r : -2; continue; }
+                PROF_START(br1);
                 L.n_runs = L.pair.ics1.build_runs(L.runs);
+                PROF_STOP(br1, 12);
                 L.ri = 0;
                 if (L.simd) return true;  // fresh ICS: caller builds a plan
                 continue;
             }
             // Element complete: joint stereo, synthesis, emission.
+            PROF_START(js);
             if (L.pair.is_pair)
                 L.pair.joint_postproc(L.common_window, L.ms_mask);
             Ics* chans[2] = {&L.pair.ics0,
@@ -1176,6 +1243,7 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
                 O.shape_out[lane] = ics2.info.window_shape ? 1 : 0;
                 O.prevshape_out[lane] = 0;  // chained in a final pass
             }
+            PROF_STOP(js, 14);
             L.phase = 0;
             continue;
         }
@@ -1226,7 +1294,9 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
             if (r < 0 || br.error) { L.status = r < 0 ? r : -2; continue; }
             L.ics = &p.ics0;
             L.ics_idx = 0;
+            PROF_START(br0);
             L.n_runs = p.ics0.build_runs(L.runs);
+            PROF_STOP(br0, 12);
             L.ri = 0;
             L.phase = 1;
             if (L.simd) return true;  // fresh ICS: caller builds a plan
@@ -1617,18 +1687,18 @@ static void extract_simd8(
         }
     };
 
-    // Per-lane span plans: pt >= 0 pair span (value = table offset);
-    // pt == -1 ICS complete; pt <= -2 quad span with cb = -2 - pt.
-    // pse packs (start | end << 32) so the in-vector advance needs two
-    // gathers, not three (the loop is gather-throughput-bound).
-    // pr = last run index the span covers (generic-engine handover).
-    std::vector<int64_t> pse(K * PM);
-    std::vector<int32_t> pt(K * PM), pr(K * PM);
+    // Per-lane span plans, one packed int64 per span so the in-vector
+    // advance needs a single gather (the loop is gather-throughput-bound):
+    //   [10:0] start  [21:11] end  [31:22] last run index the span covers
+    //   (generic-engine handover).
+    // Pair spans (sign bit clear) carry the table offset in [51:32];
+    // scalar-execution entries (sign bit set) carry cb in [55:52]:
+    // 1..4 = quad span, 0 = ICS complete.
+    std::vector<int64_t> plan(K * PM);
     auto build_plan = [&](int l) {
+        PROF_START(bp);
         LaneCtx& L = lanes[l];
-        int64_t* se = &pse[l * PM];
-        int32_t* t = &pt[l * PM];
-        int32_t* r = &pr[l * PM];
+        int64_t* P = &plan[l * PM];
         int n = 0;
         for (int ri = 0; ri < L.n_runs; ri++) {
             const Ics::Run& R = L.runs[ri];
@@ -1644,12 +1714,16 @@ static void extract_simd8(
             while (ri + 1 < L.n_runs && L.runs[ri + 1].cb == cb &&
                    L.runs[ri + 1].start == end)
                 end = L.runs[++ri].end;
-            se[n] = (int64_t)(uint32_t)start | ((int64_t)end << 32);
-            t[n] = cb <= 4 ? -2 - cb : (cb - 5) << FB_SIMD;
-            r[n] = ri;
-            n++;
+            int64_t e = (int64_t)start | ((int64_t)end << 11)
+                        | ((int64_t)ri << 22);
+            if (cb <= 4)
+                e |= ((int64_t)cb << 52) | (int64_t{1} << 63);
+            else
+                e |= (int64_t)((cb - 5) << FB_SIMD) << 32;
+            P[n++] = e;
         }
-        se[n] = 0; t[n] = -1; r[n] = L.n_runs;
+        P[n] = ((int64_t)L.n_runs << 22) | (int64_t{1} << 63);
+        PROF_STOP(bp, 5);
     };
 
     // Committed lane state (vector registers spill here around fixups).
@@ -1690,24 +1764,26 @@ static void extract_simd8(
                 sync_from_ctx(l);
                 continue;
             }
-            int64_t pi = l * PM + pri_a[l];
-            int32_t t = pt[pi];
-            int start = (int32_t)pse[pi];
-            int end = (int32_t)(pse[pi] >> 32);
-            if (t >= 0) {
+            int64_t e = plan[l * PM + pri_a[l]];
+            int start = (int)(e & 0x7FF);
+            int end = (int)((e >> 11) & 0x7FF);
+            int ri = (int)((e >> 22) & 0x3FF);
+            if (e >= 0) {  // pair span
+                int32_t t = (int32_t)((e >> 32) & 0xFFFFF);
                 i_a[l] = start;
                 end_a[l] = end;
                 tofs_a[l] = t;
                 L.cb = (t >> FB_SIMD) + 5;
                 L.tbl = g_fast[L.cb].tbl;
-                L.ri = pr[pi];
+                L.ri = ri;
                 L.i = start;
                 L.end = end;
                 hq[l] = L.ics->qbuf;
                 return true;
             }
-            if (t == -1) {  // ICS complete -> dequant + next ICS/elem/frame
-                L.ri = L.n_runs;
+            int cb = (int)((e >> 52) & 15);
+            if (cb == 0) {  // ICS complete -> dequant + next ICS/elem/frame
+                L.ri = ri;
                 if (!(lane_advance(L, O) || feed(L))) return false;
                 fbase[l] = offsets[L.fidx];
                 fend[l] = offsets[L.fidx] + sizes[L.fidx];
@@ -1716,11 +1792,11 @@ static void extract_simd8(
                 sync_from_ctx(l);
                 continue;
             }
-            Ics::Run RR{-2 - t, start, end, 0.0f};
+            Ics::Run RR{cb, start, end, 0.0f};
             int rq = run_quad_scalar(*L.ics, L.br, RR);
             if (rq < 0) { L.status = rq; continue; }
             if (L.br.error) { L.status = -33; continue; }
-            L.ri = pr[pi];
+            L.ri = ri;
             pri_a[l]++;
             sync_from_ctx(l);
         }
@@ -1746,8 +1822,6 @@ static void extract_simd8(
         const __m512i v56 = _mm512_set1_epi64(56);
         const __m512i v63 = _mm512_set1_epi64(63);
         const __m512i v64 = _mm512_set1_epi64(64);
-        const __m512i vFB = _mm512_set1_epi64(FB_SIMD);
-        const __m512i vFBm = _mm512_set1_epi64((1 << FB_SIMD) - 1);
         const __m512i bsw = _mm512_broadcast_i32x4(
             _mm_set_epi8(8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7));
         __m512i lanebase;
@@ -1756,14 +1830,23 @@ static void extract_simd8(
             for (int l = 0; l < K; l++) lb[l] = (int64_t)l * PM;
             lanebase = _mm512_loadu_si512(lb);
         }
-        __m512i bufv = _mm512_load_si512(buf_a);
+        // The bit window rides LEFT-aligned in topv (next bit = bit 63,
+        // bits below the cntv valid ones are zero): the probe index is a
+        // constant shift off the loop-carried chain, consumption is one
+        // variable shift, and no post-consume masking is needed. The spill
+        // arrays stay right-aligned (scalar Bits form); conversion happens
+        // at the vector load/store boundary only.
+        const __m512i vall1 = _mm512_set1_epi64(-1);
         __m512i cntv = _mm512_load_si512(cnt_a);
+        __m512i topv = _mm512_sllv_epi64(_mm512_load_si512(buf_a),
+                                         _mm512_sub_epi64(v64, cntv));
         __m512i posv = _mm512_load_si512(pos_a);
         __m512i iv = _mm512_load_si512(i_a);
         __m512i endv = _mm512_load_si512(end_a);
         __m512i tofsv = _mm512_load_si512(tofs_a);
         __m512i priv_ = _mm512_load_si512(pri_a);
         __m512i lenv = _mm512_loadu_si512(fend);
+        __m512i hqv = _mm512_loadu_si512((const void*)hq);
 
         auto refill = [&](__mmask8 m) {
             __m512i w = _mm512_mask_i64gather_epi64(vz, m, posv, data, 1);
@@ -1771,17 +1854,21 @@ static void extract_simd8(
             __m512i nbytes =
                 _mm512_srli_epi64(_mm512_sub_epi64(v63, cntv), 3);
             __m512i nbits = _mm512_slli_epi64(nbytes, 3);
-            __m512i merged = _mm512_or_si512(
-                _mm512_sllv_epi64(bufv, nbits),
-                _mm512_srlv_epi64(w, _mm512_sub_epi64(v64, nbits)));
-            bufv = _mm512_mask_mov_epi64(bufv, m, merged);
+            // Deposit the top nbits of w right below the valid bits.
+            __m512i wk = _mm512_and_si512(
+                w, _mm512_sllv_epi64(vall1, _mm512_sub_epi64(v64, nbits)));
+            __m512i merged =
+                _mm512_or_si512(topv, _mm512_srlv_epi64(wk, cntv));
+            topv = _mm512_mask_mov_epi64(topv, m, merged);
             posv = _mm512_mask_add_epi64(posv, m, posv, nbytes);
             cntv = _mm512_mask_add_epi64(cntv, m, cntv, nbits);
         };
 
         for (;;) {
             __mmask8 freeze = 0;
+            PROF_START(vb);
             for (;;) {
+                PROF_COUNT(8, 1);
                 // (1) refill lanes below 32 window bits; stream tails exit.
                 __mmask8 need = _mm512_cmplt_epi64_mask(cntv, v32);
                 __mmask8 act = 0xFF;
@@ -1798,10 +1885,8 @@ static void extract_simd8(
                     if (need) refill(need);
                 }
                 // (2) probe the concatenated 13-bit tables.
-                __m512i sh = _mm512_sub_epi64(cntv, vFB);
                 __m512i idx = _mm512_add_epi64(
-                    _mm512_and_si512(_mm512_srlv_epi64(bufv, sh), vFBm),
-                    tofsv);
+                    _mm512_srli_epi64(topv, 64 - FB_SIMD), tofsv);
                 __m256i e32 = _mm512_mask_i64gather_epi32(
                     _mm256_setzero_si256(), act, idx, g_simd_tbl, 4);
                 __m512i e64 = _mm512_cvtepi32_epi64(e32);
@@ -1830,16 +1915,20 @@ static void extract_simd8(
                     }
                     if (need2) refill(need2);
                 }
-                // (4) consume len + sign bits, extract magnitudes.
+                // (4) consume len + sign bits, extract magnitudes. The
+                // loop-carried chain is just lentot -> sllv -> (probe);
+                // lentot = len+nz is pre-added into entry bits [5:1].
+                __m512i lentot = _mm512_and_si512(
+                    _mm512_srli_epi64(e64, 1), _mm512_set1_epi64(31));
+                __m512i top2 = _mm512_sllv_epi64(topv, lentot);
+                __m512i cnt2 = _mm512_sub_epi64(cntv, lentot);
                 __m512i len = _mm512_and_si512(_mm512_srli_epi64(e64, 27),
                                                _mm512_set1_epi64(15));
                 __m512i nz = _mm512_and_si512(_mm512_srli_epi64(e64, 25),
                                               _mm512_set1_epi64(3));
-                __m512i cnt2 =
-                    _mm512_sub_epi64(cntv, _mm512_add_epi64(len, nz));
-                __m512i signs = _mm512_and_si512(
-                    _mm512_srlv_epi64(bufv, cnt2),
-                    _mm512_sub_epi64(_mm512_sllv_epi64(v1, nz), v1));
+                __m512i signs = _mm512_srlv_epi64(
+                    _mm512_sllv_epi64(topv, len),
+                    _mm512_sub_epi64(v64, nz));
                 __m512i xa = _mm512_and_si512(_mm512_srli_epi64(e64, 19),
                                               _mm512_set1_epi64(63));
                 __m512i ya = _mm512_and_si512(_mm512_srli_epi64(e64, 12),
@@ -1867,12 +1956,11 @@ static void extract_simd8(
                         __mmask8 m = _mm512_mask_cmpeq_epi64_mask(
                             esc & act, mag, v16);
                         if (!m) continue;
-                        __m512i peek = _mm512_and_si512(
-                            _mm512_srlv_epi64(
-                                bufv, _mm512_sub_epi64(cnt2, v16)),
-                            vFFFF);
-                        __m512i opnd = _mm512_slli_epi64(
-                            _mm512_andnot_si512(peek, vFFFF), 48);
+                        // Escape prefix = leading ones of the current
+                        // window top (top2 is already past len+signs).
+                        __m512i opnd = _mm512_and_si512(
+                            _mm512_xor_si512(top2, vall1),
+                            _mm512_slli_epi64(vFFFF, 48));
                         __m512i n = _mm512_lzcnt_epi64(opnd);
                         __mmask8 bad = _mm512_mask_cmpge_epi64_mask(
                             m, n, _mm512_set1_epi64(9));
@@ -1887,12 +1975,14 @@ static void extract_simd8(
                         if (!m) continue;
                         __m512i n4 = _mm512_add_epi64(n,
                                                       _mm512_set1_epi64(4));
-                        cnt2 = _mm512_mask_sub_epi64(
-                            cnt2, m, cnt2,
-                            _mm512_add_epi64(_mm512_add_epi64(n, v1), n4));
-                        __m512i mant = _mm512_and_si512(
-                            _mm512_srlv_epi64(bufv, cnt2),
-                            _mm512_sub_epi64(_mm512_sllv_epi64(v1, n4), v1));
+                        __m512i adv =
+                            _mm512_add_epi64(_mm512_add_epi64(n, v1), n4);
+                        cnt2 = _mm512_mask_sub_epi64(cnt2, m, cnt2, adv);
+                        __m512i mant = _mm512_srlv_epi64(
+                            _mm512_sllv_epi64(top2,
+                                              _mm512_add_epi64(n, v1)),
+                            _mm512_sub_epi64(v64, n4));
+                        top2 = _mm512_mask_sllv_epi64(top2, m, top2, adv);
                         mag = _mm512_mask_add_epi64(
                             mag, m, _mm512_sllv_epi64(v1, n4), mant);
                     }
@@ -1903,28 +1993,20 @@ static void extract_simd8(
                 __m512i yv = _mm512_add_epi64(
                     _mm512_xor_si512(ya, _mm512_sub_epi64(vz, ys)), ys);
                 cntv = _mm512_mask_mov_epi64(cntv, act, cnt2);
-                bufv = _mm512_mask_and_epi64(
-                    bufv, act, bufv,
-                    _mm512_sub_epi64(_mm512_sllv_epi64(v1, cnt2), v1));
+                topv = _mm512_mask_mov_epi64(topv, act, top2);
                 // (7) emit both int16 values as one aligned 32-bit
-                // store per lane (span starts are multiples of 4, i steps
-                // by 2, so i is always even).
+                // scatter per lane (span starts are multiples of 4, i steps
+                // by 2, so i is always even; lanes scatter into disjoint
+                // per-lane qbufs).
                 __m512i packv = _mm512_or_si512(
                     _mm512_and_si512(xv, _mm512_set1_epi64(0xFFFF)),
                     _mm512_slli_epi64(_mm512_and_si512(
                                           yv, _mm512_set1_epi64(0xFFFF)),
                                       16));
-                alignas(64) int64_t pk_a[K], ii_a[K];
-                _mm512_store_si512(pk_a, packv);
-                _mm512_store_si512(ii_a, iv);
-                if (__builtin_expect(act == 0xFF, 1)) {
-                    for (int l = 0; l < K; l++)
-                        *(uint32_t*)(hq[l] + ii_a[l]) = (uint32_t)pk_a[l];
-                } else {
-                    for (int l = 0; l < K; l++)
-                        if ((act >> l) & 1)
-                            *(uint32_t*)(hq[l] + ii_a[l]) = (uint32_t)pk_a[l];
-                }
+                __m512i dst = _mm512_add_epi64(hqv,
+                                               _mm512_slli_epi64(iv, 1));
+                _mm512_mask_i64scatter_epi32(
+                    nullptr, act, dst, _mm512_cvtepi64_epi32(packv), 1);
                 // (8) span cursors + in-vector plan advance.
                 iv = _mm512_mask_add_epi64(iv, act, iv,
                                            _mm512_set1_epi64(2));
@@ -1934,27 +2016,33 @@ static void extract_simd8(
                     priv_ = _mm512_mask_add_epi64(priv_, fin, priv_, v1);
                     __m512i pidx = _mm512_add_epi64(lanebase, priv_);
                     __m512i nse = _mm512_mask_i64gather_epi64(
-                        vz, fin, pidx, pse.data(), 8);
-                    __m512i nt = _mm512_cvtepi32_epi64(
-                        _mm512_mask_i64gather_epi32(_mm256_setzero_si256(),
-                                                    fin, pidx, pt.data(), 4));
+                        vz, fin, pidx, plan.data(), 8);
                     __mmask8 marker =
-                        _mm512_mask_cmplt_epi64_mask(fin, nt, vz);
+                        _mm512_mask_cmplt_epi64_mask(fin, nse, vz);
                     if (marker) {
                         for (int l = 0; l < K; l++)
                             if ((marker >> l) & 1) reason[l] = 3;
                         freeze |= marker;
                     }
                     __mmask8 ok = fin & ~marker;
-                    iv = _mm512_mask_and_epi64(iv, ok, nse,
-                                               _mm512_set1_epi64(0xFFFFFFFF));
-                    endv = _mm512_mask_srli_epi64(endv, ok, nse, 32);
-                    tofsv = _mm512_mask_mov_epi64(tofsv, ok, nt);
+                    const __m512i v7FF = _mm512_set1_epi64(0x7FF);
+                    iv = _mm512_mask_and_epi64(iv, ok, nse, v7FF);
+                    endv = _mm512_mask_and_epi64(
+                        endv, ok, _mm512_srli_epi64(nse, 11), v7FF);
+                    tofsv = _mm512_mask_and_epi64(
+                        tofsv, ok, _mm512_srli_epi64(nse, 32),
+                        _mm512_set1_epi64(0xFFFFF));
                 }
+                PROF_COUNT(9, __builtin_popcount(act));
                 if (freeze) break;
             }
+            PROF_STOP(vb, 1);
+            PROF_COUNT(10, 1);
+            PROF_START(fx);
             // Fixup: spill, resolve each frozen lane scalar, reload.
-            _mm512_store_si512(buf_a, bufv);
+            _mm512_store_si512(
+                buf_a,
+                _mm512_srlv_epi64(topv, _mm512_sub_epi64(v64, cntv)));
             _mm512_store_si512(cnt_a, cntv);
             _mm512_store_si512(pos_a, posv);
             _mm512_store_si512(i_a, iv);
@@ -1990,19 +2078,23 @@ static void extract_simd8(
                 if (!lane_to_hot(l)) { lane_live[l] = false; died = true; }
             }
             if (died) break;
-            bufv = _mm512_load_si512(buf_a);
             cntv = _mm512_load_si512(cnt_a);
+            topv = _mm512_sllv_epi64(_mm512_load_si512(buf_a),
+                                     _mm512_sub_epi64(v64, cntv));
             posv = _mm512_load_si512(pos_a);
             iv = _mm512_load_si512(i_a);
             endv = _mm512_load_si512(end_a);
             tofsv = _mm512_load_si512(tofs_a);
             priv_ = _mm512_load_si512(pri_a);
             lenv = _mm512_loadu_si512(fend);
+            hqv = _mm512_loadu_si512((const void*)hq);
+            PROF_STOP(fx, 2);
         }
     }
 
     // Frames exhausted: hand surviving lanes (mid-span state in the spill
     // arrays) to the scalar rotation to drain.
+    PROF_START(dr);
     LaneCtx* act2[K];
     int n_act = 0;
     const float* pow43 = tables().pow43;
@@ -2013,7 +2105,7 @@ static void extract_simd8(
         L.cb = (int)(tofs_a[l] >> FB_SIMD) + 5;
         L.tbl = g_fast[L.cb].tbl;
         L.end = (int)end_a[l];
-        L.ri = pr[l * PM + pri_a[l]];
+        L.ri = (int)((plan[l * PM + pri_a[l]] >> 22) & 0x3FF);
         L.simd = false;
         act2[n_act++] = &L;
     }
@@ -2042,8 +2134,11 @@ static void extract_simd8(
         if (L.has_pns) pns[L.fidx] = 1;
         finalize_layout(L, layout, O);
     }
+    PROF_STOP(dr, 7);
+    PROF_START(pp);
     pns_prevshape_pass(data, data_len, offsets, sizes, n_frames, O,
                        pns.data());
+    PROF_STOP(pp, 6);
 }
 #endif  // SH_AAC_SIMD
 
@@ -2151,8 +2246,11 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
             else { x = v >> 5; y = v & 31; }
             int xa = x < 0 ? -x : x, ya = y < 0 ? -y : y;
             int nz = (idx == 5 || idx == 6) ? 0 : (x != 0) + (y != 0);
+            // lentot (len+nz) pre-added in [5:1]: the vector loop's carried
+            // chain consumes it with one extract instead of two adds.
             int32_t packed = (l << 27) | (nz << 25) | (xa << 19)
-                             | ((x < 0) << 18) | (ya << 12) | ((y < 0) << 11);
+                             | ((x < 0) << 18) | (ya << 12) | ((y < 0) << 11)
+                             | ((l + nz) << 1);
             if (idx == 11 && (x == 16 || y == 16)) packed |= 1;
             uint32_t base = codes[i] << (FB_SIMD - l);
             for (uint32_t k = 0; k < (1u << (FB_SIMD - l)); k++)
@@ -2185,6 +2283,13 @@ int32_t sh_aac_extract(
     FrameOut O{coeffs_out, seq_out, shape_out, prevshape_out, nch_out,
                status, max_ch, rate_idx,
                bands_long, n_bands_long, bands_short, n_bands_short};
+    PROF_START(tot);
+#ifdef SH_AAC_PROF
+    struct ProfTot {
+        uint64_t t0;
+        ~ProfTot() { g_prof[0] += __rdtsc() - t0; }
+    } _pt{_t_tot};
+#endif
     if (n_frames >= 4) {
 #ifdef SH_AAC_SIMD
         // SYMPHONIA_TPU_AAC_ENGINE=ilp forces the scalar interleaved
