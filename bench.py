@@ -315,20 +315,30 @@ def main() -> None:
                      ("aac_device", bench_aac_device)]
     # Interleaved multi-pass sampling: this shared VM's noise comes in
     # multi-second bursts, so a single best-of-N burst can land entirely
-    # inside a noisy phase. Spreading passes over ~30 s and taking the
+    # inside a noisy phase. Spreading passes over time and taking the
     # global best recovers the steady-state number (still plain best-of-N
-    # wall time, just sampled wider).
+    # wall time, just sampled wider). Adaptive stop: keep passing until no
+    # stage's best improved by >1% for 3 consecutive passes (min 5 passes,
+    # cap 16 — a noisy round-2 driver window measured 20-25% below quiet
+    # with only 5 fixed passes).
     best = {name: (0.0, float("inf")) for name, _ in host_stages}
-    for _pass in range(5):
+    stale = 0
+    for _pass in range(16):
+        improved = False
         for name, fn in host_stages:
             try:
                 audio, wall = fn(repeats=12)
+                if wall < best[name][1] * 0.99:
+                    improved = True
                 if wall < best[name][1]:
                     best[name] = (audio, wall)
             except Exception as e:  # pragma: no cover
                 print(f"bench stage {name} failed: {e}", file=sys.stderr)
-        if _pass < 4:
-            time.sleep(1.5)
+        stale = 0 if improved else stale + 1
+        if _pass >= 4 and stale >= 3:
+            break
+        if _pass < 15:
+            time.sleep(2.5)
     for name, _fn in host_stages:
         audio, wall = best[name]
         stages[name] = audio / wall if wall > 0 and audio else 0.0
