@@ -532,10 +532,48 @@ struct Ics {
     // that carries codewords (or noise). Shared by both engines.
     struct Run { int32_t cb, start, end; float scale; };
 
-    int build_runs(Run* runs) {
+    // When `plan` is non-null (SIMD engine), also emit the packed span plan
+    // in the same walk — adjacent same-book pair runs merge on the fly and
+    // the ICS-complete marker closes the plan. Noise runs only set has_pns:
+    // flagged frames are re-decoded sequentially afterwards (the fast
+    // engines' draw values are discarded), so the draws themselves are
+    // skipped here. Entry format is documented at the extract_simd8 plan
+    // declaration.
+    int build_runs(Run* runs, int64_t* plan = nullptr,
+                   bool* has_pns = nullptr) {
         int nb;
         const int32_t* bands = get_bands(&nb);
         int n_runs = 0;
+        int pn = 0;
+        int pend_cb = -1, pend_start = 0, pend_end = 0, pend_ri = 0;
+        auto plan_flush = [&] {
+            if (pend_cb < 0) return;
+            int64_t e = (int64_t)pend_start | ((int64_t)pend_end << 11)
+                        | ((int64_t)pend_ri << 22);
+            if (pend_cb <= 4)
+                e |= ((int64_t)pend_cb << 52) | (int64_t{1} << 63);
+            else
+                e |= (int64_t)((pend_cb - 5) << 13) << 32;
+            plan[pn++] = e;
+            pend_cb = -1;
+        };
+        auto plan_add = [&](int cb, int start, int end) {
+            if (cb == NOISE_HCB) {
+                plan_flush();
+                *has_pns = true;
+                return;
+            }
+            if (cb == pend_cb && start == pend_end) {
+                pend_end = end;
+                pend_ri = n_runs;
+                return;
+            }
+            plan_flush();
+            pend_cb = cb;
+            pend_start = start;
+            pend_end = end;
+            pend_ri = n_runs;
+        };
         if (info.long_win) {
             // Long windows: run starts ascend, so zero only the gaps the
             // decode won't write (zero/intensity bands + the tail) instead
@@ -552,29 +590,35 @@ struct Ics {
                     memset(coeffs + cursor, 0,
                            (size_t)(start - cursor) * sizeof(float));
                 cursor = end;
+                if (plan) plan_add(cb_idx, start, end);
                 runs[n_runs++] = Run{cb_idx, start, end, scales[0][sfb]};
             }
             if (cursor < 1024)
                 memset(coeffs + cursor, 0,
                        (size_t)(1024 - cursor) * sizeof(float));
-            return n_runs;
-        }
-        memset(coeffs, 0, 1024 * sizeof(float));
-        for (int g = 0; g < info.window_groups; g++) {
-            int cur_w = info.get_group_start(g);
-            int next_w = info.get_group_start(g + 1);
-            for (int sfb = 0; sfb < info.max_sfb; sfb++) {
-                int start = bands[sfb], end = bands[sfb + 1];
-                int cb_idx = sfb_cb[g][sfb];
-                float scale = scales[g][sfb];
-                for (int w = cur_w; w < next_w; w++) {
-                    int o = w * 128;
-                    if (cb_idx == ZERO_HCB || cb_idx == RESERVED_HCB ||
-                        cb_idx == INTENSITY_HCB || cb_idx == INTENSITY_HCB2)
-                        continue;
-                    runs[n_runs++] = Run{cb_idx, o + start, o + end, scale};
+        } else {
+            memset(coeffs, 0, 1024 * sizeof(float));
+            for (int g = 0; g < info.window_groups; g++) {
+                int cur_w = info.get_group_start(g);
+                int next_w = info.get_group_start(g + 1);
+                for (int sfb = 0; sfb < info.max_sfb; sfb++) {
+                    int start = bands[sfb], end = bands[sfb + 1];
+                    int cb_idx = sfb_cb[g][sfb];
+                    float scale = scales[g][sfb];
+                    for (int w = cur_w; w < next_w; w++) {
+                        int o = w * 128;
+                        if (cb_idx == ZERO_HCB || cb_idx == RESERVED_HCB ||
+                            cb_idx == INTENSITY_HCB || cb_idx == INTENSITY_HCB2)
+                            continue;
+                        if (plan) plan_add(cb_idx, o + start, o + end);
+                        runs[n_runs++] = Run{cb_idx, o + start, o + end, scale};
+                    }
                 }
             }
+        }
+        if (plan) {
+            plan_flush();
+            plan[pn] = ((int64_t)n_runs << 22) | (int64_t{1} << 63);
         }
         return n_runs;
     }
@@ -1068,9 +1112,12 @@ struct LaneCtx {
     int n_elems = 0;
     // SIMD-engine mode: lane_advance returns right after build_runs (fresh
     // ICS) instead of executing runs; the vector engine owns run execution
-    // via pre-built span plans and re-enters with ri == n_runs to trigger
-    // the ICS-complete block (dequant + next ICS / element / frame).
+    // via span plans that build_runs emits into `plan` (the lane's row of
+    // the engine's plan array) in the same walk, and re-enters with
+    // ri == n_runs to trigger the ICS-complete block (dequant + next ICS /
+    // element / frame).
     bool simd = false;
+    int64_t* plan = nullptr;
 };
 
 // Cross-frame element-layout consistency (the sequential engine's
@@ -1222,7 +1269,8 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
                 int r = L.pair.ics1.decode_pre_spectrum(br, L.common_window);
                 if (r < 0 || br.error) { L.status = r < 0 ? r : -2; continue; }
                 PROF_START(br1);
-                L.n_runs = L.pair.ics1.build_runs(L.runs);
+                L.n_runs = L.pair.ics1.build_runs(
+                    L.runs, L.simd ? L.plan : nullptr, &L.has_pns);
                 PROF_STOP(br1, 12);
                 L.ri = 0;
                 if (L.simd) return true;  // fresh ICS: caller builds a plan
@@ -1295,7 +1343,8 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
             L.ics = &p.ics0;
             L.ics_idx = 0;
             PROF_START(br0);
-            L.n_runs = p.ics0.build_runs(L.runs);
+            L.n_runs = p.ics0.build_runs(
+                L.runs, L.simd ? L.plan : nullptr, &L.has_pns);
             PROF_STOP(br0, 12);
             L.ri = 0;
             L.phase = 1;
@@ -1693,38 +1742,10 @@ static void extract_simd8(
     //   (generic-engine handover).
     // Pair spans (sign bit clear) carry the table offset in [51:32];
     // scalar-execution entries (sign bit set) carry cb in [55:52]:
-    // 1..4 = quad span, 0 = ICS complete.
+    // 1..4 = quad span, 0 = ICS complete. Emitted by build_runs (same
+    // walk as the run list) through each lane's LaneCtx::plan pointer.
     std::vector<int64_t> plan(K * PM);
-    auto build_plan = [&](int l) {
-        PROF_START(bp);
-        LaneCtx& L = lanes[l];
-        int64_t* P = &plan[l * PM];
-        int n = 0;
-        for (int ri = 0; ri < L.n_runs; ri++) {
-            const Ics::Run& R = L.runs[ri];
-            if (R.cb == NOISE_HCB) {
-                // No spectral bits; draw order among a lane's noise runs is
-                // preserved (plan build walks in run order) and PNS frames
-                // are re-decoded sequentially in the shared tail anyway.
-                L.has_pns = true;
-                L.ics->decode_noise(L.lcg, R.scale, R.start, R.end);
-                continue;
-            }
-            int cb = R.cb, start = R.start, end = R.end;
-            while (ri + 1 < L.n_runs && L.runs[ri + 1].cb == cb &&
-                   L.runs[ri + 1].start == end)
-                end = L.runs[++ri].end;
-            int64_t e = (int64_t)start | ((int64_t)end << 11)
-                        | ((int64_t)ri << 22);
-            if (cb <= 4)
-                e |= ((int64_t)cb << 52) | (int64_t{1} << 63);
-            else
-                e |= (int64_t)((cb - 5) << FB_SIMD) << 32;
-            P[n++] = e;
-        }
-        P[n] = ((int64_t)L.n_runs << 22) | (int64_t{1} << 63);
-        PROF_STOP(bp, 5);
-    };
+    for (int l = 0; l < K; l++) lanes[l].plan = &plan[l * PM];
 
     // Committed lane state (vector registers spill here around fixups).
     alignas(64) int64_t buf_a[K], cnt_a[K], pos_a[K], i_a[K], end_a[K],
@@ -1759,7 +1780,6 @@ static void extract_simd8(
                 if (!(lane_advance(L, O) || feed(L))) return false;
                 fbase[l] = offsets[L.fidx];
                 fend[l] = offsets[L.fidx] + sizes[L.fidx];
-                build_plan(l);
                 pri_a[l] = 0;
                 sync_from_ctx(l);
                 continue;
@@ -1787,7 +1807,6 @@ static void extract_simd8(
                 if (!(lane_advance(L, O) || feed(L))) return false;
                 fbase[l] = offsets[L.fidx];
                 fend[l] = offsets[L.fidx] + sizes[L.fidx];
-                build_plan(l);
                 pri_a[l] = 0;
                 sync_from_ctx(l);
                 continue;
@@ -1808,7 +1827,6 @@ static void extract_simd8(
         lane_live[l] = true;
         fbase[l] = offsets[lanes[l].fidx];
         fend[l] = offsets[lanes[l].fidx] + sizes[lanes[l].fidx];
-        build_plan(l);
         pri_a[l] = 0;
         sync_from_ctx(l);
         if (!lane_to_hot(l)) { lane_live[l] = false; died = true; }
@@ -2054,6 +2072,7 @@ static void extract_simd8(
                 LaneCtx& L = lanes[l];
                 sync_to_ctx(l);
                 if (reason[l] == 1) {  // stream tail or long code
+                    PROF_START(td);
                     L.cb = (int)(tofs_a[l] >> FB_SIMD) + 5;
                     // A long code mid-stream needs one scalar pair and the
                     // vector resumes; in the last 8 bytes of the frame the
@@ -2065,6 +2084,7 @@ static void extract_simd8(
                         else L.i += 2;
                     } while (L.status >= 0 && L.i < (int)end_a[l] &&
                              L.br.pos + 8 > L.br.len);
+                    PROF_STOP(td, 15);
                     sync_from_ctx(l);
                     if (L.status >= 0 && L.i < (int)end_a[l]) {
                         reason[l] = 0;

@@ -517,6 +517,25 @@ int32_t sh_flac_stream_extract(
 #define SH_HAVE_AVX512 1
 #include <immintrin.h>
 
+// Cycle-level profiling, compile-gated like aac_entropy.cpp's (-DSH_FLAC_PROF):
+//   0 total extract_simd  1 vector burst  2 scalar service
+//   3 lane_advance        4 burst iters   5 lane-iterations (popcnt run)
+#ifdef SH_FLAC_PROF
+#include <x86intrin.h>
+namespace {
+uint64_t g_fprof[8];
+}
+extern "C" const uint64_t* sh_flac_prof() { return g_fprof; }
+extern "C" void sh_flac_prof_reset() { memset(g_fprof, 0, sizeof(g_fprof)); }
+#define FPROF_START(x) uint64_t _t_##x = __rdtsc()
+#define FPROF_STOP(x, i) g_fprof[i] += __rdtsc() - _t_##x
+#define FPROF_COUNT(i, n) g_fprof[i] += (uint64_t)(n)
+#else
+#define FPROF_START(x)
+#define FPROF_STOP(x, i)
+#define FPROF_COUNT(i, n)
+#endif
+
 namespace {
 
 struct LaneSM {
@@ -544,11 +563,35 @@ struct LaneSM {
 // partition (returns 0, cnt_left > 0), the frame completes (returns 1), or
 // a parse error occurs (returns the negative code). Mirrors
 // extract_one_frame exactly.
+#ifdef SH_FLAC_PROF
+static int lane_advance_inner(
+    LaneSM& L,
+    int32_t si_bits, int32_t max_ch, int32_t n_max,
+    int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
+    int32_t* wasted_out);
 static int lane_advance(
     LaneSM& L,
     int32_t si_bits, int32_t max_ch, int32_t n_max,
     int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
     int32_t* wasted_out) {
+    FPROF_START(la);
+    int r_ = lane_advance_inner(L, si_bits, max_ch, n_max, res, coefs,
+                                order_out, shift_out, wasted_out);
+    FPROF_STOP(la, 3);
+    return r_;
+}
+static int lane_advance_inner(
+    LaneSM& L,
+    int32_t si_bits, int32_t max_ch, int32_t n_max,
+    int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
+    int32_t* wasted_out) {
+#else
+static int lane_advance(
+    LaneSM& L,
+    int32_t si_bits, int32_t max_ch, int32_t n_max,
+    int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
+    int32_t* wasted_out) {
+#endif
     BitReader& br = L.br;
     for (;;) {
         if (br.error) return -11;
@@ -731,6 +774,13 @@ int32_t sh_flac_extract_simd(
     int32_t* res, int32_t* coefs, int32_t* order_out, int32_t* shift_out,
     int32_t* wasted_out, int32_t* block_out, int32_t* assign_out,
     int32_t* bps_out, int32_t* status) {
+    FPROF_START(tot);
+#ifdef SH_FLAC_PROF
+    struct FProfTot {
+        uint64_t t0;
+        ~FProfTot() { g_fprof[0] += __rdtsc() - t0; }
+    } _fpt{_t_tot};
+#endif
     LaneSM lanes[8];
     int lane_frame[8];            // frame index owned by each lane (-1 idle)
     int32_t next_frame = 0;
@@ -823,7 +873,10 @@ int32_t sh_flac_extract_simd(
         const __m512i vlimit = _mm512_set1_epi64((data_len - 16) * 8);
 
         __mmask8 run = active;
+        FPROF_START(vb);
         for (;;) {
+            FPROF_COUNT(4, 1);
+            FPROF_COUNT(5, __builtin_popcount(run));
             __mmask8 safe = _mm512_mask_cmplt_epi64_mask(run, vbp, vlimit);
             if (safe != run) break;
             __m512i vbyte = _mm512_srai_epi64(vbp, 3);
@@ -855,6 +908,8 @@ int32_t sh_flac_extract_simd(
                                                          _mm512_setzero_si512());
             if (done) break;
         }
+        FPROF_STOP(vb, 1);
+        FPROF_START(sv);
         _mm512_store_epi64(bp, vbp);
         _mm512_store_epi64(outaddr, vad);
         _mm512_store_epi64(vcnt, vct);
@@ -898,6 +953,7 @@ int32_t sh_flac_extract_simd(
             }
             load_frame(i);
         }
+        FPROF_STOP(sv, 2);
     }
     return 0;
 }

@@ -72,7 +72,7 @@ def main():
     names = ["total", "vector_burst", "fixup(lane_to_hot)", "pre_spectrum",
              "dequant_runs", "build_plan", "pns_prevshape", "final_drain",
              None, None, None, "quad_scalar", "build_runs",
-             "finalize_layout", "joint_synth"]
+             "finalize_layout", "joint_synth", "tail_drain"]
     print(f"frames={len(pkts)} audio={audio:.2f}s "
           f"best_wall={best*1e3:.3f}ms -> {audio/best:.0f}x")
     print(f"burst iters/call={p[8]:.0f} emitted lane-iters={p[9]:.0f} "
