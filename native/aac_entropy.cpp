@@ -1887,20 +1887,26 @@ static void extract_simd8(
             PROF_START(vb);
             for (;;) {
                 PROF_COUNT(8, 1);
-                // (1) refill lanes below 32 window bits; stream tails exit.
+                // (1) when ANY lane runs below 32 window bits, top up EVERY
+                // lane: with 8 lanes draining at independent phases a
+                // per-lane trigger fires nearly every iteration and the
+                // loop pays one gather per codeword; the all-lane top-up
+                // phase-locks the lanes (early top-ups are no-ops — the
+                // refill's nbytes is per-lane). Starving stream tails exit.
                 __mmask8 need = _mm512_cmplt_epi64_mask(cntv, v32);
                 __mmask8 act = 0xFF;
                 if (need) {
-                    __mmask8 tailm = _mm512_mask_cmpgt_epi64_mask(
-                        need, _mm512_add_epi64(posv, v8), lenv);
-                    if (tailm) {
+                    __mmask8 tailm = _mm512_cmpgt_epi64_mask(
+                        _mm512_add_epi64(posv, v8), lenv);
+                    __mmask8 tf = need & tailm;
+                    if (tf) {
                         for (int l = 0; l < K; l++)
-                            if ((tailm >> l) & 1) reason[l] = 1;
-                        freeze |= tailm;
-                        act &= ~tailm;
-                        need &= ~tailm;
+                            if ((tf >> l) & 1) reason[l] = 1;
+                        freeze |= tf;
+                        act &= ~tf;
                     }
-                    if (need) refill(need);
+                    __mmask8 rf = act & ~tailm;
+                    if (rf) refill(rf);
                 }
                 // (2) probe the concatenated 13-bit tables.
                 __m512i idx = _mm512_add_epi64(

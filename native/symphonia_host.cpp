@@ -860,64 +860,129 @@ int32_t sh_flac_extract_simd(
             if (lane_frame[i] >= 0) active |= (1 << i);
         if (!active) break;
 
-        // Vector core: run until some lane needs scalar service.
+        // Vector core: run until some lane needs scalar service. The bit
+        // window rides LEFT-aligned per lane (next bit = bit 63, zeros
+        // below the cnt valid bits), refilled by gather only when below 26
+        // bits, so the loop-carried chain is lzcnt -> shift, not a gather.
         __m512i vbp = _mm512_load_epi64(bp);
         __m512i vad = _mm512_load_epi64(outaddr);
         __m512i vpr = _mm512_load_epi64(vparam);
         __m512i vct = _mm512_load_epi64(vcnt);
-        const __m512i v7 = _mm512_set1_epi64(7);
+        const __m512i vz = _mm512_setzero_si512();
         const __m512i v1 = _mm512_set1_epi64(1);
+        const __m512i v8 = _mm512_set1_epi64(8);
+        const __m512i v26 = _mm512_set1_epi64(26);
+        const __m512i v63 = _mm512_set1_epi64(63);
         const __m512i v64 = _mm512_set1_epi64(64);
-        // Lanes whose remaining frame bytes are too close to the buffer end
-        // for unguarded 8-byte window loads fall back to scalar service.
-        const __m512i vlimit = _mm512_set1_epi64((data_len - 16) * 8);
+        const __m512i vall1 = _mm512_set1_epi64(-1);
+        const __m512i vdlen = _mm512_set1_epi64(data_len);
 
-        __mmask8 run = active;
+        // Seed the windows; lanes too close to the buffer end for an
+        // unguarded 8-byte load go straight to scalar service.
+        __m512i vbyte = _mm512_srai_epi64(vbp, 3);
+        __mmask8 run = _mm512_mask_cmple_epi64_mask(
+            active, _mm512_add_epi64(vbyte, v8), vdlen);
+        __mmask8 freeze = active & ~run;
+        __m512i vw = _mm512_mask_i64gather_epi64(vz, run, vbyte, data, 1);
+        vw = _mm512_shuffle_epi8(vw, bswap_pat);
+        __m512i vsh = _mm512_and_epi64(vbp, _mm512_set1_epi64(7));
+        __m512i topv = _mm512_sllv_epi64(vw, vsh);
+        __m512i cntv = _mm512_sub_epi64(v64, vsh);
+        __m512i posv = _mm512_add_epi64(vbyte, v8);
+
         FPROF_START(vb);
-        for (;;) {
-            FPROF_COUNT(4, 1);
-            FPROF_COUNT(5, __builtin_popcount(run));
-            __mmask8 safe = _mm512_mask_cmplt_epi64_mask(run, vbp, vlimit);
-            if (safe != run) break;
-            __m512i vbyte = _mm512_srai_epi64(vbp, 3);
-            __m512i vw = _mm512_mask_i64gather_epi64(
-                _mm512_setzero_si512(), run, vbyte, data, 1);
-            vw = _mm512_shuffle_epi8(vw, bswap_pat);
-            __m512i vsh = _mm512_and_epi64(vbp, v7);
-            vw = _mm512_sllv_epi64(vw, vsh);
-            __m512i vlz = _mm512_lzcnt_epi64(vw);
-            __m512i vneed = _mm512_add_epi64(_mm512_add_epi64(vlz, v1), vpr);
-            __m512i vvalid = _mm512_sub_epi64(v64, vsh);
-            __mmask8 fit = _mm512_mask_cmple_epi64_mask(run, vneed, vvalid);
-            if (fit != run) break;
-            // value = (lz << param) | rem
-            __m512i vtop = _mm512_sllv_epi64(vw, _mm512_add_epi64(vlz, v1));
-            __m512i vrem = _mm512_srlv_epi64(vtop, _mm512_sub_epi64(v64, vpr));
-            __m512i vval = _mm512_or_epi64(_mm512_sllv_epi64(vlz, vpr), vrem);
-            // zigzag: (v >> 1) ^ -(v & 1)
-            __m512i vhalf = _mm512_srli_epi64(vval, 1);
-            __m512i vsign = _mm512_sub_epi64(_mm512_setzero_si512(),
-                                             _mm512_and_epi64(vval, v1));
-            __m512i vres = _mm512_xor_epi64(vhalf, vsign);
-            _mm512_mask_i64scatter_epi32(nullptr, run, vad,
-                                         _mm512_cvtepi64_epi32(vres), 1);
-            vbp = _mm512_mask_add_epi64(vbp, run, vbp, vneed);
-            vad = _mm512_mask_add_epi64(vad, run, vad, _mm512_set1_epi64(4));
-            vct = _mm512_mask_sub_epi64(vct, run, vct, v1);
-            __mmask8 done = _mm512_mask_cmple_epi64_mask(run, vct,
-                                                         _mm512_setzero_si512());
-            if (done) break;
+        if (run && !freeze) {
+            for (;;) {
+                FPROF_COUNT(4, 1);
+                FPROF_COUNT(5, __builtin_popcount(run));
+                // When ANY lane runs low, top up EVERY running lane: with 8
+                // lanes draining at independent phases a per-lane trigger
+                // fires nearly every iteration (measured 88%) and the loop
+                // still pays one gather per code; the all-lane top-up
+                // phase-locks the lanes so the block fires every ~3
+                // iterations. Early top-ups are safe — nbytes is per-lane
+                // ((63-cnt)>>3, 0 for full windows).
+                __mmask8 need = _mm512_mask_cmplt_epi64_mask(run, cntv, v26);
+                if (need) {
+                    FPROF_COUNT(6, 1);
+                    __mmask8 tail = _mm512_mask_cmpgt_epi64_mask(
+                        run, _mm512_add_epi64(posv, v8), vdlen);
+                    __mmask8 tf = need & tail;  // starving at buffer tail
+                    if (tf) {
+                        freeze |= tf;
+                        run &= ~tf;
+                    }
+                    __mmask8 rf = run & ~tail;
+                    if (rf) {
+                        __m512i w = _mm512_mask_i64gather_epi64(
+                            vz, rf, posv, data, 1);
+                        w = _mm512_shuffle_epi8(w, bswap_pat);
+                        __m512i nbytes = _mm512_srli_epi64(
+                            _mm512_sub_epi64(v63, cntv), 3);
+                        __m512i nbits = _mm512_slli_epi64(nbytes, 3);
+                        __m512i wk = _mm512_and_si512(
+                            w, _mm512_sllv_epi64(
+                                   vall1, _mm512_sub_epi64(v64, nbits)));
+                        __m512i merged = _mm512_or_si512(
+                            topv, _mm512_srlv_epi64(wk, cntv));
+                        topv = _mm512_mask_mov_epi64(topv, rf, merged);
+                        posv = _mm512_mask_add_epi64(posv, rf, posv,
+                                                     nbytes);
+                        cntv = _mm512_mask_add_epi64(cntv, rf, cntv,
+                                                     nbits);
+                    }
+                }
+                __m512i vlz = _mm512_lzcnt_epi64(topv);
+                __m512i vneed =
+                    _mm512_add_epi64(_mm512_add_epi64(vlz, v1), vpr);
+                __mmask8 fit =
+                    _mm512_mask_cmple_epi64_mask(run, vneed, cntv);
+                __mmask8 unfit = run & ~fit;
+                if (unfit) {
+                    freeze |= unfit;
+                    run &= ~unfit;
+                }
+                // value = (lz << param) | rem
+                __m512i vtop =
+                    _mm512_sllv_epi64(topv, _mm512_add_epi64(vlz, v1));
+                __m512i vrem =
+                    _mm512_srlv_epi64(vtop, _mm512_sub_epi64(v64, vpr));
+                __m512i vval =
+                    _mm512_or_epi64(_mm512_sllv_epi64(vlz, vpr), vrem);
+                // zigzag: (v >> 1) ^ -(v & 1)
+                __m512i vhalf = _mm512_srli_epi64(vval, 1);
+                __m512i vsign =
+                    _mm512_sub_epi64(vz, _mm512_and_epi64(vval, v1));
+                __m512i vres = _mm512_xor_epi64(vhalf, vsign);
+                _mm512_mask_i64scatter_epi32(nullptr, run, vad,
+                                             _mm512_cvtepi64_epi32(vres), 1);
+                topv = _mm512_mask_sllv_epi64(topv, run, topv, vneed);
+                cntv = _mm512_mask_sub_epi64(cntv, run, cntv, vneed);
+                vad = _mm512_mask_add_epi64(vad, run, vad,
+                                            _mm512_set1_epi64(4));
+                vct = _mm512_mask_sub_epi64(vct, run, vct, v1);
+                __mmask8 done = _mm512_mask_cmple_epi64_mask(run, vct, vz);
+                if (done) {
+                    freeze |= done;
+                    run &= ~done;
+                }
+                if (freeze) break;
+            }
         }
         FPROF_STOP(vb, 1);
         FPROF_START(sv);
+        // pos*8 - cnt reconstructs each lane's absolute bit position
+        // exactly, for seeded and unseeded lanes alike.
+        vbp = _mm512_mask_sub_epi64(vbp, active, _mm512_slli_epi64(posv, 3),
+                                    cntv);
         _mm512_store_epi64(bp, vbp);
         _mm512_store_epi64(outaddr, vad);
         _mm512_store_epi64(vcnt, vct);
 
-        // Scalar service for every lane that can't continue vectorized:
-        // partition exhausted, long unary, or near end-of-buffer.
+        // Scalar service for the frozen lanes only: partition exhausted,
+        // long unary, or near end-of-buffer.
         for (int i = 0; i < 8; i++) {
-            if (lane_frame[i] < 0) continue;
+            if (lane_frame[i] < 0 || !((freeze >> i) & 1)) continue;
             LaneSM& L = lanes[i];
             // Write back vector state.
             L.br.bitpos = bp[i] - L.frame_off * 8;

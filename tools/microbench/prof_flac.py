@@ -61,7 +61,8 @@ def main():
     p = [lib.sh_flac_prof()[i] / N for i in range(8)]
 
     nres = int(np.sum(packed["block"][:packed["F"]])) * si.channels
-    names = ["total", "vector_burst", "scalar_service", "lane_advance"]
+    names = ["total", "vector_burst", "scalar_service", "lane_advance",
+             None, None, "refills"]
     print(f"frames={packed['F']} residuals={nres} "
           f"best_wall={best*1e3:.3f}ms -> {audio/best:.0f}x")
     print(f"burst iters/call={p[4]:.0f} lane-iters={p[5]:.0f} "
@@ -69,6 +70,8 @@ def main():
           f"bursts/call={0 if not p[4] else p[1]/p[4]:.1f} cyc/iter, "
           f"{p[1]/max(nres,1):.2f} cyc/residual in-vector")
     for i, n in enumerate(names):
+        if n is None:
+            continue
         print(f"  {n:16s} {p[i]/1e6:8.3f} Mcyc  {p[i]/p[0]*100:5.1f}%")
     unacc = p[0] - p[1] - p[2]
     print(f"  {'unaccounted':16s} {unacc/1e6:8.3f} Mcyc  {unacc/p[0]*100:5.1f}%")
