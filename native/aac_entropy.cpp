@@ -2083,9 +2083,24 @@ static void extract_simd8(
                     // A long code mid-stream needs one scalar pair and the
                     // vector resumes; in the last 8 bytes of the frame the
                     // vector would re-freeze per codeword, so drain the
-                    // span scalar while the cursor stays in the tail.
+                    // span scalar while the cursor stays in the tail —
+                    // through the 12-bit fast table (Bits::fill is fully
+                    // guarded), with the generic walk only for misses.
+                    const int32_t* fr = g_fast[L.cb].tbl;
                     do {
-                        int r = L.ics->decode_one_pair(L.br, L.cb, L.i);
+                        Bits& tb = L.br;
+                        if (tb.cnt < 32) tb.fill();
+                        int32_t e = tb.cnt >= 32
+                            ? fr[(uint32_t)(tb.buf >> (tb.cnt - 12)) & 4095]
+                            : -1;
+                        int r = 0;
+                        if (e < 0)
+                            r = L.ics->decode_one_pair(tb, L.cb, L.i);
+                        else if (e & 1)
+                            r = L.ics->decode_escape_pair(tb, e, L.i);
+                        else
+                            emit_fast_pair(e, tb.buf, tb.cnt,
+                                           &L.ics->qbuf[L.i]);
                         if (r < 0) L.status = r;
                         else L.i += 2;
                     } while (L.status >= 0 && L.i < (int)end_a[l] &&
