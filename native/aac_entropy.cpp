@@ -81,16 +81,17 @@ struct FastBook { int bits; int32_t tbl[1 << 12]; };
 FastBook g_fast[12];
 
 // 13-bit fast tables for the AVX-512 gather engine, pair books 5..11
-// concatenated (one gather base; a plan entry's table "pointer" is an i32
-// offset (cb-5) << 13). 13 bits covers every codeword of books 6/7/8/10/11
-// and all but the rare longest codes of 5 and 9 (those fall to the scalar
-// assist, like stream tails). Entries share the packed pair format; -1 =
-// assist.
+// concatenated (one gather base; a plan entry's table "pointer" is an
+// element offset (cb-5) << 13). 13 bits covers every codeword of books
+// 6/7/8/10/11 and all but the rare longest codes of 5 and 9 (those fall
+// to the scalar assist, like stream tails). 64-bit entries pre-pack the
+// signed pair; the layout is documented at the table build in
+// sh_aac_set_codebook. -1 = assist.
 #if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__) \
     && defined(__AVX512CD__) && defined(__AVX512DQ__)
 #define SH_AAC_SIMD 1
 constexpr int FB_SIMD = 13;
-int32_t g_simd_tbl[7 << FB_SIMD];
+int64_t g_simd_tbl[7 << FB_SIMD];
 #endif
 
 struct Tables {
@@ -1855,6 +1856,9 @@ static void extract_simd8(
         // arrays stay right-aligned (scalar Bits form); conversion happens
         // at the vector load/store boundary only.
         const __m512i vall1 = _mm512_set1_epi64(-1);
+        // negmask LUT indexed by sx + 2*sy: which int16 halves to negate.
+        const __m512i negtbl = _mm512_set_epi64(
+            0, 0, 0, 0, 0xFFFFFFFFLL, 0xFFFF0000LL, 0xFFFFLL, 0);
         __m512i cntv = _mm512_load_si512(cnt_a);
         __m512i topv = _mm512_sllv_epi64(_mm512_load_si512(buf_a),
                                          _mm512_sub_epi64(v64, cntv));
@@ -1911,9 +1915,8 @@ static void extract_simd8(
                 // (2) probe the concatenated 13-bit tables.
                 __m512i idx = _mm512_add_epi64(
                     _mm512_srli_epi64(topv, 64 - FB_SIMD), tofsv);
-                __m256i e32 = _mm512_mask_i64gather_epi32(
-                    _mm256_setzero_si256(), act, idx, g_simd_tbl, 4);
-                __m512i e64 = _mm512_cvtepi32_epi64(e32);
+                __m512i e64 = _mm512_mask_i64gather_epi64(
+                    vz, act, idx, g_simd_tbl, 8);
                 __mmask8 miss =
                     _mm512_mask_cmplt_epi64_mask(act, e64, vz);
                 if (miss) {
@@ -1923,7 +1926,8 @@ static void extract_simd8(
                     act &= ~miss;
                 }
                 // (3) escape lanes need up to 56 window bits up front.
-                __mmask8 esc = _mm512_mask_test_epi64_mask(act, e64, v1);
+                __mmask8 esc = _mm512_mask_test_epi64_mask(
+                    act, e64, _mm512_set1_epi64(int64_t{1} << 37));
                 if (esc) {
                     __mmask8 need2 =
                         _mm512_mask_cmplt_epi64_mask(esc, cntv, v56);
@@ -1939,46 +1943,39 @@ static void extract_simd8(
                     }
                     if (need2) refill(need2);
                 }
-                // (4) consume len + sign bits, extract magnitudes. The
-                // loop-carried chain is just lentot -> sllv -> (probe);
-                // lentot = len+nz is pre-added into entry bits [5:1].
+                // (4) consume len + sign bits; apply the stream signs to
+                // the pre-packed int16 pair with one xor+psubw negation.
+                // The loop-carried chain is just lentot -> sllv -> (probe).
                 __m512i lentot = _mm512_and_si512(
-                    _mm512_srli_epi64(e64, 1), _mm512_set1_epi64(31));
+                    _mm512_srli_epi64(e64, 32), _mm512_set1_epi64(31));
                 __m512i top2 = _mm512_sllv_epi64(topv, lentot);
                 __m512i cnt2 = _mm512_sub_epi64(cntv, lentot);
-                __m512i len = _mm512_and_si512(_mm512_srli_epi64(e64, 27),
-                                               _mm512_set1_epi64(15));
-                __m512i nz = _mm512_and_si512(_mm512_srli_epi64(e64, 25),
-                                              _mm512_set1_epi64(3));
-                __m512i signs = _mm512_srlv_epi64(
-                    _mm512_sllv_epi64(topv, len),
-                    _mm512_sub_epi64(v64, nz));
-                __m512i xa = _mm512_and_si512(_mm512_srli_epi64(e64, 19),
-                                              _mm512_set1_epi64(63));
-                __m512i ya = _mm512_and_si512(_mm512_srli_epi64(e64, 12),
-                                              _mm512_set1_epi64(63));
-                // Stream sign bits: x takes bit nz-1 (iff xa != 0), y bit 0
-                // (iff ya != 0); entry-borne signs are bits 18/11.
-                __m512i xs = _mm512_or_si512(
-                    _mm512_and_si512(_mm512_srli_epi64(e64, 18), v1),
-                    _mm512_and_si512(
-                        _mm512_and_si512(
-                            _mm512_srlv_epi64(signs,
-                                              _mm512_sub_epi64(nz, v1)),
-                            v1),
-                        _mm512_min_epu64(xa, v1)));
-                __m512i ys = _mm512_or_si512(
-                    _mm512_and_si512(_mm512_srli_epi64(e64, 11), v1),
-                    _mm512_and_si512(_mm512_and_si512(signs, v1),
-                                     _mm512_min_epu64(ya, v1)));
-                // (5) in-vector cb11 escape continuations, x then y.
+                __m512i sx = _mm512_and_si512(
+                    _mm512_srlv_epi64(
+                        topv, _mm512_and_si512(_mm512_srli_epi64(e64, 38),
+                                               _mm512_set1_epi64(127))),
+                    v1);
+                __m512i sy = _mm512_and_si512(
+                    _mm512_srlv_epi64(
+                        topv, _mm512_and_si512(_mm512_srli_epi64(e64, 45),
+                                               _mm512_set1_epi64(127))),
+                    v1);
+                // negmask per 16-bit half from (sx, sy) via a 4-entry LUT.
+                __m512i negm = _mm512_permutexvar_epi64(
+                    _mm512_add_epi64(sx, _mm512_add_epi64(sy, sy)),
+                    negtbl);
+                __m512i val = _mm512_sub_epi16(_mm512_xor_si512(e64, negm),
+                                               negm);
+                // (5) in-vector cb11 escape continuations, x then y. The
+                // escape field holds +-16 with the stream sign already
+                // applied; the decoded magnitude replaces it, negated by
+                // the same sign.
                 if (esc) {
-                    const __m512i v16 = _mm512_set1_epi64(16);
                     const __m512i vFFFF = _mm512_set1_epi64(0xFFFF);
                     for (int which = 0; which < 2; which++) {
-                        __m512i& mag = which ? ya : xa;
-                        __mmask8 m = _mm512_mask_cmpeq_epi64_mask(
-                            esc & act, mag, v16);
+                        __mmask8 m = _mm512_mask_test_epi64_mask(
+                            esc & act, e64,
+                            _mm512_set1_epi64(int64_t{1} << (52 + which)));
                         if (!m) continue;
                         // Escape prefix = leading ones of the current
                         // window top (top2 is already past len+signs).
@@ -2007,30 +2004,39 @@ static void extract_simd8(
                                               _mm512_add_epi64(n, v1)),
                             _mm512_sub_epi64(v64, n4));
                         top2 = _mm512_mask_sllv_epi64(top2, m, top2, adv);
-                        mag = _mm512_mask_add_epi64(
-                            mag, m, _mm512_sllv_epi64(v1, n4), mant);
+                        __m512i mag = _mm512_add_epi64(
+                            _mm512_sllv_epi64(v1, n4), mant);
+                        // sign of the +-16 field: bit 15 (x) / bit 31 (y).
+                        __m512i s = _mm512_and_si512(
+                            _mm512_srli_epi64(val, 15 + 16 * which), v1);
+                        __m512i sv = _mm512_add_epi64(
+                            _mm512_xor_si512(mag, _mm512_sub_epi64(vz, s)),
+                            s);
+                        __m512i fld = _mm512_and_si512(sv, vFFFF);
+                        if (which == 0) {
+                            val = _mm512_mask_or_epi64(
+                                val, m,
+                                _mm512_andnot_si512(vFFFF, val), fld);
+                        } else {
+                            val = _mm512_mask_or_epi64(
+                                val, m,
+                                _mm512_andnot_si512(
+                                    _mm512_slli_epi64(vFFFF, 16), val),
+                                _mm512_slli_epi64(fld, 16));
+                        }
                     }
                 }
-                // (6) signed values and state commit.
-                __m512i xv = _mm512_add_epi64(
-                    _mm512_xor_si512(xa, _mm512_sub_epi64(vz, xs)), xs);
-                __m512i yv = _mm512_add_epi64(
-                    _mm512_xor_si512(ya, _mm512_sub_epi64(vz, ys)), ys);
+                // (6) state commit.
                 cntv = _mm512_mask_mov_epi64(cntv, act, cnt2);
                 topv = _mm512_mask_mov_epi64(topv, act, top2);
                 // (7) emit both int16 values as one aligned 32-bit
                 // scatter per lane (span starts are multiples of 4, i steps
                 // by 2, so i is always even; lanes scatter into disjoint
                 // per-lane qbufs).
-                __m512i packv = _mm512_or_si512(
-                    _mm512_and_si512(xv, _mm512_set1_epi64(0xFFFF)),
-                    _mm512_slli_epi64(_mm512_and_si512(
-                                          yv, _mm512_set1_epi64(0xFFFF)),
-                                      16));
                 __m512i dst = _mm512_add_epi64(hqv,
                                                _mm512_slli_epi64(iv, 1));
                 _mm512_mask_i64scatter_epi32(
-                    nullptr, act, dst, _mm512_cvtepi64_epi32(packv), 1);
+                    nullptr, act, dst, _mm512_cvtepi64_epi32(val), 1);
                 // (8) span cursors + in-vector plan advance.
                 iv = _mm512_mask_add_epi64(iv, act, iv,
                                            _mm512_set1_epi64(2));
@@ -2275,8 +2281,21 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
         }
     }
 #ifdef SH_AAC_SIMD
+    // 64-bit SIMD table entries carry the pair PRE-PACKED as two int16
+    // fields with entry-borne signs (books 5/6) already applied, so the
+    // vector loop's value path is one xor+psubw negation by the stream
+    // signs and the low 32 bits scatter as-is:
+    //   [31:0]  x | y<<16 (int16 each, entry signs applied)
+    //   [36:32] lentot = len + nz
+    //   [37]    escape continuation needed (cb11, either magnitude 16)
+    //   [44:38] x stream-sign shift: 63-len when x takes a sign bit, 127
+    //           otherwise (srlv of the window top by it yields the bit or 0)
+    //   [51:45] y stream-sign shift: 63-(len+nz-1) or 127
+    //   [52]    x field is an escape magnitude (|x| == 16)
+    //   [53]    y field is an escape magnitude
+    //   [63]    set = invalid prefix / code longer than the probe (assist)
     if (idx >= 5) {
-        int32_t* sr = g_simd_tbl + ((idx - 5) << FB_SIMD);
+        int64_t* sr = g_simd_tbl + ((idx - 5) << FB_SIMD);
         for (int i = 0; i < (1 << FB_SIMD); i++) sr[i] = -1;
         for (int i = 0; i < n; i++) {
             int l = lens[i];
@@ -2285,14 +2304,19 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
             int x, y;
             if (idx == 5 || idx == 6) { x = (v >> 4) - 4; y = (v & 15) - 4; }
             else { x = v >> 5; y = v & 31; }
-            int xa = x < 0 ? -x : x, ya = y < 0 ? -y : y;
-            int nz = (idx == 5 || idx == 6) ? 0 : (x != 0) + (y != 0);
-            // lentot (len+nz) pre-added in [5:1]: the vector loop's carried
-            // chain consumes it with one extract instead of two adds.
-            int32_t packed = (l << 27) | (nz << 25) | (xa << 19)
-                             | ((x < 0) << 18) | (ya << 12) | ((y < 0) << 11)
-                             | ((l + nz) << 1);
-            if (idx == 11 && (x == 16 || y == 16)) packed |= 1;
+            bool hx = idx >= 7 && x != 0;  // unsigned books: stream signs
+            bool hy = idx >= 7 && y != 0;
+            int nz = (int)hx + (int)hy;
+            bool exf = idx == 11 && x == 16;
+            bool eyf = idx == 11 && y == 16;
+            int64_t packed =
+                (int64_t)(uint16_t)(int16_t)x
+                | ((int64_t)(uint16_t)(int16_t)y << 16)
+                | ((int64_t)(l + nz) << 32)
+                | ((int64_t)(exf || eyf) << 37)
+                | ((int64_t)(hx ? 63 - l : 127) << 38)
+                | ((int64_t)(hy ? 63 - (l + nz - 1) : 127) << 45)
+                | ((int64_t)exf << 52) | ((int64_t)eyf << 53);
             uint32_t base = codes[i] << (FB_SIMD - l);
             for (uint32_t k = 0; k < (1u << (FB_SIMD - l)); k++)
                 sr[base + k] = packed;
