@@ -14,6 +14,23 @@
 #include "entropy_common.h"
 #include "mp3_tables.h"
 
+// Cycle profiler, compile-gated (-DSH_MP3_PROF): 0 total, 1 frame setup
+// (header/side-info/reservoir), 2 scalefactors, 3 huffman, 4 requant+
+// stereo+reorder.
+#ifdef SH_MP3_PROF
+#include <x86intrin.h>
+namespace {
+uint64_t g_mprof[8];
+}
+extern "C" const uint64_t* sh_mp3_prof() { return g_mprof; }
+extern "C" void sh_mp3_prof_reset() { memset(g_mprof, 0, sizeof(g_mprof)); }
+#define MPROF_START(x) uint64_t _t_##x = __rdtsc()
+#define MPROF_STOP(x, i) g_mprof[i] += __rdtsc() - _t_##x
+#else
+#define MPROF_START(x)
+#define MPROF_STOP(x, i)
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -29,40 +46,67 @@ namespace {
 struct Mp3Tables {
     Lut big[18];      // tables 0..15 (0/4/14 empty), 16: codes16, 17: codes24
     Lut quads[2];
+    // Single-probe 12-bit fast tables for the Huffman hot loop (84% of the
+    // host stage when walked through the generic Lut): entry = len<<8 |
+    // value, -1 = miss (code longer than 12 bits, or invalid prefix) ->
+    // generic Lut path. Every quad code and every big-value code of the
+    // small tables fits; only tables 13/15/16/24's long codes miss.
+    struct Fast { int32_t t[1 << 12]; };
+    Fast fbig[18];
+    Fast fquad[2];
     float pow43[8207];
+    uint32_t pow43_bits[16];  // f32 bit patterns of pow43[0..15] (fast path)
     float is_ratio_m1[7][2];
     float is_ratio_m2[2][32][2];
     const int32_t kPretab[22] = {0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,3,2,0};
 
-    static void make(Lut& l, const uint32_t* codes, const uint8_t* lens, int n, int wrap) {
+    static void fill_fast(Fast& f, const uint32_t* codes, const uint8_t* lens,
+                          const uint16_t* vals, int n) {
+        for (int k = 0; k < (1 << 12); k++) f.t[k] = -1;
+        for (int i = 0; i < n; i++) {
+            int len = lens[i];
+            if (len == 0 || len > 12) continue;
+            int32_t packed = (len << 8) | vals[i];
+            uint32_t base = codes[i] << (12 - len);
+            for (uint32_t k = 0; k < (1u << (12 - len)); k++)
+                f.t[base + k] = packed;
+        }
+    }
+
+    void make(int ti, const uint32_t* codes, const uint8_t* lens, int n,
+              int wrap) {
         std::vector<uint16_t> vals(n);
         for (int i = 0; i < n; i++) vals[i] = (uint16_t)(((i / wrap) << 4) | (i % wrap));
-        l.build(codes, lens, vals.data(), n);
+        big[ti].build(codes, lens, vals.data(), n);
+        fill_fast(fbig[ti], codes, lens, vals.data(), n);
     }
 
     Mp3Tables() {
-        make(big[1], kCodes1, kBits1, 4, 2);
-        make(big[2], kCodes2, kBits2, 9, 3);
-        make(big[3], kCodes3, kBits3, 9, 3);
-        make(big[5], kCodes5, kBits5, 16, 4);
-        make(big[6], kCodes6, kBits6, 16, 4);
-        make(big[7], kCodes7, kBits7, 36, 6);
-        make(big[8], kCodes8, kBits8, 36, 6);
-        make(big[9], kCodes9, kBits9, 36, 6);
-        make(big[10], kCodes10, kBits10, 64, 8);
-        make(big[11], kCodes11, kBits11, 64, 8);
-        make(big[12], kCodes12, kBits12, 64, 8);
-        make(big[13], kCodes13, kBits13, 256, 16);
-        make(big[15], kCodes15, kBits15, 256, 16);
-        make(big[16], kCodes16, kBits16, 256, 16);
-        make(big[17], kCodes24, kBits24, 256, 16);
+        make(1, kCodes1, kBits1, 4, 2);
+        make(2, kCodes2, kBits2, 9, 3);
+        make(3, kCodes3, kBits3, 9, 3);
+        make(5, kCodes5, kBits5, 16, 4);
+        make(6, kCodes6, kBits6, 16, 4);
+        make(7, kCodes7, kBits7, 36, 6);
+        make(8, kCodes8, kBits8, 36, 6);
+        make(9, kCodes9, kBits9, 36, 6);
+        make(10, kCodes10, kBits10, 64, 8);
+        make(11, kCodes11, kBits11, 64, 8);
+        make(12, kCodes12, kBits12, 64, 8);
+        make(13, kCodes13, kBits13, 256, 16);
+        make(15, kCodes15, kBits15, 256, 16);
+        make(16, kCodes16, kBits16, 256, 16);
+        make(17, kCodes24, kBits24, 256, 16);
         {
             std::vector<uint16_t> v(16);
             for (int i = 0; i < 16; i++) v[i] = (uint16_t)i;
             quads[0].build(kQuadsCodesA, kQuadsBitsA, v.data(), 16);
             quads[1].build(kQuadsCodesB, kQuadsBitsB, v.data(), 16);
+            fill_fast(fquad[0], kQuadsCodesA, kQuadsBitsA, v.data(), 16);
+            fill_fast(fquad[1], kQuadsCodesB, kQuadsBitsB, v.data(), 16);
         }
         for (int i = 0; i < 8207; i++) pow43[i] = (float)pow((double)i, 4.0 / 3.0);
+        memcpy(pow43_bits, pow43, sizeof(pow43_bits));
         for (int p = 0; p < 7; p++) {
             double r = tan(p * M_PI / 12.0);
             is_ratio_m1[p][0] = (float)(r / (1.0 + r));
@@ -268,7 +312,10 @@ int read_scf_mpeg2(Bits& bs, bool is_intensity, GrChan& c) {
     return bits;
 }
 
-// Huffman spectrum (requantize.rs:47 mirror).
+// Huffman spectrum (requantize.rs:47 mirror). The hot loops keep the bit
+// window in registers and decode through the 12-bit single-probe fast
+// tables; the generic Lut runs only on misses (long codes of tables
+// 13/15/16/24) and near the buffer tail.
 bool read_huffman(Bits& bs, GrChan& c, int part3, float* buf) {
     memset(buf, 0, 576 * sizeof(float));
     if (part3 == 0) { c.rzero = 0; return true; }
@@ -281,17 +328,74 @@ bool read_huffman(Bits& bs, GrChan& c, int part3, float* buf) {
         c.region2_start < bvlen ? c.region2_start : bvlen,
         bvlen < 576 ? bvlen : 576,
     };
-    int64_t bits_read = 0;
+    uint64_t w = bs.buf;
+    int cnt = bs.cnt;
+    int64_t pos = bs.pos;
+    MPROF_START(bigv);
     for (int r = 0; r < 3; r++) {
         int ts = c.table_select[r];
-        const Lut* cb;
         int linbits = kLinbits[ts];
         if (ts == 0 || ts == 4 || ts == 14) { if (i < regions[r]) i = regions[r]; continue; }
-        cb = ts <= 15 ? &kT.big[ts] : (ts <= 23 ? &kT.big[16] : &kT.big[17]);
-        while (i < regions[r] && bits_read < part3) {
+        int ti = ts <= 15 ? ts : (ts <= 23 ? 16 : 17);
+        const Lut* cb = &kT.big[ti];
+        const int32_t* ft = kT.fbig[ti].t;
+        while (i < regions[r] && pos * 8 - cnt - start_bits < part3) {
+            if (cnt < 32 && pos + 8 <= bs.len) {
+                int nbytes = (63 - cnt) >> 3;
+                uint64_t v;
+                memcpy(&v, bs.data + pos, 8);
+                v = __builtin_bswap64(v);
+                w = (w << (nbytes * 8)) | (v >> (64 - nbytes * 8));
+                pos += nbytes;
+                cnt += nbytes * 8;
+            }
+#ifdef SH_MP3_PROF
+            g_mprof[7]++;
+#endif
+            int32_t e = cnt >= 32 ? ft[(uint32_t)(w >> (cnt - 12)) & 4095] : -1;
+            int x, y;
+            if (__builtin_expect(e >= 0, 1)) {
+                x = (e >> 4) & 15;
+                y = e & 15;
+                if (__builtin_expect(((x == 15) | (y == 15)) & (linbits != 0),
+                                     0)) {
+                    // Escape magnitudes: rare, run through the guarded
+                    // reader (linbits <= 13 each plus signs).
+                    cnt -= e >> 8;
+                    w &= (1ULL << cnt) - 1;
+                    bs.buf = w; bs.cnt = cnt; bs.pos = pos;
+                    if (x == 15) x += bs.read(linbits);
+                    if (x) buf[i] = bs.read(1) ? -kT.pow43[x] : kT.pow43[x];
+                    i++;
+                    if (y == 15) y += bs.read(linbits);
+                    if (y) buf[i] = bs.read(1) ? -kT.pow43[y] : kT.pow43[y];
+                    i++;
+                    w = bs.buf; cnt = bs.cnt; pos = bs.pos;
+                    continue;
+                }
+                // Branchless pair emit: consume the code and the 0-2 sign
+                // bits, build the f32 bit patterns directly (absent values
+                // store +0.0, identical to the memset fill).
+                cnt -= e >> 8;
+                uint32_t hx = x != 0, hy = y != 0;
+                cnt -= hx;
+                uint32_t bx = kT.pow43_bits[x]
+                              | (((uint32_t)(w >> cnt) & hx) << 31);
+                memcpy(&buf[i], &bx, 4);
+                cnt -= hy;
+                uint32_t by = kT.pow43_bits[y]
+                              | (((uint32_t)(w >> cnt) & hy) << 31);
+                memcpy(&buf[i + 1], &by, 4);
+                w &= (1ULL << cnt) - 1;
+                i += 2;
+                continue;
+            }
+            // Long code or buffer tail: generic guarded path.
+            bs.buf = w; bs.cnt = cnt; bs.pos = pos;
             int v = cb->decode(bs, &err);
             if (err || bs.error) return false;
-            int x = v >> 4, y = v & 0xF;
+            x = v >> 4;
+            y = v & 0xF;
             if (x) {
                 if (x == 15 && linbits) x += bs.read(linbits);
                 buf[i] = bs.read(1) ? -kT.pow43[x] : kT.pow43[x];
@@ -302,19 +406,50 @@ bool read_huffman(Bits& bs, GrChan& c, int part3, float* buf) {
                 buf[i] = bs.read(1) ? -kT.pow43[y] : kT.pow43[y];
             }
             i++;
-            bits_read = bs.bits_read() - start_bits;
+            w = bs.buf; cnt = bs.cnt; pos = bs.pos;
         }
     }
+    MPROF_STOP(bigv, 5);
+    MPROF_START(c1);
     const Lut& cb1 = kT.quads[c.count1table];
-    while (i <= 572 && bits_read < part3) {
+    const int32_t* fq = kT.fquad[c.count1table].t;
+    while (i <= 572 && pos * 8 - cnt - start_bits < part3) {
+        if (cnt < 32 && pos + 8 <= bs.len) {
+            int nbytes = (63 - cnt) >> 3;
+            uint64_t v;
+            memcpy(&v, bs.data + pos, 8);
+            v = __builtin_bswap64(v);
+            w = (w << (nbytes * 8)) | (v >> (64 - nbytes * 8));
+            pos += nbytes;
+            cnt += nbytes * 8;
+        }
+        int32_t e = cnt >= 32 ? fq[(uint32_t)(w >> (cnt - 12)) & 4095] : -1;
+        if (__builtin_expect(e >= 0, 1)) {
+            cnt -= e >> 8;
+            uint32_t v = (uint32_t)e & 15;
+            for (int j = 0; j < 4; j++) {
+                uint32_t present = (v >> (3 - j)) & 1;
+                cnt -= present;
+                uint32_t b = present * 0x3F800000u  // +-1.0f
+                             | (((uint32_t)(w >> cnt) & present) << 31);
+                memcpy(&buf[i + j], &b, 4);
+            }
+            w &= (1ULL << cnt) - 1;
+            i += 4;
+            continue;
+        }
+        bs.buf = w; bs.cnt = cnt; bs.pos = pos;
         int v = cb1.decode(bs, &err);
         if (err || bs.error) return false;
         static const int offs[4] = {0x8, 0x4, 0x2, 0x1};
         for (int j = 0; j < 4; j++)
             if (v & offs[j]) buf[i + j] = bs.read(1) ? -1.0f : 1.0f;
         i += 4;
-        bits_read = bs.bits_read() - start_bits;
+        w = bs.buf; cnt = bs.cnt; pos = bs.pos;
     }
+    MPROF_STOP(c1, 6);
+    bs.buf = w; bs.cnt = cnt; bs.pos = pos;
+    int64_t bits_read = bs.bits_read() - start_bits;
     if (bits_read < part3) bs.ignore(part3 - bits_read);
     else if (bits_read > part3 && i > bvlen) { i -= 4; for (int j = 0; j < 4; j++) buf[i + j] = 0; }
     c.rzero = i;
@@ -504,7 +639,9 @@ int32_t sh_mp3_extract(
     reservoir.reserve(2048);
     int32_t g_out = 0;
 
+    MPROF_START(tot);
     for (int32_t f = 0; f < n_frames; f++) {
+        MPROF_START(setup);
         status[f] = 0;
         const uint8_t* fd = data + offsets[f];
         int64_t flen = sizes[f];
@@ -532,6 +669,7 @@ int32_t sh_mp3_extract(
         reservoir.insert(reservoir.end(), md, md + md_len);
         if (reservoir.size() > 511) reservoir.erase(reservoir.begin(), reservoir.end() - 511);
 
+        MPROF_STOP(setup, 1);
         int n_gr = h.mpeg1() ? 2 : 1;
         int n_ch = h.n_ch();
         if (g_out + n_gr > max_granules) break;
@@ -544,19 +682,28 @@ int32_t sh_mp3_extract(
             for (int ch = 0; ch < n_ch && frame_ok; ch++) {
                 GrChan& c = gr[g][ch];
                 int64_t start = bs.bits_read();
+                MPROF_START(scf);
                 int part2 = h.mpeg1() ? read_scf_mpeg1(bs, g, ch, scfsi, gr)
                                       : read_scf_mpeg2(bs, (ch == 1) && h.intensity(), c);
+                MPROF_STOP(scf, 2);
                 int part3 = c.part23 - part2;
                 if (part3 < 0 || bs.error) { frame_ok = false; break; }
                 float* dst = ch == 0 ? s0 : s1;
-                if (!read_huffman(bs, c, part3, dst)) { frame_ok = false; break; }
+                MPROF_START(huf);
+                bool hok = read_huffman(bs, c, part3, dst);
+                MPROF_STOP(huf, 3);
+                if (!hok) { frame_ok = false; break; }
+                MPROF_START(rq);
                 if (prep_flags & 1) requantize(h, c, dst);
+                MPROF_STOP(rq, 4);
                 (void)start;
             }
             if (!frame_ok) break;
+            MPROF_START(st);
             if ((prep_flags & 2) && n_ch == 2) stereo(h, gr[g], s0, s1);
             if (prep_flags & 4)
                 for (int ch = 0; ch < n_ch; ch++) reorder(h, gr[g][ch], ch == 0 ? s0 : s1);
+            MPROF_STOP(st, 4);
             bt_out[(g_out + g) * 2 + 0] = gr[g][0].block_type;
             bt_out[(g_out + g) * 2 + 1] = n_ch == 2 ? gr[g][1].block_type : 0;
             mixed_out[(g_out + g) * 2 + 0] = gr[g][0].mixed ? 1 : 0;
@@ -566,6 +713,7 @@ int32_t sh_mp3_extract(
         if (!frame_ok) { status[f] = -5; continue; }
         g_out += n_gr;
     }
+    MPROF_STOP(tot, 0);
     return g_out;
 }
 
