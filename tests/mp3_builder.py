@@ -42,32 +42,75 @@ TABLE1 = {(0, 0): (1, 1), (0, 1): (1, 3), (1, 0): (1, 2), (1, 1): (0, 3)}
 # Quads table B: value i (vwxy bits) -> code 15-i, 4 bits.
 
 
+def big_table_encoder(table_select: int):
+    """Encode map for an arbitrary big-values table: (|x|, |y|) ->
+    (code, len), plus its linbits. Built by inverting the decoder's own
+    spec tables so the builder stays a mirror encoder."""
+    from symphonia_tpu.codecs.mpa_layer3 import tables
+
+    t = tables()
+    n = 16 if 16 <= table_select <= 23 else (24 if table_select >= 24
+                                             else table_select)
+    codes, bits = t[f"codes_{n}"], t[f"bits_{n}"]
+    wrap = {4: 2, 9: 3, 16: 4, 36: 6, 64: 8, 256: 16}[len(codes)]
+    m = {}
+    for i in range(len(codes)):
+        if int(bits[i]):
+            m[(i // wrap, i % wrap)] = (int(codes[i]), int(bits[i]))
+    return m, int(t["linbits"][table_select])
+
+
+def quad_table_encoder(select: int):
+    from symphonia_tpu.codecs.mpa_layer3 import tables
+
+    t = tables()
+    suffix = "a" if select == 0 else "b"
+    codes, bits = t[f"quads_codes_{suffix}"], t[f"quads_bits_{suffix}"]
+    return {i: (int(codes[i]), int(bits[i])) for i in range(len(codes))}
+
+
 def encode_granule_channel(
     bw: BitWriter,
     quad_pattern: Sequence[int],
     big_pairs: Sequence[tuple] = (),
     global_gain: int = 210,
+    big_table: int = 1,
+    count1table: int = 1,
 ):
     """Write main_data for one granule-channel: all scalefactors zero-length
-    (scalefac_compress=0 -> slen 0,0), big_values via table 1, then count1
-    quads via table B. Returns part2_3_length in bits."""
+    (scalefac_compress=0 -> slen 0,0), big_values via `big_table` (linbits
+    escapes encode magnitudes above 15 for tables 16..31), then count1
+    quads via table A or B. Returns part2_3_length in bits."""
     start = len(bw)
+    tbl, linbits = big_table_encoder(big_table)
+    qt = quad_table_encoder(count1table)
     # part2: scalefac_compress=0 => slen1=slen2=0 => no scalefactor bits.
     # part3: big_values pairs first.
     for x, y in big_pairs:
-        code, ln = TABLE1[(abs(x), abs(y))]
+        ax, ay = abs(x), abs(y)
+        ex = min(ax, 15) if linbits else ax
+        ey = min(ay, 15) if linbits else ay
+        code, ln = tbl[(ex, ey)]
         bw.write(code, ln)
+        # Decoder field order: x linbits, x sign, y linbits, y sign.
+        if ex == 15 and linbits:
+            assert ax - 15 < (1 << linbits)
+            bw.write(ax - 15, linbits)
         if x:
             bw.write(1 if x < 0 else 0, 1)
+        if ey == 15 and linbits:
+            assert ay - 15 < (1 << linbits)
+            bw.write(ay - 15, linbits)
         if y:
             bw.write(1 if y < 0 else 0, 1)
     for quad in quad_pattern:
         v, w, x, y = quad
         idx = (abs(v) << 3) | (abs(w) << 2) | (abs(x) << 1) | abs(y)
-        bw.write(15 - idx, 4)  # quads table B
-        for s in (v, w, x, y):
-            if s:
-                bw.write(1 if s < 0 else 0, 1)
+        code, ln = qt[idx]
+        bw.write(code, ln)
+        for sgn in (v, w, x, y):
+            if sgn:
+                bw.write(1 if sgn < 0 else 0, 1)
     return len(bw) - start
 
 
@@ -97,6 +140,8 @@ def build_mpeg1_l3_frame(
                 spec.get("quad_pattern", ()),
                 spec.get("big_pairs", ()),
                 spec.get("global_gain", 210),
+                spec.get("big_table", 1),
+                spec.get("count1table", 1),
             )
     main_data = md.pad_to_bytes()
 
@@ -115,14 +160,15 @@ def build_mpeg1_l3_frame(
             si.write(spec.get("global_gain", 210), 8)
             si.write(0, 4)  # scalefac_compress = 0
             si.write(0, 1)  # window_switching = 0 (long block)
-            si.write(1, 5)  # table_select[0] = 1
-            si.write(1, 5)  # table_select[1]
-            si.write(1, 5)  # table_select[2]
+            ts = spec.get("big_table", 1)
+            si.write(ts, 5)  # table_select[0]
+            si.write(ts, 5)  # table_select[1]
+            si.write(ts, 5)  # table_select[2]
             si.write(0, 4)  # region0_count - 1... (stored value 0 -> count 1)
             si.write(7, 3)  # region1_count stored
             si.write(0, 1)  # preflag
             si.write(0, 1)  # scalefac_scale
-            si.write(1, 1)  # count1table_select = B
+            si.write(spec.get("count1table", 1), 1)  # count1table_select
     side_info = si.pad_to_bytes()
     assert len(side_info) == (17 if n_ch == 1 else 32), len(side_info)
 

@@ -302,6 +302,87 @@ class TestMp3BatchDecoder:
         n = min(pcm_nat.shape[1], pcm_py.shape[1])
         np.testing.assert_array_equal(pcm_nat[:, :n], pcm_py[:, :n])
 
+    def test_native_entropy_exact_all_tables(self):
+        """Stress the native Huffman fast path across the table landscape:
+        linbits escapes (tables 16/20/24/30), codes longer than the 12-bit
+        probe (tables 13/15 -> generic-path misses), and count1 table A —
+        bit-exact against the Python oracle (builder mirrors the decoder's
+        own spec tables)."""
+        import pytest
+        from symphonia_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        from mp3_builder import build_mpeg1_l3_frame, big_table_encoder
+        from symphonia_tpu.codecs.mpa_common import parse_header as ph
+        from symphonia_tpu.core.io import MediaSourceStream
+
+        rng = np.random.default_rng(21)
+        frames = []
+        tables = [1, 2, 5, 7, 10, 13, 15, 16, 20, 24, 30]
+        for fi, ts in enumerate(tables):
+            _, linbits = big_table_encoder(ts)
+            # Magnitude cap per table family (wrap-1 for small tables, 15 +
+            # escape range when linbits exist).
+            caps = {1: 1, 2: 2, 5: 3, 7: 5, 10: 7, 13: 15, 15: 15}
+            cap = caps.get(ts, 15 + (1 << linbits) - 1)
+            gspecs = []
+            for _gr in range(2):
+                chans = []
+                for _ch in range(2):
+                    bigs = []
+                    for _ in range(16):
+                        x = int(rng.integers(0, cap + 1))
+                        y = int(rng.integers(0, cap + 1))
+                        if x:
+                            x *= int(rng.choice([-1, 1]))
+                        if y:
+                            y *= int(rng.choice([-1, 1]))
+                        bigs.append((x, y))
+                    quads = [tuple(int(v) for v in rng.integers(-1, 2, size=4))
+                             for _ in range(int(rng.integers(2, 10)))]
+                    chans.append({
+                        "big_pairs": bigs,
+                        "quad_pattern": quads,
+                        "big_table": ts,
+                        "count1table": int(fi % 2),  # exercise A and B
+                        "global_gain": 200,
+                    })
+                gspecs.append(chans)
+            frames.append(build_mpeg1_l3_frame(gspecs, n_ch=2,
+                                               bitrate_idx=14))
+        data = b"".join(frames)
+        r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
+        assert len(r._offsets) == len(tables)
+        out = native.mp3_extract(r._buf, r._offsets, r._sizes,
+                                 max_granules=4 * len(tables),
+                                 prep_flags=0)
+        assert (out["status"] == 0).all()
+        from symphonia_tpu.codecs import mpa_layer3 as l3
+        from symphonia_tpu.core.io import BitReaderLtr
+
+        gi = 0
+        for o, sz in zip(r._offsets, r._sizes):
+            frame = bytes(r._buf[o:o + sz])
+            hdr = ph(int.from_bytes(frame[:4], "big"))
+            pos = 4 + (2 if hdr.has_crc else 0)
+            side_len = hdr.side_info_len()
+            fd = l3.read_side_info(BitReaderLtr(frame[pos:pos + side_len]),
+                                   hdr)
+            assert fd.main_data_begin == 0
+            mbr = BitReaderLtr(frame[pos + side_len:hdr.frame_size])
+            for g in range(2):
+                for c in range(2):
+                    gc = fd.granules[g][c]
+                    part2 = l3.read_scale_factors_mpeg1(mbr, g, c, fd)
+                    spec = l3.read_huffman_samples(
+                        mbr, gc, gc.part2_3_length - part2)
+                    np.testing.assert_array_equal(
+                        out["spectra"][gi + g, c], spec,
+                        err_msg=f"granule {gi+g} ch {c} "
+                                f"(table {tables[gi // 2]})")
+            gi += 2
+
 
 class TestMpaStreaming:
     """MpaStreamReader: frame-at-a-time over the MSS window on pipes, with
