@@ -150,28 +150,66 @@ class AudioDecoder:
 
 
 class CodecRegistry:
-    """Tiered codec-id -> decoder-factory registry (codecs/registry.rs:176)."""
+    """Tiered codec-id -> decoder-factory registry (codecs/registry.rs:176).
+
+    Video and subtitle registration mirror the reference's experimental
+    surface (registry.rs:96-160): the registry accepts third-party
+    factories, but no video/subtitle decoder ships here — the reference
+    workspace contains none either (core/video.py, core/subtitle.py).
+    """
 
     def __init__(self):
         self._audio: Dict[str, List[Tuple[int, Callable]]] = {}
+        self._video: Dict[str, List[Tuple[int, Callable]]] = {}
+        self._subtitle: Dict[str, List[Tuple[int, Callable]]] = {}
+
+    @staticmethod
+    def _register(table, factory, tier) -> None:
+        for codec_id in factory.supported_codecs():
+            lst = table.setdefault(codec_id, [])
+            lst.append((tier, factory))
+            lst.sort(key=lambda t: t[0])
+
+    @staticmethod
+    def _make(table, kind, params, options):
+        candidates = table.get(params.codec)
+        if not candidates:
+            raise Unsupported(
+                f"no {kind} decoder registered for codec '{params.codec}'")
+        return candidates[0][1](params, options)
 
     def register_audio_decoder(self, factory, tier: int = Tier.STANDARD) -> None:
         """Register a decoder class/factory. The factory must expose
         ``supported_codecs() -> list[str]`` and be callable as
         ``factory(params, options)`` (registry.rs:252)."""
-        for codec_id in factory.supported_codecs():
-            lst = self._audio.setdefault(codec_id, [])
-            lst.append((tier, factory))
-            lst.sort(key=lambda t: t[0])
+        self._register(self._audio, factory, tier)
 
     def make_audio_decoder(
         self, params: AudioCodecParameters, options: Optional[AudioDecoderOptions] = None
     ) -> AudioDecoder:
         """Instantiate the best decoder for the parameters (registry.rs:330)."""
-        candidates = self._audio.get(params.codec)
-        if not candidates:
-            raise Unsupported(f"no decoder registered for codec '{params.codec}'")
-        return candidates[0][1](params, options or AudioDecoderOptions())
+        return self._make(self._audio, "audio", params,
+                          options or AudioDecoderOptions())
+
+    def register_video_decoder(self, factory, tier: int = Tier.STANDARD) -> None:
+        """Register an experimental video decoder factory (registry.rs:57)."""
+        self._register(self._video, factory, tier)
+
+    def make_video_decoder(self, params, options=None):
+        from .video import VideoDecoderOptions
+
+        return self._make(self._video, "video", params,
+                          options or VideoDecoderOptions())
+
+    def register_subtitle_decoder(self, factory, tier: int = Tier.STANDARD) -> None:
+        """Register an experimental subtitle decoder factory."""
+        self._register(self._subtitle, factory, tier)
+
+    def make_subtitle_decoder(self, params, options=None):
+        from .subtitle import SubtitleDecoderOptions
+
+        return self._make(self._subtitle, "subtitle", params,
+                          options or SubtitleDecoderOptions())
 
     def supported_codecs(self) -> List[str]:
         return sorted(self._audio)

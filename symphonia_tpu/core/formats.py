@@ -44,7 +44,16 @@ class Track:
 
 @dataclass
 class FormatOptions:
-    """Demuxer options (formats/mod.rs:123-156)."""
+    """Demuxer options (formats/mod.rs:123-156).
+
+    prebuild_seek_index / seek_index_fill_rate exist for reference API
+    parity but are subsumed by this architecture: every reader a seekable
+    source gets materializes an exact per-frame/packet table at open (the
+    batch decode path needs it anyway), which is strictly stronger than
+    the reference's sparse prebuilt index, and the streaming readers are
+    only constructed for unseekable sources, where prebuilding is
+    impossible (they seek by bisection/cues/forward-scan when asked).
+    """
 
     prebuild_seek_index: bool = False
     seek_index_fill_rate: int = 20  # seconds between seek points
@@ -151,6 +160,14 @@ class FormatReader:
 
     def tracks(self) -> List[Track]:
         raise NotImplementedError
+
+    def other_tracks(self) -> List[Track]:
+        """Non-audio (video/subtitle) track descriptions, when the container
+        carries any. Their ``codec_params`` are the experimental
+        VideoCodecParameters / SubtitleCodecParameters (core/video.py,
+        core/subtitle.py — reference exp-video/-subtitle surface); no
+        decoders ship for them, matching the reference."""
+        return []
 
     def next_packet(self) -> Optional[Packet]:
         """Return the next packet, or None at end of stream

@@ -48,6 +48,9 @@ ID_TRACK_TYPE = 0x83
 ID_CODEC_ID = 0x86
 ID_CODEC_PRIVATE = 0x63A2
 ID_AUDIO = 0xE1
+ID_VIDEO = 0xE0
+ID_PIXEL_WIDTH = 0xB0
+ID_PIXEL_HEIGHT = 0xBA
 ID_SAMPLING_FREQ = 0xB5
 ID_OUT_SAMPLING_FREQ = 0x78B5
 ID_CHANNELS = 0x9F
@@ -90,6 +93,7 @@ ID_SEEK_ID = 0x53AB
 ID_SEEK_POSITION = 0x53AC
 
 _MASTER_IDS = {ID_SEGMENT, ID_INFO, ID_TRACKS, ID_TRACK_ENTRY, ID_AUDIO,
+               ID_VIDEO,
                ID_CLUSTER, ID_BLOCK_GROUP, ID_TAGS, ID_TAG, ID_SIMPLE_TAG}
 
 # Top-level segment children: an unknown-size cluster ends at the next one.
@@ -171,6 +175,8 @@ class MkvTrack:
     default_duration_ns: Optional[int] = None
     codec: Optional[str] = None
     params: Optional[AudioCodecParameters] = None
+    width: Optional[int] = None
+    height: Optional[int] = None
 
 
 def _map_codec(t: MkvTrack) -> None:
@@ -216,6 +222,46 @@ def _map_codec(t: MkvTrack) -> None:
         codec=c, sample_rate=rate, channels=ch, bits_per_sample=bits,
         extra_data=extra,
     )
+
+
+# Matroska video/subtitle codec ids -> experimental codec parameters
+# (codecs.rs:304-336). Exposed as track DESCRIPTIONS via
+# FormatReader.other_tracks(); no decoder ships for them, matching the
+# reference's exp-video/-subtitle surface.
+_MKV_VIDEO_IDS = {
+    "V_MJPEG": "mjpeg", "V_MPEG4/MS/V3": "msmpeg4v3", "V_MPEG1": "mpeg1video",
+    "V_MPEG2": "mpeg2video", "V_MPEG4/ISO/SP": "mpeg4video",
+    "V_MPEG4/ISO/ASP": "mpeg4video", "V_MPEG4/ISO/AVC": "h264",
+    "V_MPEG4/ISO/AP": "h264", "V_MPEGH/ISO/HEVC": "hevc",
+    "V_REAL/RV10": "rv10", "V_REAL/RV20": "rv20", "V_REAL/RV30": "rv30",
+    "V_REAL/RV40": "rv40", "V_THEORA": "theora", "V_VP8": "vp8",
+    "V_VP9": "vp9", "V_AV1": "av1", "V_AVS2": "avs2", "V_AVS3": "avs3",
+}
+_MKV_SUBTITLE_IDS = {
+    "S_TEXT/UTF8": "text_utf8", "S_TEXT/SSA": "ssa", "S_TEXT/ASS": "ass",
+    "S_TEXT/WEBVTT": "webvtt", "S_IMAGE/BMP": "bmp_subtitle",
+    "S_VOBSUB": "vobsub", "S_DVBSUB": "dvbsub", "S_HDMV/PGS": "hdmv_pgs",
+    "S_KATE": "kate",
+}
+
+
+def _map_other_codec(t: MkvTrack, ttype: int):
+    """Video/subtitle codec parameters for a non-audio track, or None."""
+    if ttype == 1 and t.codec_id in _MKV_VIDEO_IDS:
+        from ..core.video import VideoCodecParameters, VideoExtraData
+
+        extra = ([VideoExtraData(data=bytes(t.codec_private))]
+                 if t.codec_private else [])
+        return VideoCodecParameters(codec=_MKV_VIDEO_IDS[t.codec_id],
+                                    width=t.width, height=t.height,
+                                    extra_data=extra)
+    if ttype == 0x11 and t.codec_id in _MKV_SUBTITLE_IDS:
+        from ..core.subtitle import SubtitleCodecParameters
+
+        return SubtitleCodecParameters(
+            codec=_MKV_SUBTITLE_IDS[t.codec_id],
+            extra_data=bytes(t.codec_private) if t.codec_private else None)
+    return None
 
 
 def unlace(buf: bytes) -> List[bytes]:
@@ -401,6 +447,7 @@ class MkvReader(FormatReader):
     def __init__(self, mss, options: Optional[FormatOptions] = None):
         super().__init__(mss, options)
         self._metadata = MetadataLog()
+        self._other_tracks: List[Track] = []
         start = mss.pos()
         chunks = []
         while True:
@@ -497,10 +544,21 @@ class MkvReader(FormatReader):
                                     t.channels = _uint(buf, b4, e4)
                                 elif eid4 == ID_BIT_DEPTH:
                                     t.bit_depth = _uint(buf, b4, e4)
+                        elif eid3 == ID_VIDEO:
+                            for eid4, b4, e4 in iter_elements(buf, b3, e3):
+                                if eid4 == ID_PIXEL_WIDTH:
+                                    t.width = _uint(buf, b4, e4)
+                                elif eid4 == ID_PIXEL_HEIGHT:
+                                    t.height = _uint(buf, b4, e4)
                     if ttype == 2:  # audio
                         _map_codec(t)
                         if t.codec is not None:
                             self._mkv_tracks[t.number] = t
+                    else:
+                        op = _map_other_codec(t, ttype)
+                        if op is not None:
+                            self._other_tracks.append(
+                                Track(id=t.number, codec_params=op))
             elif eid == ID_CLUSTER:
                 cluster_ts = 0
                 for eid2, b2, e2 in iter_elements(buf, b, e):
@@ -584,6 +642,9 @@ class MkvReader(FormatReader):
     def tracks(self) -> List[Track]:
         return self._track_objs
 
+    def other_tracks(self) -> List[Track]:
+        return self._other_tracks
+
     def next_packet(self) -> Optional[Packet]:
         if self._cursor >= len(self._packets):
             return None
@@ -640,6 +701,7 @@ class MkvStreamReader(FormatReader):
     def __init__(self, mss, options: Optional[FormatOptions] = None):
         super().__init__(mss, options)
         self._metadata = MetadataLog()
+        self._other_tracks: List[Track] = []
         self._queue: List[Packet] = []
         # One pending block per track for next-gap durations.
         self._pending: Dict[int, Tuple[int, List[bytes], Optional[int]]] = {}
@@ -786,10 +848,21 @@ class MkvStreamReader(FormatReader):
                             t.channels = _uint(body, b4, e4)
                         elif eid4 == ID_BIT_DEPTH:
                             t.bit_depth = _uint(body, b4, e4)
+                elif eid3 == ID_VIDEO:
+                    for eid4, b4, e4 in iter_elements(body, b3, e3):
+                        if eid4 == ID_PIXEL_WIDTH:
+                            t.width = _uint(body, b4, e4)
+                        elif eid4 == ID_PIXEL_HEIGHT:
+                            t.height = _uint(body, b4, e4)
             if ttype == 2:
                 _map_codec(t)
                 if t.codec is not None:
                     self._mkv_tracks[t.number] = t
+            else:
+                op = _map_other_codec(t, ttype)
+                if op is not None:
+                    self._other_tracks.append(
+                        Track(id=t.number, codec_params=op))
 
     def _parse_cues_body(self, body: bytes) -> None:
         for eid, b2, e2 in iter_elements(body, 0, len(body)):
@@ -911,6 +984,9 @@ class MkvStreamReader(FormatReader):
 
     def tracks(self) -> List[Track]:
         return self._track_objs
+
+    def other_tracks(self) -> List[Track]:
+        return self._other_tracks
 
     def metadata(self) -> MetadataLog:
         return self._metadata

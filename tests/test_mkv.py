@@ -86,6 +86,135 @@ def build_mkv(codec_id: str, private: bytes, blocks, rate=44100, ch=1,
     return ebml_hdr + segment
 
 
+def build_mkv_with_video(audio_blocks) -> bytes:
+    """A two-track Matroska: PCM audio (track 1) + a VP9 video track
+    description (track 2, no blocks needed for the description surface)."""
+    ebml_hdr = elem(0x1A45DFA3,
+                    elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
+    audio_entry = (
+        uint_elem(0xD7, 1) + uint_elem(0x83, 2)
+        + elem(0x86, b"A_PCM/INT/LIT")
+        + elem(0xE1, float_elem(0xB5, 8000.0) + uint_elem(0x9F, 1)
+               + uint_elem(0x6264, 16))
+    )
+    video_entry = (
+        uint_elem(0xD7, 2) + uint_elem(0x83, 1)
+        + elem(0x86, b"V_VP9")
+        + elem(0xE0, uint_elem(0xB0, 640) + uint_elem(0xBA, 360))
+    )
+    tracks = elem(0x1654AE6B, elem(0xAE, audio_entry) + elem(0xAE, video_entry))
+    info = elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+    clusters = b""
+    for cluster_ts, cluster_blocks in audio_blocks:
+        body = uint_elem(0xE7, cluster_ts)
+        for blk in cluster_blocks:
+            body += blk
+        clusters += elem(0x1F43B675, body)
+    segment = elem(0x18538067, info + tracks + clusters)
+    return ebml_hdr + segment
+
+
+class TestOtherTracks:
+    """Experimental video/subtitle track descriptions (codecs.rs:304-336;
+    the reference exposes these as CodecParameters::Video/Subtitle — here
+    they surface through FormatReader.other_tracks with the exp parameter
+    structs, and audio demux is unaffected)."""
+
+    def test_video_track_described_and_audio_decodes(self):
+        import numpy as np
+        from symphonia_tpu.core.video import VideoCodecParameters
+
+        pcm = (np.arange(64, dtype="<i2") * 100).tobytes()
+        blocks = [(0, [simple_block(1, 0, [pcm])])]
+        data = build_mkv_with_video(blocks)
+        r = MkvReader(MediaSourceStream(data))
+        assert len(r.tracks()) == 1  # audio only in the decode surface
+        others = r.other_tracks()
+        assert len(others) == 1
+        vp = others[0].codec_params
+        assert isinstance(vp, VideoCodecParameters)
+        assert vp.codec == "vp9" and vp.width == 640 and vp.height == 360
+        pkt = r.next_packet()
+        assert pkt is not None and pkt.track_id == 1
+
+    def test_subtitle_track_described(self):
+        from symphonia_tpu.core.subtitle import SubtitleCodecParameters
+
+        ebml_hdr = elem(0x1A45DFA3,
+                        elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
+        audio_entry = (
+            uint_elem(0xD7, 1) + uint_elem(0x83, 2)
+            + elem(0x86, b"A_PCM/INT/LIT")
+            + elem(0xE1, float_elem(0xB5, 8000.0) + uint_elem(0x9F, 1)
+                   + uint_elem(0x6264, 16))
+        )
+        sub_entry = (
+            uint_elem(0xD7, 3) + uint_elem(0x83, 0x11)
+            + elem(0x86, b"S_TEXT/UTF8")
+        )
+        tracks = elem(0x1654AE6B,
+                      elem(0xAE, audio_entry) + elem(0xAE, sub_entry))
+        info = elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+        import numpy as np
+        pcm = (np.zeros(16, dtype="<i2")).tobytes()
+        cluster = elem(0x1F43B675,
+                       uint_elem(0xE7, 0) + simple_block(1, 0, [pcm]))
+        data = ebml_hdr + elem(0x18538067, info + tracks + cluster)
+        r = MkvReader(MediaSourceStream(data))
+        others = r.other_tracks()
+        assert len(others) == 1
+        sp = others[0].codec_params
+        assert isinstance(sp, SubtitleCodecParameters)
+        assert sp.codec == "text_utf8"
+
+
+class TestExperimentalRegistry:
+    """CodecRegistry video/subtitle registration (registry.rs:57-160):
+    third-party factories register and instantiate; nothing ships
+    built-in, matching the reference."""
+
+    def test_register_and_make_video_decoder(self):
+        from symphonia_tpu.core.codecs import CodecRegistry
+        from symphonia_tpu.core.errors import Unsupported
+        from symphonia_tpu.core.video import (VideoCodecParameters,
+                                              VideoDecoder)
+
+        class NullVideo(VideoDecoder):
+            def __init__(self, params, options):
+                self._p = params
+
+            @staticmethod
+            def supported_codecs():
+                return ["vp9"]
+
+            def reset(self):
+                pass
+
+            def codec_params(self):
+                return self._p
+
+        reg = CodecRegistry()
+        reg.register_video_decoder(NullVideo)
+        params = VideoCodecParameters(codec="vp9", width=64, height=64)
+        dec = reg.make_video_decoder(params)
+        assert dec.codec_params().width == 64
+        import pytest
+        with pytest.raises(Unsupported):
+            reg.make_video_decoder(VideoCodecParameters(codec="av1"))
+        with pytest.raises(Unsupported):
+            dec.decode(None)  # no shipped implementation decodes
+
+    def test_subtitle_registry_empty(self):
+        import pytest
+        from symphonia_tpu.core.codecs import CodecRegistry
+        from symphonia_tpu.core.errors import Unsupported
+        from symphonia_tpu.core.subtitle import SubtitleCodecParameters
+
+        with pytest.raises(Unsupported):
+            CodecRegistry().make_subtitle_decoder(
+                SubtitleCodecParameters(codec="srt"))
+
+
 class TestEbml:
     def test_vint(self):
         assert read_vint(b"\x81", 0, False) == (1, 1)
