@@ -62,8 +62,14 @@ class TestFlacScan:
         assert (native_packed["status"] == 0).all()
         for key in ["res", "coefs", "order", "shift", "wasted", "block",
                     "assign", "bps"]:
-            np.testing.assert_array_equal(native_packed[key], py_packed[key],
-                                          err_msg=key)
+            a = native_packed[key]
+            b = py_packed[key]
+            if key == "res":
+                # The native allocator pads 4KiB-multiple rows by 16 columns
+                # (store-buffer anti-aliasing, native.py); compare the
+                # oracle's width.
+                a = a[:, : b.shape[1]]
+            np.testing.assert_array_equal(a, b, err_msg=key)
         out = decode_packed(native_packed)
         pcm = np.concatenate(
             [out[i, :, : frames[i].header.block_size] for i in range(len(frames))],
@@ -102,8 +108,9 @@ class TestLongUnaryRuns:
         table = reader.packet_table()
         frames = [parse_frame(p, si) for p in table.data]
         py_packed = pack_parsed_frames(frames)
-        np.testing.assert_array_equal(packed["res"][: py_packed["res"].shape[0]],
-                                      py_packed["res"])
+        ref = py_packed["res"]
+        np.testing.assert_array_equal(
+            packed["res"][: ref.shape[0], : ref.shape[1]], ref)
 
     def test_batch_decode_bit_exact(self):
         data, ch = self._spiky_file()
