@@ -120,6 +120,7 @@ def build_mpeg1_l3_frame(
     sample_rate_idx: int = 0,  # 0 = 44100
     bitrate_idx: int = 9,  # 128 kbps
     channel_mode: int = 3 if False else None,
+    mode_ext: int = 0,  # joint stereo: bit0 intensity, bit1 mid-side
 ):
     """Build one MPEG1 Layer III frame.
 
@@ -177,7 +178,7 @@ def build_mpeg1_l3_frame(
     b0 = 0xFF
     b1 = 0xFB  # 1111 1011: sync + MPEG1 + Layer3 + no CRC
     b2 = (bitrate_idx << 4) | (sample_rate_idx << 2)  # no padding
-    b3 = channel_mode << 6
+    b3 = (channel_mode << 6) | (mode_ext << 4)
     header = bytes([b0, b1, b2, b3])
 
     bitrate = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320][bitrate_idx] * 1000

@@ -383,6 +383,73 @@ class TestMp3BatchDecoder:
                                 f"(table {tables[gi // 2]})")
             gi += 2
 
+    def test_native_joint_stereo_parity(self):
+        """Joint-stereo (mid-side / intensity / both) spectra parity:
+        native stereo() (stereo.rs:143-340 mirror) vs the Python oracle,
+        bit-exact after requantize+stereo+reorder (prep_flags=7)."""
+        import pytest
+        from symphonia_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        from mp3_builder import build_mpeg1_l3_frame
+        from symphonia_tpu.codecs import mpa_layer3 as l3
+        from symphonia_tpu.codecs.mpa_common import parse_header as ph
+        from symphonia_tpu.core.io import BitReaderLtr, MediaSourceStream
+
+        rng = np.random.default_rng(5)
+        frames = []
+        modes = [2, 1, 3, 2, 1, 3]  # MS, intensity, both
+        for mode_ext in modes:
+            gspecs = []
+            for _gr in range(2):
+                chans = []
+                for ch in range(2):
+                    # ch1 sparser so an intensity zero-partition exists.
+                    n_big = 30 if ch == 0 else 12
+                    bigs = [(int(rng.integers(-5, 6)), int(rng.integers(-5, 6)))
+                            for _ in range(n_big)]
+                    quads = ([tuple(int(v) for v in rng.integers(-1, 2, size=4))
+                              for _ in range(4)] if ch == 0 else [])
+                    chans.append({"big_pairs": bigs, "quad_pattern": quads,
+                                  "big_table": 7, "global_gain": 195})
+                gspecs.append(chans)
+            frames.append(build_mpeg1_l3_frame(
+                gspecs, n_ch=2, bitrate_idx=12, channel_mode=1,
+                mode_ext=mode_ext))
+        data = b"".join(frames)
+        r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
+        assert len(r._offsets) == len(modes)
+        out = native.mp3_extract(r._buf, r._offsets, r._sizes,
+                                 max_granules=4 * len(modes), prep_flags=7)
+        assert (out["status"] == 0).all()
+        gi = 0
+        for o, sz in zip(r._offsets, r._sizes):
+            frame = bytes(r._buf[o:o + sz])
+            hdr = ph(int.from_bytes(frame[:4], "big"))
+            assert hdr.is_intensity_stereo or hdr.is_mid_side
+            pos = 4 + (2 if hdr.has_crc else 0)
+            side_len = hdr.side_info_len()
+            fd = l3.read_side_info(BitReaderLtr(frame[pos:pos + side_len]),
+                                   hdr)
+            mbr = BitReaderLtr(frame[pos + side_len:hdr.frame_size])
+            for g in range(2):
+                spectra = []
+                for c in range(2):
+                    gc = fd.granules[g][c]
+                    part2 = l3.read_scale_factors_mpeg1(mbr, g, c, fd)
+                    spec = l3.read_huffman_samples(
+                        mbr, gc, gc.part2_3_length - part2)
+                    l3.requantize(hdr, gc, spec)
+                    spectra.append(spec)
+                l3.stereo(hdr, fd.granules[g], spectra[0], spectra[1])
+                for c in range(2):
+                    l3.reorder(hdr, fd.granules[g][c], spectra[c])
+                    np.testing.assert_array_equal(
+                        out["spectra"][gi + g, c], spectra[c],
+                        err_msg=f"granule {gi+g} ch {c} mode_ext")
+            gi += 2
+
 
 class TestMpaStreaming:
     """MpaStreamReader: frame-at-a-time over the MSS window on pipes, with
