@@ -25,9 +25,11 @@
 // Cycle-level profiling, compile-gated so the production token stream is
 // untouched (this file is codegen-sensitive; see CLAUDE.md). Build a
 // variant .so with -DSH_AAC_PROF and read the counters via sh_aac_prof():
-//   0 total extract  1 vector burst  2 fixup+lane_to_hot  3 pre_spectrum
-//   4 dequant_runs   5 build_plan    6 pns/prevshape pass 7 final drain
-//   8 burst iters    9 emitted lanes (popcnt act)        10 freezes
+//   0 total extract  1 vector burst    2 fixup+lane_to_hot  3 pre_spectrum
+//   4 dequant_runs   5 (unused)        6 pns/prevshape pass 7 final drain
+//   8 burst iters    9 emitted lanes (popcnt act)          10 freezes
+//  11 quad_scalar   12 build_runs (incl. fused plan emit)  13 finalize
+//  14 joint+synth   15 tail drain
 #ifdef SH_AAC_PROF
 #include <x86intrin.h>
 namespace {

@@ -891,7 +891,12 @@ int32_t sh_flac_extract_simd(
         __m512i posv = _mm512_add_epi64(vbyte, v8);
 
         FPROF_START(vb);
-        if (run && !freeze) {
+        // Seed-frozen lanes (buffer tail) wait for scalar service without
+        // stalling the burst: healthy lanes keep decoding and the tail
+        // lanes get serviced at the next (new-freeze) break.
+        __mmask8 svc_pending = freeze;
+        freeze = 0;
+        if (run) {
             for (;;) {
                 FPROF_COUNT(4, 1);
                 FPROF_COUNT(5, __builtin_popcount(run));
@@ -967,8 +972,10 @@ int32_t sh_flac_extract_simd(
                     run &= ~done;
                 }
                 if (freeze) break;
+                if (!run) break;
             }
         }
+        freeze |= svc_pending;
         FPROF_STOP(vb, 1);
         FPROF_START(sv);
         // pos*8 - cnt reconstructs each lane's absolute bit position

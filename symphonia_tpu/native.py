@@ -147,6 +147,16 @@ def crc16(data: bytes, init: int = 0) -> int:
     return int(lib.sh_crc16(_u8ptr(a), len(a), init))
 
 
+def _pad_rows(n_max: int) -> int:
+    """Row-stride anti-aliasing: block-capacity rows of exactly 4 KiB
+    multiples put every SIMD lane's scatter cursor at the same low-12
+    address bits and the store buffer's 4K-aliasing disambiguation
+    serializes them (measured 2589x -> 8187x on a 16-lane probe, +7.5%
+    on the shipped 8-lane engine). decode_packed consumes the padded
+    width via packed["n_max"]."""
+    return n_max + 16 if (n_max * 4) % 4096 == 0 else n_max
+
+
 def flac_scan_frames(buf: bytes, si) -> np.ndarray:
     """Native frame-boundary scan; mirrors formats.flac.scan_frames."""
     lib = _load()
@@ -173,14 +183,7 @@ def flac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray, si,
     Returns a dict compatible with ops.flac_dense.decode_packed, or None if
     the native library is unavailable.
     """
-    # Row stride anti-aliasing: block-capacity rows of exactly 4 KiB
-    # multiples put every SIMD lane's scatter cursor at the same low-12
-    # address bits and the store buffer's 4K-aliasing disambiguation
-    # serializes them (measured 2589x -> 8187x on the 16-lane probe, and
-    # +7.5% on the shipped 8-lane engine). decode_packed consumes the
-    # padded width via packed["n_max"].
-    if (n_max * 4) % 4096 == 0:
-        n_max += 16
+    n_max = _pad_rows(n_max)
     lib = _load()
     if lib is None:
         return None
@@ -274,14 +277,7 @@ def flac_stream_extract(buf: bytes, si, n_max: int, max_frames: int):
     writer initializes every field it reads back), so callers must consume
     them before the next call.
     """
-    # Row stride anti-aliasing: block-capacity rows of exactly 4 KiB
-    # multiples put every SIMD lane's scatter cursor at the same low-12
-    # address bits and the store buffer's 4K-aliasing disambiguation
-    # serializes them (measured 2589x -> 8187x on the 16-lane probe, and
-    # +7.5% on the shipped 8-lane engine). decode_packed consumes the
-    # padded width via packed["n_max"].
-    if (n_max * 4) % 4096 == 0:
-        n_max += 16
+    n_max = _pad_rows(n_max)
     lib = _load()
     if lib is None:
         return None
@@ -387,14 +383,7 @@ def flac_fast_extract(buf: bytes, si, n_max: int, max_frames: int):
     """Fast whole-stream path: AVX-512 sync scan (seq-chain filtered) +
     8-lane SIMD Rice extraction. Returns the packed dict with 'offsets', or
     None when SIMD is unavailable (callers use flac_stream_extract then)."""
-    # Row stride anti-aliasing: block-capacity rows of exactly 4 KiB
-    # multiples put every SIMD lane's scatter cursor at the same low-12
-    # address bits and the store buffer's 4K-aliasing disambiguation
-    # serializes them (measured 2589x -> 8187x on the 16-lane probe, and
-    # +7.5% on the shipped 8-lane engine). decode_packed consumes the
-    # padded width via packed["n_max"].
-    if (n_max * 4) % 4096 == 0:
-        n_max += 16
+    n_max = _pad_rows(n_max)
     lib = _load()
     if lib is None or not lib.sh_flac_has_simd():
         return None
