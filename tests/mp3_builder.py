@@ -190,6 +190,73 @@ def build_mpeg1_l3_frame(
     return body + bytes(frame_size - len(body))
 
 
+def build_mpeg2_l3_frame(
+    granule_specs,
+    n_ch: int = 2,
+    sample_rate_idx: int = 0,  # 0 = 22050
+    bitrate_idx: int = 8,      # 64 kbps (MPEG2 table)
+    channel_mode: int = None,
+    mode_ext: int = 0,
+    scalefac_compress: int = 0,
+):
+    """Build one MPEG2 (LSF) Layer III frame: single granule, 8-bit
+    main_data_begin, no scfsi/preflag, 9-bit scalefac_compress."""
+    if channel_mode is None:
+        channel_mode = 3 if n_ch == 1 else 0
+
+    md = BitWriter()
+    lengths = [0] * n_ch
+    for ch in range(n_ch):
+        spec = granule_specs[ch]
+        lengths[ch] = encode_granule_channel(
+            md,
+            spec.get("quad_pattern", ()),
+            spec.get("big_pairs", ()),
+            spec.get("global_gain", 210),
+            spec.get("big_table", 1),
+            spec.get("count1table", 1),
+        )
+    main_data = md.pad_to_bytes()
+
+    si = BitWriter()
+    si.write(0, 8)  # main_data_begin
+    si.write(0, 1 if n_ch == 1 else 2)  # private
+    for ch in range(n_ch):
+        spec = granule_specs[ch]
+        n_big = len(spec.get("big_pairs", ()))
+        si.write(lengths[ch], 12)
+        si.write(n_big, 9)
+        si.write(spec.get("global_gain", 210), 8)
+        si.write(scalefac_compress, 9)
+        si.write(0, 1)  # window_switching = 0 (long block)
+        ts = spec.get("big_table", 1)
+        si.write(ts, 5)
+        si.write(ts, 5)
+        si.write(ts, 5)
+        si.write(0, 4)  # region0_count stored
+        si.write(7, 3)  # region1_count stored
+        si.write(0, 1)  # scalefac_scale (no preflag bit in MPEG2)
+        si.write(spec.get("count1table", 1), 1)
+    side_info = si.pad_to_bytes()
+    assert len(side_info) == (9 if n_ch == 1 else 17), len(side_info)
+
+    rates = {0: 22050, 1: 24000, 2: 16000}
+    b0 = 0xFF
+    b1 = 0xF3  # 1111 0011: sync + MPEG2 + Layer3 + no CRC
+    b2 = (bitrate_idx << 4) | (sample_rate_idx << 2)
+    b3 = (channel_mode << 6) | (mode_ext << 4)
+    header = bytes([b0, b1, b2, b3])
+
+    bitrate = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160][bitrate_idx] * 1000
+    frame_size = 72 * bitrate // rates[sample_rate_idx]
+
+    body = header + side_info + main_data
+    if len(body) > frame_size:
+        raise ValueError("main data too large for frame")
+    return body + b"\x00" * (frame_size - len(body))
+
+
 def build_mpeg1_l3_stream(n_frames: int, n_ch: int = 1, seed: int = 0) -> bytes:
     """A stream of simple frames with pseudo-random sparse spectra."""
     rng = np.random.default_rng(seed)

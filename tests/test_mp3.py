@@ -450,6 +450,73 @@ class TestMp3BatchDecoder:
                         err_msg=f"granule {gi+g} ch {c} mode_ext")
             gi += 2
 
+    def test_native_mpeg2_intensity_parity(self):
+        """MPEG2 (LSF) intensity stereo: the is_ratio_m2 tables and the
+        read_scf_mpeg2 intensity branch (stereo.rs MPEG2 half) had no
+        coverage — house_lo is MPEG2.5 mono. Native vs Python oracle,
+        bit-exact spectra, across scalefac_compress values (even = scale
+        2^-1/4 table, odd = 2^-1/2) and plain MS."""
+        import pytest
+        from symphonia_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        from mp3_builder import build_mpeg2_l3_frame
+        from symphonia_tpu.codecs import mpa_layer3 as l3
+        from symphonia_tpu.codecs.mpa_common import parse_header as ph
+        from symphonia_tpu.core.io import BitReaderLtr, MediaSourceStream
+
+        rng = np.random.default_rng(9)
+        cases = [(1, 0), (1, 2), (3, 4), (2, 0), (1, 6)]  # (mode_ext, sfc)
+        frames = []
+        for mode_ext, sfc in cases:
+            specs = []
+            for ch in range(2):
+                n_big = 26 if ch == 0 else 10
+                specs.append({
+                    "big_pairs": [(int(rng.integers(-5, 6)),
+                                   int(rng.integers(-5, 6)))
+                                  for _ in range(n_big)],
+                    "quad_pattern": ([(1, 0, -1, 1)] if ch == 0 else []),
+                    "big_table": 7,
+                    "global_gain": 190,
+                })
+            frames.append(build_mpeg2_l3_frame(
+                specs, n_ch=2, channel_mode=1, mode_ext=mode_ext,
+                scalefac_compress=sfc, bitrate_idx=12))
+        data = b"".join(frames)
+        r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
+        assert len(r._offsets) == len(cases)
+        out = native.mp3_extract(r._buf, r._offsets, r._sizes,
+                                 max_granules=2 * len(cases), prep_flags=7)
+        assert (out["status"] == 0).all()
+        gi = 0
+        for o, sz in zip(r._offsets, r._sizes):
+            frame = bytes(r._buf[o:o + sz])
+            hdr = ph(int.from_bytes(frame[:4], "big"))
+            assert not hdr.is_mpeg1
+            pos = 4 + (2 if hdr.has_crc else 0)
+            side_len = hdr.side_info_len()
+            fd = l3.read_side_info(BitReaderLtr(frame[pos:pos + side_len]),
+                                   hdr)
+            mbr = BitReaderLtr(frame[pos + side_len:hdr.frame_size])
+            spectra = []
+            for c in range(2):
+                gc = fd.granules[0][c]
+                part2 = l3.read_scale_factors_mpeg2(
+                    mbr, (c == 1) and hdr.is_intensity_stereo, gc)
+                spec = l3.read_huffman_samples(
+                    mbr, gc, gc.part2_3_length - part2)
+                l3.requantize(hdr, gc, spec)
+                spectra.append(spec)
+            l3.stereo(hdr, fd.granules[0], spectra[0], spectra[1])
+            for c in range(2):
+                l3.reorder(hdr, fd.granules[0][c], spectra[c])
+                np.testing.assert_array_equal(
+                    out["spectra"][gi, c], spectra[c],
+                    err_msg=f"mpeg2 granule {gi} ch {c}")
+            gi += 1
+
 
 class TestMpaStreaming:
     """MpaStreamReader: frame-at-a-time over the MSS window on pipes, with
