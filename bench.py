@@ -270,36 +270,53 @@ def bench_aac_host(repeats: int = 50):
 
 
 def bench_aac_device(n_frames: int = 8192, iters: int = 4):
-    """Device stage: grouped IMDCT matmuls + batched window/OLA."""
+    """Device stage: dequantization of the host handoff's int16 quants
+    (same pow43-table f32 multiply as the host, bit-identical) fused with
+    the grouped IMDCT matmuls + batched window/OLA."""
     import jax
     import jax.numpy as jnp
 
-    from symphonia_tpu.codecs.aac import imdct_matrix_scaled
+    from symphonia_tpu.codecs.aac import imdct_matrix_scaled, subband_info
     from symphonia_tpu.ops.aac_dense import _ola_jax
 
     rng = np.random.default_rng(2)
-    coeffs = (rng.standard_normal((n_frames, 1024)) * 0.05).astype(np.float32)
+    qbuf = rng.integers(-60, 61, size=(n_frames, 1024)).astype(np.int16)
+    scales = np.abs(rng.standard_normal((n_frames, 64)) * 0.01).astype(
+        np.float32)
+    _, bl, _ = subband_info(44100)
+    sfb_map = np.full(1024, 63, np.int32)
+    for sfb in range(len(bl) - 1):
+        sfb_map[bl[sfb]:bl[sfb + 1]] = sfb
+    pow43 = (np.arange(8192, dtype=np.float64) ** (4.0 / 3.0)).astype(
+        np.float32)
     seqs = np.zeros(n_frames, np.int32)
     shapes = np.zeros(n_frames, np.int32)
     prevs = np.zeros(n_frames, np.int32)
     m = jnp.asarray(imdct_matrix_scaled(1024))
     ola = _ola_jax()
-    co_d = jax.device_put(coeffs)
+    qb_d = jax.device_put(qbuf)
+    sc_d = jax.device_put(scales)
     sq_d = jnp.asarray(seqs)
     sh_d = jnp.asarray(shapes)
     pv_d = jnp.asarray(prevs)
+    p43 = jnp.asarray(pow43)
+    smap = jnp.asarray(sfb_map)
 
     @jax.jit
-    def many(co, sq, sh, pv):
+    def many(qb, sc, sq, sh, pv):
         def body(i, acc):
-            pcm = (co + acc * 0) @ m.T
+            q = (qb + acc[:1, :1].astype(jnp.int16) * 0).astype(jnp.int32)
+            mag = jnp.minimum(jnp.abs(q), 8191)
+            co = jnp.take(p43, mag) * sc[:, smap]
+            co = jnp.where(q < 0, -co, co)
+            pcm = co @ m.T
             out = ola(pcm, sq, sh, pv)
             return acc * 0 + out.sum()
 
         acc = jnp.zeros((1, 1), jnp.float32)
         return jax.lax.fori_loop(0, iters, body, acc).sum()
 
-    args = (co_d, sq_d, sh_d, pv_d)
+    args = (qb_d, sc_d, sq_d, sh_d, pv_d)
     float(many(*args))
     wall = min(_timed(lambda: float(many(*args))) for _ in range(3))
     return n_frames * 1024 / 44100 * iters, wall

@@ -299,7 +299,10 @@ struct Ics {
     int32_t sfb_cb[MAX_WINDOWS][MAX_SFBS];
     float scales[MAX_WINDOWS][MAX_SFBS];
     float* coeffs = nullptr;  // decodes in place into the caller's output
-    int16_t qbuf[1024];       // signed quantized values (dequant_run input)
+    int16_t* qbuf = nullptr;  // signed quantized values, also in the
+                              // caller's output (device dequant handoff)
+    bool had_noise = false;    // any NOISE_HCB band this ICS
+    bool has_intensity = false;  // any intensity band this ICS
     // TNS state (per frame)
     bool has_tns = false;
     int tns_n_filt[MAX_WINDOWS];
@@ -321,12 +324,15 @@ struct Ics {
         // every reader is bounded by window_groups/max_sfb.
         int sect_bits = info.long_win ? 5 : 3;
         int esc = (1 << sect_bits) - 1;
+        has_intensity = false;
         for (int g = 0; g < info.window_groups; g++) {
             int k = 0, l = 0;
             while (k < info.max_sfb) {
                 if (l >= MAX_SFBS) return -22;
                 int cb = (int)br.read(4);
                 if (cb == RESERVED_HCB) return -23;
+                if (cb == INTENSITY_HCB || cb == INTENSITY_HCB2)
+                    has_intensity = true;
                 int length = 0;
                 for (;;) {
                     int incr = (int)br.read(sect_bits);
@@ -546,6 +552,7 @@ struct Ics {
                    bool* has_pns = nullptr) {
         int nb;
         const int32_t* bands = get_bands(&nb);
+        had_noise = false;
         int n_runs = 0;
         int pn = 0;
         int pend_cb = -1, pend_start = 0, pend_end = 0, pend_ri = 0;
@@ -593,6 +600,7 @@ struct Ics {
                     memset(coeffs + cursor, 0,
                            (size_t)(start - cursor) * sizeof(float));
                 cursor = end;
+                if (cb_idx == NOISE_HCB) had_noise = true;
                 if (plan) plan_add(cb_idx, start, end);
                 runs[n_runs++] = Run{cb_idx, start, end, scales[0][sfb]};
             }
@@ -613,6 +621,7 @@ struct Ics {
                         if (cb_idx == ZERO_HCB || cb_idx == RESERVED_HCB ||
                             cb_idx == INTENSITY_HCB || cb_idx == INTENSITY_HCB2)
                             continue;
+                        if (cb_idx == NOISE_HCB) had_noise = true;
                         if (plan) plan_add(cb_idx, o + start, o + end);
                         runs[n_runs++] = Run{cb_idx, o + start, o + end, scale};
                     }
@@ -717,6 +726,46 @@ struct Ics {
             dequant_run(qbuf + R.start, coeffs + R.start, R.end - R.start,
                         R.scale, pow43);
         }
+    }
+
+    // Band-walk dequantization (same output as dequant_runs, but reads
+    // sfb_cb/scales directly so it can run at ELEMENT completion, after
+    // the shared runs array has been reused by the pair's second ICS).
+    void dequant_bands() {
+        PROF_START(dqb);
+        const float* pow43 = tables().pow43;
+        int nb;
+        const int32_t* bands = get_bands(&nb);
+        if (info.long_win) {
+            for (int sfb = 0; sfb < info.max_sfb; sfb++) {
+                int cb = sfb_cb[0][sfb];
+                if (cb == ZERO_HCB || cb == RESERVED_HCB || cb == NOISE_HCB ||
+                    cb == INTENSITY_HCB || cb == INTENSITY_HCB2)
+                    continue;
+                dequant_run(qbuf + bands[sfb], coeffs + bands[sfb],
+                            bands[sfb + 1] - bands[sfb], scales[0][sfb],
+                            pow43);
+            }
+            PROF_STOP(dqb, 4);
+            return;
+        }
+        for (int g = 0; g < info.window_groups; g++) {
+            int cur_w = info.get_group_start(g);
+            int next_w = info.get_group_start(g + 1);
+            for (int sfb = 0; sfb < info.max_sfb; sfb++) {
+                int cb = sfb_cb[g][sfb];
+                if (cb == ZERO_HCB || cb == RESERVED_HCB || cb == NOISE_HCB ||
+                    cb == INTENSITY_HCB || cb == INTENSITY_HCB2)
+                    continue;
+                for (int w = cur_w; w < next_w; w++) {
+                    int o = w * 128;
+                    dequant_run(qbuf + o + bands[sfb], coeffs + o + bands[sfb],
+                                bands[sfb + 1] - bands[sfb], scales[g][sfb],
+                                pow43);
+                }
+            }
+        }
+        PROF_STOP(dqb, 4);
     }
 
     int decode_noise(Lcg& lcg, float scale, int start, int end) {
@@ -967,6 +1016,9 @@ struct ChannelPair {
 
 struct FrameOut {
     float* coeffs_out;
+    int16_t* qbuf_out;   // [F, max_ch, 1024] quantized values (in place)
+    float* scales_out;   // [F, max_ch, 64] per-band scales (fast lanes)
+    int32_t* deq_out;    // 1 = coeffs valid (host dequant), 0 = qbuf+scales
     int32_t *seq_out, *shape_out, *prevshape_out, *nch_out, *status;
     int32_t max_ch;
     int32_t rate_idx;
@@ -1002,6 +1054,8 @@ static void decode_frame_scalar(
             if (cur_ch + 1 > O.max_ch) { rc = -4; break; }
             p.ics0.coeffs =
                 O.coeffs_out + ((int64_t)f * O.max_ch + cur_ch) * 1024;
+            p.ics0.qbuf =
+                O.qbuf_out + ((int64_t)f * O.max_ch + cur_ch) * 1024;
             rc = p.decode_sce(br);
             cur_pair++; cur_ch++;
         } else if (eid == 1) {  // CPE
@@ -1019,6 +1073,10 @@ static void decode_frame_scalar(
                 O.coeffs_out + ((int64_t)f * O.max_ch + cur_ch) * 1024;
             p.ics1.coeffs =
                 O.coeffs_out + ((int64_t)f * O.max_ch + cur_ch + 1) * 1024;
+            p.ics0.qbuf =
+                O.qbuf_out + ((int64_t)f * O.max_ch + cur_ch) * 1024;
+            p.ics1.qbuf =
+                O.qbuf_out + ((int64_t)f * O.max_ch + cur_ch + 1) * 1024;
             rc = p.decode_cpe(br);
             cur_pair++; cur_ch += 2;
         } else if (eid == 4) {  // DSE
@@ -1167,6 +1225,9 @@ static void pns_prevshape_pass(
         if (!pns[f]) continue;
         decode_frame_scalar(data, data_len, offsets[f], sizes[f], f, pairs,
                             O);
+        // The sequential re-decode made coeffs authoritative again.
+        for (int c = 0; c < O.max_ch; c++)
+            O.deq_out[(int64_t)f * O.max_ch + c] = 1;
     }
     int32_t carry[64] = {0};
     for (int f = 0; f < n_frames; f++) {
@@ -1264,8 +1325,9 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
             }
             if (L.status < 0) continue;
             if (br.error) { L.status = -33; continue; }
-            // ICS complete: vectorized dequantization of its coded runs.
-            ics.dequant_runs(L.runs, L.n_runs);
+            // ICS complete. Dequantization is deferred to element
+            // completion (dequant_bands) so the device-dequant handoff can
+            // decide with the pair's joint-coding flags known.
             if (L.pair.is_pair && L.ics_idx == 0) {
                 L.ics_idx = 1;
                 L.ics = &L.pair.ics1;
@@ -1279,12 +1341,32 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
                 if (L.simd) return true;  // fresh ICS: caller builds a plan
                 continue;
             }
-            // Element complete: joint stereo, synthesis, emission.
+            // Element complete: joint stereo, synthesis, emission. Plain
+            // long-window channels (no pulse/TNS/PNS, no joint coding)
+            // skip host dequantization entirely — the device dequantizes
+            // their int16 quants through the same pow43 table (an
+            // IEEE-identical f32 multiply), selected by deq_out = 0. The
+            // per-band scales row is exactly Ics::scales[0] (zero on
+            // uncoded bands, so stale quants there dequantize to +0.0).
             PROF_START(js);
-            if (L.pair.is_pair)
-                L.pair.joint_postproc(L.common_window, L.ms_mask);
+            bool joint = L.pair.is_pair && L.common_window &&
+                         (L.ms_mask != 0 || L.pair.ics1.has_intensity);
             Ics* chans[2] = {&L.pair.ics0,
                              L.pair.is_pair ? &L.pair.ics1 : nullptr};
+            for (int c = 0; c < 2 && chans[c]; c++) {
+                Ics& ics2 = *chans[c];
+                int64_t lane = ((int64_t)L.fidx * O.max_ch + L.elem_ch0 + c);
+                if (ics2.info.long_win && !joint && !ics2.has_pulse &&
+                    !ics2.has_tns && !ics2.had_noise) {
+                    memcpy(O.scales_out + lane * 64, ics2.scales[0],
+                           64 * sizeof(float));
+                    O.deq_out[lane] = 0;
+                } else {
+                    ics2.dequant_bands();
+                }
+            }
+            if (joint)
+                L.pair.joint_postproc(L.common_window, L.ms_mask);
             for (int c = 0; c < 2 && chans[c]; c++) {
                 Ics& ics2 = *chans[c];
                 ics2.synth_pulse();
@@ -1330,6 +1412,12 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
                 O.coeffs_out + ((int64_t)L.fidx * O.max_ch + L.cur_ch) * 1024;
             p.ics1.coeffs = is_pair
                 ? O.coeffs_out +
+                  ((int64_t)L.fidx * O.max_ch + L.cur_ch + 1) * 1024
+                : nullptr;
+            p.ics0.qbuf =
+                O.qbuf_out + ((int64_t)L.fidx * O.max_ch + L.cur_ch) * 1024;
+            p.ics1.qbuf = is_pair
+                ? O.qbuf_out +
                   ((int64_t)L.fidx * O.max_ch + L.cur_ch + 1) * 1024
                 : nullptr;
             L.elem_ch0 = L.cur_ch;
@@ -2331,7 +2419,15 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
 //
 // frames are located by offsets[f] / sizes[f] within data (the ADTS/MP4
 // demuxer's packet table). Outputs, per frame:
-//   coeffs   [max_frames, max_ch, 1024] f32 — post pulse/TNS/joint-stereo
+//   coeffs   [max_frames, max_ch, 1024] f32 — post pulse/TNS/joint-stereo,
+//            valid only where deq == 1 (host dequantized)
+//   qbuf     [max_frames, max_ch, 1024] i16 — quantized values (always
+//            written; the working decode buffer)
+//   scales   [max_frames, max_ch, 64]  f32 — per-band scales for deq == 0
+//            lanes (zero on uncoded bands)
+//   deq      [max_frames, max_ch] — 0: device dequantizes qbuf via the
+//            shared pow43 table (bit-identical f32 multiply); caller must
+//            initialize to 1 (the scalar engine leaves it untouched)
 //   seq      [max_frames, max_ch] window_sequence
 //   shape    [max_frames, max_ch] window_shape (0/1)
 //   prevshape[max_frames, max_ch]
@@ -2345,9 +2441,11 @@ int32_t sh_aac_extract(
     const int32_t* bands_long, int32_t n_bands_long,
     const int32_t* bands_short, int32_t n_bands_short,
     int32_t max_ch,
-    float* coeffs_out, int32_t* seq_out, int32_t* shape_out,
+    float* coeffs_out, int16_t* qbuf_out, float* scales_out,
+    int32_t* deq_out, int32_t* seq_out, int32_t* shape_out,
     int32_t* prevshape_out, int32_t* nch_out, int32_t* status) {
-    FrameOut O{coeffs_out, seq_out, shape_out, prevshape_out, nch_out,
+    FrameOut O{coeffs_out, qbuf_out, scales_out, deq_out,
+               seq_out, shape_out, prevshape_out, nch_out,
                status, max_ch, rate_idx,
                bands_long, n_bands_long, bands_short, n_bands_short};
     PROF_START(tot);

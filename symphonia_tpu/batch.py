@@ -499,10 +499,15 @@ class AacBatchDecoder:
         except ImportError:
             pass
         if ext is not None:
+            from .ops.aac_dense import dequant_select
+
+            coeffs_full = dequant_select(ext["coeffs"], ext["qbuf"],
+                                         ext["scales"], ext["deq"],
+                                         dec.bands_long)
             for f in range(ext["F"]):
                 for c in range(C):
                     per_ch[c].append(
-                        (ext["coeffs"][f, c], int(ext["seq"][f, c]),
+                        (coeffs_full[f, c], int(ext["seq"][f, c]),
                          bool(ext["shape"][f, c]), bool(ext["prev_shape"][f, c]))
                     )
         else:

@@ -112,7 +112,9 @@ def _load() -> Optional[ctypes.CDLL]:
         c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
         ctypes.c_int32, c_i32p, ctypes.c_int32, c_i32p, ctypes.c_int32,
         ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_float), c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_float), c_i32p,
+        c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
     ]
     lib.sh_vorbis_open.restype = ctypes.c_void_p
     lib.sh_vorbis_open.argtypes = [c_u8p, ctypes.c_int64]
@@ -341,9 +343,13 @@ def aac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
                 rate_idx: int, bands_long, bands_short, max_ch: int):
     """Native AAC-LC entropy stage over raw_data_blocks.
 
-    Returns dict with coeffs [F, max_ch, 1024] f32 (post pulse/TNS/MS/IS),
-    seq/shape/prev_shape [F, max_ch], nch [F], status [F]; or None if the
-    native library is unavailable.
+    Returns dict with coeffs [F, max_ch, 1024] f32 (post pulse/TNS/MS/IS;
+    valid only where deq == 1), qbuf [F, max_ch, 1024] i16 + scales
+    [F, max_ch, 64] f32 + deq [F, max_ch] i32 (deq == 0 lanes carry
+    quantized values for the device dequant handoff — same pow43 table,
+    bit-identical), seq/shape/prev_shape [F, max_ch], nch [F], status [F];
+    or None if the native library is unavailable. aac_dequant_host()
+    reconstructs full coeffs for oracle comparisons.
     """
     lib = _load()
     if lib is None:
@@ -354,6 +360,10 @@ def aac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
     # Pooled outputs (the C++ writer initializes every field read back for
     # frames with status==0 and nch==max_ch; callers discard otherwise).
     coeffs = _pooled("aac_coeffs", (F, max_ch, 1024), np.float32)
+    qbuf = _pooled("aac_qbuf", (F, max_ch, 1024), np.int16)
+    scales = _pooled("aac_scales", (F, max_ch, 64), np.float32)
+    deq = _pooled("aac_deq", (F, max_ch), np.int32)
+    deq[:] = 1  # the sequential engine leaves host-dequantized lanes alone
     seq = _pooled("aac_seq", (F, max_ch), np.int32)
     shape = _pooled("aac_shape", (F, max_ch), np.int32)
     prev_shape = _pooled("aac_pshape", (F, max_ch), np.int32)
@@ -371,12 +381,47 @@ def aac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
         offsets.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p), F,
         rate_idx, bl.ctypes.data_as(i32p), len(bl),
         bs.ctypes.data_as(i32p), len(bs), max_ch,
-        coeffs.ctypes.data_as(f32p), seq.ctypes.data_as(i32p),
+        coeffs.ctypes.data_as(f32p),
+        qbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        scales.ctypes.data_as(f32p), deq.ctypes.data_as(i32p),
+        seq.ctypes.data_as(i32p),
         shape.ctypes.data_as(i32p), prev_shape.ctypes.data_as(i32p),
         nch.ctypes.data_as(i32p), status.ctypes.data_as(i32p),
     )
-    return {"coeffs": coeffs, "seq": seq, "shape": shape,
+    return {"coeffs": coeffs, "qbuf": qbuf, "scales": scales, "deq": deq,
+            "seq": seq, "shape": shape,
             "prev_shape": prev_shape, "nch": nch, "status": status, "F": F}
+
+
+def aac_sfb_map(bands_long, n: int = 1024) -> np.ndarray:
+    """Static coefficient -> scalefactor-band map for long windows (the
+    device dequant handoff's scale gather index; bands beyond the last
+    boundary map to band 63, whose scale is 0 for long-window lanes)."""
+    bl = np.asarray(bands_long, dtype=np.int64)
+    m = np.full(n, 63, np.int32)
+    for sfb in range(len(bl) - 1):
+        m[bl[sfb]:bl[sfb + 1]] = sfb
+    return m
+
+
+def aac_dequant_host(ext, bands_long) -> np.ndarray:
+    """Reconstruct full float coefficients on the host (numpy) for lanes
+    the native stage left quantized (deq == 0) — the test/oracle twin of
+    the device dequant: identical pow43-table f32 multiply."""
+    coeffs = ext["coeffs"].copy()
+    deq = ext["deq"]
+    if (deq != 0).all():
+        return coeffs
+    pow43 = (np.arange(8192, dtype=np.float64) ** (4.0 / 3.0)).astype(
+        np.float32)
+    sfb = aac_sfb_map(bands_long)
+    q = ext["qbuf"].astype(np.int32)
+    mag = np.minimum(np.abs(q), 8191)
+    scale = ext["scales"][:, :, sfb]
+    vals = np.sign(q).astype(np.float32) * pow43[mag] * scale
+    mask = deq[:, :, None] == 0
+    coeffs = np.where(mask, vals, coeffs)
+    return coeffs
 
 
 def flac_fast_extract(buf: bytes, si, n_max: int, max_frames: int):

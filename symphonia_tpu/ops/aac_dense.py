@@ -28,6 +28,45 @@ _P1 = 512 + 64
 
 
 @lru_cache(maxsize=None)
+def _dequant_jax(bands_long: tuple):
+    """Device dequantization for the host entropy stage's handoff lanes
+    (deq == 0): coeff = +-(pow43[|q|] * scale[sfb_of[i]]), the same
+    f32 pow43-table multiply the host performs (dequant_run in
+    native/aac_entropy.cpp) — bit-identical, IEEE multiplication plus an
+    exact sign flip. Lanes the host already dequantized pass through."""
+    import jax
+    import jax.numpy as jnp
+
+    pow43 = (np.arange(8192, dtype=np.float64) ** (4.0 / 3.0)).astype(
+        np.float32)
+    bl = np.asarray(bands_long, dtype=np.int64)
+    sfb_map = np.full(1024, 63, np.int32)
+    for sfb in range(len(bl) - 1):
+        sfb_map[bl[sfb]:bl[sfb + 1]] = sfb
+
+    @jax.jit
+    def run(coeffs, qbuf, scales, deq):
+        # coeffs [F, C, 1024] f32, qbuf [F, C, 1024] i16,
+        # scales [F, C, 64] f32, deq [F, C] i32
+        q = qbuf.astype(jnp.int32)
+        mag = jnp.minimum(jnp.abs(q), 8191)
+        v = jnp.take(jnp.asarray(pow43), mag) * scales[:, :, jnp.asarray(sfb_map)]
+        v = jnp.where(q < 0, -v, v)
+        return jnp.where((deq == 0)[:, :, None], v, coeffs)
+
+    return run
+
+
+def dequant_select(coeffs, qbuf, scales, deq, bands_long) -> np.ndarray:
+    """Resolve the entropy stage's split output into full coefficients,
+    dequantizing handoff lanes on the device."""
+    if (np.asarray(deq) != 0).all():
+        return np.asarray(coeffs)
+    fn = _dequant_jax(tuple(int(b) for b in bands_long))
+    return np.asarray(fn(coeffs, qbuf, scales, deq))
+
+
+@lru_cache(maxsize=None)
 def _imdct_jax(n_in: int):
     import jax
     import jax.numpy as jnp

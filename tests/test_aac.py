@@ -228,12 +228,15 @@ class TestNativeEntropy:
         out = native.aac_extract(buf, offs, szs, ri, bl, bs, n_ch)
         assert (out["status"] == 0).all()
         assert (out["nch"] == n_ch).all()
+        # Handoff lanes (deq == 0) carry quants; reconstruct with the host
+        # twin of the device dequant (bit-identical pow43 multiply).
+        full = native.aac_dequant_host(out, bl)
         for f, chans in enumerate(py):
             for c, (coeffs, seq, shape, prev_shape) in enumerate(chans):
                 assert out["seq"][f, c] == seq
                 assert out["shape"][f, c] == int(shape)
                 assert out["prev_shape"][f, c] == int(prev_shape)
-                np.testing.assert_array_equal(out["coeffs"][f, c], coeffs)
+                np.testing.assert_array_equal(full[f, c], coeffs)
 
     def test_mono_window_chain(self):
         rng = np.random.default_rng(60)

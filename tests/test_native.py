@@ -258,9 +258,17 @@ for i, (adts, ch) in enumerate(cases):
     np.cumsum(sizes[:-1], out=offs[1:])
     ri, bl, bs = subband_info(44100)
     o = native.aac_extract(buf, offs, sizes, ri, bl, bs, ch)
+    # Handoff lanes carry quants; compare reconstructed coefficients (the
+    # host twin of the device dequant). Raw qbuf/scales hold pooled
+    # garbage outside coded regions, so they are covered via the
+    # reconstruction rather than compared bytewise.
+    o = dict(o)
+    o["coeffs"] = native.aac_dequant_host(o, bl)
     for k, v in o.items():
+        if k in ("qbuf", "scales"):
+            continue
         if isinstance(v, np.ndarray):
-            outs["c%%d_%%s" %% (i, k)] = v
+            outs["c%%d_%%s" %% (i, k)] = v.copy()
 np.savez(sys.argv[2], **outs)
 """
             % (str(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
