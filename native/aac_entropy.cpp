@@ -82,18 +82,19 @@ int32_t g_scf_fast[1 << 12];
 struct FastBook { int bits; int32_t tbl[1 << 12]; };
 FastBook g_fast[12];
 
-// 13-bit fast tables for the AVX-512 gather engine, pair books 5..11
-// concatenated (one gather base; a plan entry's table "pointer" is an
-// element offset (cb-5) << 13). 13 bits covers every codeword of books
-// 6/7/8/10/11 and all but the rare longest codes of 5 and 9 (those fall
-// to the scalar assist, like stream tails). 64-bit entries pre-pack the
-// signed pair; the layout is documented at the table build in
+// 13-bit fast tables for the AVX-512 gather engine: pair books 5..11 at
+// element offsets (cb-5) << 13 and quad books 1..4 at (cb+6) << 13, all
+// concatenated behind one gather base (a plan entry's table "pointer" is
+// the element offset). 13 bits covers every codeword of books
+// 1-4/6/7/8/10/11 and all but the rare longest codes of 5 and 9 (those
+// fall to the scalar assist, like stream tails). 64-bit entries pre-pack
+// the signed values; layouts are documented at the table build in
 // sh_aac_set_codebook. -1 = assist.
 #if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__) \
     && defined(__AVX512CD__) && defined(__AVX512DQ__)
 #define SH_AAC_SIMD 1
 constexpr int FB_SIMD = 13;
-int64_t g_simd_tbl[7 << FB_SIMD];
+int64_t g_simd_tbl[11 << FB_SIMD];
 #endif
 
 struct Tables {
@@ -560,10 +561,12 @@ struct Ics {
             if (pend_cb < 0) return;
             int64_t e = (int64_t)pend_start | ((int64_t)pend_end << 11)
                         | ((int64_t)pend_ri << 22);
-            if (pend_cb <= 4)
-                e |= ((int64_t)pend_cb << 52) | (int64_t{1} << 63);
-            else
-                e |= (int64_t)((pend_cb - 5) << 13) << 32;
+            // Table offset: pair books at (cb-5)<<13, quad books decoded
+            // in-vector too at (cb+6)<<13 (the engine branches on the
+            // offset). The only plan marker left is ICS-complete.
+            int tofs = pend_cb <= 4 ? (pend_cb + 6) << 13
+                                    : (pend_cb - 5) << 13;
+            e |= (int64_t)tofs << 32;
             plan[pn++] = e;
             pend_cb = -1;
         };
@@ -1831,10 +1834,11 @@ static void extract_simd8(
     // advance needs a single gather (the loop is gather-throughput-bound):
     //   [10:0] start  [21:11] end  [31:22] last run index the span covers
     //   (generic-engine handover).
-    // Pair spans (sign bit clear) carry the table offset in [51:32];
-    // scalar-execution entries (sign bit set) carry cb in [55:52]:
-    // 1..4 = quad span, 0 = ICS complete. Emitted by build_runs (same
-    // walk as the run list) through each lane's LaneCtx::plan pointer.
+    // Spans (sign bit clear) carry the table offset in [51:32] — pair
+    // books at (cb-5)<<13, quad books at (cb+6)<<13, both decoded
+    // in-vector. The only marker (sign bit set) is ICS-complete. Emitted
+    // by build_runs (same walk as the run list) through each lane's
+    // LaneCtx::plan pointer.
     std::vector<int64_t> plan(K * PM);
     for (int l = 0; l < K; l++) lanes[l].plan = &plan[l * PM];
 
@@ -1879,12 +1883,13 @@ static void extract_simd8(
             int start = (int)(e & 0x7FF);
             int end = (int)((e >> 11) & 0x7FF);
             int ri = (int)((e >> 22) & 0x3FF);
-            if (e >= 0) {  // pair span
+            if (e >= 0) {  // decode span (pair or quad)
                 int32_t t = (int32_t)((e >> 32) & 0xFFFFF);
                 i_a[l] = start;
                 end_a[l] = end;
                 tofs_a[l] = t;
-                L.cb = (t >> FB_SIMD) + 5;
+                int book = t >> FB_SIMD;
+                L.cb = book >= 7 ? book - 6 : book + 5;
                 L.tbl = g_fast[L.cb].tbl;
                 L.ri = ri;
                 L.i = start;
@@ -1892,22 +1897,12 @@ static void extract_simd8(
                 hq[l] = L.ics->qbuf;
                 return true;
             }
-            int cb = (int)((e >> 52) & 15);
-            if (cb == 0) {  // ICS complete -> dequant + next ICS/elem/frame
-                L.ri = ri;
-                if (!(lane_advance(L, O) || feed(L))) return false;
-                fbase[l] = offsets[L.fidx];
-                fend[l] = offsets[L.fidx] + sizes[L.fidx];
-                pri_a[l] = 0;
-                sync_from_ctx(l);
-                continue;
-            }
-            Ics::Run RR{cb, start, end, 0.0f};
-            int rq = run_quad_scalar(*L.ics, L.br, RR);
-            if (rq < 0) { L.status = rq; continue; }
-            if (L.br.error) { L.status = -33; continue; }
+            // ICS complete -> dequant + next ICS/elem/frame
             L.ri = ri;
-            pri_a[l]++;
+            if (!(lane_advance(L, O) || feed(L))) return false;
+            fbase[l] = offsets[L.fidx];
+            fend[l] = offsets[L.fidx] + sizes[L.fidx];
+            pri_a[l] = 0;
             sync_from_ctx(l);
         }
     };
@@ -1949,6 +1944,17 @@ static void extract_simd8(
         // negmask LUT indexed by sx + 2*sy: which int16 halves to negate.
         const __m512i negtbl = _mm512_set_epi64(
             0, 0, 0, 0, 0xFFFFFFFFLL, 0xFFFF0000LL, 0xFFFFLL, 0);
+        // Quad negmask LUT (16 entries, vpermi2q): bit j of the index
+        // negates int8 field j. Loaded inside the rare gated quad block
+        // rather than held live across the hot loop (register pressure).
+        static const int64_t kQuadNeg[16] = {
+            0x00000000, 0x000000FF, 0x0000FF00, 0x0000FFFF,
+            0x00FF0000, 0x00FF00FF, 0x00FFFF00, 0x00FFFFFF,
+            int64_t(0xFF000000), int64_t(0xFF0000FF),
+            int64_t(0xFF00FF00), int64_t(0xFF00FFFF),
+            int64_t(0xFFFF0000), int64_t(0xFFFF00FF),
+            int64_t(0xFFFFFF00), int64_t(0xFFFFFFFF)};
+        const __m512i v7_13 = _mm512_set1_epi64(7 << FB_SIMD);
         __m512i cntv = _mm512_load_si512(cnt_a);
         __m512i topv = _mm512_sllv_epi64(_mm512_load_si512(buf_a),
                                          _mm512_sub_epi64(v64, cntv));
@@ -2015,9 +2021,14 @@ static void extract_simd8(
                     freeze |= miss;
                     act &= ~miss;
                 }
+                // Lanes sitting on quad spans (table offsets >= 7<<13)
+                // take the gated quad path in step (7); bit 37 belongs to
+                // their value bytes, so the escape test must exclude them.
+                __mmask8 qm = _mm512_mask_cmpge_epi64_mask(act, tofsv,
+                                                           v7_13);
                 // (3) escape lanes need up to 56 window bits up front.
                 __mmask8 esc = _mm512_mask_test_epi64_mask(
-                    act, e64, _mm512_set1_epi64(int64_t{1} << 37));
+                    act & ~qm, e64, _mm512_set1_epi64(int64_t{1} << 37));
                 if (esc) {
                     __mmask8 need2 =
                         _mm512_mask_cmplt_epi64_mask(esc, cntv, v56);
@@ -2116,20 +2127,73 @@ static void extract_simd8(
                         }
                     }
                 }
+                // Quad lanes (gated): the stream-sign group is read
+                // from the PRE-consume window, so this must run before
+                // the state commit.
+                if (qm) {
+                    __m512i dstq = _mm512_add_epi64(
+                        hqv, _mm512_slli_epi64(iv, 1));
+                    __m512i lenq = _mm512_and_si512(
+                        _mm512_srli_epi64(e64, 38), _mm512_set1_epi64(63));
+                    __m512i nzq = _mm512_sub_epi64(lentot, lenq);
+                    __m512i signsq = _mm512_srlv_epi64(
+                        _mm512_sllv_epi64(topv, lenq),
+                        _mm512_sub_epi64(v64, nzq));
+                    __m512i s0 = _mm512_and_si512(
+                        _mm512_srlv_epi64(
+                            signsq,
+                            _mm512_and_si512(_mm512_srli_epi64(e64, 44),
+                                             _mm512_set1_epi64(3))),
+                        v1);
+                    __m512i s1 = _mm512_and_si512(
+                        _mm512_srlv_epi64(
+                            signsq,
+                            _mm512_and_si512(_mm512_srli_epi64(e64, 46),
+                                             _mm512_set1_epi64(3))),
+                        v1);
+                    __m512i s2 = _mm512_and_si512(
+                        _mm512_srlv_epi64(
+                            signsq,
+                            _mm512_and_si512(_mm512_srli_epi64(e64, 48),
+                                             _mm512_set1_epi64(3))),
+                        v1);
+                    __m512i s3 = _mm512_and_si512(
+                        _mm512_srlv_epi64(
+                            signsq,
+                            _mm512_and_si512(_mm512_srli_epi64(e64, 50),
+                                             _mm512_set1_epi64(3))),
+                        v1);
+                    __m512i idx16 = _mm512_or_si512(
+                        _mm512_or_si512(s0, _mm512_slli_epi64(s1, 1)),
+                        _mm512_or_si512(_mm512_slli_epi64(s2, 2),
+                                        _mm512_slli_epi64(s3, 3)));
+                    __m512i negm8 = _mm512_permutex2var_epi64(
+                        _mm512_loadu_si512(kQuadNeg), idx16,
+                        _mm512_loadu_si512(kQuadNeg + 8));
+                    __m512i v8q = _mm512_sub_epi8(
+                        _mm512_xor_si512(e64, negm8), negm8);
+                    __m512i qw = _mm512_cvtepi8_epi16(
+                        _mm512_cvtepi64_epi32(v8q));
+                    _mm512_mask_i64scatter_epi64(nullptr, qm, dstq, qw, 1);
+                }
                 // (6) state commit.
                 cntv = _mm512_mask_mov_epi64(cntv, act, cnt2);
                 topv = _mm512_mask_mov_epi64(topv, act, top2);
-                // (7) emit both int16 values as one aligned 32-bit
-                // scatter per lane (span starts are multiples of 4, i steps
-                // by 2, so i is always even; lanes scatter into disjoint
-                // per-lane qbufs).
+                // (7) emit. Pair lanes: both int16 values as one aligned
+                // 32-bit scatter (span starts are multiples of 4, i steps
+                // by 2). Quad lanes: four int8 entry values get the 4-bit
+                // stream-sign group applied via a 16-entry negmask LUT,
+                // sign-extend to 4 int16s (vpmovqd + vpmovsxbw keeps lane
+                // order) and leave as one aligned 64-bit scatter, i
+                // stepping by 4. Lanes scatter into disjoint qbufs.
                 __m512i dst = _mm512_add_epi64(hqv,
                                                _mm512_slli_epi64(iv, 1));
                 _mm512_mask_i64scatter_epi32(
-                    nullptr, act, dst, _mm512_cvtepi64_epi32(val), 1);
+                    nullptr, act & ~qm, dst, _mm512_cvtepi64_epi32(val), 1);
                 // (8) span cursors + in-vector plan advance.
-                iv = _mm512_mask_add_epi64(iv, act, iv,
-                                           _mm512_set1_epi64(2));
+                __m512i stepv = _mm512_mask_mov_epi64(
+                    _mm512_set1_epi64(2), qm, _mm512_set1_epi64(4));
+                iv = _mm512_mask_add_epi64(iv, act, iv, stepv);
                 __mmask8 fin =
                     _mm512_mask_cmpge_epi64_mask(act, iv, endv);
                 if (fin) {
@@ -2175,7 +2239,24 @@ static void extract_simd8(
                 sync_to_ctx(l);
                 if (reason[l] == 1) {  // stream tail or long code
                     PROF_START(td);
-                    L.cb = (int)(tofs_a[l] >> FB_SIMD) + 5;
+                    int book = (int)(tofs_a[l] >> FB_SIMD);
+                    if (book >= 7) {
+                        // Quad span at the buffer tail / invalid prefix:
+                        // finish the span through the guarded scalar path
+                        // and advance the plan.
+                        Ics::Run RR{book - 6, L.i, (int)end_a[l], 0.0f};
+                        int rq = run_quad_scalar(*L.ics, L.br, RR);
+                        if (rq < 0) L.status = rq;
+                        else if (L.br.error) L.status = -33;
+                        L.i = (int)end_a[l];
+                        sync_from_ctx(l);
+                        if (L.status >= 0) pri_a[l]++;
+                        PROF_STOP(td, 15);
+                        reason[l] = 0;
+                        if (!lane_to_hot(l)) { lane_live[l] = false; died = true; }
+                        continue;
+                    }
+                    L.cb = book + 5;
                     // A long code mid-stream needs one scalar pair and the
                     // vector resumes; in the last 8 bytes of the frame the
                     // vector would re-freeze per codeword, so drain the
@@ -2239,11 +2320,25 @@ static void extract_simd8(
         if (!lane_live[l]) continue;
         LaneCtx& L = lanes[l];
         sync_to_ctx(l);
-        L.cb = (int)(tofs_a[l] >> FB_SIMD) + 5;
+        L.simd = false;
+        L.ri = (int)((plan[l * PM + pri_a[l]] >> 22) & 0x3FF);
+        int book = (int)(tofs_a[l] >> FB_SIMD);
+        if (book >= 7) {
+            // Mid-quad-span handover: finish the span scalar, then let the
+            // rotation continue from the next run (the rotation's hot loop
+            // decodes pairs only).
+            Ics::Run RR{book - 6, L.i, (int)end_a[l], 0.0f};
+            int rq = run_quad_scalar(*L.ics, L.br, RR);
+            if (rq < 0) L.status = rq;
+            else if (L.br.error) L.status = -33;
+            if (L.status >= 0) L.ri++;
+            if (lane_advance(L, O) || feed(L))
+                act2[n_act++] = &L;
+            continue;
+        }
+        L.cb = book + 5;
         L.tbl = g_fast[L.cb].tbl;
         L.end = (int)end_a[l];
-        L.ri = (int)((plan[l * PM + pri_a[l]] >> 22) & 0x3FF);
-        L.simd = false;
         act2[n_act++] = &L;
     }
     for (auto& L : lanes) L.simd = false;
@@ -2371,6 +2466,53 @@ void sh_aac_set_codebook(int32_t idx, int32_t n, const uint32_t* codes,
         }
     }
 #ifdef SH_AAC_SIMD
+    // Quad books (1..4) pack 64-bit entries for the in-vector quad path
+    // (sharing the pair layout's [36:32] lentot and clear [37] esc bit so
+    // the loop's shared steps need no branching):
+    //   [31:0]  four int8 values in decode order (entry signs applied for
+    //           books 1/2; magnitudes for 3/4)
+    //   [36:32] lentot = len + nz
+    //   [37]    0 (no escapes in quad books)
+    //   [43:38] len (stream sign bits sit right after the codeword)
+    //   [51:44] four 2-bit stream-sign shifts: nonzero value j's sign is
+    //           bit (nz-1-rank_j) of the nz-bit sign group; zero values
+    //           store 0 (negating a zero is harmless)
+    //   [63]    set = invalid prefix (assist)
+    if (idx >= 1 && idx <= 4) {
+        int64_t* sr = g_simd_tbl + ((idx + 6) << FB_SIMD);
+        for (int i = 0; i < (1 << FB_SIMD); i++) sr[i] = -1;
+        for (int i = 0; i < n; i++) {
+            int l = lens[i];
+            if (l == 0 || l > FB_SIMD) continue;
+            uint16_t v = vals[i];
+            int q[4] = {(v >> 6) & 3, (v >> 4) & 3, (v >> 2) & 3, v & 3};
+            bool is_signed = idx == 1 || idx == 2;
+            int sq[4];
+            int nz = 0;
+            for (int j = 0; j < 4; j++) {
+                if (is_signed) {
+                    // digit 0 -> -1, 1 -> 0, 2 -> +1 (matches g_fast's
+                    // mag/neg packing above).
+                    sq[j] = q[j] - 1;
+                } else {
+                    sq[j] = q[j];
+                    if (q[j]) nz++;
+                }
+            }
+            int64_t packed = ((int64_t)(l + nz) << 32)
+                             | ((int64_t)l << 38);
+            int rank = 0;
+            for (int j = 0; j < 4; j++) {
+                packed |= (int64_t)(uint8_t)(int8_t)sq[j] << (8 * j);
+                int sh = 0;
+                if (!is_signed && q[j]) { sh = nz - 1 - rank; rank++; }
+                packed |= (int64_t)sh << (44 + 2 * j);
+            }
+            uint32_t base = codes[i] << (FB_SIMD - l);
+            for (uint32_t k = 0; k < (1u << (FB_SIMD - l)); k++)
+                sr[base + k] = packed;
+        }
+    }
     // 64-bit SIMD table entries carry the pair PRE-PACKED as two int16
     // fields with entry-borne signs (books 5/6) already applied, so the
     // vector loop's value path is one xor+psubw negation by the stream
