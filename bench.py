@@ -279,16 +279,15 @@ def bench_aac_device(n_frames: int = 8192, iters: int = 4):
     from symphonia_tpu.codecs.aac import imdct_matrix_scaled, subband_info
     from symphonia_tpu.ops.aac_dense import _ola_jax
 
+    from symphonia_tpu.native import aac_pow43, aac_sfb_map
+
     rng = np.random.default_rng(2)
     qbuf = rng.integers(-60, 61, size=(n_frames, 1024)).astype(np.int16)
     scales = np.abs(rng.standard_normal((n_frames, 64)) * 0.01).astype(
         np.float32)
     _, bl, _ = subband_info(44100)
-    sfb_map = np.full(1024, 63, np.int32)
-    for sfb in range(len(bl) - 1):
-        sfb_map[bl[sfb]:bl[sfb + 1]] = sfb
-    pow43 = (np.arange(8192, dtype=np.float64) ** (4.0 / 3.0)).astype(
-        np.float32)
+    sfb_map = aac_sfb_map(bl)
+    pow43 = aac_pow43()
     seqs = np.zeros(n_frames, np.int32)
     shapes = np.zeros(n_frames, np.int32)
     prevs = np.zeros(n_frames, np.int32)

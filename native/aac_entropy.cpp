@@ -1360,7 +1360,8 @@ static bool lane_advance(LaneCtx& L, const FrameOut& O) {
                 Ics& ics2 = *chans[c];
                 int64_t lane = ((int64_t)L.fidx * O.max_ch + L.elem_ch0 + c);
                 if (ics2.info.long_win && !joint && !ics2.has_pulse &&
-                    !ics2.has_tns && !ics2.had_noise) {
+                    !ics2.has_tns && !ics2.had_noise &&
+                    !ics2.has_intensity) {
                     memcpy(O.scales_out + lane * 64, ics2.scales[0],
                            64 * sizeof(float));
                     O.deq_out[lane] = 0;
@@ -1865,9 +1866,10 @@ static void extract_simd8(
         i_a[l] = L.i;
     };
 
-    // Walk lane l's plan (L.br synced) until it sits on a pair span (true)
-    // or frames run out (false): quad spans execute scalar, markers advance
-    // ICS/element/frame via lane_advance/feed and rebuild the plan.
+    // Walk lane l's plan (L.br synced) until it sits on a decode span
+    // (true — pair or quad, both run in-vector) or frames run out (false):
+    // ICS-complete markers advance ICS/element/frame via lane_advance/feed
+    // and rebuild the plan.
     auto lane_to_hot = [&](int l) -> bool {
         LaneCtx& L = lanes[l];
         for (;;) {

@@ -498,16 +498,17 @@ class AacBatchDecoder:
                     ext = None  # malformed/unsupported frames: robust path
         except ImportError:
             pass
+        quant_ch = None
         if ext is not None:
-            from .ops.aac_dense import dequant_select
-
-            coeffs_full = dequant_select(ext["coeffs"], ext["qbuf"],
-                                         ext["scales"], ext["deq"],
-                                         dec.bands_long)
+            # Handoff lanes (deq == 0) carry quants; their dequantization
+            # fuses into the device IMDCT program (ops.aac_dense), so no
+            # coefficient round trip happens here.
+            quant_ch = [(ext["qbuf"][:, c], ext["scales"][:, c],
+                         ext["deq"][:, c], dec.bands_long) for c in range(C)]
             for f in range(ext["F"]):
                 for c in range(C):
                     per_ch[c].append(
-                        (coeffs_full[f, c], int(ext["seq"][f, c]),
+                        (ext["coeffs"][f, c], int(ext["seq"][f, c]),
                          bool(ext["shape"][f, c]), bool(ext["prev_shape"][f, c]))
                     )
         else:
@@ -529,7 +530,8 @@ class AacBatchDecoder:
             seqs = [it[1] for it in per_ch[c]]
             shapes = [it[2] for it in per_ch[c]]
             prevs = [it[3] for it in per_ch[c]]
-            pcms = imdct_frames(coeffs, seqs)
+            pcms = imdct_frames(coeffs, seqs,
+                                quant_ch[c] if quant_ch is not None else None)
             outs.append(window_ola_batch(pcms, seqs, shapes, prevs))
         n = max(len(o) for o in outs)
         pcm = np.zeros((C, n), np.float32)

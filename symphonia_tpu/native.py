@@ -404,6 +404,19 @@ def aac_sfb_map(bands_long, n: int = 1024) -> np.ndarray:
     return m
 
 
+_AAC_POW43 = None
+
+
+def aac_pow43() -> np.ndarray:
+    """The shared |q|^(4/3) table (f32 cast of the f64 powers) — the one
+    source of truth for host, device, and test dequantization."""
+    global _AAC_POW43
+    if _AAC_POW43 is None:
+        _AAC_POW43 = (np.arange(8192, dtype=np.float64) ** (4.0 / 3.0)
+                      ).astype(np.float32)
+    return _AAC_POW43
+
+
 def aac_dequant_host(ext, bands_long) -> np.ndarray:
     """Reconstruct full float coefficients on the host (numpy) for lanes
     the native stage left quantized (deq == 0) — the test/oracle twin of
@@ -412,13 +425,16 @@ def aac_dequant_host(ext, bands_long) -> np.ndarray:
     deq = ext["deq"]
     if (deq != 0).all():
         return coeffs
-    pow43 = (np.arange(8192, dtype=np.float64) ** (4.0 / 3.0)).astype(
-        np.float32)
+    pow43 = aac_pow43()
     sfb = aac_sfb_map(bands_long)
     q = ext["qbuf"].astype(np.int32)
     mag = np.minimum(np.abs(q), 8191)
     scale = ext["scales"][:, :, sfb]
     vals = np.sign(q).astype(np.float32) * pow43[mag] * scale
+    # Uncoded bands multiply stale quants by a zero scale: canonicalize
+    # -0.0 to +0.0 so reconstructions are byte-deterministic (the decode
+    # math is unaffected; only hashes/tobytes comparisons care).
+    vals = vals + 0.0
     mask = deq[:, :, None] == 0
     coeffs = np.where(mask, vals, coeffs)
     return coeffs

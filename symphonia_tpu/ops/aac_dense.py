@@ -37,22 +37,20 @@ def _dequant_jax(bands_long: tuple):
     import jax
     import jax.numpy as jnp
 
-    pow43 = (np.arange(8192, dtype=np.float64) ** (4.0 / 3.0)).astype(
-        np.float32)
-    bl = np.asarray(bands_long, dtype=np.int64)
-    sfb_map = np.full(1024, 63, np.int32)
-    for sfb in range(len(bl) - 1):
-        sfb_map[bl[sfb]:bl[sfb + 1]] = sfb
+    from ..native import aac_pow43, aac_sfb_map
+
+    pow43 = aac_pow43()
+    sfb_map = aac_sfb_map(np.asarray(bands_long))
 
     @jax.jit
     def run(coeffs, qbuf, scales, deq):
-        # coeffs [F, C, 1024] f32, qbuf [F, C, 1024] i16,
-        # scales [F, C, 64] f32, deq [F, C] i32
+        # coeffs [..., 1024] f32, qbuf [..., 1024] i16,
+        # scales [..., 64] f32, deq [...] i32
         q = qbuf.astype(jnp.int32)
         mag = jnp.minimum(jnp.abs(q), 8191)
-        v = jnp.take(jnp.asarray(pow43), mag) * scales[:, :, jnp.asarray(sfb_map)]
+        v = jnp.take(jnp.asarray(pow43), mag) * scales[..., jnp.asarray(sfb_map)]
         v = jnp.where(q < 0, -v, v)
-        return jnp.where((deq == 0)[:, :, None], v, coeffs)
+        return jnp.where((deq == 0)[..., None], v, coeffs)
 
     return run
 
@@ -64,6 +62,32 @@ def dequant_select(coeffs, qbuf, scales, deq, bands_long) -> np.ndarray:
         return np.asarray(coeffs)
     fn = _dequant_jax(tuple(int(b) for b in bands_long))
     return np.asarray(fn(coeffs, qbuf, scales, deq))
+
+
+@lru_cache(maxsize=None)
+def _dequant_imdct_long_jax(bands_long: tuple):
+    """Fused device kernel for long-window frames: handoff dequantization
+    (see _dequant_jax) feeding the 2048-point IMDCT matmul in one program —
+    no coefficient round trip between the stages."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..native import aac_pow43, aac_sfb_map
+
+    pow43 = aac_pow43()
+    sfb_map = aac_sfb_map(np.asarray(bands_long))
+    m = imdct_matrix_scaled(1024)
+
+    @jax.jit
+    def run(coeffs, qbuf, scales, deq):
+        q = qbuf.astype(jnp.int32)
+        mag = jnp.minimum(jnp.abs(q), 8191)
+        v = jnp.take(jnp.asarray(pow43), mag) * scales[:, jnp.asarray(sfb_map)]
+        v = jnp.where(q < 0, -v, v)
+        co = jnp.where((deq == 0)[:, None], v, coeffs)
+        return co @ m.T
+
+    return run
 
 
 @lru_cache(maxsize=None)
@@ -81,15 +105,30 @@ def _imdct_jax(n_in: int):
     return run
 
 
-def imdct_frames(coeffs: np.ndarray, seqs: np.ndarray) -> List[np.ndarray]:
+def imdct_frames(coeffs: np.ndarray, seqs: np.ndarray,
+                 quant=None) -> List[np.ndarray]:
     """Batched IMDCT per frame: returns per-frame pcm arrays (2048 for
-    long-ish, [8, 256] for EIGHT_SHORT)."""
+    long-ish, [8, 256] for EIGHT_SHORT).
+
+    ``quant`` (optional) is the entropy stage's device-dequant handoff for
+    this channel: (qbuf [n, 1024] i16, scales [n, 64] f32, deq [n] i32,
+    bands_long). Handoff lanes are only ever long-window, and their
+    dequantization fuses into the long-frame IMDCT program.
+    """
     n = len(coeffs)
     long_idx = [i for i in range(n) if seqs[i] != EIGHT_SHORT]
     short_idx = [i for i in range(n) if seqs[i] == EIGHT_SHORT]
     out: List[np.ndarray] = [None] * n
     if long_idx:
-        y = np.asarray(_imdct_jax(1024)(np.stack([coeffs[i] for i in long_idx])))
+        co = np.stack([coeffs[i] for i in long_idx])
+        if quant is not None and not (np.asarray(quant[2])[long_idx] != 0).all():
+            qbuf, scales, deq, bands_long = quant
+            fn = _dequant_imdct_long_jax(tuple(int(b) for b in bands_long))
+            y = np.asarray(fn(co, np.stack([qbuf[i] for i in long_idx]),
+                              np.stack([scales[i] for i in long_idx]),
+                              np.asarray(deq)[long_idx]))
+        else:
+            y = np.asarray(_imdct_jax(1024)(co))
         for j, i in enumerate(long_idx):
             out[i] = y[j]
     if short_idx:

@@ -238,6 +238,47 @@ class TestNativeEntropy:
                 assert out["prev_shape"][f, c] == int(prev_shape)
                 np.testing.assert_array_equal(full[f, c], coeffs)
 
+    def test_intensity_outside_joint_not_handed_off(self):
+        """Regression: intensity bands store nonzero scales over qbuf
+        positions the decode never writes, so a channel with intensity
+        sections must not take the device-dequant handoff even outside
+        the joint-stereo path (CPE without common_window)."""
+        from symphonia_tpu import native
+
+        if not native.available():
+            import pytest
+            pytest.skip("native library unavailable")
+        spec0 = np.zeros(1024, np.int64)
+        spec0[0:12] = [3, -2, 1, 4, -1, 2, 1, -3, 2, 1, -1, 2]
+        spec1 = np.zeros(1024, np.int64)
+        spec1[0:4] = [1, -1, 2, 1]
+        frames = [build_raw_block([spec0.copy(), spec1.copy()], [0, 0], 12,
+                                  GAIN, RATE, common_window=False,
+                                  special_books1={5: 14})
+                  for _ in range(10)]
+        data = build_adts(frames, RATE, 2)
+        r = AdtsReader(MediaSourceStream(data))
+        pkts = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            pkts.append(bytes(p.data))
+        buf = b"".join(pkts)
+        szs = np.array([len(p) for p in pkts], np.int64)
+        offs = np.zeros(len(pkts), np.int64)
+        np.cumsum(szs[:-1], out=offs[1:])
+        ri, bl, bs = subband_info(RATE)
+        out = native.aac_extract(buf, offs, szs, ri, bl, bs, 2)
+        assert (out["status"] == 0).all()
+        assert (out["deq"][:, 1] == 1).all()  # intensity channel kept host-side
+        full = native.aac_dequant_host(out, bl)
+        dec = AacDecoder(r.default_track().codec_params)
+        ref = dec.decode_coeffs(pkts[0])
+        for f in range(len(pkts)):
+            for c in range(2):
+                np.testing.assert_array_equal(full[f, c], ref[c][0])
+
     def test_mono_window_chain(self):
         rng = np.random.default_rng(60)
         seqs = [0, 1, 2, 2, 3, 0, 1, 2, 3, 0]
