@@ -86,8 +86,9 @@ def bench_flac_host(repeats: int = 30):
         r._ensure_scan()
         buf = r._buf
     si = r.stream_info
-    max_frames = (si.n_samples // max(1, si.block_len_min) + 8
-                  if si.n_samples else len(buf) // 64 + 16)
+    max_frames = min(si.n_samples // max(1, si.block_len_min) + 8
+                     if si.n_samples else len(buf) // 64 + 16,
+                     len(buf) // 10 + 16)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()

@@ -82,10 +82,16 @@ class FlacBatchDecoder:
                 mss = reader.mss
                 mss.seek(reader._data_start)
                 buf = mss.read_bytes(int(total - reader._data_start))
+                # DoS bound: a crafted STREAMINFO (huge n_samples, tiny
+                # block_len_min) must not drive the lane allocation — a
+                # real frame needs >= ~10 bytes, so the byte length caps
+                # the possible frame count regardless of metadata
+                # (meta.rs:105 limit semantics).
                 max_frames = (
                     si.n_samples // max(1, si.block_len_min) + 8
                     if si.n_samples else len(buf) // 64 + 16
                 )
+                max_frames = min(max_frames, len(buf) // 10 + 16)
                 packed = native.flac_fast_extract(buf, si, si.block_len_max,
                                                   max_frames)
                 if packed is not None and (packed["status"] != 0).any():

@@ -314,3 +314,31 @@ class TestMalformedMetadata:
             while probed.format.next_packet() is not None:
                 n += 1
             assert n == 4
+
+
+class TestAllocationBounds:
+    def test_streaminfo_n_samples_cannot_drive_allocation(self):
+        """Regression (found by tools/soak.py): a crafted STREAMINFO with a
+        huge total-samples field and tiny min-block must not size the lane
+        allocation — the byte length bounds the possible frame count."""
+        import numpy as np
+
+        from flac_builder import build_flac_file, random_walk
+        from symphonia_tpu import batch
+
+        ch = random_walk(4096, 16, seed=3, ch=1)
+        data = bytearray(build_flac_file(ch, block_size=4096, kind="fixed",
+                                         order=2, partition_order=1))
+        # STREAMINFO: min/max block (2+2), min/max frame (3+3), then
+        # 20-bit rate + 3-bit ch + 5-bit bps + 36-bit total samples.
+        # Set total samples to the 36-bit max and min block to 16.
+        base = 8  # fLaC + block header
+        data[base + 0:base + 2] = (16).to_bytes(2, "big")
+        # bits 4..0 of byte 17 and bytes 18-21 hold total samples' 36 bits
+        data[base + 13] |= 0x0F
+        data[base + 14:base + 18] = b"\xff\xff\xff\xff"
+        try:
+            out = batch.decode_bytes(bytes(data))
+            assert out.samples.size < 10 * 4096 * 2
+        except Exception as e:  # taxonomy errors acceptable; OOM is not
+            assert type(e).__name__ not in ("MemoryError", "_ArrayMemoryError")
