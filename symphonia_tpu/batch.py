@@ -279,8 +279,13 @@ class Mp3BatchDecoder:
                 jnp.asarray(sp), jnp.asarray(b), jnp.asarray(m), ht, st
             )
             pcm_parts.append(np.asarray(out[: j - i]))
-        pcm = np.concatenate(pcm_parts, axis=0)  # [G, C, 576]
-        pcm = pcm.transpose(1, 0, 2).reshape(C, -1)
+        if not pcm_parts:
+            # No decodable granule survived (fully corrupt stream): empty
+            # audio, matching the other batch decoders' empty-output path.
+            pcm = np.zeros((C, 0), np.float32)
+        else:
+            pcm = np.concatenate(pcm_parts, axis=0)  # [G, C, 576]
+            pcm = pcm.transpose(1, 0, 2).reshape(C, -1)
 
         track = reader.default_track()
         if self.gapless:

@@ -101,8 +101,11 @@ def main():
     from symphonia_tpu.core.errors import (DecodeError, IoError, LimitError,
                                            ResetRequired, SeekError,
                                            Unsupported)
+    # Strict taxonomy: raw ValueError/IndexError/etc escaping the decode
+    # surface on malformed input is a bug (the reference maps everything
+    # to its error enum).
     ok_errors = (DecodeError, IoError, LimitError, ResetRequired, SeekError,
-                 Unsupported, EOFError, ValueError)
+                 Unsupported, EOFError)
 
     bs = builders(rng)
     t0 = time.time()
