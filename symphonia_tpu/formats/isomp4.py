@@ -317,6 +317,16 @@ class IsoMp4Reader(FormatReader):
                 t.codec = CODEC_ID_MP3
             break  # only first entry
 
+    @staticmethod
+    def _table_array(buf, start, width, count, dtype, what):
+        """Checked big-endian table read: a truncated atom whose declared
+        entry count exceeds its bytes is a DecodeError (the reference
+        errors on short atom reads), not a raw numpy ValueError."""
+        end = start + width * count
+        if count < 0 or end > len(buf):
+            raise DecodeError(f"isomp4: truncated {what} table")
+        return np.frombuffer(buf[start:end], dtype=dtype).astype(np.int64)
+
     def _expand_sample_tables(self, buf, t: Mp4Track, stbl) -> None:
         def table(name):
             a = find_atom(buf, *stbl, [name])
@@ -330,9 +340,8 @@ class IsoMp4Reader(FormatReader):
             if uniform:
                 sizes = np.full(count, uniform, dtype=np.int64)
             else:
-                sizes = np.frombuffer(
-                    buf[stsz[0] + 12 : stsz[0] + 12 + 4 * count], dtype=">u4"
-                ).astype(np.int64)
+                sizes = self._table_array(buf, stsz[0] + 12, 4, count,
+                                          ">u4", "stsz")
         if sizes is None or len(sizes) == 0:
             t.offsets = np.zeros(0, np.int64)
             t.sizes = np.zeros(0, np.int64)
@@ -345,26 +354,24 @@ class IsoMp4Reader(FormatReader):
         stco = table(b"stco")
         if stco:
             cc = int.from_bytes(buf[stco[0] + 4 : stco[0] + 8], "big")
-            chunk_offsets = np.frombuffer(
-                buf[stco[0] + 8 : stco[0] + 8 + 4 * cc], dtype=">u4"
-            ).astype(np.int64)
+            chunk_offsets = self._table_array(buf, stco[0] + 8, 4, cc,
+                                              ">u4", "stco")
         else:
             co64 = table(b"co64")
             if co64 is None:
                 raise DecodeError("isomp4: missing stco/co64 sample table")
             cc = int.from_bytes(buf[co64[0] + 4 : co64[0] + 8], "big")
-            chunk_offsets = np.frombuffer(
-                buf[co64[0] + 8 : co64[0] + 8 + 8 * cc], dtype=">u8"
-            ).astype(np.int64)
+            chunk_offsets = self._table_array(buf, co64[0] + 8, 8, cc,
+                                              ">u8", "co64")
 
         # stsc: samples per chunk runs.
         stsc = table(b"stsc")
         if stsc is None:
             raise DecodeError("isomp4: missing stsc sample table")
         sc = int.from_bytes(buf[stsc[0] + 4 : stsc[0] + 8], "big")
-        runs = np.frombuffer(
-            buf[stsc[0] + 8 : stsc[0] + 8 + 12 * sc], dtype=">u4"
-        ).astype(np.int64).reshape(-1, 3)  # (first_chunk, samples, desc_idx)
+        runs = self._table_array(buf, stsc[0] + 8, 12, sc, ">u4",
+                                 "stsc").reshape(-1, 3)
+        # (first_chunk, samples, desc_idx)
 
         # Expand to per-sample offsets.
         offsets = np.empty(n, dtype=np.int64)
@@ -391,9 +398,8 @@ class IsoMp4Reader(FormatReader):
         if stts is None:
             raise DecodeError("isomp4: missing stts sample table")
         tc = int.from_bytes(buf[stts[0] + 4 : stts[0] + 8], "big")
-        truns = np.frombuffer(
-            buf[stts[0] + 8 : stts[0] + 8 + 8 * tc], dtype=">u4"
-        ).astype(np.int64).reshape(-1, 2)
+        truns = self._table_array(buf, stts[0] + 8, 8, tc, ">u4",
+                                  "stts").reshape(-1, 2)
         durs = np.repeat(truns[:, 1], truns[:, 0])[:n]
         if len(durs) < n:
             pad = durs[-1] if len(durs) else 0

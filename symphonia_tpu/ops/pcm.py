@@ -80,6 +80,19 @@ def decode_pcm_np(
     output is float32/float64. Mirrors codec-pcm lib.rs:318-412 incl. the
     bits_per_coded_sample sub-width shift.
     """
+    # Truncated final sample (malformed/cut streams): clip to whole
+    # samples like the reference's frame-bounded reads; a partial trailing
+    # sample is dropped rather than raising out of the taxonomy.
+    _widths = {"pcm_u8": 1, "pcm_s8": 1, "pcm_alaw": 1, "pcm_mulaw": 1,
+               "pcm_s16le": 2, "pcm_s16be": 2, "pcm_u16le": 2,
+               "pcm_u16be": 2, "pcm_s24le": 3, "pcm_s24be": 3,
+               "pcm_u24le": 3, "pcm_u24be": 3, "pcm_s32le": 4,
+               "pcm_s32be": 4, "pcm_u32le": 4, "pcm_u32be": 4,
+               "pcm_f32le": 4, "pcm_f32be": 4, "pcm_f64le": 8,
+               "pcm_f64be": 8}
+    w = _widths.get(codec, 1) * max(1, channels)
+    if len(data) % w:
+        data = data[: len(data) - (len(data) % w)]
     if codec == "pcm_u8":
         x = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
         bits = 8

@@ -65,7 +65,44 @@ def builders(rng):
                                           common_window=bool(rng.integers(2))))
         return build_adts(frames, 44100, 2)
 
-    return [flac, mp3, aac]
+    def wav():
+        from test_wav_pcm import make_wav
+
+        n = int(rng.integers(500, 8000))
+        fr = rng.integers(-30000, 30000, size=(n, 2))
+        return make_wav(fr, rate=int(rng.choice([8000, 44100])),
+                        bits=int(rng.choice([8, 16, 24])))
+
+    def mkv():
+        from test_mkv import build_mkv, simple_block
+
+        pcm = (rng.integers(-3000, 3000,
+                            size=int(rng.integers(64, 2048)))
+               .astype("<i2").tobytes())
+        blocks = [(0, [simple_block(1, 0, [pcm])])]
+        return build_mkv("A_PCM/INT/LIT", b"", blocks, rate=8000, ch=1,
+                         bit_depth=16)
+
+    def m4a():
+        from aac_builder import build_raw_block
+        from test_mp4 import build_m4a
+
+        frames = []
+        for _ in range(int(rng.integers(2, 8))):
+            q = np.zeros(1024, np.int64)
+            idx = rng.choice(1000, size=100, replace=False)
+            q[idx] = rng.integers(-60, 61, size=100)
+            frames.append(build_raw_block([q], [0], 12, 140, 44100))
+        return build_m4a(frames, rate=44100, n_ch=1)
+
+    def ogg():
+        # Real Vorbis content (no mirror encoder exists); mutations of a
+        # genuine file stress the page/packet reassembly hardest.
+        path = ("/opt/venv/lib/python3.12/site-packages/pygame/examples/"
+                "data/house_lo.ogg")
+        return Path(path).read_bytes()
+
+    return [flac, mp3, aac, wav, mkv, m4a, ogg]
 
 
 def mutate(data: bytes, rng) -> bytes:
