@@ -338,6 +338,11 @@ class IsoMp4Reader(FormatReader):
             uniform = int.from_bytes(buf[stsz[0] + 4 : stsz[0] + 8], "big")
             count = int.from_bytes(buf[stsz[0] + 8 : stsz[0] + 12], "big")
             if uniform:
+                # DoS bound: a sample needs at least one byte, so the file
+                # size caps the count a crafted uniform-size stsz can claim
+                # (a mutated count drove a 117 s np.full in the soak).
+                if count > len(buf):
+                    raise DecodeError("isomp4: stsz count exceeds stream")
                 sizes = np.full(count, uniform, dtype=np.int64)
             else:
                 sizes = self._table_array(buf, stsz[0] + 12, 4, count,
@@ -400,7 +405,10 @@ class IsoMp4Reader(FormatReader):
         tc = int.from_bytes(buf[stts[0] + 4 : stts[0] + 8], "big")
         truns = self._table_array(buf, stts[0] + 8, 8, tc, ">u4",
                                   "stts").reshape(-1, 2)
-        durs = np.repeat(truns[:, 1], truns[:, 0])[:n]
+        # Clip run counts before materializing: only n durations are
+        # needed, and crafted counts must not drive a giant np.repeat.
+        counts = np.minimum(truns[:, 0], n)
+        durs = np.repeat(truns[:, 1], counts)[:n]
         if len(durs) < n:
             pad = durs[-1] if len(durs) else 0
             durs = np.concatenate([durs, np.full(n - len(durs), pad, np.int64)])

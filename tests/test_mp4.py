@@ -299,3 +299,33 @@ class TestSidxSeek:
         table = r.packet_table()
         assert len(table.data) == 24
         assert table.data == frames
+
+
+class TestSampleTableBounds:
+    def test_uniform_stsz_count_bounded(self):
+        """Regression (found by tools/soak.py): a uniform-size stsz whose
+        sample count field claims billions of samples must not materialize
+        the size table (117 s np.full before the bound)."""
+        import time
+
+        import numpy as np
+        import pytest
+
+        from aac_builder import build_raw_block
+        from symphonia_tpu import batch
+        from symphonia_tpu.core.errors import DecodeError, Unsupported
+
+        q = np.zeros(1024, np.int64)
+        q[5:25] = 7
+        data = bytearray(build_m4a(
+            [build_raw_block([q], [0], 12, 140, 44100) for _ in range(3)],
+            rate=44100, n_ch=1))
+        i = bytes(data).find(b"stsz")
+        # version/flags(4) then sample_size / sample_count: make it a
+        # uniform-size table claiming 2^31 samples.
+        data[i + 8: i + 12] = (16).to_bytes(4, "big")
+        data[i + 12: i + 16] = (1 << 31).to_bytes(4, "big")
+        t0 = time.time()
+        with pytest.raises((DecodeError, Unsupported)):
+            batch.decode_bytes(bytes(data))
+        assert time.time() - t0 < 5.0

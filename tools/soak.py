@@ -152,12 +152,20 @@ def main():
         base = bs[int(rng.integers(len(bs)))]()
         for variant in (base, mutate(base, rng), mutate(base, rng)):
             n += 1
+            t1 = time.time()
             try:
                 out = batch.decode_bytes(variant)
                 if out.samples.size:
                     decoded += 1
             except ok_errors:
                 pass  # taxonomy errors are the contract for malformed input
+            if time.time() - t1 > 10.0:
+                # Pathologically slow input = DoS-adjacent; surface it.
+                path = f"/tmp/soak_slow_{n}.bin"
+                with open(path, "wb") as f:
+                    f.write(variant)
+                print(f"[soak] SLOW input ({time.time()-t1:.1f}s, "
+                      f"{len(variant)} bytes) saved to {path}")
     print(f"[soak] {n} inputs ({decoded} decoded) in {time.time()-t0:.0f}s — "
           f"no crashes, no non-taxonomy exceptions")
 
