@@ -116,18 +116,29 @@ def freq_inversion_mask() -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _synth_conv_kernel() -> np.ndarray:
-    """[16, 64, 32] conv kernel for the polyphase windowed taps, width axis
-    pre-flipped for lax.conv correlation semantics: kernel[dw, j, i] =
-    D[32*(15-dw) + i] * [j == q(15-dw, i)]."""
-    W = synthesis_window()
+def _polyphase_combined_matrix() -> np.ndarray:
+    """[1056, 576] matrix for the ENTIRE Layer III polyphase stage.
+
+    Folds the [64, 32] matrixing, the v[64] tap selection, and the 512-tap
+    windowed FIR (synthesis.rs:158-348) into one dense operator:
+    ``resp_vec = M @ vec(S)`` with ``vec(S)[t*32+k] = sb_time[t, k]`` and
+    ``resp_vec[m*32+i]`` the response sample at FIR slot m, subsample i.
+    Entry: M[(m,i), (t,:)] = D[32*(m-t)+i] * N[q(m-t, i), :] for
+    0 <= m-t < 16. Built in f64, cast f32; on device the whole stage is a
+    single K=576 MXU matmul per channel (batch axis minor — see
+    mp3_dense_batch_jax's layout note)."""
+    N = polyphase_matrix().astype(np.float64)
+    W = synthesis_window().astype(np.float64)
     q = _synth_sel_idx()
-    K = np.zeros((16, 64, 32), dtype=np.float32)
-    for dw in range(16):
-        k = 15 - dw
-        for i in range(32):
-            K[dw, q[k, i], i] = W[k, i]
-    return K
+    T = 18
+    M = np.zeros(((T + 15) * 32, T * 32))
+    for m in range(T + 15):
+        for k in range(16):
+            t = m - k
+            if 0 <= t < T:
+                for i in range(32):
+                    M[m * 32 + i, t * 32 : (t + 1) * 32] += W[k, i] * N[q[k, i]]
+    return M.astype(np.float32)
 
 
 @lru_cache(maxsize=None)
@@ -257,88 +268,88 @@ def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
     All granules process in parallel; the two linear cross-granule couplings
     (hybrid overlap-add, polyphase FIFO) are applied by superposition:
     shift-adds along the granule axis (see module docstring).
+
+    Layout: everything runs with the LARGE granule axis MINOR ([C, ..., G]).
+    The natural [G*C, 32, 18] layout puts an 18-wide axis in the vector
+    lanes, so every elementwise/shuffle op ran at ~14% lane occupancy and
+    the antialias/overlap shuffles dominated the stage (measured 33 ms of
+    a 40 ms pass at G=24576). G-minor keeps all 128 lanes busy; block-type
+    selection folds into the IMDCT matmul as a masked K-concatenation
+    ([72, 36] operator), and the whole polyphase stage is one K=576 matmul
+    (_polyphase_combined_matrix). Cross-granule overlap-adds become
+    single-step shifts along the minor axis.
     """
-    import jax
     import jax.numpy as jnp
 
     G, C, _ = x.shape
-    L = G * C
-    xb = x.reshape(L, 32, 18)
-    btf = bt.reshape(L)
-    mixedf = mixed.reshape(L)
+    xb = x.transpose(1, 2, 0).reshape(C, 32, 18, G)
+    btT = bt.T  # [C, G]
+    mixedT = mixed.T
 
     # --- antialias (hybrid_synthesis.rs:224) ---
     cs, ca = antialias_coeffs()
-    cs = jnp.asarray(cs)
-    ca = jnp.asarray(ca)
-    n_bounds = jnp.where(btf == BLOCK_SHORT, jnp.where(mixedf, 1, 0), 31)
-    lo_r = xb[:, :31, 10:18][..., ::-1]
-    hi = xb[:, 1:32, 0:8]
+    cs = jnp.asarray(cs)[None, None, :, None]  # coeff axis = sample-in-pair
+    ca = jnp.asarray(ca)[None, None, :, None]
+    n_bounds = jnp.where(btT == BLOCK_SHORT, jnp.where(mixedT, 1, 0), 31)
+    lo_r = xb[:, :31, 10:18, :][:, :, ::-1, :]  # [C, 31, 8, G]
+    hi = xb[:, 1:32, 0:8, :]
     nl = lo_r * cs - hi * ca
     nh = hi * cs + lo_r * ca
-    bmask = (jnp.arange(31)[None, :] < n_bounds[:, None])[:, :, None]
+    bmask = jnp.arange(31)[None, :, None, None] < n_bounds[:, None, None, :]
     nl = jnp.where(bmask, nl, lo_r)
     nh = jnp.where(bmask, nh, hi)
     # Reassemble by concatenation (scatters are slow on TPU): samples 0..7
     # come from the butterflies of the boundary below, 10..17 from the
     # boundary above; 8..9 pass through.
-    head = jnp.concatenate([xb[:, :1, 0:8], nh], axis=1)  # [L, 32, 8]
-    tail = jnp.concatenate([nl[..., ::-1], xb[:, 31:, 10:18]], axis=1)
-    xb = jnp.concatenate([head, xb[:, :, 8:10], tail], axis=2)
+    head = jnp.concatenate([xb[:, :1, 0:8, :], nh], axis=1)  # [C, 32, 8, G]
+    tail = jnp.concatenate([nl[:, :, ::-1, :], xb[:, 31:, 10:18, :]], axis=1)
+    xb = jnp.concatenate([head, xb[:, :, 8:10, :], tail], axis=2)
 
-    # --- hybrid IMDCT as matmuls ---
-    # One large MXU matmul per block type (shared [36, 18] matrix), then a
-    # per-lane one-hot select — far faster than per-lane batched matmuls.
+    # --- hybrid IMDCT with per-(lane, subband) block-type selection ---
+    # The matrix choice (incl. mixed-block long-below/short-above) is a
+    # per-element one-hot mask folded into the matmul LHS: X4 concatenates
+    # the four masked copies along K, the operator is the four [18, 36]
+    # matrices stacked to [72, 36]. One dot instead of four + select.
     T = jnp.asarray(hybrid_matrices())  # [4, 36, 18]
-    flat = xb.reshape(L * 32, 18)
-    outs = jnp.stack(
-        [
-            (flat @ T[b].T).reshape(L, 32, 36)
-            for b in (BLOCK_LONG, BLOCK_START, BLOCK_SHORT, BLOCK_END)
-        ]
-    )  # [4, L, 32, 36] (index == block type)
-    lt = jnp.where(btf == BLOCK_SHORT, BLOCK_LONG, btf)
-    onehot = (jnp.arange(4)[:, None] == lt[None, :]).astype(jnp.float32)
-    out_long = jnp.einsum("bl,blsi->lsi", onehot, outs)
-    out_short = outs[BLOCK_SHORT]
-    sb_split = jnp.where(btf == BLOCK_SHORT, jnp.where(mixedf, 2, 0), 32)
-    sb_idx = jnp.arange(32)[None, :, None]
-    tmp = jnp.where(sb_idx < sb_split[:, None, None], out_long, out_short)
-    # [L, 32, 36]
+    lt = jnp.where(btT == BLOCK_SHORT, BLOCK_LONG, btT)
+    sb_split = jnp.where(btT == BLOCK_SHORT, jnp.where(mixedT, 2, 0), 32)
+    idx = jnp.where(
+        jnp.arange(32)[None, :, None] < sb_split[:, None, :],
+        lt[:, None, :], BLOCK_SHORT,
+    )  # [C, 32, G]
+    oh = (jnp.arange(4)[:, None, None, None] == idx[None]).astype(jnp.float32)
+    X4 = jnp.concatenate([xb * oh[b][:, :, None, :] for b in range(4)],
+                         axis=2)  # [C, 32, 72, G]
+    T4 = jnp.concatenate([T[b].T for b in range(4)], axis=0)  # [72, 36]
+    tmp = jnp.einsum("ckpg,pi->ckig", X4, T4,
+                     preferred_element_type=jnp.float32)  # [C, 32, 36, G]
 
-    # --- hybrid overlap-add by superposition along G ---
-    tmp = tmp.reshape(G, C, 32, 36)
-    heads = tmp[:, :, :, :18]
-    tails = tmp[:, :, :, 18:]
+    # --- hybrid overlap-add: one-step shift along the granule axis ---
+    heads = tmp[:, :, :18, :]
+    tails = tmp[:, :, 18:, :]
     if hybrid_tail0 is None:
         hybrid_tail0 = jnp.zeros((C, 32, 18), jnp.float32)
-    prev = jnp.concatenate([hybrid_tail0[None], tails[:-1]], axis=0)
-    sb_time = heads + prev  # [G, C, 32, 18]
-    hybrid_tail = tails[-1]
+    prev = jnp.concatenate([hybrid_tail0[..., None], tails[..., :-1]], axis=3)
+    sb_time = heads + prev  # [C, 32, 18, G]
+    hybrid_tail = tails[..., -1]
 
     # --- frequency inversion ---
-    sb_time = sb_time * jnp.asarray(freq_inversion_mask())
+    sb_time = sb_time * jnp.asarray(freq_inversion_mask())[None, :, :, None]
 
-    # --- polyphase matrixing + windowed taps as one conv ---
-    # resp[l, m, i] = sum_k V[l, m-k, q(k,i)] * D[32k+i]: a width-16 "full"
-    # convolution over the 18 time steps with a [16, 64, 32] kernel — a
-    # single MXU op instead of materializing the [L, 18, 16, 32] tap gather.
-    N = jnp.asarray(polyphase_matrix())  # [64, 32]
-    S = sb_time.transpose(0, 1, 3, 2).reshape(L, 18, 32)
-    V = jnp.einsum("ltk,ik->lti", S, N, preferred_element_type=jnp.float32)
-    K = jnp.asarray(_synth_conv_kernel())  # [16, 64, 32], width-flipped
-    resp = jax.lax.conv_general_dilated(
-        V, K, window_strides=(1,), padding=[(15, 15)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )  # [L, 33, 32]
-    resp = resp.reshape(G, C, 1056)
+    # --- polyphase: matrixing + v-selection + windowed FIR as ONE matmul ---
+    M = jnp.asarray(_polyphase_combined_matrix())  # [1056, 576]
+    S = sb_time.transpose(0, 2, 1, 3).reshape(C, 576, G)  # vec index t*32+k
+    resp = jnp.einsum("pq,cqg->cpg", M, S,
+                      preferred_element_type=jnp.float32)  # [C, 1056, G]
 
     # --- cross-granule synthesis overlap-add by superposition ---
     if synth_tail0 is None:
         synth_tail0 = jnp.zeros((C, 480), jnp.float32)
-    prev_tail = jnp.concatenate([synth_tail0[None], resp[:-1, :, 576:]], axis=0)
-    pcm = jnp.concatenate(
-        [resp[:, :, :480] + prev_tail, resp[:, :, 480:576]], axis=2
+    prev_tail = jnp.concatenate(
+        [synth_tail0[..., None], resp[:, 576:, :-1]], axis=2
     )
-    synth_tail = resp[-1, :, 576:]
-    return pcm, hybrid_tail, synth_tail
+    pcm = jnp.concatenate(
+        [resp[:, :480, :] + prev_tail, resp[:, 480:576, :]], axis=1
+    )
+    synth_tail = resp[:, 576:, -1]
+    return pcm.transpose(2, 0, 1), hybrid_tail, synth_tail
