@@ -299,15 +299,21 @@ def bench_aac_device(n_frames: int = 8192, iters: int = 4):
     sq_d = jnp.asarray(seqs)
     sh_d = jnp.asarray(shapes)
     pv_d = jnp.asarray(prevs)
-    p43 = jnp.asarray(pow43)
     smap = jnp.asarray(sfb_map)
+
+    p43_rows = jnp.asarray(pow43.reshape(64, 128))
 
     @jax.jit
     def many(qb, sc, sq, sh, pv):
         def body(i, acc):
             q = (qb + acc[:1, :1].astype(jnp.int16) * 0).astype(jnp.int32)
             mag = jnp.minimum(jnp.abs(q), 8191)
-            co = jnp.take(p43, mag) * sc[:, smap]
+            # row-gather + one-hot column select (see ops.aac_dense
+            # _pow43_lookup: ~2x the elementwise-take gather, bit-exact)
+            rows = jnp.take(p43_rows, mag >> 7, axis=0)
+            sel = (jnp.arange(128) == (mag & 127)[..., None]).astype(
+                jnp.float32)
+            co = (rows * sel).sum(-1) * sc[:, smap]
             co = jnp.where(q < 0, -co, co)
             pcm = co @ m.T
             out = ola(pcm, sq, sh, pv)

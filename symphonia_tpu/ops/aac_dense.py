@@ -27,6 +27,26 @@ _P0 = 512 - 64
 _P1 = 512 + 64
 
 
+def _pow43_lookup(jnp, mag):
+    """pow43[mag] for mag [..., 1024] int32 in [0, 8191], TPU-shaped.
+
+    A plain elementwise ``jnp.take`` from the 8192-entry table scalarizes
+    on TPU (measured 22 ms for 8.4M lookups on the v5e — it was 100% of
+    the fused dequant+IMDCT stage's overhead). Gathering 128-wide ROWS by
+    the high 6 index bits and selecting the column with a fused
+    compare-multiply-reduce runs ~2x faster (~12 ms; slice width 8/16/128
+    all measured equal — per-element gather issue cost dominates).
+    Bit-exact vs the table lookup: the 127 unselected lanes contribute
+    exact +0.0 products (pow43 >= 0, so no -0.0), and adding +0.0 in any
+    order is an identity in IEEE f32."""
+    from ..native import aac_pow43
+
+    rows_t = jnp.asarray(aac_pow43().reshape(64, 128))
+    rows = jnp.take(rows_t, mag >> 7, axis=0)  # [..., 1024, 128]
+    sel = (jnp.arange(128) == (mag & 127)[..., None]).astype(jnp.float32)
+    return (rows * sel).sum(-1)
+
+
 @lru_cache(maxsize=None)
 def _dequant_jax(bands_long: tuple):
     """Device dequantization for the host entropy stage's handoff lanes
@@ -37,9 +57,8 @@ def _dequant_jax(bands_long: tuple):
     import jax
     import jax.numpy as jnp
 
-    from ..native import aac_pow43, aac_sfb_map
+    from ..native import aac_sfb_map
 
-    pow43 = aac_pow43()
     sfb_map = aac_sfb_map(np.asarray(bands_long))
 
     @jax.jit
@@ -48,7 +67,7 @@ def _dequant_jax(bands_long: tuple):
         # scales [..., 64] f32, deq [...] i32
         q = qbuf.astype(jnp.int32)
         mag = jnp.minimum(jnp.abs(q), 8191)
-        v = jnp.take(jnp.asarray(pow43), mag) * scales[..., jnp.asarray(sfb_map)]
+        v = _pow43_lookup(jnp, mag) * scales[..., jnp.asarray(sfb_map)]
         v = jnp.where(q < 0, -v, v)
         return jnp.where((deq == 0)[..., None], v, coeffs)
 
@@ -72,9 +91,8 @@ def _dequant_imdct_long_jax(bands_long: tuple):
     import jax
     import jax.numpy as jnp
 
-    from ..native import aac_pow43, aac_sfb_map
+    from ..native import aac_sfb_map
 
-    pow43 = aac_pow43()
     sfb_map = aac_sfb_map(np.asarray(bands_long))
     m = imdct_matrix_scaled(1024)
 
@@ -82,7 +100,7 @@ def _dequant_imdct_long_jax(bands_long: tuple):
     def run(coeffs, qbuf, scales, deq):
         q = qbuf.astype(jnp.int32)
         mag = jnp.minimum(jnp.abs(q), 8191)
-        v = jnp.take(jnp.asarray(pow43), mag) * scales[:, jnp.asarray(sfb_map)]
+        v = _pow43_lookup(jnp, mag) * scales[:, jnp.asarray(sfb_map)]
         v = jnp.where(q < 0, -v, v)
         co = jnp.where((deq == 0)[:, None], v, coeffs)
         return co @ m.T

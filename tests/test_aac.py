@@ -375,3 +375,48 @@ class TestNativeEntropySpecialBands(TestNativeEntropy):
             for _ in range(6)
         ]
         self._compare(frames, RATE, 2)
+
+
+class TestDeviceDequantLookup:
+    def test_pow43_lookup_exact_full_range(self):
+        """The row-gather + one-hot formulation (ops.aac_dense._pow43_lookup)
+        must reproduce the pow43 table bit-exactly for every index 0..8191
+        (the unselected lanes contribute exact +0.0 products)."""
+        import jax.numpy as jnp
+        from symphonia_tpu.native import aac_pow43
+        from symphonia_tpu.ops.aac_dense import _pow43_lookup
+
+        mags = jnp.asarray(np.arange(8192, dtype=np.int32).reshape(8, 1024))
+        got = np.asarray(_pow43_lookup(jnp, mags)).reshape(-1)
+        np.testing.assert_array_equal(got, aac_pow43())
+
+    def test_dequant_jax_matches_numpy_twin(self):
+        """_dequant_jax == the host-twin arithmetic (pow43[|q|] * scale,
+        IEEE f32 multiply + sign flip) including escape-range magnitudes."""
+        import jax.numpy as jnp
+        from symphonia_tpu.codecs.aac import subband_info
+        from symphonia_tpu.native import aac_pow43, aac_sfb_map
+        from symphonia_tpu.ops.aac_dense import _dequant_jax
+
+        rng = np.random.default_rng(5)
+        _, bl, _ = subband_info(44100)
+        n = 6
+        qbuf = rng.integers(-200, 201, size=(n, 1024)).astype(np.int16)
+        qbuf[0, :16] = [8191, -8191, 64, -64, 63, -63, 127, -128, 1, -1, 0,
+                        8190, -4096, 4095, 2048, -2047]
+        scales = np.abs(rng.standard_normal((n, 64)) * 0.01).astype(np.float32)
+        deq = np.zeros(n, np.int32)
+        deq[3] = 1  # pass-through lane
+        coeffs = rng.standard_normal((n, 1024)).astype(np.float32)
+
+        fn = _dequant_jax(tuple(int(b) for b in bl))
+        got = np.asarray(fn(jnp.asarray(coeffs), jnp.asarray(qbuf),
+                            jnp.asarray(scales), jnp.asarray(deq)))
+
+        pow43 = aac_pow43()
+        smap = aac_sfb_map(np.asarray(bl))
+        q = qbuf.astype(np.int32)
+        v = pow43[np.minimum(np.abs(q), 8191)] * scales[:, smap]
+        v = np.where(q < 0, -v, v).astype(np.float32)
+        expect = np.where((deq == 0)[:, None], v, coeffs)
+        np.testing.assert_array_equal(got, expect)
