@@ -7,6 +7,7 @@
 // the batched device dense stage (ops/mp3_dense.mp3_dense_batch_jax).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -29,6 +30,12 @@ extern "C" void sh_mp3_prof_reset() { memset(g_mprof, 0, sizeof(g_mprof)); }
 #else
 #define MPROF_START(x)
 #define MPROF_STOP(x, i)
+#endif
+
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__) \
+    && defined(__AVX512DQ__)
+#define SH_MP3_SIMD 1
+#include <x86intrin.h>
 #endif
 
 namespace {
@@ -54,6 +61,11 @@ struct Mp3Tables {
     struct Fast { int32_t t[1 << 12]; };
     Fast fbig[18];
     Fast fquad[2];
+#ifdef SH_MP3_SIMD
+    // Concatenated copy of fbig for the 8-lane engine's per-lane-offset
+    // gather probes (table ti lives at [ti << 12, (ti+1) << 12)).
+    int32_t simd[18 << 12];
+#endif
     float pow43[8207];
     uint32_t pow43_bits[16];  // f32 bit patterns of pow43[0..15] (fast path)
     float is_ratio_m1[7][2];
@@ -105,6 +117,10 @@ struct Mp3Tables {
             fill_fast(fquad[0], kQuadsCodesA, kQuadsBitsA, v.data(), 16);
             fill_fast(fquad[1], kQuadsCodesB, kQuadsBitsB, v.data(), 16);
         }
+#ifdef SH_MP3_SIMD
+        for (int t = 0; t < 18; t++)
+            memcpy(simd + ((size_t)t << 12), fbig[t].t, sizeof(fbig[t].t));
+#endif
         for (int i = 0; i < 8207; i++) pow43[i] = (float)pow((double)i, 4.0 / 3.0);
         memcpy(pow43_bits, pow43, sizeof(pow43_bits));
         for (int p = 0; p < 7; p++) {
@@ -617,6 +633,547 @@ void stereo(const Hdr& h, GrChan gr[2], float* ch0, float* ch1) {
     if (inten || ms) { gr[0].rzero = end; gr[1].rzero = end; }
 }
 
+
+// ---------------------------------------------------------------------------
+// 8-lane AVX-512 gather engine for the big-values Huffman stage.
+//
+// Lanes are FRAMES: granule-channels within a frame are bit-sequential
+// (an overrunning count1 partition leaves the reader PAST the granule
+// boundary, so the next scalefactor read is path-dependent — granule
+// starts cannot be precomputed). Each lane walks its frame's
+// granule-channels with the scalar machinery (scalefactors, count1 quads,
+// epilogue — measured 0.3-5% of the stage) and hands the big-values pair
+// spans (80% of the stage) to the vector burst. Spans are STATIC per
+// granule-channel (region boundaries come from side info), unlike AAC's
+// dynamic section plans.
+//
+// The burst keeps per-lane bit windows LEFT-aligned in ZMM lanes with the
+// phase-locked all-lane refill (see symphonia_host.cpp), probes the
+// concatenated 12-bit fast tables with one gather, decodes linbits
+// escapes and sign bits in-vector, and emits both values of a pair as
+// signed int16 quants in one 32-bit scatter (pair spans start even).
+// A vectorized pass then materializes f32 +-|q|^(4/3) from the same
+// pow43 table the scalar path reads — bit-identical output.
+// Freeze/service reasons: span or budget boundary (scalar advance),
+// fast-table miss (codes > 12 bits), segment-tail reads (guarded Bits).
+#ifdef SH_MP3_SIMD
+
+struct Mp3FrameJob {
+    int64_t seg_ofs, seg_len;
+    Hdr h;
+    bool scfsi[2][4];
+    GrChan gr[2][2];
+    int n_gr, n_ch, qslot;  // qslot: granule index into the qbuf arena
+    int fidx;
+    int status;  // 0 ok so far; <0 mirrors the scalar statuses
+};
+
+struct Mp3Lane {
+    Mp3FrameJob* job = nullptr;
+    Bits br{nullptr, 0};
+    const uint8_t* seg = nullptr;
+    int64_t seg_len = 0;
+    int gc = 0;  // granule-channel cursor: g = gc / n_ch, ch = gc % n_ch
+    bool gc_open = false;  // mid-granule (spans built, scf consumed)
+    int64_t huff_start = 0, part3 = 0;
+    struct Span { int end_i, ti, linbits; bool skip; };
+    Span spans[3];
+    int n_spans = 0, si = 0;
+    int i = 0, bvlen = 0;
+    int16_t* q = nullptr;
+    GrChan* c = nullptr;
+};
+
+// Scalar decode of ONE big-values pair through the guarded two-level Lut
+// (fast-table miss or segment tail). Mirrors the generic path of
+// read_huffman exactly; emits signed int16 quants.
+static int mp3_service_pair(Mp3Lane& L) {
+    const Mp3Lane::Span& S = L.spans[L.si];
+    bool err = false;
+    int v = kT.big[S.ti].decode(L.br, &err);
+    if (err || L.br.error) return 0;
+    int x = v >> 4, y = v & 0xF;
+    int16_t qx = 0, qy = 0;
+    if (x) {
+        if (x == 15 && S.linbits) x += L.br.read(S.linbits);
+        qx = (int16_t)(L.br.read(1) ? -x : x);
+    }
+    if (y) {
+        if (y == 15 && S.linbits) y += L.br.read(S.linbits);
+        qy = (int16_t)(L.br.read(1) ? -y : y);
+    }
+    L.q[L.i] = qx;
+    L.q[L.i + 1] = qy;
+    L.i += 2;
+    return 1;
+}
+
+// count1 quads + part3 under/overrun epilogue for the current
+// granule-channel (mirrors the tail of read_huffman; int16 emission).
+// Returns false on an invalid-prefix decode error (frame status -5);
+// stream-tail bit errors propagate through br.error to the next
+// scalefactor read, like the scalar path.
+static bool mp3_lane_count1_epilogue(Mp3Lane& L) {
+    Bits& bs = L.br;
+    const Lut& cb1 = kT.quads[L.c->count1table];
+    bool err = false;
+    int64_t bits_read = bs.bits_read() - L.huff_start;
+    while (L.i <= 572 && bits_read < L.part3) {
+        int v = cb1.decode(bs, &err);
+        if (err || bs.error) return false;
+        static const int offs[4] = {0x8, 0x4, 0x2, 0x1};
+        for (int j = 0; j < 4; j++) {
+            int16_t val = 0;
+            if (v & offs[j]) val = (int16_t)(bs.read(1) ? -1 : 1);
+            L.q[L.i + j] = val;
+        }
+        L.i += 4;
+        bits_read = bs.bits_read() - L.huff_start;
+    }
+    if (bits_read < L.part3) {
+        bs.ignore(L.part3 - bits_read);
+    } else if (bits_read > L.part3 && L.i > L.bvlen) {
+        L.i -= 4;
+        for (int j = 0; j < 4; j++) L.q[L.i + j] = 0;
+    }
+    L.c->rzero = L.i;
+    return true;
+}
+
+// Advance a lane to its next vector-ready position: mid pair span, within
+// the part3 budget. Runs scalefactors / count1 / epilogues / frame loads
+// as needed. Returns false when the job queue is exhausted for this lane.
+static bool mp3_lane_ready(Mp3Lane& L, Mp3FrameJob* jobs, int n_jobs,
+                           int* next_job, const uint8_t* arena,
+                           int16_t* qbufs) {
+    for (;;) {
+        if (!L.job) {
+            int j = (*next_job)++;
+            if (j >= n_jobs) return false;
+            L.job = &jobs[j];
+            L.seg = arena + L.job->seg_ofs;
+            L.seg_len = L.job->seg_len;
+            L.br = Bits(L.seg, L.seg_len);
+            L.gc = 0;
+            L.gc_open = false;
+        }
+        Mp3FrameJob& J = *L.job;
+        if (J.status != 0 || L.gc >= J.n_gr * J.n_ch) {
+            L.job = nullptr;
+            continue;
+        }
+        if (!L.gc_open) {
+            int g = L.gc / J.n_ch, ch = L.gc % J.n_ch;
+            L.c = &J.gr[g][ch];
+            GrChan& c = *L.c;
+            int part2 = J.h.mpeg1()
+                            ? read_scf_mpeg1(L.br, g, ch, J.scfsi, J.gr)
+                            : read_scf_mpeg2(L.br, (ch == 1) && J.h.intensity(), c);
+            int64_t part3 = (int64_t)c.part23 - part2;
+            if (part3 < 0 || L.br.error) {
+                J.status = -5;
+                L.job = nullptr;
+                continue;
+            }
+            L.q = qbufs + ((size_t)(J.qslot + g) * 2 + ch) * 576;
+            if (part3 == 0) {
+                c.rzero = 0;
+                L.gc++;
+                continue;
+            }
+            L.huff_start = L.br.bits_read();
+            L.part3 = part3;
+            L.bvlen = 2 * c.big_values;
+            int regions[3] = {
+                c.region1_start < L.bvlen ? c.region1_start : L.bvlen,
+                c.region2_start < L.bvlen ? c.region2_start : L.bvlen,
+                L.bvlen < 576 ? L.bvlen : 576,
+            };
+            L.n_spans = 0;
+            int cur = 0;
+            for (int r = 0; r < 3; r++) {
+                if (regions[r] <= cur) continue;
+                int ts = J.gr[g][ch].table_select[r];
+                bool skip = (ts == 0 || ts == 4 || ts == 14);
+                int ti = ts <= 15 ? ts : (ts <= 23 ? 16 : 17);
+                L.spans[L.n_spans++] = Mp3Lane::Span{
+                    regions[r], ti, skip ? 0 : kLinbits[ts], skip};
+                cur = regions[r];
+            }
+            L.si = 0;
+            L.i = 0;
+            L.gc_open = true;
+        }
+        // Mid-granule: walk spans mirroring the scalar region loop (skip
+        // regions jump i even after budget exhaustion; decode regions
+        // no-op then).
+        if (L.si >= L.n_spans) {
+            bool ok = mp3_lane_count1_epilogue(L);
+            if (!ok) { L.job->status = -5; L.job = nullptr; continue; }
+            L.gc_open = false;
+            L.gc++;
+            continue;
+        }
+        const Mp3Lane::Span& S = L.spans[L.si];
+        if (S.skip) {
+            if (L.i < S.end_i) L.i = S.end_i;
+            L.si++;
+            continue;
+        }
+        if (L.i >= S.end_i ||
+            L.br.bits_read() - L.huff_start >= L.part3) {
+            L.si++;
+            continue;
+        }
+        return true;
+    }
+}
+
+// Vectorized f32 materialization: buf[i] = sign(q) * pow43[|q|], the same
+// table values (and exact sign flip) the scalar emit produces.
+static void mp3_dequant_gc(const int16_t* q, float* buf) {
+    for (int i = 0; i < 576; i += 16) {
+        __m256i q16 = _mm256_loadu_si256((const __m256i*)(q + i));
+        __m512i qi = _mm512_cvtepi16_epi32(q16);
+        __m512i mag = _mm512_abs_epi32(qi);
+        __m512 p = _mm512_i32gather_ps(mag, kT.pow43, 4);
+        __m512i bits = _mm512_castps_si512(p);
+        bits = _mm512_or_si512(
+            bits, _mm512_and_si512(qi, _mm512_set1_epi32(0x80000000u)));
+        _mm512_storeu_si512((void*)(buf + i), bits);
+    }
+}
+
+// The 8-lane burst. Decodes every job's big-values spectrum into qbufs;
+// scalar machinery runs in the service path between spans/granules.
+static void mp3_huffman_simd8(Mp3FrameJob* jobs, int n_jobs,
+                              const uint8_t* arena, int16_t* qbufs) {
+    constexpr int K = 8;
+    Mp3Lane lanes[K];
+    int next_job = 0;
+    alignas(64) int64_t buf_a[K], cnt_a[K], pos_a[K], i_a[K], end_a[K];
+    alignas(64) int64_t tofs_a[K], lin_a[K], lim_a[K], q_a[K], segend_a[K];
+    uint8_t reason[K] = {0};  // 1 = service one pair (miss/tail)
+    __mmask8 dead = 0;
+
+    auto sync_from_lane = [&](int l) {
+        Mp3Lane& L = lanes[l];
+        buf_a[l] = (int64_t)L.br.buf;
+        cnt_a[l] = L.br.cnt;
+        pos_a[l] = (int64_t)(L.seg + L.br.pos);
+        i_a[l] = L.i;
+        end_a[l] = L.spans[L.si].end_i;
+        tofs_a[l] = (int64_t)L.spans[L.si].ti << 12;
+        lin_a[l] = L.spans[L.si].linbits;
+        lim_a[l] = ((int64_t)(L.seg - arena) << 3) + L.huff_start + L.part3;
+        q_a[l] = (int64_t)L.q;
+        segend_a[l] = (int64_t)(L.seg + L.seg_len);
+    };
+    auto sync_to_lane = [&](int l) {
+        Mp3Lane& L = lanes[l];
+        L.br.pos = pos_a[l] - (int64_t)L.seg;
+        L.br.cnt = (int)cnt_a[l];
+        L.br.buf = (uint64_t)buf_a[l];
+        L.br.error = false;
+        L.i = (int)i_a[l];
+    };
+
+    for (int l = 0; l < K; l++) {
+        if (mp3_lane_ready(lanes[l], jobs, n_jobs, &next_job, arena, qbufs))
+            sync_from_lane(l);
+        else
+            dead |= (__mmask8)(1u << l);
+    }
+    if (dead == 0xFF) return;
+
+    const __m512i vz = _mm512_setzero_si512();
+    const __m512i v1 = _mm512_set1_epi64(1);
+    const __m512i v8 = _mm512_set1_epi64(8);
+    const __m512i v15 = _mm512_set1_epi64(15);
+    const __m512i v40 = _mm512_set1_epi64(40);
+    const __m512i v63 = _mm512_set1_epi64(63);
+    const __m512i v64 = _mm512_set1_epi64(64);
+    const __m512i vall1 = _mm512_set1_epi64(-1);
+    const __m512i bsw = _mm512_broadcast_i32x4(
+        _mm_set_epi8(8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7));
+    const int64_t arena8 = (int64_t)arena << 3;
+
+    for (;;) {
+        // Load committed state (windows ride left-aligned like the AAC
+        // engine: constant-shift probe, single-shift consume).
+        __m512i cntv = _mm512_load_si512(cnt_a);
+        __m512i topv = _mm512_sllv_epi64(_mm512_load_si512(buf_a),
+                                         _mm512_sub_epi64(v64, cntv));
+        __m512i posv = _mm512_load_si512(pos_a);
+        __m512i iv = _mm512_load_si512(i_a);
+        __m512i endv = _mm512_load_si512(end_a);
+        __m512i tofsv = _mm512_load_si512(tofs_a);
+        __m512i linv = _mm512_load_si512(lin_a);
+        __m512i limv = _mm512_load_si512(lim_a);
+        __m512i qv = _mm512_load_si512(q_a);
+        __m512i segendv = _mm512_load_si512(segend_a);
+        __mmask8 linm = _mm512_test_epi64_mask(linv, vall1);
+        __mmask8 freeze = 0;
+        __mmask8 advance = 0;
+
+        for (;;) {
+            __mmask8 act = (__mmask8)(0xFF & ~dead & ~freeze & ~advance);
+            // (0) span end / part3 budget out -> scalar advance.
+            __m512i bitsv = _mm512_sub_epi64(
+                _mm512_sub_epi64(_mm512_slli_epi64(posv, 3),
+                                 _mm512_set1_epi64(arena8)),
+                cntv);
+            __mmask8 adv = _mm512_mask_cmpge_epi64_mask(act, bitsv, limv) |
+                           _mm512_mask_cmpge_epi64_mask(act, iv, endv);
+            advance |= adv;
+            act &= ~adv;
+            if (!act) break;
+            // (1) phase-locked all-lane refill; segment tails freeze.
+            __mmask8 need = _mm512_mask_cmplt_epi64_mask(act, cntv, v40);
+            if (need) {
+                __mmask8 tailm = _mm512_mask_cmpgt_epi64_mask(
+                    act, _mm512_add_epi64(posv, v8), segendv);
+                __mmask8 tf = need & tailm;
+                if (tf) {
+                    for (int l = 0; l < K; l++)
+                        if ((tf >> l) & 1) reason[l] = 1;
+                    freeze |= tf;
+                    act &= ~tf;
+                    if (!act) break;
+                }
+                __mmask8 rf = act & ~tailm;
+                if (rf) {
+                    __m512i w =
+                        _mm512_mask_i64gather_epi64(vz, rf, posv, nullptr, 1);
+                    w = _mm512_shuffle_epi8(w, bsw);
+                    __m512i nbytes =
+                        _mm512_srli_epi64(_mm512_sub_epi64(v63, cntv), 3);
+                    __m512i nbits = _mm512_slli_epi64(nbytes, 3);
+                    __m512i wk = _mm512_and_si512(
+                        w, _mm512_sllv_epi64(vall1,
+                                             _mm512_sub_epi64(v64, nbits)));
+                    __m512i merged =
+                        _mm512_or_si512(topv, _mm512_srlv_epi64(wk, cntv));
+                    topv = _mm512_mask_mov_epi64(topv, rf, merged);
+                    posv = _mm512_mask_add_epi64(posv, rf, posv, nbytes);
+                    cntv = _mm512_mask_add_epi64(cntv, rf, cntv, nbits);
+                }
+            }
+            // (2) probe the concatenated 12-bit fast tables.
+            __m512i idx = _mm512_add_epi64(_mm512_srli_epi64(topv, 52),
+                                           tofsv);
+            __m256i e32 = _mm512_mask_i64gather_epi32(
+                _mm256_setzero_si256(), act, idx, kT.simd, 4);
+            __m512i e64 = _mm512_cvtepi32_epi64(e32);
+            __mmask8 miss = _mm512_mask_cmplt_epi64_mask(act, e64, vz);
+            if (miss) {
+                for (int l = 0; l < K; l++)
+                    if ((miss >> l) & 1) reason[l] = 1;
+                freeze |= miss;
+                act &= ~miss;
+                if (!act) break;
+            }
+            // (3) consume the code, split the pair.
+            __m512i len = _mm512_and_si512(_mm512_srli_epi64(e64, 8), v15);
+            __m512i x = _mm512_and_si512(_mm512_srli_epi64(e64, 4), v15);
+            __m512i y = _mm512_and_si512(e64, v15);
+            __m512i top2 = _mm512_sllv_epi64(topv, len);
+            __m512i cnt2 = _mm512_sub_epi64(cntv, len);
+            // (4) x: linbits escape (x == 15 on a linbits table), sign.
+            __mmask8 ex = _mm512_mask_cmpeq_epi64_mask(linm & act, x, v15);
+            __m512i lbx = _mm512_maskz_mov_epi64(ex, linv);
+            __m512i xl =
+                _mm512_srlv_epi64(top2, _mm512_sub_epi64(v64, lbx));
+            top2 = _mm512_sllv_epi64(top2, lbx);
+            cnt2 = _mm512_sub_epi64(cnt2, lbx);
+            __m512i xt = _mm512_add_epi64(x, xl);
+            __mmask8 sxm = _mm512_mask_cmpneq_epi64_mask(act, xt, vz);
+            __m512i sx =
+                _mm512_maskz_mov_epi64(sxm, _mm512_srli_epi64(top2, 63));
+            __m512i one = _mm512_maskz_mov_epi64(sxm, v1);
+            top2 = _mm512_sllv_epi64(top2, one);
+            cnt2 = _mm512_sub_epi64(cnt2, one);
+            __m512i mx = _mm512_sub_epi64(vz, sx);
+            __m512i qx = _mm512_sub_epi64(_mm512_xor_si512(xt, mx), mx);
+            // (5) y: same sequence.
+            __mmask8 ey = _mm512_mask_cmpeq_epi64_mask(linm & act, y, v15);
+            __m512i lby = _mm512_maskz_mov_epi64(ey, linv);
+            __m512i yl =
+                _mm512_srlv_epi64(top2, _mm512_sub_epi64(v64, lby));
+            top2 = _mm512_sllv_epi64(top2, lby);
+            cnt2 = _mm512_sub_epi64(cnt2, lby);
+            __m512i yt = _mm512_add_epi64(y, yl);
+            __mmask8 sym = _mm512_mask_cmpneq_epi64_mask(act, yt, vz);
+            __m512i sy =
+                _mm512_maskz_mov_epi64(sym, _mm512_srli_epi64(top2, 63));
+            __m512i oney = _mm512_maskz_mov_epi64(sym, v1);
+            top2 = _mm512_sllv_epi64(top2, oney);
+            cnt2 = _mm512_sub_epi64(cnt2, oney);
+            __m512i my = _mm512_sub_epi64(vz, sy);
+            __m512i qy = _mm512_sub_epi64(_mm512_xor_si512(yt, my), my);
+            // (6) commit + emit the pair as one 32-bit scatter (pair
+            // spans start even -> 4-byte aligned).
+            cntv = _mm512_mask_mov_epi64(cntv, act, cnt2);
+            topv = _mm512_mask_mov_epi64(topv, act, top2);
+            __m512i val = _mm512_or_si512(
+                _mm512_and_si512(qx, _mm512_set1_epi64(0xFFFF)),
+                _mm512_slli_epi64(_mm512_and_si512(qy,
+                                                   _mm512_set1_epi64(0xFFFF)),
+                                  16));
+            __m512i dst = _mm512_add_epi64(qv, _mm512_slli_epi64(iv, 1));
+            _mm512_mask_i64scatter_epi32(nullptr, act, dst,
+                                         _mm512_cvtepi64_epi32(val), 1);
+            iv = _mm512_mask_add_epi64(iv, act, iv, _mm512_set1_epi64(2));
+            if (freeze | advance) break;
+        }
+        // Spill + scalar service.
+        _mm512_store_si512(
+            buf_a, _mm512_and_si512(
+                       _mm512_srlv_epi64(topv, _mm512_sub_epi64(v64, cntv)),
+                       _mm512_mask_mov_epi64(vall1,
+                                             _mm512_cmpeq_epi64_mask(cntv, vz),
+                                             vz)));
+        _mm512_store_si512(cnt_a, cntv);
+        _mm512_store_si512(pos_a, posv);
+        _mm512_store_si512(i_a, iv);
+        __mmask8 todo = (__mmask8)((freeze | advance) & ~dead);
+        for (int l = 0; l < K; l++) {
+            if (!((todo >> l) & 1)) continue;
+            Mp3Lane& L = lanes[l];
+            sync_to_lane(l);
+            if (reason[l]) {
+                reason[l] = 0;
+                // Budget gate first: the vector loop may freeze a lane
+                // that is simultaneously past its budget.
+                if (L.br.bits_read() - L.huff_start < L.part3 &&
+                    L.i < L.spans[L.si].end_i) {
+                    if (!mp3_service_pair(L)) {
+                        L.job->status = -5;
+                        L.job = nullptr;
+                    }
+                }
+            }
+            if (mp3_lane_ready(L, jobs, n_jobs, &next_job, arena, qbufs))
+                sync_from_lane(l);
+            else
+                dead |= (__mmask8)(1u << l);
+        }
+        if (dead == 0xFF) return;
+    }
+}
+
+#endif  // SH_MP3_SIMD
+
+
+#ifdef SH_MP3_SIMD
+// Engine driver: sequential frame prep (reservoir semantics are inherently
+// serial), 8-lane Huffman burst, then per-granule dequant + prep passes.
+// Output-identical to the scalar path below, except that the max_granules
+// cutoff counts prepped frames rather than successfully decoded ones (the
+// wrappers always pass max_granules >= 2 * n_frames, so the cutoff never
+// binds in practice).
+static int32_t mp3_extract_simd(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* offsets, const int64_t* sizes, int32_t n_frames,
+    float* spectra, int32_t* bt_out, int32_t* mixed_out, int32_t* gr_frame,
+    int32_t* status, int32_t max_granules, int32_t prep_flags) {
+    (void)data_len;
+    std::vector<uint8_t> reservoir;
+    reservoir.reserve(2048);
+    std::vector<uint8_t> arena;
+    arena.reserve((size_t)data_len + 512 * (size_t)n_frames + 16);
+    std::vector<Mp3FrameJob> jobs;
+    jobs.reserve(n_frames);
+    int32_t slots = 0;
+    for (int32_t f = 0; f < n_frames; f++) {
+        status[f] = 0;
+        const uint8_t* fd = data + offsets[f];
+        int64_t flen = sizes[f];
+        Mp3FrameJob J;
+        J.fidx = f;
+        J.status = 0;
+        if (flen < 4 || !parse_hdr(fd, &J.h) || J.h.frame_size > flen) {
+            status[f] = -1;
+            continue;
+        }
+        int pos = 4 + (J.h.crc ? 2 : 0);
+        int side_len = J.h.side_len();
+        Bits sb(fd + pos, side_len);
+        int main_data_begin;
+        if (!read_side_info(sb, J.h, &main_data_begin, J.scfsi, J.gr)) {
+            status[f] = -2;
+            continue;
+        }
+        const uint8_t* md = fd + pos + side_len;
+        int64_t md_len = J.h.frame_size - pos - side_len;
+        if (md_len < 0) {
+            status[f] = -3;
+            continue;
+        }
+        if (main_data_begin > (int)reservoir.size()) {
+            reservoir.insert(reservoir.end(), md, md + md_len);
+            if (reservoir.size() > 511)
+                reservoir.erase(reservoir.begin(), reservoir.end() - 511);
+            status[f] = -4;
+            continue;
+        }
+        J.n_gr = J.h.mpeg1() ? 2 : 1;
+        J.n_ch = J.h.n_ch();
+        if (slots + J.n_gr > max_granules) break;
+        J.seg_ofs = (int64_t)arena.size();
+        arena.insert(arena.end(), reservoir.end() - main_data_begin,
+                     reservoir.end());
+        arena.insert(arena.end(), md, md + md_len);
+        J.seg_len = (int64_t)arena.size() - J.seg_ofs;
+        reservoir.insert(reservoir.end(), md, md + md_len);
+        if (reservoir.size() > 511)
+            reservoir.erase(reservoir.begin(), reservoir.end() - 511);
+        J.qslot = slots;
+        slots += J.n_gr;
+        jobs.push_back(J);
+    }
+    if (jobs.empty()) return 0;
+
+    std::vector<int16_t> qbufs((size_t)slots * 2 * 576, 0);
+    mp3_huffman_simd8(jobs.data(), (int)jobs.size(), arena.data(),
+                      qbufs.data());
+
+    int32_t g_out = 0;
+    for (Mp3FrameJob& J : jobs) {
+        if (J.status != 0) {
+            status[J.fidx] = J.status;
+            continue;
+        }
+        for (int g = 0; g < J.n_gr; g++) {
+            float* s0 = spectra + ((int64_t)(g_out + g) * 2 + 0) * 576;
+            float* s1 = spectra + ((int64_t)(g_out + g) * 2 + 1) * 576;
+            mp3_dequant_gc(&qbufs[((size_t)(J.qslot + g) * 2 + 0) * 576], s0);
+            if (J.n_ch == 2)
+                mp3_dequant_gc(&qbufs[((size_t)(J.qslot + g) * 2 + 1) * 576],
+                               s1);
+            else
+                memset(s1, 0, 576 * sizeof(float));
+            if (prep_flags & 1)
+                for (int ch = 0; ch < J.n_ch; ch++)
+                    requantize(J.h, J.gr[g][ch], ch == 0 ? s0 : s1);
+            if ((prep_flags & 2) && J.n_ch == 2) stereo(J.h, J.gr[g], s0, s1);
+            if (prep_flags & 4)
+                for (int ch = 0; ch < J.n_ch; ch++)
+                    reorder(J.h, J.gr[g][ch], ch == 0 ? s0 : s1);
+            bt_out[(g_out + g) * 2 + 0] = J.gr[g][0].block_type;
+            bt_out[(g_out + g) * 2 + 1] =
+                J.n_ch == 2 ? J.gr[g][1].block_type : 0;
+            mixed_out[(g_out + g) * 2 + 0] = J.gr[g][0].mixed ? 1 : 0;
+            mixed_out[(g_out + g) * 2 + 1] =
+                J.n_ch == 2 && J.gr[g][1].mixed ? 1 : 0;
+            gr_frame[g_out + g] = J.fidx;
+        }
+        g_out += J.n_gr;
+    }
+    return g_out;
+}
+#endif  // SH_MP3_SIMD
+
 }  // namespace
 
 extern "C" {
@@ -635,6 +1192,24 @@ int32_t sh_mp3_extract(
     float* spectra, int32_t* bt_out, int32_t* mixed_out, int32_t* gr_frame,
     int32_t* status, int32_t max_granules, int32_t prep_flags) {
     // prep_flags bit0: requantize, bit1: stereo, bit2: reorder (all on = 7).
+#ifdef SH_MP3_SIMD
+    {
+        // SYMPHONIA_TPU_MP3_ENGINE=scalar forces the scalar path (testing /
+        // A-B measurement); both engines are bit-identical.
+        static const bool scalar_forced = [] {
+            const char* e = getenv("SYMPHONIA_TPU_MP3_ENGINE");
+            return e && strcmp(e, "scalar") == 0;
+        }();
+        if (!scalar_forced && n_frames >= 8 &&
+            __builtin_cpu_supports("avx512f") &&
+            __builtin_cpu_supports("avx512bw") &&
+            __builtin_cpu_supports("avx512vl") &&
+            __builtin_cpu_supports("avx512dq"))
+            return mp3_extract_simd(data, data_len, offsets, sizes, n_frames,
+                                    spectra, bt_out, mixed_out, gr_frame,
+                                    status, max_granules, prep_flags);
+    }
+#endif
     std::vector<uint8_t> reservoir;
     reservoir.reserve(2048);
     int32_t g_out = 0;

@@ -552,3 +552,108 @@ class TestMpaStreaming:
         data = open(HOUSE_MP3, "rb").read()
         probed = sym.get_probe().probe(MediaSourceStream(_FwdPipe(data)))
         assert isinstance(probed.format, MpaStreamReader)
+
+
+class TestMp3EngineParity:
+    """The 8-lane AVX-512 engine (n_frames >= 8) must be bit-identical to
+    the scalar path across content shapes. The engine choice is cached per
+    process, so each runs in a subprocess."""
+
+    def test_engines_bit_identical(self, tmp_path):
+        import os
+        import subprocess
+        import sys as _sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        tdir = os.path.dirname(os.path.abspath(__file__))
+        gen = tmp_path / "gen.py"
+        gen.write_text(
+            """
+import sys, pickle
+sys.path.insert(0, %r); sys.path.insert(0, %r)
+import numpy as np
+from mp3_builder import (big_table_encoder, build_mpeg1_l3_frame,
+                         build_mpeg1_l3_stream, build_mpeg2_l3_frame)
+rng = np.random.default_rng(77)
+cases = [build_mpeg1_l3_stream(12, n_ch=2, seed=3),
+         build_mpeg1_l3_stream(9, n_ch=1, seed=4)]
+# All-table landscape incl. linbits escapes and >12-bit codes.
+frames = []
+for fi, ts in enumerate([1, 2, 5, 7, 10, 13, 15, 16, 20, 24, 30]):
+    _, linbits = big_table_encoder(ts)
+    caps = {1: 1, 2: 2, 5: 3, 7: 5, 10: 7, 13: 15, 15: 15}
+    cap = caps.get(ts, 15 + (1 << linbits) - 1)
+    gspecs = []
+    for _gr in range(2):
+        chans = []
+        for _ch in range(2):
+            bigs = [(int(rng.integers(-cap, cap + 1)),
+                     int(rng.integers(-cap, cap + 1))) for _ in range(16)]
+            quads = [tuple(int(v) for v in rng.integers(-1, 2, size=4))
+                     for _ in range(int(rng.integers(2, 10)))]
+            chans.append({"big_pairs": bigs, "quad_pattern": quads,
+                          "big_table": ts, "count1table": int(fi %% 2),
+                          "global_gain": 200})
+        gspecs.append(chans)
+    frames.append(build_mpeg1_l3_frame(gspecs, n_ch=2, bitrate_idx=14))
+cases.append(b"".join(frames))
+# MPEG2 LSF frames (1 granule, 9-bit scalefac_compress path).
+m2 = []
+for f in range(10):
+    gspecs = [{"big_pairs": [(int(rng.integers(-3, 4)),
+                              int(rng.integers(-3, 4))) for _ in range(12)],
+               "quad_pattern": [(1, 0, -1, 1)] * 3, "big_table": 5,
+               "count1table": 0, "global_gain": 190}
+              for _ in range(2)]
+    m2.append(build_mpeg2_l3_frame(gspecs, n_ch=2))
+cases.append(b"".join(m2))
+cases.append(open("/opt/venv/lib/python3.12/site-packages/pygame/examples/"
+                  "data/house_lo.mp3", "rb").read())
+pickle.dump(cases, open(sys.argv[1], "wb"))
+"""
+            % (root, tdir)
+        )
+        run = tmp_path / "run.py"
+        run.write_text(
+            """
+import sys, pickle
+sys.path.insert(0, %r)
+import numpy as np
+from symphonia_tpu import native
+from symphonia_tpu.core.formats import FormatOptions
+from symphonia_tpu.core.io import MediaSourceStream
+from symphonia_tpu.formats.mpa import MpaReader
+cases = pickle.load(open(sys.argv[1], "rb"))
+outs = []
+for data in cases:
+    r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
+    o = native.mp3_extract(r._buf, r._offsets, r._sizes,
+                           max_granules=2 * len(r._offsets) + 2)
+    n = o["n_granules"]
+    outs.append((n, o["spectra"][:n].tobytes(), o["bt"][:n].tobytes(),
+                 o["mixed"][:n].tobytes(), o["gr_frame"][:n].tobytes(),
+                 o["status"].tobytes()))
+pickle.dump(outs, open(sys.argv[2], "wb"))
+"""
+            % root
+        )
+        import pickle
+
+        cases_p = tmp_path / "cases.pkl"
+        subprocess.run([_sys.executable, str(gen), str(cases_p)], check=True)
+        results = {}
+        for mode in ("simd", "scalar"):
+            env = dict(os.environ)
+            if mode == "scalar":
+                env["SYMPHONIA_TPU_MP3_ENGINE"] = "scalar"
+            else:
+                env.pop("SYMPHONIA_TPU_MP3_ENGINE", None)
+            out_p = tmp_path / f"out_{mode}.pkl"
+            subprocess.run(
+                [_sys.executable, str(run), str(cases_p), str(out_p)],
+                check=True, env=env)
+            results[mode] = pickle.load(open(out_p, "rb"))
+        assert len(results["simd"]) == len(results["scalar"]) == 5
+        for i, (a, b) in enumerate(zip(results["simd"], results["scalar"])):
+            assert a[0] > 0, f"case {i}: no granules decoded"
+            assert a == b, f"case {i}: engine outputs differ"
