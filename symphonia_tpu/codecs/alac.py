@@ -231,6 +231,22 @@ class AlacDecoder(AudioDecoder):
 
     def decode(self, packet: Packet) -> AudioBuffer:
         cfg = self.config
+        # Native fast path (native/alac_decode.cpp, bit-exact mirror): the
+        # adaptive predictor is sample-sequential with data-dependent
+        # coefficient updates, so it stays scalar host code; C++ restores
+        # reference-parity throughput. Any error status falls back to this
+        # Python decoder so malformed-input behavior is identical.
+        from .. import native as _native
+
+        pcm_native = _native.alac_decode(
+            bytes(packet.data), cfg, _CHANNEL_MAPS[cfg.num_channels])
+        if pcm_native is not None:
+            buf = AudioBuffer.from_array(
+                pcm_native, self.spec, bits_per_sample=cfg.bit_depth)
+            buf.trim(packet.trim_start, packet.trim_end)
+            self._last = buf
+            return buf
+
         br = BitReaderLtr(packet.data)
         chmap = _CHANNEL_MAPS[cfg.num_channels]
         out = np.zeros((cfg.num_channels, cfg.frame_length), dtype=np.int64)

@@ -23,7 +23,8 @@ _ROOT = Path(__file__).resolve().parent.parent
 _SRCS = [_ROOT / "native" / "symphonia_host.cpp",
          _ROOT / "native" / "mp3_entropy.cpp",
          _ROOT / "native" / "aac_entropy.cpp",
-         _ROOT / "native" / "vorbis_entropy.cpp"]
+         _ROOT / "native" / "vorbis_entropy.cpp",
+         _ROOT / "native" / "alac_decode.cpp"]
 _HDRS = [_ROOT / "native" / "entropy_common.h",
          _ROOT / "native" / "mp3_tables.h"]
 _SO = _ROOT / "native" / "libsymphonia_host.so"
@@ -125,6 +126,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), c_i32p, c_i32p,
     ]
+    try:
+        lib.sh_alac_decode.restype = ctypes.c_int32
+        lib.sh_alac_decode.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            c_i32p, c_i32p,
+        ]
+    except AttributeError:
+        pass  # older .so without the ALAC stage
     lib.sh_mp3_extract.restype = ctypes.c_int32
     lib.sh_mp3_extract.argtypes = [
         c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
@@ -618,3 +628,28 @@ def vorbis_decode_spectra(dec, packets):
         return spectra, flags, status
     finally:
         lib.sh_vorbis_close(ctx)
+
+
+def alac_decode(data: bytes, cfg, chmap) -> "np.ndarray | None":
+    """Decode one ALAC packet natively (native/alac_decode.cpp, a mirror
+    of codecs/alac.py AlacDecoder.decode). Returns planar int32
+    [num_channels, num_frames], or None when the native library is
+    unavailable or reports an error — the caller then falls back to the
+    Python decoder so malformed-input behavior matches the oracle."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros((cfg.num_channels, cfg.frame_length), dtype=np.int32)
+    cm = np.asarray(chmap, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.sh_alac_decode(
+        _u8ptr(a), len(a),
+        ctypes.c_int32(cfg.frame_length), ctypes.c_int32(cfg.bit_depth),
+        ctypes.c_int32(cfg.pb), ctypes.c_int32(cfg.mb),
+        ctypes.c_int32(cfg.kb), ctypes.c_int32(cfg.num_channels),
+        cm.ctypes.data_as(i32p), out.ctypes.data_as(i32p),
+    )
+    if n < 0:
+        return None
+    return out[:, :n]

@@ -166,3 +166,77 @@ class TestCafIntegration:
             outs.append(dec.decode(p).planes().copy())
         got = np.concatenate(outs, axis=1)
         np.testing.assert_array_equal(got[0], ch[0])
+
+
+class TestNativeParity:
+    """The native decoder (native/alac_decode.cpp) must match the Python
+    path bit-for-bit across element shapes; errors must fall back."""
+
+    def _both(self, monkeypatch, cookie_bytes, pkt_data, n_ch, rate=44100,
+              bits=16):
+        from symphonia_tpu import native as nat
+        from symphonia_tpu.codecs.alac import AlacDecoder
+        from symphonia_tpu.core.packet import Packet
+
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        params = AudioCodecParameters(
+            codec="alac", sample_rate=rate, bits_per_sample=bits,
+            channels=Channels.from_count(n_ch), extra_data=cookie_bytes)
+        got = {}
+        for mode in ("native", "python"):
+            if mode == "python":
+                monkeypatch.setattr(nat, "alac_decode",
+                                    lambda *a, **k: None)
+            dec = AlacDecoder(params)
+            buf = dec.decode(Packet(track_id=0, ts=0, dur=0, data=pkt_data))
+            got[mode] = np.asarray(buf.planes()).copy()
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got["native"], got["python"])
+        return got["native"]
+
+    def test_compressed_stereo_orders(self, monkeypatch):
+        rng = np.random.default_rng(91)
+        for order in (1, 2, 3, 4):
+            ch = np.clip(np.cumsum(rng.integers(-400, 401, size=(2, 2048)),
+                                   axis=1), -30000, 30000).astype(np.int64)
+            cookie_bytes = build_cookie(2048, 16, 2, 44100)
+            ck = dict(frame_length=2048, bit_depth=16, pb=40, mb=10, kb=14)
+            pkt = encode_frame_compressed([ch[0], ch[1]], ck, order=order)
+            out = self._both(monkeypatch, cookie_bytes, pkt, 2)
+            assert out.shape == (2, 2048)
+
+    def test_verbatim_and_partial(self, monkeypatch):
+        rng = np.random.default_rng(92)
+        ch = [rng.integers(-30000, 30000, size=512).astype(np.int64)
+              for _ in range(2)]
+        cookie_bytes = build_cookie(1024, 16, 2, 44100)
+        ck = dict(frame_length=1024, bit_depth=16, pb=40, mb=10, kb=14,
+                  num_channels=2)
+        pkt = encode_frame_verbatim(ch, ck)  # num 512 != 1024 -> partial
+        out = self._both(monkeypatch, cookie_bytes, pkt, 2)
+        assert out.shape[1] == 512
+
+    def test_truncated_packet_falls_back(self, monkeypatch):
+        """An errored native decode must defer to the Python path (which
+        raises the taxonomy error the oracle raises)."""
+        from symphonia_tpu import native as nat
+        from symphonia_tpu.codecs.alac import AlacDecoder
+        from symphonia_tpu.core.errors import DecodeError, IoError
+        from symphonia_tpu.core.packet import Packet
+
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(93)
+        ch = np.clip(np.cumsum(rng.integers(-400, 401, size=(2, 2048)),
+                               axis=1), -30000, 30000).astype(np.int64)
+        cookie_bytes = build_cookie(2048, 16, 2, 44100)
+        ck = dict(frame_length=2048, bit_depth=16, pb=40, mb=10, kb=14)
+        pkt = encode_frame_compressed([ch[0], ch[1]], ck, order=4)
+        params = AudioCodecParameters(
+            codec="alac", sample_rate=44100, bits_per_sample=16,
+            channels=Channels.from_count(2), extra_data=cookie_bytes)
+        dec = AlacDecoder(params)
+        with pytest.raises((DecodeError, IoError, EOFError)):
+            dec.decode(Packet(track_id=0, ts=0, dur=0,
+                              data=pkt[: len(pkt) // 3]))

@@ -180,6 +180,29 @@ def replay_vorbis() -> int:
     return n
 
 
+def replay_alac() -> int:
+
+    from alac_builder import build_cookie, encode_frame_compressed
+    from symphonia_tpu.codecs.alac import MagicCookie, _CHANNEL_MAPS
+
+    rng = np.random.default_rng(500)
+    FL = 2048
+    cookie_bytes = build_cookie(FL, 16, 2, 44100)
+    cfg = MagicCookie.read(cookie_bytes)
+    ck = dict(frame_length=FL, bit_depth=16, pb=cfg.pb, mb=cfg.mb, kb=cfg.kb)
+    walk = np.clip(np.cumsum(rng.integers(-400, 401, size=(2, FL)), axis=1),
+                   -30000, 30000).astype(np.int64)
+    clean = encode_frame_compressed([walk[0], walk[1]], ck, order=4)
+    n = 0
+    for data in _variants(clean, seed=501):
+        try:
+            if native.alac_decode(data, cfg, _CHANNEL_MAPS[2]) is not None:
+                n += 1
+        except _ERRS:
+            pass
+    return n
+
+
 def main() -> None:
     if not native.available():
         print("native library unavailable — nothing to replay", file=sys.stderr)
@@ -187,7 +210,8 @@ def main() -> None:
     so = os.environ.get("SYMPHONIA_TPU_NATIVE_SO", "(default)")
     print(f"[asan_replay] native .so: {so}")
     for name, fn in (("flac", replay_flac), ("mp3", replay_mp3),
-                     ("aac", replay_aac), ("vorbis", replay_vorbis)):
+                     ("aac", replay_aac), ("vorbis", replay_vorbis),
+                     ("alac", replay_alac)):
         n = fn()
         print(f"[asan_replay] {name}: {n} native-stage replays survived")
     print("[asan_replay] done (ASAN-clean if this process exits 0)")
