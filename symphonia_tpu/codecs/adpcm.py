@@ -54,7 +54,17 @@ MS_COEFFS = np.array(
 
 
 def ima_decode_nibbles(nibbles: np.ndarray, predictor: int, step_index: int) -> np.ndarray:
-    """Decode a nibble sequence with the IMA recurrence (common_ima.rs)."""
+    """Decode a nibble sequence with the IMA recurrence (common_ima.rs).
+
+    The recurrence is state-serial (step-index adaptation), so the hot
+    loop runs natively when available (native/adpcm_loops.cpp, bit-exact;
+    headers are validated by the callers before this point)."""
+    from .. import native as _native
+
+    fast = _native.ima_decode_nibbles(nibbles, predictor,
+                                      int(np.clip(step_index, 0, 88)))
+    if fast is not None:
+        return fast
     out = np.empty(len(nibbles), dtype=np.int32)
     pred = int(predictor)
     idx = int(np.clip(step_index, 0, 88))
@@ -168,6 +178,10 @@ def decode_ms_block(block: bytes, n_ch: int) -> np.ndarray:
     # Nibbles alternate across channels sample-by-sample.
     n_samples = (frames - 2) * n_ch
     nibbles = nibbles[:n_samples]
+    from .. import native as _native
+
+    if _native.ms_decode_nibbles(nibbles, c1, c2, delta, s1, s2, out):
+        return out
     for i, nib in enumerate(nibbles):
         c = i % n_ch
         n = int(nib)
@@ -177,7 +191,13 @@ def decode_ms_block(block: bytes, n_ch: int) -> np.ndarray:
         out[c, 2 + i // n_ch] = pred
         s2[c] = s1[c]
         s1[c] = pred
-        delta[c] = max(16, int(MS_ADAPT_TABLE[n]) * int(delta[c]) // 256)
+        # Adaptation wraps at 32 bits like the reference's i32 arithmetic
+        # (codec_ms.rs:96 in a release build); crafted blocks can otherwise
+        # grow delta geometrically without bound.
+        m = (int(MS_ADAPT_TABLE[n]) * int(delta[c])) & 0xFFFFFFFF
+        if m >= 1 << 31:
+            m -= 1 << 32
+        delta[c] = max(16, m >> 8)
     return out
 
 

@@ -24,7 +24,8 @@ _SRCS = [_ROOT / "native" / "symphonia_host.cpp",
          _ROOT / "native" / "mp3_entropy.cpp",
          _ROOT / "native" / "aac_entropy.cpp",
          _ROOT / "native" / "vorbis_entropy.cpp",
-         _ROOT / "native" / "alac_decode.cpp"]
+         _ROOT / "native" / "alac_decode.cpp",
+         _ROOT / "native" / "adpcm_loops.cpp"]
 _HDRS = [_ROOT / "native" / "entropy_common.h",
          _ROOT / "native" / "mp3_tables.h"]
 _SO = _ROOT / "native" / "libsymphonia_host.so"
@@ -135,6 +136,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
     except AttributeError:
         pass  # older .so without the ALAC stage
+    try:
+        lib.sh_ima_decode_nibbles.restype = None
+        lib.sh_ima_decode_nibbles.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, c_i32p]
+        lib.sh_ms_decode_nibbles.restype = None
+        lib.sh_ms_decode_nibbles.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int32, c_i32p, c_i32p,
+            c_i64p, c_i64p, c_i64p, c_i32p, ctypes.c_int64]
+    except AttributeError:
+        pass  # older .so without the ADPCM loops
     lib.sh_mp3_extract.restype = ctypes.c_int32
     lib.sh_mp3_extract.argtypes = [
         c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
@@ -653,3 +664,41 @@ def alac_decode(data: bytes, cfg, chmap) -> "np.ndarray | None":
     if n < 0:
         return None
     return out[:, :n]
+
+
+def ima_decode_nibbles(nibbles, pred: int, idx: int):
+    """IMA ADPCM recurrence (native/adpcm_loops.cpp mirror of
+    codecs/adpcm.py ima_decode_nibbles). Returns int32 samples, or None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_ima_decode_nibbles"):
+        return None
+    nb = np.ascontiguousarray(nibbles, dtype=np.uint8)
+    out = np.empty(len(nb), dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.sh_ima_decode_nibbles(_u8ptr(nb), len(nb), ctypes.c_int32(int(pred)),
+                              ctypes.c_int32(int(idx)),
+                              out.ctypes.data_as(i32p))
+    return out
+
+
+def ms_decode_nibbles(nibbles, c1, c2, delta, s1, s2, out) -> bool:
+    """MS ADPCM recurrence (native/adpcm_loops.cpp). Mutates delta/s1/s2
+    and fills out[:, 2:] like the Python loop; returns False when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_ms_decode_nibbles"):
+        return False
+    nb = np.ascontiguousarray(nibbles, dtype=np.uint8)
+    c1 = np.ascontiguousarray(c1, dtype=np.int32)
+    c2 = np.ascontiguousarray(c2, dtype=np.int32)
+    assert out.dtype == np.int32 and out.flags.c_contiguous
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sh_ms_decode_nibbles(
+        _u8ptr(nb), len(nb), ctypes.c_int32(out.shape[0]),
+        c1.ctypes.data_as(i32p), c2.ctypes.data_as(i32p),
+        delta.ctypes.data_as(i64p), s1.ctypes.data_as(i64p),
+        s2.ctypes.data_as(i64p), out.ctypes.data_as(i32p),
+        ctypes.c_int64(out.shape[1]))
+    return True

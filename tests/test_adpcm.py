@@ -178,3 +178,58 @@ class TestMsAdpcm:
         ref = sdl_decode_wav(wav, 22050, 1)
         n = min(ours.shape[1], ref.shape[1])
         np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+class TestNativeLoopParity:
+    """The native IMA/MS recurrences (native/adpcm_loops.cpp) must match
+    the Python loops bit-for-bit, including on adversarial blocks."""
+
+    def test_ima_and_ms_match_python(self):
+        from symphonia_tpu import native as nat
+        from symphonia_tpu.codecs import adpcm as A
+
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(55)
+        orig_ima, orig_ms = nat.ima_decode_nibbles, nat.ms_decode_nibbles
+        try:
+            for seed in range(8):
+                r = np.random.default_rng(seed)
+                blk = bytearray(r.integers(0, 256, size=1024, dtype=np.uint8))
+                blk[2] = int(r.integers(0, 89)); blk[3] = 0
+                blk[6] = int(r.integers(0, 89)); blk[7] = 0
+                blk = bytes(blk)
+                fast = A.decode_ima_wav_block(blk, 2)
+                nat.ima_decode_nibbles = lambda *a: None
+                slow = A.decode_ima_wav_block(blk, 2)
+                nat.ima_decode_nibbles = orig_ima
+                np.testing.assert_array_equal(fast, slow)
+
+                msb = bytearray(r.integers(0, 256, size=512, dtype=np.uint8))
+                msb[0] = int(r.integers(0, 7)); msb[1] = int(r.integers(0, 7))
+                msb = bytes(msb)
+                fast = A.decode_ms_block(msb, 2)
+                nat.ms_decode_nibbles = lambda *a: False
+                slow = A.decode_ms_block(msb, 2)
+                nat.ms_decode_nibbles = orig_ms
+                np.testing.assert_array_equal(fast, slow)
+        finally:
+            nat.ima_decode_nibbles = orig_ima
+            nat.ms_decode_nibbles = orig_ms
+
+    def test_ms_delta_growth_bounded(self):
+        """Regression: nibble-8 runs multiply delta by 3 per sample; a
+        crafted block must not escalate to unbounded Python ints (the
+        adaptation wraps at 32 bits like the reference's i32)."""
+        from symphonia_tpu import native as nat
+        from symphonia_tpu.codecs import adpcm as A
+
+        blk = bytes([1, 1]) + b"\x7f\xff" * 2 + b"\x00\x10" * 4 + b"\x88" * 500
+        orig_ms = nat.ms_decode_nibbles
+        try:
+            fast = A.decode_ms_block(blk, 2)
+            nat.ms_decode_nibbles = lambda *a: False
+            slow = A.decode_ms_block(blk, 2)
+        finally:
+            nat.ms_decode_nibbles = orig_ms
+        np.testing.assert_array_equal(fast, slow)
