@@ -514,7 +514,9 @@ class MkvReader(FormatReader):
             if eid == ID_INFO:
                 for eid2, b2, e2 in iter_elements(buf, b, e):
                     if eid2 == ID_TIMESTAMP_SCALE:
-                        timescale_ns = _uint(buf, b2, e2)
+                        # 0 is invalid (and would build a 0/denominator
+                        # TimeBase); keep the spec default.
+                        timescale_ns = _uint(buf, b2, e2) or timescale_ns
                     elif eid2 == ID_TITLE:
                         rev.tags.append(RawTag("title",
                                                buf[b2:e2].decode("utf-8", "replace"),
@@ -751,7 +753,8 @@ class MkvStreamReader(FormatReader):
             if eid == ID_INFO:
                 for eid2, b2, e2 in iter_elements(body, 0, len(body)):
                     if eid2 == ID_TIMESTAMP_SCALE:
-                        self._timescale_ns = _uint(body, b2, e2)
+                        self._timescale_ns = (_uint(body, b2, e2)
+                                              or self._timescale_ns)
             elif eid == ID_TRACKS:
                 self._parse_tracks(body)
             elif eid == ID_SEEK_HEAD:

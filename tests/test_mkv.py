@@ -57,7 +57,8 @@ def simple_block(track: int, rel_ts: int, frames, lacing=0) -> bytes:
 
 
 def build_mkv(codec_id: str, private: bytes, blocks, rate=44100, ch=1,
-              bit_depth=None, tags=None, extra_segment=b"") -> bytes:
+              bit_depth=None, tags=None, extra_segment=b"",
+              timescale=1_000_000) -> bytes:
     ebml_hdr = elem(0x1A45DFA3,
                     elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
     track_entry = (
@@ -68,7 +69,7 @@ def build_mkv(codec_id: str, private: bytes, blocks, rate=44100, ch=1,
                + (uint_elem(0x6264, bit_depth) if bit_depth else b""))
     )
     tracks = elem(0x1654AE6B, elem(0xAE, track_entry))
-    info = elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+    info = elem(0x1549A966, uint_elem(0x2AD7B1, timescale))
     clusters = b""
     for cluster_ts, cluster_blocks in blocks:
         body = uint_elem(0xE7, cluster_ts)
@@ -621,3 +622,20 @@ class TestMkvReviewRegressions:
         rev = r.metadata().current()
         assert rev is not None and rev.get("track_title") == "Stream Song"
         assert [c.title for c in r.chapters().items] == ["Ch One"]
+
+
+class TestZeroTimestampScale:
+    def test_zero_timescale_keeps_default(self):
+        """Regression (soak): TimestampScale=0 in a mutated file built a
+        0-numerator TimeBase and raised raw ValueError; 0 is invalid per
+        EBML, so the spec default (1 ms) is kept."""
+        pcm = np.arange(-500, 500, dtype="<i2").tobytes()
+        blocks = [(0, [simple_block(1, 0, [pcm])])]
+        data = build_mkv("A_PCM/INT/LIT", b"", blocks, rate=8000, ch=1,
+                         bit_depth=16, timescale=0)
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.formats.mkv import MkvReader
+
+        r = MkvReader(MediaSourceStream(data))
+        t = r.default_track()
+        assert t.time_base.numer == 1_000_000

@@ -102,7 +102,25 @@ def builders(rng):
                 "data/house_lo.ogg")
         return Path(path).read_bytes()
 
-    return [flac, mp3, aac, wav, mkv, m4a, ogg]
+    def adpcm():
+        import struct
+        from test_adpcm import make_adpcm_wav
+
+        if bool(rng.integers(2)):  # MS ADPCM: 7-byte/ch header blocks
+            ba = int(rng.choice([128, 512, 1024]))
+            n_blocks = int(rng.integers(2, 8))
+            payload = rng.integers(0, 256, size=ba * n_blocks,
+                                   dtype=np.uint8).tobytes()
+            fpb = (ba - 7) * 2 + 2
+            return make_adpcm_wav(payload, 0x02, ba, fpb, fpb * n_blocks)
+        ba = int(rng.choice([256, 1024, 2048]))
+        n_blocks = int(rng.integers(2, 8))
+        payload = rng.integers(0, 256, size=ba * n_blocks,
+                               dtype=np.uint8).tobytes()
+        fpb = (ba - 4) * 2 + 1
+        return make_adpcm_wav(payload, 0x11, ba, fpb, fpb * n_blocks)
+
+    return [flac, mp3, aac, wav, mkv, m4a, ogg, adpcm]
 
 
 def mutate(data: bytes, rng) -> bytes:
