@@ -128,11 +128,26 @@ def _intensity_bound(header: MpaHeader) -> int:
 
 def decode_layer1(header: MpaHeader, frame: bytes, state: Layer12State) -> np.ndarray:
     pos = 4 + (2 if header.has_crc else 0)
-    br = BitReaderLtr(frame[pos : header.frame_size])
     n_ch = header.n_channels
     sf_table = tables()["layer12_scalefactors"]
-    factor = _l1_factor()
     bound = min(_intensity_bound(header), 32)
+
+    # Native bitstream stage (native/mpa_layer12.cpp, bit-exact mirror);
+    # any error status falls back to this Python path so malformed-input
+    # behavior is identical.
+    from .. import native as _native
+
+    fast = _native.mpa_l12_extract(
+        1, bytes(frame[pos:header.frame_size]), n_ch, bound, 32, None,
+        sf_table)
+    if fast is not None:
+        out = np.zeros((n_ch, 384), dtype=np.float32)
+        for ch in range(n_ch):
+            out[ch] = _synthesize(fast[ch], 12, state, ch)
+        return out
+
+    br = BitReaderLtr(frame[pos : header.frame_size])
+    factor = _l1_factor()
 
     alloc = np.zeros((2, 32), dtype=np.int64)
     for sb in range(bound):
@@ -178,11 +193,24 @@ def decode_layer1(header: MpaHeader, frame: bytes, state: Layer12State) -> np.nd
 
 def decode_layer2(header: MpaHeader, frame: bytes, state: Layer12State) -> np.ndarray:
     pos = 4 + (2 if header.has_crc else 0)
-    br = BitReaderLtr(frame[pos : header.frame_size])
     n_ch = header.n_channels
     sf_table = tables()["layer12_scalefactors"]
     sblimit, band_rows = _find_sb_info(header)
     bound = min(_intensity_bound(header), sblimit)
+
+    # Native bitstream stage; see decode_layer1's note.
+    from .. import native as _native
+
+    fast = _native.mpa_l12_extract(
+        2, bytes(frame[pos:header.frame_size]), n_ch, bound, sblimit,
+        list(band_rows) + [0] * (32 - len(band_rows)), sf_table)
+    if fast is not None:
+        out = np.zeros((n_ch, 1152), dtype=np.float32)
+        for ch in range(n_ch):
+            out[ch] = _synthesize(fast[ch], 36, state, ch)
+        return out
+
+    br = BitReaderLtr(frame[pos : header.frame_size])
 
     alloc = np.zeros((2, 32), dtype=np.int64)
     for sb in range(bound):

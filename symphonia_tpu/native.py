@@ -25,7 +25,8 @@ _SRCS = [_ROOT / "native" / "symphonia_host.cpp",
          _ROOT / "native" / "aac_entropy.cpp",
          _ROOT / "native" / "vorbis_entropy.cpp",
          _ROOT / "native" / "alac_decode.cpp",
-         _ROOT / "native" / "adpcm_loops.cpp"]
+         _ROOT / "native" / "adpcm_loops.cpp",
+         _ROOT / "native" / "mpa_layer12.cpp"]
 _HDRS = [_ROOT / "native" / "entropy_common.h",
          _ROOT / "native" / "mp3_tables.h"]
 _SO = _ROOT / "native" / "libsymphonia_host.so"
@@ -146,6 +147,19 @@ def _load() -> Optional[ctypes.CDLL]:
             c_i64p, c_i64p, c_i64p, c_i32p, ctypes.c_int64]
     except AttributeError:
         pass  # older .so without the ADPCM loops
+    try:
+        c_f64p = ctypes.POINTER(ctypes.c_double)
+        c_f32p = ctypes.POINTER(ctypes.c_float)
+        lib.sh_mpa_l1_extract.restype = ctypes.c_int32
+        lib.sh_mpa_l1_extract.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            c_f64p, c_f32p]
+        lib.sh_mpa_l2_extract.restype = ctypes.c_int32
+        lib.sh_mpa_l2_extract.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, c_i32p, c_f64p, c_f32p]
+    except AttributeError:
+        pass  # older .so without the L1/L2 stage
     lib.sh_mp3_extract.restype = ctypes.c_int32
     lib.sh_mp3_extract.argtypes = [
         c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
@@ -702,3 +716,34 @@ def ms_decode_nibbles(nibbles, c1, c2, delta, s1, s2, out) -> bool:
         s2.ctypes.data_as(i64p), out.ctypes.data_as(i32p),
         ctypes.c_int64(out.shape[1]))
     return True
+
+
+def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
+                    sblimit: int, band_rows, sf_table):
+    """Layer I/II bitstream stage (native/mpa_layer12.cpp mirror of
+    codecs/mpa_layer12.py). Returns f32 samples [2, 384 or 1152], or None
+    when unavailable / on any error status (caller falls back to Python)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_mpa_l1_extract"):
+        return None
+    a = np.frombuffer(data, dtype=np.uint8)
+    sf = np.ascontiguousarray(sf_table, dtype=np.float64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if layer == 1:
+        out = np.zeros((2, 384), dtype=np.float32)
+        r = lib.sh_mpa_l1_extract(_u8ptr(a), len(a), ctypes.c_int32(n_ch),
+                                  ctypes.c_int32(bound),
+                                  sf.ctypes.data_as(f64p),
+                                  out.ctypes.data_as(f32p))
+    else:
+        out = np.zeros((2, 1152), dtype=np.float32)
+        rows = np.ascontiguousarray(band_rows, dtype=np.int32)
+        r = lib.sh_mpa_l2_extract(_u8ptr(a), len(a), ctypes.c_int32(n_ch),
+                                  ctypes.c_int32(bound),
+                                  ctypes.c_int32(sblimit),
+                                  rows.ctypes.data_as(i32p),
+                                  sf.ctypes.data_as(f64p),
+                                  out.ctypes.data_as(f32p))
+    return out if r == 0 else None

@@ -212,3 +212,82 @@ class TestLayer2:
                     sub[sb, 3 * gr + i] = float(sf_table[sf0[sb]]) * c * (s + d)
         expect, _ = direct_synthesis(sub)
         np.testing.assert_allclose(out[0], expect, atol=1e-5)
+
+
+class TestNativeL12Parity:
+    """The native bitstream stage (native/mpa_layer12.cpp) must match the
+    Python loops bit-for-bit across quantization classes and scfsi modes."""
+
+    def test_l2_matches_python(self):
+        from symphonia_tpu import native as nat
+        from symphonia_tpu.codecs.mpa_layer12 import (QUANT_CLASS, SB_INFO,
+                                                      SB_QUANT_INFO)
+
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        orig = nat.mpa_l12_extract
+        try:
+            for seed in range(6):
+                rng = np.random.default_rng(seed)
+                sblimit, rows = SB_INFO[1]
+                alloc_vals = [0] * sblimit
+                sf0 = [0] * sblimit
+                samples_raw = {}
+                for sb in range(sblimit):
+                    nbal, classes = SB_QUANT_INFO[rows[sb]]
+                    alloc_vals[sb] = int(rng.integers(0, 1 << nbal))
+                    sf0[sb] = int(rng.integers(0, 60))
+                    if not alloc_vals[sb]:
+                        continue
+                    _, _, grouping, bits, nlevels = QUANT_CLASS[
+                        SB_QUANT_INFO[rows[sb]][1][alloc_vals[sb]]]
+                    for gr in range(12):
+                        if grouping:
+                            samples_raw[(sb, gr)] = int(
+                                rng.integers(0, nlevels ** 3))
+                        else:
+                            samples_raw[(sb, gr)] = [
+                                int(rng.integers(0, nlevels + 1))
+                                for _ in range(3)]
+                frame, _h = build_l2_frame(alloc_vals, sf0, samples_raw)
+                params = AudioCodecParameters(
+                    codec="mp2", sample_rate=44100,
+                    channels=Channels.from_count(1))
+                dec = MpaDecoder(params)
+                fast = np.asarray(
+                    dec.decode(Packet(0, 0, 1152, frame)).planes()).copy()
+                nat.mpa_l12_extract = lambda *a, **k: None
+                dec2 = MpaDecoder(params)
+                slow = np.asarray(
+                    dec2.decode(Packet(0, 0, 1152, frame)).planes()).copy()
+                nat.mpa_l12_extract = orig
+                np.testing.assert_array_equal(fast, slow)
+        finally:
+            nat.mpa_l12_extract = orig
+
+    def test_l1_matches_python(self):
+        from symphonia_tpu import native as nat
+
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        allocs = [[int(rng.choice([0, 2, 4, 8, 15])) for _ in range(32)]]
+        raws = [[[int(rng.integers(0, 1 << allocs[0][sb]))
+                  if allocs[0][sb] else 0 for _ in range(12)]
+                 for sb in range(32)]]
+        sfi = [[int(rng.integers(0, 60)) for _ in range(32)]]
+        frame, _h = build_l1_frame(raws, allocs, sfi)
+        params = AudioCodecParameters(codec="mp1", sample_rate=44100,
+                                      channels=Channels.from_count(1))
+        orig = nat.mpa_l12_extract
+        try:
+            dec = MpaDecoder(params)
+            fast = np.asarray(
+                dec.decode(Packet(0, 0, 384, frame)).planes()).copy()
+            nat.mpa_l12_extract = lambda *a, **k: None
+            dec2 = MpaDecoder(params)
+            slow = np.asarray(
+                dec2.decode(Packet(0, 0, 384, frame)).planes()).copy()
+        finally:
+            nat.mpa_l12_extract = orig
+        np.testing.assert_array_equal(fast, slow)
