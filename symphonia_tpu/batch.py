@@ -246,7 +246,9 @@ class Mp3BatchDecoder:
             MediaSourceStream(data), FormatOptions(enable_gapless=self.gapless)
         )
         h = reader.header
-        if h.layer != LAYER3 or not native.available():
+        if h.layer != LAYER3:
+            return self._decode_l12(data, reader)
+        if not native.available():
             return _fallback_decode(data, self.gapless)
         buf = reader._buf
         ext = native.mp3_extract(
@@ -294,6 +296,68 @@ class Mp3BatchDecoder:
             end = total - track.padding
             pcm = pcm[:, start:end]
         return DecodedAudio(pcm, h.sample_rate, 32)
+
+    def _decode_l12(self, data: bytes, reader) -> DecodedAudio:
+        """Layer I/II batch path: per-frame native bitstream stage, then
+        one batched device polyphase (ops.mp3_dense.l12_dense_batch_jax).
+        Any native miss falls back to the sequential decoder."""
+        import jax.numpy as jnp
+
+        from . import native
+        from .codecs.mpa_common import LAYER1, parse_header
+        from .codecs.mpa_layer12 import (_find_sb_info, _intensity_bound,
+                                         tables)
+        from .ops.mp3_dense import l12_dense_batch_jax
+
+        if not native.available():
+            return _fallback_decode(data, self.gapless)
+        buf = reader._buf
+        sf_table = tables()["layer12_scalefactors"]
+        sb_frames = []
+        C = reader.header.n_channels
+        for off, size in zip(reader._offsets, reader._sizes):
+            frame = bytes(buf[off : off + size])
+            try:
+                fh = parse_header(int.from_bytes(frame[:4], "big"))
+            except Exception:
+                return _fallback_decode(data, self.gapless)
+            pos = 4 + (2 if fh.has_crc else 0)
+            if fh.layer == LAYER1:
+                layer, T, sblimit, rows = 1, 12, 32, None
+                bound = min(_intensity_bound(fh), 32)
+            else:
+                layer, T = 2, 36
+                sblimit, rows = _find_sb_info(fh)
+                rows = list(rows) + [0] * (32 - len(rows))
+                bound = min(_intensity_bound(fh), sblimit)
+            s = native.mpa_l12_extract(
+                layer, frame[pos : fh.frame_size], fh.n_channels, bound,
+                sblimit, rows, sf_table)
+            if s is None or fh.n_channels != C or fh.layer != reader.header.layer:
+                return _fallback_decode(data, self.gapless)
+            sb_frames.append(s[:C].reshape(C, 32, T))
+        if not sb_frames:
+            return _fallback_decode(data, self.gapless)
+        sb = np.stack(sb_frames)  # [F, C, 32, T]
+        n = 32 * sb.shape[3]
+        chunk = 4096
+        pcm_parts = []
+        st = None
+        F = sb.shape[0]
+        for i in range(0, F, chunk):
+            j = min(F, i + chunk)
+            cnt = 1 << (j - i - 1).bit_length() if j - i > 1 else 1
+            cnt = min(cnt, chunk)
+            pad = np.zeros((cnt, C, 32, sb.shape[3]), np.float32)
+            pad[: j - i] = sb[i:j]
+            out, st = l12_dense_batch_jax(jnp.asarray(pad), st)
+            pcm_parts.append(np.asarray(out[: j - i]))
+        pcm = np.concatenate(pcm_parts, axis=0).transpose(1, 0, 2).reshape(C, -1)
+        track = reader.default_track()
+        if self.gapless:
+            total = pcm.shape[1]
+            pcm = pcm[:, track.delay : total - track.padding]
+        return DecodedAudio(pcm, reader.header.sample_rate, 32)
 
     def decode_file(self, path: str) -> DecodedAudio:
         with open(path, "rb") as f:

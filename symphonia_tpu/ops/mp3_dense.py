@@ -116,8 +116,11 @@ def freq_inversion_mask() -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _polyphase_combined_matrix() -> np.ndarray:
-    """[1056, 576] matrix for the ENTIRE Layer III polyphase stage.
+def _polyphase_combined_matrix(T: int = 18) -> np.ndarray:
+    """[(T+15)*32, T*32] matrix for an ENTIRE polyphase stage.
+
+    T = 18 for Layer III granules, 12 for Layer I frames, 36 for Layer II
+    frames (the [1056, 576] L3 shape documented below generalizes).
 
     Folds the [64, 32] matrixing, the v[64] tap selection, and the 512-tap
     windowed FIR (synthesis.rs:158-348) into one dense operator:
@@ -130,7 +133,6 @@ def _polyphase_combined_matrix() -> np.ndarray:
     N = polyphase_matrix().astype(np.float64)
     W = synthesis_window().astype(np.float64)
     q = _synth_sel_idx()
-    T = 18
     M = np.zeros(((T + 15) * 32, T * 32))
     for m in range(T + 15):
         for k in range(16):
@@ -251,6 +253,79 @@ def _jnp():
     import jax.numpy as jnp
 
     return jnp
+
+
+def l12_dense_batch_jax(sb, synth_tail0=None):
+    """Device dense stage for Layer I/II frame batches.
+
+    Args:
+      sb: [F, C, 32, T] float32 subband samples (T = 12 for Layer I, 36
+          for Layer II) — the native bitstream stage's output.
+      synth_tail0: [C, 480] carried synthesis tail (None = stream start).
+
+    Returns (pcm [F, C, 32*T], synth_tail [C, 480]). Same structure as the
+    Layer III path's polyphase half: one combined-matrix MXU matmul with
+    the large frame axis minor, cross-frame overlap-add by superposition
+    (no antialias/hybrid/frequency-inversion stages in Layers I/II —
+    layer1/mod.rs:62, layer2/mod.rs:219 go straight to synthesis). The
+    480-sample tail spans ceil(480 / (32 T)) following frames (two for
+    Layer I's 384-sample frames), so the superposition shifts K times and
+    the carried tail is sliced across the first K frames.
+    """
+    import jax.numpy as jnp
+
+    F, C, _, T = sb.shape
+    n = 32 * T
+    total = n + 480
+    K = -(-480 // n)  # frames the tail reaches forward
+    M = jnp.asarray(_polyphase_combined_matrix(T))  # [total, T*32]
+    S = sb.transpose(1, 3, 2, 0).reshape(C, T * 32, F)  # vec index t*32+k
+    resp = jnp.einsum("pq,cqf->cpf", M, S,
+                      preferred_element_type=jnp.float32)  # [C, total, F]
+    if synth_tail0 is None:
+        synth_tail0 = jnp.zeros((C, 480), jnp.float32)
+
+    pcm = resp[:, :n, :]
+    # (a) tails of earlier frames in the batch: k-step shifts along F.
+    for k in range(1, min(K, F) + 1):
+        lo, hi = k * n, min((k + 1) * n, total)
+        if lo >= total or F <= k:
+            break
+        seg = resp[:, lo:hi, : F - k]
+        if hi - lo < n:
+            seg = jnp.concatenate(
+                [seg, jnp.zeros((C, n - (hi - lo), F - k), jnp.float32)],
+                axis=1)
+        pcm = pcm + jnp.concatenate(
+            [jnp.zeros((C, n, k), jnp.float32), seg], axis=2)
+    # (b) the carried tail, sliced across the first min(K, F) frames.
+    carried = jnp.concatenate(
+        [synth_tail0, jnp.zeros((C, K * n - 480), jnp.float32)], axis=1
+    ) if K * n > 480 else synth_tail0
+    nf = min(K, F)
+    lead = carried[:, : nf * n].reshape(C, nf, n).transpose(0, 2, 1)
+    if nf < F:
+        lead = jnp.concatenate(
+            [lead, jnp.zeros((C, n, F - nf), jnp.float32)], axis=2)
+    pcm = pcm + lead
+
+    # Outgoing tail: pending response of the last K frames (+ any carried
+    # remainder when the batch is shorter than the tail's reach).
+    synth_tail = jnp.zeros((C, 480), jnp.float32)
+    for j in range(min(K, F)):
+        lo = n * (j + 1)
+        width = min(480, total - lo)
+        part = resp[:, lo : lo + width, F - 1 - j]
+        if width < 480:
+            part = jnp.concatenate(
+                [part, jnp.zeros((C, 480 - width), jnp.float32)], axis=1)
+        synth_tail = synth_tail + part
+    if F * n < 480:
+        left = synth_tail0[:, F * n :]
+        synth_tail = synth_tail + jnp.concatenate(
+            [left, jnp.zeros((C, 480 - left.shape[1]), jnp.float32)],
+            axis=1)
+    return pcm.transpose(2, 0, 1), synth_tail
 
 
 def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):

@@ -291,3 +291,71 @@ class TestNativeL12Parity:
         finally:
             nat.mpa_l12_extract = orig
         np.testing.assert_array_equal(fast, slow)
+
+
+class TestL12BatchPath:
+    """batch.decode_bytes routes Layer I/II through the native bitstream
+    stage + the batched device polyphase (l12_dense_batch_jax)."""
+
+    def _l2_stream(self, n_frames=10, seed=1):
+        from symphonia_tpu.codecs.mpa_layer12 import (QUANT_CLASS, SB_INFO,
+                                                      SB_QUANT_INFO)
+
+        rng = np.random.default_rng(seed)
+        frames = []
+        for _f in range(n_frames):
+            sblimit, rows = SB_INFO[1]
+            alloc_vals = [0] * sblimit
+            sf0 = [0] * sblimit
+            samples_raw = {}
+            for sb in range(sblimit):
+                nbal, _cls = SB_QUANT_INFO[rows[sb]]
+                alloc_vals[sb] = int(rng.integers(0, 1 << nbal))
+                sf0[sb] = int(rng.integers(0, 60))
+                if not alloc_vals[sb]:
+                    continue
+                _, _, grouping, _b, nlevels = QUANT_CLASS[
+                    SB_QUANT_INFO[rows[sb]][1][alloc_vals[sb]]]
+                for gr in range(12):
+                    samples_raw[(sb, gr)] = (
+                        int(rng.integers(0, nlevels ** 3)) if grouping
+                        else [int(rng.integers(0, nlevels + 1))
+                              for _ in range(3)])
+            frame, _h = build_l2_frame(alloc_vals, sf0, samples_raw)
+            frames.append(frame)
+        return b"".join(frames)
+
+    def test_l2_batch_matches_sequential(self):
+        from symphonia_tpu import batch, native
+        from symphonia_tpu.batch import _fallback_decode
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        data = self._l2_stream()
+        out = batch.decode_bytes(data)
+        ref = _fallback_decode(data, True)
+        assert out.samples.shape == ref.samples.shape
+        np.testing.assert_allclose(out.samples, ref.samples, atol=2e-5)
+
+    def test_l1_batch_matches_sequential(self):
+        from symphonia_tpu import batch, native
+        from symphonia_tpu.batch import _fallback_decode
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(9)
+        frames = []
+        for _f in range(8):
+            allocs = [[int(rng.choice([0, 2, 4, 8, 15]))
+                       for _ in range(32)]]
+            raws = [[[int(rng.integers(0, 1 << allocs[0][sb]))
+                      if allocs[0][sb] else 0 for _ in range(12)]
+                     for sb in range(32)]]
+            sfi = [[int(rng.integers(0, 60)) for _ in range(32)]]
+            frame, _h = build_l1_frame(raws, allocs, sfi)
+            frames.append(frame)
+        data = b"".join(frames)
+        out = batch.decode_bytes(data)
+        ref = _fallback_decode(data, True)
+        assert out.samples.shape == ref.samples.shape
+        np.testing.assert_allclose(out.samples, ref.samples, atol=2e-5)
