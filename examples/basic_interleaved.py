@@ -5,9 +5,13 @@ the batch-native API that is this framework's preferred bulk entry point.
 Usage: python examples/basic_interleaved.py <media-file>
 """
 
+import os
 import sys
 
 import numpy as np
+
+# Allow running as a script from a repo checkout.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from symphonia_tpu import batch
 

@@ -6,8 +6,12 @@ loop with ResetRequired handling, printing basic stream info.
 Usage: python examples/getting_started.py <media-file>
 """
 
+import os
 import sys
 import time
+
+# Allow running as a script from a repo checkout.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import symphonia_tpu as sym
 from symphonia_tpu.core.errors import DecodeError, ResetRequired
