@@ -210,6 +210,8 @@ class AdpcmDecoder(AudioDecoder):
             raise DecodeError("ADPCM requires sample rate and channels")
         if params.block_align is None and params.codec != CODEC_ID_ADPCM_IMA_QT:
             raise DecodeError("ADPCM requires block alignment")
+        if params.channels.count < 1:
+            raise DecodeError("ADPCM requires at least one channel")
         self.spec = AudioSpec(params.sample_rate, params.channels)
 
     @staticmethod

@@ -44,6 +44,8 @@ class PcmDecoder(AudioDecoder):
             raise DecodeError(f"not a PCM codec: {params.codec}")
         if params.sample_rate is None or params.channels is None:
             raise DecodeError("PCM requires sample rate and channels")
+        if params.channels.count < 1:
+            raise DecodeError("PCM requires at least one channel")
         self.spec = AudioSpec(params.sample_rate, params.channels)
         self._is_float = params.codec in _FLOAT_CODECS
         # Effective sample width after any coded-width shift.

@@ -90,6 +90,8 @@ def decode_pcm_np(
                "pcm_s32be": 4, "pcm_u32le": 4, "pcm_u32be": 4,
                "pcm_f32le": 4, "pcm_f32be": 4, "pcm_f64le": 8,
                "pcm_f64be": 8}
+    if channels < 1:
+        raise ValueError("PCM decode requires at least one channel")
     w = _widths.get(codec, 1) * max(1, channels)
     if len(data) % w:
         data = data[: len(data) - (len(data) % w)]

@@ -342,3 +342,25 @@ class TestAllocationBounds:
             assert out.samples.size < 10 * 4096 * 2
         except Exception as e:  # taxonomy errors acceptable; OOM is not
             assert type(e).__name__ not in ("MemoryError", "_ArrayMemoryError")
+
+
+class TestZeroChannelStreams:
+    def test_mkv_zero_channel_pcm_raises_taxonomy(self):
+        """Regression (soak): an MKV audio track advertising 0 channels
+        built a PcmDecoder whose frame math divided by zero (raw
+        ZeroDivisionError escaped the taxonomy)."""
+        import sys as _sys
+        from pathlib import Path
+
+        _sys.path.insert(0, str(Path(__file__).parent))
+        from test_mkv import build_mkv, simple_block
+
+        from symphonia_tpu import batch
+        from symphonia_tpu.core.errors import DecodeError, Unsupported
+
+        pcm = np.zeros(256, "<i2").tobytes()
+        data = build_mkv("A_PCM/INT/LIT", b"",
+                         [(0, [simple_block(1, 0, [pcm])])],
+                         rate=8000, ch=0, bit_depth=16)
+        with pytest.raises((DecodeError, Unsupported)):
+            batch.decode_bytes(data)
