@@ -93,7 +93,11 @@ def decode_ima_wav_block(block: bytes, n_ch: int) -> np.ndarray:
     """One IMA WAV block -> [ch, frames] (codec_ima_wav.rs)."""
     if len(block) < 4 * n_ch:
         raise DecodeError("IMA block too small")
-    frames_per_block = (len(block) - 4 * n_ch) * 2 // n_ch + 1
+    # Frames come from WHOLE interleaved 4-byte-per-channel groups; a
+    # block whose data area is not group-aligned (malformed block_align)
+    # yields only the complete groups' samples.
+    n_groups = (len(block) - 4 * n_ch) // (4 * n_ch)
+    frames_per_block = n_groups * 8 + 1
     out = np.empty((n_ch, frames_per_block), dtype=np.int32)
     preds = []
     idxs = []
@@ -108,7 +112,6 @@ def decode_ima_wav_block(block: bytes, n_ch: int) -> np.ndarray:
         out[c, 0] = pred
     data = np.frombuffer(block, dtype=np.uint8)[4 * n_ch :]
     # Data is interleaved in 4-byte (8-nibble) groups per channel.
-    n_groups = len(data) // (4 * n_ch)
     grouped = data[: n_groups * 4 * n_ch].reshape(n_groups, n_ch, 4)
     for c in range(n_ch):
         chan_bytes = grouped[:, c, :].reshape(-1)

@@ -233,3 +233,17 @@ class TestNativeLoopParity:
         finally:
             nat.ms_decode_nibbles = orig_ms
         np.testing.assert_array_equal(fast, slow)
+
+
+class TestMisalignedImaBlock:
+    def test_partial_group_block_decodes_whole_groups(self):
+        """Regression (soak): a block whose data area is not a multiple of
+        the 4-byte-per-channel group size computed frames from raw bytes
+        but decoded only whole groups — the shorter nibble array then
+        failed to broadcast into the output (raw ValueError escaped the
+        taxonomy). Partial trailing groups are now dropped."""
+        from symphonia_tpu.codecs.adpcm import decode_ima_wav_block
+
+        hdr = bytes([0, 0, 40, 0, 0, 0, 40, 0])
+        out = decode_ima_wav_block(hdr + bytes(11), 2)  # 11 % 8 != 0
+        assert out.shape == (2, 1 + (11 // 8) * 8)
