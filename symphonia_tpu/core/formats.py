@@ -91,30 +91,38 @@ class SeekPoint:
 
 
 class SeekIndex:
-    """Sorted seek point index with binary search (formats/mod.rs:687-795)."""
+    """Sorted seek point index with binary search (formats/mod.rs:687-795).
+
+    A parallel ``_keys`` list mirrors ``_points[i].ts`` so both ``insert``
+    and ``search`` bisect an existing sorted list — no per-call key-list
+    rebuild (appends are amortized O(1), out-of-order inserts O(n) for the
+    list shift only, searches O(log n)).
+    """
 
     def __init__(self):
         self._points: List[SeekPoint] = []
+        self._keys: List[int] = []
 
     def insert(self, ts: int, byte_offset: int, num_frames: int = 0) -> None:
         pt = SeekPoint(ts, byte_offset, num_frames)
         # Keep sorted; most inserts are appends.
-        if not self._points or ts > self._points[-1].ts:
+        if not self._points or ts > self._keys[-1]:
             self._points.append(pt)
+            self._keys.append(ts)
             return
         import bisect
 
-        i = bisect.bisect_left([p.ts for p in self._points], ts)
-        if i < len(self._points) and self._points[i].ts == ts:
+        i = bisect.bisect_left(self._keys, ts)
+        if i < len(self._keys) and self._keys[i] == ts:
             return
         self._points.insert(i, pt)
+        self._keys.insert(i, ts)
 
     def search(self, ts: int) -> Tuple[Optional[SeekPoint], Optional[SeekPoint]]:
         """Return (lower, upper) seek points bracketing ts."""
         import bisect
 
-        keys = [p.ts for p in self._points]
-        i = bisect.bisect_right(keys, ts)
+        i = bisect.bisect_right(self._keys, ts)
         lower = self._points[i - 1] if i > 0 else None
         upper = self._points[i] if i < len(self._points) else None
         return lower, upper
