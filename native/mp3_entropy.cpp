@@ -1292,4 +1292,98 @@ int32_t sh_mp3_extract(
     return g_out;
 }
 
+// ---------------------------------------------------------------------------
+// Stateful per-packet stream API (the per-packet AudioDecoder fast path).
+// Carries the bit reservoir across calls so each packet decodes exactly
+// once — no windowed re-extraction — and fuses the dense stage
+// (native/mp3_dense.cpp) behind one ctypes call per packet.
+// ---------------------------------------------------------------------------
+
+int32_t sh_mp3_dense_granule(const float* x, int32_t bt, int32_t mixed,
+                             float* hybrid_tail, float* synth_tail,
+                             float* out);
+
+struct Mp3Stream {
+    std::vector<uint8_t> reservoir;
+};
+
+void* sh_mp3_stream_open() { return new Mp3Stream(); }
+void sh_mp3_stream_close(void* p) { delete (Mp3Stream*)p; }
+void sh_mp3_stream_reset(void* p) {
+    ((Mp3Stream*)p)->reservoir.clear();
+}
+
+// Decode ONE frame against the carried reservoir straight to PCM.
+// pcm is [2][2*576] (channel-major), hybrid_tail [2][32*18], synth_tail
+// [2][480] — all caller-owned, tails updated in place only if the whole
+// frame decodes. Returns the granule count, or a negative status with the
+// same codes (and the same reservoir bookkeeping) as sh_mp3_extract: md
+// bytes are added for decoded (+n), underflowed (-4) and partially
+// decoded (-5) frames, skipped for unparseable ones (-1/-2/-3), keeping
+// a Python-oracle reservoir maintained in parallel bit-identical.
+int32_t sh_mp3_stream_decode(void* p, const uint8_t* fd, int64_t flen,
+                             float* pcm, float* hybrid_tail,
+                             float* synth_tail) {
+    Mp3Stream* ctx = (Mp3Stream*)p;
+    std::vector<uint8_t>& reservoir = ctx->reservoir;
+    Hdr h;
+    if (flen < 4 || !parse_hdr(fd, &h) || h.frame_size > flen) return -1;
+    int pos = 4 + (h.crc ? 2 : 0);
+    int side_len = h.side_len();
+    Bits sb(fd + pos, side_len);
+    int main_data_begin;
+    bool scfsi[2][4];
+    GrChan gr[2][2];
+    if (!read_side_info(sb, h, &main_data_begin, scfsi, gr)) return -2;
+    const uint8_t* md = fd + pos + side_len;
+    int64_t md_len = h.frame_size - pos - side_len;
+    if (md_len < 0) return -3;
+
+    bool underflow = main_data_begin > (int)reservoir.size();
+    std::vector<uint8_t> buf;
+    if (!underflow) {
+        buf.assign(reservoir.end() - main_data_begin, reservoir.end());
+        buf.insert(buf.end(), md, md + md_len);
+    }
+    reservoir.insert(reservoir.end(), md, md + md_len);
+    if (reservoir.size() > 511)
+        reservoir.erase(reservoir.begin(), reservoir.end() - 511);
+    if (underflow) return -4;
+
+    int n_gr = h.mpeg1() ? 2 : 1;
+    int n_ch = h.n_ch();
+    // Entropy for every granule first; the dense tails are only touched
+    // once the whole frame is known-good (a fallback re-decode must see
+    // untouched state).
+    float spec[2][2][576];
+    Bits bs(buf.data(), (int64_t)buf.size());
+    for (int g = 0; g < n_gr; g++) {
+        float* s0 = spec[g][0];
+        float* s1 = spec[g][1];
+        memset(s1, 0, sizeof(spec[g][1]));
+        for (int ch = 0; ch < n_ch; ch++) {
+            GrChan& c = gr[g][ch];
+            int part2 = h.mpeg1() ? read_scf_mpeg1(bs, g, ch, scfsi, gr)
+                                  : read_scf_mpeg2(bs, (ch == 1) && h.intensity(), c);
+            int part3 = c.part23 - part2;
+            if (part3 < 0 || bs.error) return -5;
+            float* dst = ch == 0 ? s0 : s1;
+            if (!read_huffman(bs, c, part3, dst)) return -5;
+            requantize(h, c, dst);
+        }
+        if (n_ch == 2) stereo(h, gr[g], s0, s1);
+        for (int ch = 0; ch < n_ch; ch++)
+            reorder(h, gr[g][ch], ch == 0 ? s0 : s1);
+    }
+    for (int g = 0; g < n_gr; g++)
+        for (int ch = 0; ch < n_ch; ch++) {
+            int rc = sh_mp3_dense_granule(
+                spec[g][ch], gr[g][ch].block_type, gr[g][ch].mixed ? 1 : 0,
+                hybrid_tail + ch * 32 * 18, synth_tail + ch * 480,
+                pcm + ch * (n_gr * 576) + g * 576);
+            if (rc != 0) return -6;
+        }
+    return n_gr;
+}
+
 }  // extern "C"

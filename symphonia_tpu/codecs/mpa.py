@@ -37,10 +37,22 @@ RESERVOIR_MAX = 511
 class Layer3State:
     def __init__(self):
         self.reservoir = bytearray()
-        self.dense: List[GranuleDenseState] = [GranuleDenseState(), GranuleDenseState()]
+        # Dense tails live in shared [C, ...] blocks so the native fused
+        # pipeline and the Python oracle mutate the SAME state (both
+        # update in place) — either path can pick up mid-stream.
+        self.hybrid_tails = np.zeros((2, 32, 18), dtype=np.float32)
+        self.synth_tails = np.zeros((2, 480), dtype=np.float32)
+        self.dense: List[GranuleDenseState] = [
+            GranuleDenseState(self.hybrid_tails[c], self.synth_tails[c])
+            for c in range(2)
+        ]
+        self.stream = None  # lazy native Mp3Stream context (False = absent)
+        self.pcm_buf = np.empty((2, 2 * 576), dtype=np.float32)
 
     def reset(self):
         self.reservoir.clear()
+        if self.stream:
+            self.stream.reset()
         for d in self.dense:
             d.reset()
 
@@ -126,7 +138,9 @@ class MpaDecoder(AudioDecoder):
         if header.sample_rate != self.spec.rate or header.n_channels != self.spec.num_channels:
             raise DecodeError("frame parameters changed mid-stream")
         if header.layer == LAYER3:
-            pcm = decode_layer3_frame(header, frame, self._l3)
+            pcm = self._decode_l3_native(header, frame)
+            if pcm is None:
+                pcm = decode_layer3_frame(header, frame, self._l3)
         else:
             from . import mpa_layer12 as l12
 
@@ -137,6 +151,49 @@ class MpaDecoder(AudioDecoder):
         buf.trim(packet.trim_start, packet.trim_end)
         self._last = buf
         return buf
+
+    def _decode_l3_native(self, header: MpaHeader, frame: bytes):
+        """Native per-packet fast path (sh_mp3_stream_decode): a stateful
+        C++ context carries the bit reservoir and the fused dense stage
+        decodes frame -> PCM in one call. Returns the frame PCM, or None
+        to fall back to the Python oracle path. Both paths maintain the
+        Python-side reservoir identically (the C++ bookkeeping adds main
+        data for decoded and underflowed frames, skips unparseable ones —
+        decode_layer3_frame's exact semantics), so either can pick up
+        mid-stream.
+        """
+        from .. import native
+
+        st = self._l3
+        if st.stream is None:
+            import os
+
+            # SYMPHONIA_TPU_MP3_STREAM=off forces the Python oracle path
+            # (parity testing / A-B measurement).
+            if os.environ.get("SYMPHONIA_TPU_MP3_STREAM") == "off":
+                st.stream = False
+            else:
+                st.stream = native.mp3_stream_open() or False
+        if not st.stream:
+            return None
+        md_off = 4 + (2 if header.has_crc else 0) + header.side_info_len()
+        if header.frame_size < md_off or header.frame_size > len(frame):
+            # Truncated/short frame: the Python path may stash partial
+            # main data the native walk would skip — reset the context so
+            # it conservatively re-anchors (self-heals within ~511 bytes
+            # of main data via reservoir-underflow fallbacks).
+            st.stream.reset()
+            return None
+        fb = bytes(frame[: header.frame_size])
+        n = native.mp3_stream_decode(
+            st.stream, fb, st.hybrid_tails, st.synth_tails, st.pcm_buf)
+        if n <= 0:
+            return None
+        # Keep the Python-oracle reservoir in sync for later fallbacks.
+        st.reservoir.extend(fb[md_off:])
+        del st.reservoir[:-RESERVOIR_MAX]
+        n_ch = header.n_channels
+        return st.pcm_buf[:n_ch, : n * 576].copy()
 
     def reset(self) -> None:
         self._l3.reset()

@@ -26,7 +26,8 @@ _SRCS = [_ROOT / "native" / "symphonia_host.cpp",
          _ROOT / "native" / "vorbis_entropy.cpp",
          _ROOT / "native" / "alac_decode.cpp",
          _ROOT / "native" / "adpcm_loops.cpp",
-         _ROOT / "native" / "mpa_layer12.cpp"]
+         _ROOT / "native" / "mpa_layer12.cpp",
+         _ROOT / "native" / "mp3_dense.cpp"]
 _HDRS = [_ROOT / "native" / "entropy_common.h",
          _ROOT / "native" / "mp3_tables.h"]
 _SO = _ROOT / "native" / "libsymphonia_host.so"
@@ -160,6 +161,29 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, c_i32p, c_f64p, c_f32p]
     except AttributeError:
         pass  # older .so without the L1/L2 stage
+    try:
+        c_f32p = ctypes.POINTER(ctypes.c_float)
+        lib.sh_mp3_set_dense.restype = None
+        lib.sh_mp3_set_dense.argtypes = [
+            c_f32p, c_f32p, c_f32p, c_i32p, c_f32p, c_f32p]
+        lib.sh_mp3_dense_ready.restype = ctypes.c_int32
+        lib.sh_mp3_dense_ready.argtypes = []
+        lib.sh_mp3_dense_granule.restype = ctypes.c_int32
+        lib.sh_mp3_dense_granule.argtypes = [
+            c_f32p, ctypes.c_int32, ctypes.c_int32, c_f32p, c_f32p, c_f32p]
+        lib.sh_mp3_polyphase.restype = ctypes.c_int32
+        lib.sh_mp3_polyphase.argtypes = [c_f32p, ctypes.c_int32, c_f32p]
+        lib.sh_mp3_stream_open.restype = ctypes.c_void_p
+        lib.sh_mp3_stream_open.argtypes = []
+        lib.sh_mp3_stream_close.restype = None
+        lib.sh_mp3_stream_close.argtypes = [ctypes.c_void_p]
+        lib.sh_mp3_stream_reset.restype = None
+        lib.sh_mp3_stream_reset.argtypes = [ctypes.c_void_p]
+        lib.sh_mp3_stream_decode.restype = ctypes.c_int32
+        lib.sh_mp3_stream_decode.argtypes = [
+            ctypes.c_void_p, c_u8p, ctypes.c_int64, c_f32p, c_f32p, c_f32p]
+    except AttributeError:
+        pass  # older .so without the dense stage
     lib.sh_mp3_extract.restype = ctypes.c_int32
     lib.sh_mp3_extract.argtypes = [
         c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
@@ -272,11 +296,15 @@ def mp3_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
         return None
     a = np.frombuffer(buf, dtype=np.uint8)
     F = len(offsets)
-    spectra = np.zeros((max_granules, 2, 576), dtype=np.float32)
-    bt = np.zeros((max_granules, 2), dtype=np.int32)
-    mixed = np.zeros((max_granules, 2), dtype=np.int32)
-    gr_frame = np.zeros(max_granules, dtype=np.int32)
-    status = np.zeros(F, dtype=np.int32)
+    # Pooled uninitialized outputs: the C++ writer fills every field the
+    # caller reads back ([:g] rows of spectra/bt/mixed/gr_frame for emitted
+    # granules, all F status slots), so np.empty reuse is safe. Callers
+    # must consume results before the next call (per-packet fast path).
+    spectra = _pooled("mp3_spectra", (max_granules, 2, 576), np.float32)
+    bt = _pooled("mp3_bt", (max_granules, 2), np.int32)
+    mixed = _pooled("mp3_mixed", (max_granules, 2), np.int32)
+    gr_frame = _pooled("mp3_gr_frame", (max_granules,), np.int32)
+    status = _pooled("mp3_status", (F,), np.int32)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     sizes = np.ascontiguousarray(sizes, dtype=np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -293,6 +321,127 @@ def mp3_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
         "spectra": spectra[:g], "bt": bt[:g], "mixed": mixed[:g],
         "gr_frame": gr_frame[:g], "status": status, "n_granules": g,
     }
+
+
+_MP3_DENSE_SET = False
+
+
+def _mp3_ensure_dense(lib) -> bool:
+    """Register the MP3 dense-stage tables (once) from ops.mp3_dense —
+    the numeric source of truth stays in Python."""
+    global _MP3_DENSE_SET
+    if _MP3_DENSE_SET:
+        return True
+    if not hasattr(lib, "sh_mp3_set_dense"):
+        return False
+    from .ops.mp3_dense import (
+        antialias_coeffs,
+        hybrid_matrices,
+        polyphase_matrix,
+        synthesis_window,
+        _synth_sel_idx,
+    )
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    T4 = np.ascontiguousarray(hybrid_matrices(), dtype=np.float32)
+    N = np.ascontiguousarray(polyphase_matrix(), dtype=np.float32)
+    W = np.ascontiguousarray(synthesis_window(), dtype=np.float32)
+    qidx = np.ascontiguousarray(_synth_sel_idx(), dtype=np.int32)
+    cs, ca = antialias_coeffs()
+    cs = np.ascontiguousarray(cs, dtype=np.float32)
+    ca = np.ascontiguousarray(ca, dtype=np.float32)
+    lib.sh_mp3_set_dense(
+        T4.ctypes.data_as(f32p), N.ctypes.data_as(f32p),
+        W.ctypes.data_as(f32p),
+        qidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cs.ctypes.data_as(f32p), ca.ctypes.data_as(f32p),
+    )
+    _MP3_DENSE_SET = True
+    return True
+
+
+def mp3_dense_granule(x: np.ndarray, bt: int, mixed: bool,
+                      hybrid_tail: np.ndarray, synth_tail: np.ndarray):
+    """Native granule dense stage: [576] spectral -> [576] PCM, updating
+    the carried tails in place. Returns the PCM array or None (caller
+    falls back to ops.mp3_dense.granule_dense_np)."""
+    lib = _load()
+    if lib is None or not _mp3_ensure_dense(lib):
+        return None
+    assert x.dtype == np.float32 and x.flags.c_contiguous
+    assert hybrid_tail.dtype == np.float32 and hybrid_tail.flags.c_contiguous
+    assert synth_tail.dtype == np.float32 and synth_tail.flags.c_contiguous
+    out = np.empty(576, dtype=np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.sh_mp3_dense_granule(
+        x.ctypes.data_as(f32p), int(bt), int(bool(mixed)),
+        hybrid_tail.ctypes.data_as(f32p), synth_tail.ctypes.data_as(f32p),
+        out.ctypes.data_as(f32p),
+    )
+    return out if rc == 0 else None
+
+
+def mp3_polyphase(S: np.ndarray):
+    """Native polyphase: [T, 32] subband samples -> [(T+15)*32] response
+    (Layer I/II per-packet path). Returns None if unavailable."""
+    lib = _load()
+    if lib is None or not _mp3_ensure_dense(lib):
+        return None
+    T = S.shape[0]
+    S = np.ascontiguousarray(S, dtype=np.float32)
+    resp = np.empty((T + 15) * 32, dtype=np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.sh_mp3_polyphase(S.ctypes.data_as(f32p), T,
+                              resp.ctypes.data_as(f32p))
+    return resp if rc == 0 else None
+
+
+class Mp3Stream:
+    """Handle for the stateful native per-packet MP3 pipeline (carried bit
+    reservoir in C++; entropy + dense fused behind one call per frame)."""
+
+    def __init__(self, lib, ctx):
+        self._lib = lib
+        self._ctx = ctx
+
+    def __del__(self):
+        if self._ctx:
+            self._lib.sh_mp3_stream_close(self._ctx)
+            self._ctx = None
+
+    def reset(self) -> None:
+        self._lib.sh_mp3_stream_reset(self._ctx)
+
+
+def mp3_stream_open():
+    """Create a native MP3 stream context, or None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_mp3_stream_open"):
+        return None
+    if not _mp3_ensure_dense(lib):
+        return None
+    ctx = lib.sh_mp3_stream_open()
+    return Mp3Stream(lib, ctx) if ctx else None
+
+
+def mp3_stream_decode(stream: "Mp3Stream", frame: bytes,
+                      hybrid_tails: np.ndarray, synth_tails: np.ndarray,
+                      pcm_out: np.ndarray) -> int:
+    """Decode one whole frame -> PCM via the native stream context.
+
+    hybrid_tails [2,32,18] f32, synth_tails [2,480] f32, pcm_out [2,1152]
+    f32, all C-contiguous and caller-owned; tails update in place only on
+    success. Returns granule count > 0, or a negative status (same codes
+    and reservoir bookkeeping as sh_mp3_extract)."""
+    lib = stream._lib
+    a = np.frombuffer(frame, dtype=np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    return int(lib.sh_mp3_stream_decode(
+        stream._ctx, _u8ptr(a), len(a),
+        pcm_out.ctypes.data_as(f32p),
+        hybrid_tails.ctypes.data_as(f32p),
+        synth_tails.ctypes.data_as(f32p),
+    ))
 
 
 _POOL = {}

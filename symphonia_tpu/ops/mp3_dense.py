@@ -168,11 +168,15 @@ def antialias_np(x: np.ndarray, n_boundaries: int) -> np.ndarray:
         return x
     cs, ca = antialias_coeffs()
     y = x.copy()
-    for b in range(1, 1 + n_boundaries):
-        lo = x[b - 1, 17:9:-1]  # samples 17..10 of the lower subband
-        hi = x[b, 0:8]
-        y[b - 1, 17:9:-1] = lo * cs - hi * ca
-        y[b, 0:8] = hi * cs + lo * ca
+    # Each boundary butterfly touches samples 10..17 of subband b-1 and
+    # 0..7 of subband b — disjoint sets across boundaries — so all
+    # boundaries vectorize in one shot (bit-identical: same per-element
+    # expressions, reading the original x).
+    nb = n_boundaries
+    lo = x[0:nb, 17:9:-1]  # samples 17..10 of the lower subbands [nb, 8]
+    hi = x[1 : nb + 1, 0:8]
+    y[0:nb, 17:9:-1] = lo * cs - hi * ca
+    y[1 : nb + 1, 0:8] = hi * cs + lo * ca
     return y
 
 
@@ -202,21 +206,32 @@ def polyphase_response_np(hybrid_out: np.ndarray) -> np.ndarray:
     S = hybrid_out.T  # [T, 32 sb]
     T = S.shape[0]
     V = S @ N.T  # [T, 64]
-    v_sel = V[:, qidx]  # [T, 16, 32]
-    c = v_sel * W[None, :, :]  # [T, 16, 32]
-    out = np.zeros((T + 15, 32), dtype=np.float32)
-    for k in range(16):
-        out[k : k + T] += c[:, k, :]
-    return out.reshape(-1)
+    c = (V[:, qidx] * W[None, :, :]).astype(np.float32, copy=False)  # [T, 16, 32]
+    # out[t] = sum_k c[t-k, k] (the 16 overlapping tap groups). A strided
+    # view over a zero-padded copy turns the 16 shifted adds into one
+    # reduction: w[t, k, j] = A[15 + t - k, k, j] = c[t-k, k, j] or 0.
+    A = np.zeros((T + 30, 16, 32), dtype=np.float32)
+    A[15 : 15 + T] = c
+    s0, s1, s2 = A.strides
+    w = np.lib.stride_tricks.as_strided(
+        A[15:], shape=(T + 15, 16, 32), strides=(s0, s1 - s0, s2)
+    )
+    return w.sum(axis=1, dtype=np.float32).reshape(-1)
 
 
 class GranuleDenseState:
     """Carries cross-granule linear state for the stateful per-packet path:
     the hybrid overlap tail and the pending polyphase response tail."""
 
-    def __init__(self):
-        self.hybrid_tail = np.zeros((32, 18), dtype=np.float32)
-        self.synth_tail = np.zeros(480, dtype=np.float32)
+    def __init__(self, hybrid_tail: np.ndarray = None, synth_tail: np.ndarray = None):
+        # Optional caller-owned buffers: the per-packet decoder passes
+        # views into one [C, ...] block shared with the native dense stage,
+        # so both paths mutate the same state. Updates are in-place —
+        # the array identity is stable.
+        self.hybrid_tail = (np.zeros((32, 18), dtype=np.float32)
+                            if hybrid_tail is None else hybrid_tail)
+        self.synth_tail = (np.zeros(480, dtype=np.float32)
+                           if synth_tail is None else synth_tail)
 
     def reset(self):
         self.hybrid_tail[:] = 0
@@ -235,12 +250,12 @@ def granule_dense_np(
     xb = antialias_np(xb, n_bounds)
     tmp = hybrid_synthesis_np(xb, block_type, mixed)  # [32, 36]
     sb_time = tmp[:, :18] + state.hybrid_tail
-    state.hybrid_tail = tmp[:, 18:].copy()
+    state.hybrid_tail[:] = tmp[:, 18:]
     sb_time = sb_time * freq_inversion_mask()
     resp = polyphase_response_np(sb_time)
     out = resp[:576].copy()
     out[:480] += state.synth_tail
-    state.synth_tail = resp[576:].copy()
+    state.synth_tail[:] = resp[576:]
     return out
 
 

@@ -657,3 +657,103 @@ pickle.dump(outs, open(sys.argv[2], "wb"))
         for i, (a, b) in enumerate(zip(results["simd"], results["scalar"])):
             assert a[0] > 0, f"case {i}: no granules decoded"
             assert a == b, f"case {i}: engine outputs differ"
+
+
+class TestPerPacketNativeStream:
+    """The per-packet AudioDecoder fast path (sh_mp3_stream_decode: C++
+    carried reservoir + fused dense stage) vs the pure-Python oracle
+    path, over real MPEG2.5 mono and synthetic MPEG1 stereo streams."""
+
+    def _decode_forced(self, data, monkeypatch, mode):
+        if mode == "off":
+            monkeypatch.setenv("SYMPHONIA_TPU_MP3_STREAM", "off")
+        else:
+            monkeypatch.delenv("SYMPHONIA_TPU_MP3_STREAM", raising=False)
+        r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
+        dec = MpaDecoder(r.default_track().codec_params)
+        outs = []
+        n_native = 0
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            try:
+                outs.append(dec.decode(p).planes().copy())
+            except DecodeError:
+                continue
+        if mode != "off":
+            n_native = 1 if dec._l3.stream else 0
+        return np.concatenate(outs, axis=1), n_native
+
+    @pytest.mark.parametrize("content", ["house", "mpeg1_stereo"])
+    def test_stream_matches_oracle(self, content, monkeypatch):
+        from symphonia_tpu import native
+
+        if native.mp3_stream_open() is None:
+            pytest.skip("native stream API unavailable")
+        if content == "house":
+            with open(HOUSE_MP3, "rb") as f:
+                data = f.read()
+        else:
+            data = build_mpeg1_l3_stream(24, n_ch=2, seed=7)
+        a, used_native = self._decode_forced(data, monkeypatch, "on")
+        b, _ = self._decode_forced(data, monkeypatch, "off")
+        assert used_native == 1
+        assert a.shape == b.shape
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() <= 1e-4 * scale, np.abs(a - b).max()
+
+    def test_native_dense_granule_parity(self):
+        """sh_mp3_dense_granule vs granule_dense_np over chained granules
+        of every block type, shared carried state."""
+        from symphonia_tpu import native
+
+        if native._load() is None or not native._mp3_ensure_dense(native._load()):
+            pytest.skip("native dense stage unavailable")
+        rng = np.random.default_rng(5)
+        s_py = md.GranuleDenseState()
+        s_nat = md.GranuleDenseState()
+        for it in range(40):
+            bt = int(rng.integers(0, 4))
+            mixed = bool(bt == md.BLOCK_SHORT and rng.random() < 0.5)
+            x = (rng.standard_normal(576) * 0.5).astype(np.float32)
+            a = md.granule_dense_np(x.copy(), bt, mixed, s_py)
+            b = native.mp3_dense_granule(x, bt, mixed, s_nat.hybrid_tail,
+                                         s_nat.synth_tail)
+            assert b is not None
+            scale = max(np.abs(a).max(), 1e-3)
+            assert np.abs(a - b).max() <= 2e-5 * scale, it
+
+    def test_state_interop_mid_stream(self, monkeypatch):
+        """The native and Python paths share dense-tail/reservoir state:
+        disabling the native context mid-stream must keep PCM continuous
+        (no reset glitch) within float tolerance."""
+        from symphonia_tpu import native
+
+        if native.mp3_stream_open() is None:
+            pytest.skip("native stream API unavailable")
+        monkeypatch.delenv("SYMPHONIA_TPU_MP3_STREAM", raising=False)
+        data = build_mpeg1_l3_stream(24, n_ch=2, seed=11)
+        ref, _ = self._decode_forced(data, monkeypatch, "off")
+
+        r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
+        dec = MpaDecoder(r.default_track().codec_params)
+        outs = []
+        i = 0
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            if i == 12:
+                # Kill the native context mid-stream: subsequent packets
+                # take the Python path against the SAME carried state.
+                dec._l3.stream = False
+            try:
+                outs.append(dec.decode(p).planes().copy())
+            except DecodeError:
+                continue
+            i += 1
+        got = np.concatenate(outs, axis=1)
+        assert got.shape == ref.shape
+        scale = max(np.abs(ref).max(), 1e-3)
+        assert np.abs(got - ref).max() <= 1e-4 * scale
