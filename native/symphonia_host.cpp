@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <vector>
 
 namespace {
 
@@ -496,6 +497,86 @@ int32_t sh_flac_stream_extract(
         f++;
     }
     return f;
+}
+
+// Per-packet full-frame decode (the per-packet AudioDecoder fast path):
+// entropy via extract_one_frame, then the integer predictor recurrence +
+// stereo decorrelation in int64 (decoder.rs:663,716 semantics; constant/
+// verbatim subframes come through as order-0 recurrences). Writes
+// pcm[C][n_max] int32; meta = {block_size, bps, consumed_bytes}. Callers
+// gate on streams whose residuals fit int32 (bits_per_sample <= 25, the
+// same criterion as the batch device path). Returns 0, or a negative
+// extract status; -20 = CRC-16 mismatch (when verify_crc).
+int32_t sh_flac_decode_frame(
+    const uint8_t* fd, int64_t flen,
+    int32_t si_channels, int32_t si_bits, int32_t si_rate, int32_t si_block_max,
+    int32_t max_ch, int32_t n_max, int32_t verify_crc,
+    int32_t* pcm, int32_t* meta) {
+    // Persistent scratch (grow-only): a fresh std::vector would memset
+    // ~100 KB per call, a large share of the per-packet budget.
+    static thread_local std::vector<int32_t> res;
+    static thread_local std::vector<int64_t> x;
+    if ((int64_t)res.size() < (int64_t)max_ch * n_max)
+        res.resize((size_t)max_ch * n_max);
+    int32_t coefs[8 * 32], order[8], shift[8], wasted[8];
+    int32_t block, assign, bps;
+    if (max_ch > 8) return -13;
+    int64_t consumed = extract_one_frame(
+        fd, flen, si_channels, si_bits, si_rate, si_block_max, max_ch, n_max,
+        0, res.data(), coefs, order, shift, wasted, &block, &assign, &bps);
+    if (consumed < 0) return (int32_t)consumed;
+    if (verify_crc) {
+        uint16_t expect = (uint16_t)((fd[consumed - 2] << 8) | fd[consumed - 1]);
+        if (crc16_buf(fd, consumed - 2) != expect) return -20;
+    }
+    FlacHeader h;
+    parse_flac_header(fd, flen < 16 ? flen : 16, si_channels, si_bits,
+                      si_rate, si_block_max, &h);
+    int n_ch = h.n_channels;
+    if ((int64_t)x.size() < (int64_t)n_ch * block)
+        x.resize((size_t)n_ch * block);
+    for (int ch = 0; ch < n_ch; ch++) {
+        const int32_t* r = res.data() + (size_t)ch * n_max;
+        const int32_t* c = coefs + ch * 32;
+        int o = order[ch];
+        int sh = shift[ch];
+        int64_t* xs = x.data() + (size_t)ch * block;
+        for (int i = 0; i < o; i++) xs[i] = r[i];
+        for (int i = o; i < block; i++) {
+            int64_t acc = 0;
+            for (int j = 0; j < o; j++) acc += (int64_t)c[j] * xs[i - 1 - j];
+            xs[i] = (int64_t)r[i] + (acc >> sh);
+        }
+        if (wasted[ch])
+            for (int i = 0; i < block; i++) xs[i] <<= wasted[ch];
+    }
+    // Decorrelate (decoder.rs:32-83): 0=independent, 1=left/side,
+    // 2=right/side, 3=mid/side.
+    if (n_ch == 2 && assign != 0) {
+        int64_t* a = x.data();
+        int64_t* b = x.data() + block;
+        if (assign == 1) {
+            for (int i = 0; i < block; i++) b[i] = a[i] - b[i];
+        } else if (assign == 2) {
+            for (int i = 0; i < block; i++) a[i] = a[i] + b[i];
+        } else if (assign == 3) {
+            for (int i = 0; i < block; i++) {
+                int64_t m2 = (a[i] << 1) | (b[i] & 1);
+                int64_t s = b[i];
+                a[i] = (m2 + s) >> 1;
+                b[i] = (m2 - s) >> 1;
+            }
+        }
+    }
+    for (int ch = 0; ch < n_ch; ch++) {
+        const int64_t* xs = x.data() + (size_t)ch * block;
+        int32_t* o = pcm + (size_t)ch * n_max;
+        for (int i = 0; i < block; i++) o[i] = (int32_t)xs[i];
+    }
+    meta[0] = block;
+    meta[1] = bps;
+    meta[2] = (int32_t)consumed;
+    return 0;
 }
 
 }  // extern "C"

@@ -342,13 +342,31 @@ class FlacDecoder(AudioDecoder):
         return [CODEC_ID_FLAC]
 
     def decode(self, packet: Packet) -> AudioBuffer:
-        frame = parse_frame(packet.data, self.stream_info,
-                            verify_crc=self.options.verify)
-        pcm = reconstruct_frame(frame)
+        # Native fast path (sh_flac_decode_frame: entropy + int64 predictor
+        # + decorrelation in one call; os.environ SYMPHONIA_TPU_FLAC_FRAME=
+        # off forces the oracle). Any error status or wide stream falls
+        # back to the Python oracle so malformed-input behavior (incl.
+        # exception types) is identical.
+        import os
+
+        pcm = bps = None
+        if os.environ.get("SYMPHONIA_TPU_FLAC_FRAME") != "off":
+            from .. import native
+
+            got = native.flac_decode_frame(
+                bytes(packet.data), self.stream_info,
+                verify_crc=self.options.verify)
+            if got is not None:
+                pcm, bps = got
+        if pcm is None:
+            frame = parse_frame(packet.data, self.stream_info,
+                                verify_crc=self.options.verify)
+            pcm = reconstruct_frame(frame)
+            bps = frame.bits_per_sample
         if self._md5 is not None:
-            self._md5.process(md5_bytes_of(pcm, frame.bits_per_sample))
+            self._md5.process(md5_bytes_of(pcm, bps))
         buf = AudioBuffer.from_array(
-            pcm.astype(np.int32), self.spec, bits_per_sample=frame.bits_per_sample
+            pcm.astype(np.int32), self.spec, bits_per_sample=bps
         )
         buf.trim(packet.trim_start, packet.trim_end)
         self._last = buf

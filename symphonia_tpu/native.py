@@ -101,6 +101,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sh_flac_extract_simd.argtypes = lib.sh_flac_extract.argtypes
     except AttributeError:
         pass
+    try:
+        lib.sh_flac_decode_frame.restype = ctypes.c_int32
+        lib.sh_flac_decode_frame.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, c_i32p, c_i32p,
+        ]
+    except AttributeError:
+        pass  # older .so without the per-packet FLAC stage
     lib.sh_flac_stream_extract.restype = ctypes.c_int32
     lib.sh_flac_stream_extract.argtypes = [
         c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -282,6 +291,33 @@ def flac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray, si,
         "wasted": wasted, "block": block, "assign": assign, "bps": bps,
         "status": status, "F": F, "C": C, "n_max": n_max,
     }
+
+
+def flac_decode_frame(data: bytes, si, verify_crc: bool = False):
+    """Full single-frame native decode for the per-packet AudioDecoder:
+    entropy + predictor + decorrelation -> (pcm int32 [C, block], bps).
+    Returns None to fall back to the Python oracle (native unavailable,
+    wide streams whose residuals may not fit int32, or any error
+    status — malformed-input behavior stays identical via the fallback).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_flac_decode_frame"):
+        return None
+    if si.bits_per_sample > 25 or si.channels > 8:
+        return None
+    n_max = max(si.block_len_max, 16)
+    a = np.frombuffer(data, dtype=np.uint8)
+    pcm = _pooled("flac_pkt_pcm", (si.channels, n_max), np.int32)
+    meta = np.zeros(3, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.sh_flac_decode_frame(
+        _u8ptr(a), len(a), si.channels, si.bits_per_sample, si.sample_rate,
+        si.block_len_max, si.channels, n_max, 1 if verify_crc else 0,
+        pcm.ctypes.data_as(i32p), meta.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        return None
+    return pcm[:, : meta[0]], int(meta[1])
 
 
 def mp3_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
