@@ -45,6 +45,11 @@ struct CrcTables {
 
 const CrcTables kCrc;
 
+uint8_t crc8_buf(const uint8_t* p, int64_t n, uint8_t init) {
+    uint8_t c = init;
+    for (int64_t i = 0; i < n; i++) c = kCrc.crc8[c ^ p[i]];
+    return c;
+}
 uint8_t crc8_buf(const uint8_t* p, int64_t n) {
     uint8_t c = 0;
     for (int64_t i = 0; i < n; i++) c = kCrc.crc8[c ^ p[i]];
@@ -233,6 +238,9 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 uint32_t sh_crc8(const uint8_t* p, int64_t n) { return crc8_buf(p, n); }
+uint32_t sh_crc8_init(const uint8_t* p, int64_t n, uint32_t init) {
+    return crc8_buf(p, n, (uint8_t)init);
+}
 uint32_t sh_crc16(const uint8_t* p, int64_t n, uint32_t init) { return crc16_buf(p, n, (uint16_t)init); }
 uint32_t sh_crc32(const uint8_t* p, int64_t n, uint32_t init) { return crc32_buf(p, n, init); }
 

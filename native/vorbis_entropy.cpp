@@ -618,13 +618,24 @@ int32_t sh_vorbis_decode(
     int n2max = C.bs1 / 2;
     C.residue_buf.resize((size_t)n_ch * n2max);
     C.flat_buf.resize((size_t)n_ch * n2max);
-    std::vector<float> floor_curve(n2max);
-    std::vector<float*> vecs(n_ch);
-    std::vector<uint8_t> dnd(n_ch);
-    std::vector<int64_t> y1((size_t)n_ch * 256);
-    std::vector<uint8_t> f1_used(n_ch);
-    std::vector<int64_t> f0_amp(n_ch);
-    std::vector<std::vector<double>> f0_coeffs(n_ch);
+    // Persistent scratch (grow-only): fresh vectors would heap-allocate
+    // per call, a real cost on the one-packet-per-call per-packet path.
+    static thread_local std::vector<float> floor_curve;
+    static thread_local std::vector<float*> vecs;
+    static thread_local std::vector<uint8_t> dnd;
+    static thread_local std::vector<int64_t> y1;
+    static thread_local std::vector<uint8_t> f1_used;
+    static thread_local std::vector<int64_t> f0_amp;
+    static thread_local std::vector<std::vector<double>> f0_coeffs;
+    if ((int)floor_curve.size() < n2max) floor_curve.resize(n2max);
+    if ((int)vecs.size() < n_ch) {
+        vecs.resize(n_ch);
+        dnd.resize(n_ch);
+        y1.resize((size_t)n_ch * 256);
+        f1_used.resize(n_ch);
+        f0_amp.resize(n_ch);
+        f0_coeffs.resize(n_ch);
+    }
 
     for (int32_t p = 0; p < n_pkts; p++) {
         status[p] = 0;

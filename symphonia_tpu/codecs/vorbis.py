@@ -450,6 +450,7 @@ class VorbisDecoder(AudioDecoder):
         self.bs0 = 1 << self.ident.bs0_exp
         self.bs1 = 1 << self.ident.bs1_exp
         self.dsp = VorbisDsp(self.ident.n_channels, self.bs0, self.bs1)
+        self._native = None  # lazy native context (False = unavailable)
         self.spec = AudioSpec(
             self.ident.sample_rate, Channels.from_count(self.ident.n_channels)
         )
@@ -498,6 +499,29 @@ class VorbisDecoder(AudioDecoder):
         """
         if not data:
             raise DecodeError("empty packet")
+        # Native fast path (native/vorbis_entropy.cpp via a persistent
+        # context; SYMPHONIA_TPU_VORBIS_STREAM=off forces the oracle). Any
+        # error status falls back to this Python path so malformed-input
+        # behavior is identical.
+        if self._native is None:
+            import os
+
+            from .. import native as _native
+
+            if os.environ.get("SYMPHONIA_TPU_VORBIS_STREAM") == "off":
+                self._native = False
+            else:
+                self._native = _native.vorbis_stream_open(self) or False
+        if self._native:
+            from .. import native as _native
+
+            got = _native.vorbis_stream_decode(self._native, bytes(data))
+            if got is not None:
+                spectra, block_flag = got
+                n2 = (self.bs1 if block_flag else self.bs0) // 2
+                # Copy out of the pooled native buffer: callers may
+                # accumulate spectra across packets (batch fallback).
+                return spectra[:, :n2].copy(), block_flag
         br = BitReaderRtl(data)
         if br.read_bits(1):
             raise DecodeError("not an audio packet")

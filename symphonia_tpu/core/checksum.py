@@ -39,6 +39,37 @@ _CRC8_TABLE = _make_table_msb(0x07, 8).astype(np.uint8)
 _CRC16_TABLE = _make_table_msb(0x8005, 16).astype(np.uint16)
 _CRC32_TABLE = _make_table_msb(0x04C11DB7, 32).astype(np.uint32)
 
+# Native bulk dispatch (identical tables in native/symphonia_host.cpp):
+# resolved lazily so `core` stays importable without the toolchain. Small
+# buffers stay in Python — the ctypes call costs more than the loop.
+_NATIVE_MIN = 64
+_native_lib = None
+
+
+def _native():
+    global _native_lib
+    if _native_lib is None:
+        try:
+            from .. import native as _n
+
+            lib = _n._load()
+            _native_lib = (lib, _n._u8ptr) if lib is not None else False
+        except Exception:
+            _native_lib = False
+    return _native_lib
+
+
+def _native_crc(fn_name: str, data, init: int):
+    nat = _native()
+    if not nat:
+        return None
+    lib, u8ptr = nat
+    fn = getattr(lib, fn_name, None)
+    if fn is None:
+        return None
+    a = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    return int(fn(u8ptr(a), len(a), init))
+
 
 class Crc8:
     """CRC-8/FLAC (poly 0x07, init 0) — checksum/crc8.rs."""
@@ -47,6 +78,11 @@ class Crc8:
         self._crc = init
 
     def process(self, data: bytes) -> None:
+        if len(data) >= _NATIVE_MIN:
+            got = _native_crc("sh_crc8_init", data, self._crc)
+            if got is not None:
+                self._crc = got
+                return
         crc = self._crc
         table = _CRC8_TABLE
         for b in data:
@@ -64,6 +100,11 @@ class Crc16:
         self._crc = init
 
     def process(self, data: bytes) -> None:
+        if len(data) >= _NATIVE_MIN:
+            got = _native_crc("sh_crc16", data, self._crc)
+            if got is not None:
+                self._crc = got
+                return
         crc = self._crc
         table = _CRC16_TABLE
         for b in data:
@@ -82,6 +123,11 @@ class Crc32:
         self._crc = init
 
     def process(self, data: bytes) -> None:
+        if len(data) >= _NATIVE_MIN:
+            got = _native_crc("sh_crc32", data, self._crc)
+            if got is not None:
+                self._crc = got
+                return
         crc = self._crc
         table = _CRC32_TABLE
         for b in data:

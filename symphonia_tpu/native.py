@@ -73,6 +73,11 @@ def _load() -> Optional[ctypes.CDLL]:
     c_i32p = ctypes.POINTER(ctypes.c_int32)
     lib.sh_crc8.restype = ctypes.c_uint32
     lib.sh_crc8.argtypes = [c_u8p, ctypes.c_int64]
+    try:
+        lib.sh_crc8_init.restype = ctypes.c_uint32
+        lib.sh_crc8_init.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_uint32]
+    except AttributeError:
+        pass
     lib.sh_crc16.restype = ctypes.c_uint32
     lib.sh_crc16.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_uint32]
     lib.sh_crc32.restype = ctypes.c_uint32
@@ -791,6 +796,69 @@ def _vorbis_serialize(ident, setup) -> Optional[bytes]:
     for md in setup.modes:
         i32(1 if md.block_flag else 0, md.mapping)
     return bytes(out)
+
+
+class VorbisStream:
+    """Persistent native Vorbis context for the per-packet decoder (setup
+    tables parsed once; sh_vorbis_decode called one packet at a time)."""
+
+    def __init__(self, lib, ctx, n_ch: int, n2max: int):
+        self._lib = lib
+        self._ctx = ctx
+        self.n_ch = n_ch
+        self.n2max = n2max
+        # Own per-call buffers with prebuilt ctypes pointers (the data_as
+        # dance costs ~1.5 us each; six per packet adds up).
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._offs = np.zeros(1, np.int64)
+        self._sizes = np.zeros(1, np.int64)
+        self.spectra = np.empty((1, n_ch, n2max), np.float32)
+        self._flags = np.empty(1, np.int32)
+        self._status = np.empty(1, np.int32)
+        self._p_offs = self._offs.ctypes.data_as(i64p)
+        self._p_sizes = self._sizes.ctypes.data_as(i64p)
+        self._p_spec = self.spectra.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float))
+        self._p_flags = self._flags.ctypes.data_as(i32p)
+        self._p_status = self._status.ctypes.data_as(i32p)
+
+    def __del__(self):
+        if self._ctx:
+            self._lib.sh_vorbis_close(self._ctx)
+            self._ctx = None
+
+
+def vorbis_stream_open(dec):
+    """Open a persistent native context for a VorbisDecoder, or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_vorbis_open"):
+        return None
+    blob = _vorbis_serialize(dec.ident, dec.setup)
+    if blob is None:
+        return None
+    b = np.frombuffer(blob, dtype=np.uint8)
+    ctx = lib.sh_vorbis_open(_u8ptr(b), len(b))
+    if not ctx:
+        return None
+    return VorbisStream(lib, ctx, dec.ident.n_channels,
+                        (1 << dec.ident.bs1_exp) // 2)
+
+
+def vorbis_stream_decode(stream: "VorbisStream", data: bytes):
+    """Entropy + floor/residue/coupling for ONE packet via the persistent
+    context. Returns (spectra [n_ch, n2max] f32 pooled view, block_flag)
+    or None (caller falls back to the Python oracle)."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    stream._sizes[0] = len(a)
+    stream._lib.sh_vorbis_decode(
+        stream._ctx, _u8ptr(a), len(a),
+        stream._p_offs, stream._p_sizes, 1,
+        stream._p_spec, stream._p_flags, stream._p_status,
+    )
+    if stream._status[0] != 0:
+        return None
+    return stream.spectra[0], bool(stream._flags[0])
 
 
 def vorbis_decode_spectra(dec, packets):

@@ -443,3 +443,25 @@ class TestOggStreaming:
         assert p.ts <= 30000 and s.actual_ts == p.ts
         with pytest.raises(SeekError):
             r.seek(SeekMode.ACCURATE, SeekTo(ts=100))  # backward on a pipe
+
+
+class TestPerPacketNativeVorbis:
+    """Per-packet native fast path (persistent sh_vorbis context inside
+    VorbisDecoder.decode_spectra) vs the Python oracle path."""
+
+    def test_stream_matches_oracle(self, monkeypatch):
+        from symphonia_tpu import native
+
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        monkeypatch.delenv("SYMPHONIA_TPU_VORBIS_STREAM", raising=False)
+        a, r, _ = our_decode(data)
+        # The native context must actually have engaged (or be unavailable).
+        dec_probe = VorbisDecoder(r.default_track().codec_params)
+        if native.vorbis_stream_open(dec_probe) is None:
+            pytest.skip("native vorbis unavailable")
+        monkeypatch.setenv("SYMPHONIA_TPU_VORBIS_STREAM", "off")
+        b, _, _ = our_decode(data)
+        assert a.shape == b.shape
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() <= 1e-4 * scale
