@@ -2624,4 +2624,41 @@ int32_t sh_aac_extract(
     return n_frames;
 }
 
+// ---------------------------------------------------------------------------
+// Stateful per-packet stream API (the per-packet AudioDecoder fast path).
+// The persistent ChannelPair vector carries the PNS LCG, window-shape and
+// element-layout state across calls — one frame per call decodes exactly
+// like one frame of a batch walk (decode_frame_scalar is the parity-tested
+// scalar engine).
+// ---------------------------------------------------------------------------
+
+struct AacStream {
+    std::vector<ChannelPair> pairs;
+};
+
+void* sh_aac_stream_open() { return new AacStream(); }
+void sh_aac_stream_close(void* p) { delete (AacStream*)p; }
+void sh_aac_stream_reset(void* p) { ((AacStream*)p)->pairs.clear(); }
+
+// Decode ONE raw_data_block; outputs are the single-frame slices of the
+// sh_aac_extract layout (coeffs [max_ch,1024], qbuf, scales [max_ch,64],
+// deq/seq/shape/prevshape [max_ch], nch/status scalars). deq must be
+// pre-set to 1 by the caller, like the batch entry.
+int32_t sh_aac_stream_decode(
+    void* p, const uint8_t* data, int64_t len,
+    int32_t rate_idx,
+    const int32_t* bands_long, int32_t n_bands_long,
+    const int32_t* bands_short, int32_t n_bands_short,
+    int32_t max_ch,
+    float* coeffs_out, int16_t* qbuf_out, float* scales_out,
+    int32_t* deq_out, int32_t* seq_out, int32_t* shape_out,
+    int32_t* prevshape_out, int32_t* nch_out, int32_t* status) {
+    FrameOut O{coeffs_out, qbuf_out, scales_out, deq_out,
+               seq_out, shape_out, prevshape_out, nch_out,
+               status, max_ch, rate_idx,
+               bands_long, n_bands_long, bands_short, n_bands_short};
+    decode_frame_scalar(data, len, 0, len, 0, ((AacStream*)p)->pairs, O);
+    return status[0];
+}
+
 }  // extern "C"

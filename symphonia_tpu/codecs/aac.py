@@ -32,6 +32,7 @@ from ..core.codecs import (
 from ..core.errors import DecodeError, Unsupported
 from ..core.io.bits import BitReaderLtr
 from ..core.io.codebook import Codebook
+from ..ops.imdct_host import have_fast_imdct, imdct_dct4
 
 MAX_WINDOWS = 8
 MAX_SFBS = 64
@@ -568,12 +569,20 @@ class Dsp:
         prev_short = self.kbd_short if prev_shape else self.sine_short
 
         if seq != EIGHT_SHORT:
-            pcm = imdct_matrix_scaled(1024) @ coeffs  # [2048]
+            if have_fast_imdct():
+                pcm = imdct_dct4(coeffs) * np.float32(1.0 / 2048.0)
+            else:
+                pcm = imdct_matrix_scaled(1024) @ coeffs  # [2048]
         else:
-            pcm = np.zeros(2048, np.float32)
-            M = imdct_matrix_scaled(128)
-            for w in range(8):
-                pcm[w * 256 : w * 256 + 256] = M @ coeffs[w * 128 : (w + 1) * 128]
+            if have_fast_imdct():
+                pcm = (imdct_dct4(coeffs.reshape(8, 128))
+                       * np.float32(1.0 / 256.0)).reshape(2048)
+            else:
+                pcm = np.zeros(2048, np.float32)
+                M = imdct_matrix_scaled(128)
+                for w in range(8):
+                    pcm[w * 256 : w * 256 + 256] = (
+                        M @ coeffs[w * 128 : (w + 1) * 128])
             short = np.zeros(1152, np.float32)
             for w in range(8):
                 src = pcm[w * 256 : (w + 1) * 256]
@@ -605,6 +614,60 @@ class Dsp:
             delay[:_P0] = pcm[1024 : 1024 + _P0]
             delay[_P0:_P1] = pcm[1024 + _P0 : 1024 + _P1] * short_win[::-1][: _P1 - _P0]
             delay[_P1:] = 0
+
+    def synth_batch(self, coeffs, delay, seq, shape, prev_shape, dst) -> None:
+        """Vectorized multi-channel twin of ``synth`` for channels sharing
+        (seq, shape, prev_shape): coeffs/delay/dst are [C, 1024] and every
+        op runs once for the group (one DCT-IV call instead of C).
+        Same math, last-axis slicing."""
+        if not have_fast_imdct():
+            for c in range(coeffs.shape[0]):
+                self.synth(coeffs[c], delay[c], seq, shape, prev_shape, dst[c])
+            return
+        long_win = self.kbd_long if shape else self.sine_long
+        short_win = self.kbd_short if shape else self.sine_short
+        prev_long = self.kbd_long if prev_shape else self.sine_long
+        prev_short = self.kbd_short if prev_shape else self.sine_short
+        C = coeffs.shape[0]
+
+        if seq != EIGHT_SHORT:
+            pcm = imdct_dct4(coeffs) * np.float32(1.0 / 2048.0)  # [C, 2048]
+        else:
+            pcm = (imdct_dct4(coeffs.reshape(C, 8, 128))
+                   * np.float32(1.0 / 256.0))  # [C, 8, 256]
+            short = np.zeros((C, 1152), np.float32)
+            for w in range(8):
+                src = pcm[:, w]
+                if w == 0:
+                    short[:, :128] = src[:, :128] * prev_short
+                    short[:, 128:256] = src[:, 128:] * short_win[::-1]
+                else:
+                    short[:, w * 128 : w * 128 + 128] += src[:, :128] * short_win
+                    short[:, w * 128 + 128 : w * 128 + 256] += (
+                        src[:, 128:] * short_win[::-1])
+            pcm_short = short
+
+        if seq in (ONLY_LONG, LONG_START):
+            dst[:] = delay + pcm[:, :1024] * prev_long
+        elif seq == EIGHT_SHORT:
+            dst[:, :_P0] = delay[:, :_P0]
+            dst[:, _P0:] = delay[:, _P0:] + pcm_short[:, : 1024 - _P0]
+        else:  # LONG_STOP
+            dst[:, :_P0] = delay[:, :_P0]
+            dst[:, _P0:_P1] = (delay[:, _P0:_P1]
+                               + pcm[:, _P0:_P1] * prev_short[: _P1 - _P0])
+            dst[:, _P1:] = delay[:, _P1:] + pcm[:, _P1:1024]
+
+        if seq in (ONLY_LONG, LONG_STOP):
+            delay[:] = pcm[:, 1024:] * long_win[::-1]
+        elif seq == EIGHT_SHORT:
+            delay[:, :_P1] = pcm_short[:, _P1 : 2 * _P1]
+            delay[:, _P1:] = 0
+        else:  # LONG_START
+            delay[:, :_P0] = pcm[:, 1024 : 1024 + _P0]
+            delay[:, _P0:_P1] = (pcm[:, 1024 + _P0 : 1024 + _P1]
+                                 * short_win[::-1][: _P1 - _P0])
+            delay[:, _P1:] = 0
 
 
 # ---------------------------------------------------------------------------
@@ -699,6 +762,13 @@ class AacDecoder(AudioDecoder):
         )
         self.dsp = Dsp()
         self.pairs: List[ChannelPair] = []
+        # Per-packet native fast-path state: the canonical per-channel OLA
+        # delay lives here (shared with the Python path via ics.delay view
+        # rebinding), the window-shape chain lives in the native context.
+        self._native = None  # lazy AacStream (False = unavailable/disabled)
+        self._delay = np.zeros((self.spec.num_channels, 1024), np.float32)
+        self._last_shape = np.zeros(self.spec.num_channels, np.int32)
+        self._seed_shapes = None  # set when switching native -> Python
 
     @staticmethod
     def supported_codecs() -> List[str]:
@@ -707,6 +777,11 @@ class AacDecoder(AudioDecoder):
     def reset(self) -> None:
         for p in self.pairs:
             p.reset()
+        if self._native:
+            self._native.reset()
+        self._delay[:] = 0
+        self._last_shape[:] = 0
+        self._seed_shapes = None
 
     def _set_pair(self, pair_no: int, channel: int, is_pair: bool) -> ChannelPair:
         if len(self.pairs) <= pair_no:
@@ -775,13 +850,79 @@ class AacDecoder(AudioDecoder):
                 raise Unsupported("AAC CCE/PCE element")
         return cur_pair
 
+    def _decode_native(self, data: bytes):
+        """Native per-packet fast path (sh_aac_stream_decode: persistent
+        ChannelPair state in C++, PNS-LCG chained like the reference).
+        Returns the frame PCM or None; on any native failure the decoder
+        permanently falls back to the Python oracle mid-stream (the OLA
+        delay is shared, the window-shape chain is seeded once)."""
+        from .. import native
+
+        if self._native is None:
+            import os
+
+            if os.environ.get("SYMPHONIA_TPU_AAC_STREAM") == "off":
+                self._native = False
+            else:
+                self._native = native.aac_stream_open(
+                    self.rate_idx, self.bands_long, self.bands_short,
+                    self.spec.num_channels) or False
+        if not self._native:
+            return None
+        ext = native.aac_stream_decode(self._native, bytes(data))
+        n_ch = self.spec.num_channels
+        if ext is None or int(ext["nch"][0]) != n_ch:
+            # Switch to the Python path for good: seed its window-shape
+            # chain from the last native frame (the PNS LCG state cannot
+            # transfer; noise-substitution bands may differ after a
+            # mid-stream switch, like any decoder restart).
+            self._native = False
+            self._seed_shapes = self._last_shape.copy()
+            return None
+        coeffs = native.aac_dequant_host(ext, self.bands_long)[0]
+        out = np.empty((n_ch, 1024), np.float32)
+        # Group channels sharing window params -> one vectorized synth
+        # (common_window streams hit a single group).
+        keys = [(int(ext["seq"][0, ch]), bool(ext["shape"][0, ch]),
+                 bool(ext["prev_shape"][0, ch])) for ch in range(n_ch)]
+        done = [False] * n_ch
+        for ch in range(n_ch):
+            if done[ch]:
+                continue
+            grp = [c for c in range(n_ch) if keys[c] == keys[ch]]
+            for c in grp:
+                done[c] = True
+            seq, shape, prev_shape = keys[ch]
+            if grp == list(range(grp[0], grp[0] + len(grp))):
+                cs = np.ascontiguousarray(coeffs[grp[0] : grp[0] + len(grp)])
+                self.dsp.synth_batch(cs, self._delay[grp[0] : grp[0] + len(grp)],
+                                     seq, shape, prev_shape,
+                                     out[grp[0] : grp[0] + len(grp)])
+            else:
+                for c in grp:
+                    self.dsp.synth(np.ascontiguousarray(coeffs[c]),
+                                   self._delay[c], seq, shape, prev_shape,
+                                   out[c])
+            for c in grp:
+                self._last_shape[c] = int(ext["shape"][0, c])
+        return out
+
     def decode(self, packet) -> AudioBuffer:
-        cur_pair = self._parse_elements(BitReaderLtr(packet.data))
-        out = np.zeros((self.spec.num_channels, 1024), np.float32)
-        for p in self.pairs[:cur_pair]:
-            p.ics0.synth_channel(self.dsp, self.rate_idx, out[p.channel])
-            if p.is_pair:
-                p.ics1.synth_channel(self.dsp, self.rate_idx, out[p.channel + 1])
+        out = self._decode_native(packet.data)
+        if out is None:
+            cur_pair = self._parse_elements(BitReaderLtr(packet.data))
+            out = np.zeros((self.spec.num_channels, 1024), np.float32)
+            for p in self.pairs[:cur_pair]:
+                for ics, ch in ([(p.ics0, p.channel), (p.ics1, p.channel + 1)]
+                                if p.is_pair else [(p.ics0, p.channel)]):
+                    # Share the canonical OLA delay; seed the shape chain
+                    # once after a native -> Python switch.
+                    ics.delay = self._delay[ch]
+                    if self._seed_shapes is not None:
+                        ics.info.prev_window_shape = bool(self._seed_shapes[ch])
+                    ics.synth_channel(self.dsp, self.rate_idx, out[ch])
+                    self._last_shape[ch] = int(ics.info.window_shape)
+            self._seed_shapes = None
         buf = AudioBuffer.from_array(out, self.spec)
         buf.trim(packet.trim_start, packet.trim_end)
         self._last = buf

@@ -28,6 +28,7 @@ from ..core.codecs import (
 from ..core.errors import DecodeError, EndOfStream
 from ..core.io.bits import BitReaderRtl
 from ..core.packet import Packet
+from ..ops.imdct_host import have_fast_imdct, imdct_dct4
 from .vorbis_setup import (
     Floor0Config,
     Floor1Config,
@@ -394,7 +395,12 @@ class VorbisDsp:
               prev_block_flag: bool) -> np.ndarray:
         """IMDCT + windowed overlap-add; returns (prev_bs + bs)/4 samples."""
         bs = self.bs1 if block_flag else self.bs0
-        y = imdct_matrix(bs) @ spectrum[: bs // 2]
+        # DCT-IV route for big blocks (a [8192, 4096] matvec is 128 MB of
+        # matrix traffic per call); tiny blocks keep the cached matmul.
+        if bs >= 512 and have_fast_imdct():
+            y = imdct_dct4(np.ascontiguousarray(spectrum[: bs // 2]))
+        else:
+            y = imdct_matrix(bs) @ spectrum[: bs // 2]
         win = vorbis_window(self.bs1 if (block_flag and prev_block_flag) else self.bs0)
         prev_bs = self.bs1 if prev_block_flag else self.bs0
         out = np.empty((prev_bs + bs) // 4, dtype=np.float32)

@@ -134,6 +134,23 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), c_i32p,
         c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
     ]
+    try:
+        c_f32p2 = ctypes.POINTER(ctypes.c_float)
+        lib.sh_aac_stream_open.restype = ctypes.c_void_p
+        lib.sh_aac_stream_open.argtypes = []
+        lib.sh_aac_stream_close.restype = None
+        lib.sh_aac_stream_close.argtypes = [ctypes.c_void_p]
+        lib.sh_aac_stream_reset.restype = None
+        lib.sh_aac_stream_reset.argtypes = [ctypes.c_void_p]
+        lib.sh_aac_stream_decode.restype = ctypes.c_int32
+        lib.sh_aac_stream_decode.argtypes = [
+            ctypes.c_void_p, c_u8p, ctypes.c_int64, ctypes.c_int32,
+            c_i32p, ctypes.c_int32, c_i32p, ctypes.c_int32, ctypes.c_int32,
+            c_f32p2, ctypes.POINTER(ctypes.c_int16), c_f32p2,
+            c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+        ]
+    except AttributeError:
+        pass  # older .so without the AAC stream stage
     lib.sh_vorbis_open.restype = ctypes.c_void_p
     lib.sh_vorbis_open.argtypes = [c_u8p, ctypes.c_int64]
     lib.sh_vorbis_close.restype = None
@@ -616,6 +633,87 @@ def aac_extract(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
     return {"coeffs": coeffs, "qbuf": qbuf, "scales": scales, "deq": deq,
             "seq": seq, "shape": shape,
             "prev_shape": prev_shape, "nch": nch, "status": status, "F": F}
+
+
+class AacStream:
+    """Persistent native AAC context for the per-packet decoder: the C++
+    ChannelPair vector carries PNS-LCG / window-shape / element-layout
+    state across calls, so one frame per call decodes exactly like the
+    batch walk."""
+
+    def __init__(self, lib, ctx, rate_idx: int, bands_long, bands_short,
+                 max_ch: int):
+        self._lib = lib
+        self._ctx = ctx
+        self.max_ch = max_ch
+        self.rate_idx = rate_idx
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        self._bl = np.ascontiguousarray(bands_long, dtype=np.int32)
+        self._bs = np.ascontiguousarray(bands_short, dtype=np.int32)
+        self.coeffs = np.empty((1, max_ch, 1024), np.float32)
+        self.qbuf = np.empty((1, max_ch, 1024), np.int16)
+        self.scales = np.empty((1, max_ch, 64), np.float32)
+        self.deq = np.empty((1, max_ch), np.int32)
+        self.seq = np.empty((1, max_ch), np.int32)
+        self.shape = np.empty((1, max_ch), np.int32)
+        self.prev_shape = np.empty((1, max_ch), np.int32)
+        self.nch = np.empty(1, np.int32)
+        self.status = np.empty(1, np.int32)
+        self._p = dict(
+            bl=self._bl.ctypes.data_as(i32p), bs=self._bs.ctypes.data_as(i32p),
+            coeffs=self.coeffs.ctypes.data_as(f32p),
+            qbuf=self.qbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            scales=self.scales.ctypes.data_as(f32p),
+            deq=self.deq.ctypes.data_as(i32p), seq=self.seq.ctypes.data_as(i32p),
+            shape=self.shape.ctypes.data_as(i32p),
+            prev_shape=self.prev_shape.ctypes.data_as(i32p),
+            nch=self.nch.ctypes.data_as(i32p),
+            status=self.status.ctypes.data_as(i32p),
+        )
+
+    def __del__(self):
+        if self._ctx:
+            self._lib.sh_aac_stream_close(self._ctx)
+            self._ctx = None
+
+    def reset(self) -> None:
+        self._lib.sh_aac_stream_reset(self._ctx)
+
+
+def aac_stream_open(rate_idx: int, bands_long, bands_short, max_ch: int):
+    """Open a persistent native AAC context, or None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_aac_stream_open"):
+        return None
+    _aac_ensure_codebooks(lib)
+    ctx = lib.sh_aac_stream_open()
+    if not ctx:
+        return None
+    return AacStream(lib, ctx, rate_idx, bands_long, bands_short, max_ch)
+
+
+def aac_stream_decode(stream: "AacStream", data: bytes):
+    """Decode one raw_data_block via the persistent context. Returns the
+    single-frame ext dict (sh_aac_extract layout, F = 1, pooled in the
+    stream — consume before the next call), or None on any error status
+    (caller falls back to the Python oracle permanently, preserving
+    state continuity)."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    stream.deq[:] = 1
+    p = stream._p
+    rc = stream._lib.sh_aac_stream_decode(
+        stream._ctx, _u8ptr(a), len(a), stream.rate_idx,
+        p["bl"], len(stream._bl), p["bs"], len(stream._bs), stream.max_ch,
+        p["coeffs"], p["qbuf"], p["scales"], p["deq"], p["seq"], p["shape"],
+        p["prev_shape"], p["nch"], p["status"],
+    )
+    if rc != 0:
+        return None
+    return {"coeffs": stream.coeffs, "qbuf": stream.qbuf,
+            "scales": stream.scales, "deq": stream.deq, "seq": stream.seq,
+            "shape": stream.shape, "prev_shape": stream.prev_shape,
+            "nch": stream.nch, "status": stream.status, "F": 1}
 
 
 def aac_sfb_map(bands_long, n: int = 1024) -> np.ndarray:

@@ -420,3 +420,51 @@ class TestDeviceDequantLookup:
         v = np.where(q < 0, -v, v).astype(np.float32)
         expect = np.where((deq == 0)[:, None], v, coeffs)
         np.testing.assert_array_equal(got, expect)
+
+
+class TestPerPacketNativeStream:
+    """Per-packet native fast path (sh_aac_stream_decode, persistent
+    ChannelPair state) vs the Python oracle decoder — full PCM, covering
+    cross-packet PNS LCG chaining, short windows and MS stereo."""
+
+    def _decode_forced(self, data, monkeypatch, mode):
+        if mode == "off":
+            monkeypatch.setenv("SYMPHONIA_TPU_AAC_STREAM", "off")
+        else:
+            monkeypatch.delenv("SYMPHONIA_TPU_AAC_STREAM", raising=False)
+        out, _ = decode_adts(data)
+        return out
+
+    @pytest.mark.parametrize("content", ["pns_mono", "ms_stereo", "short_windows"])
+    def test_stream_matches_oracle(self, content, monkeypatch):
+        from symphonia_tpu import native
+
+        if native.aac_stream_open(0, [0, 4], [0, 4], 1) is None:
+            pytest.skip("native AAC stream unavailable")
+        rng = np.random.default_rng(99)
+        frames = []
+        for f in range(12):
+            if content == "pns_mono":
+                q = random_quant_spectrum(rng, 20, RATE)
+                special = {3: 13, 7: 13} if f % 3 != 1 else None
+                frames.append(build_raw_block([q], [0], 20, GAIN, RATE,
+                                              special_books0=special))
+            elif content == "ms_stereo":
+                frames.append(build_raw_block(
+                    [random_quant_spectrum(rng, 20, RATE),
+                     random_quant_spectrum(rng, 20, RATE)],
+                    [0, 0], 20, GAIN, RATE, common_window=True, ms_mask=2))
+            else:
+                seq = [0, 1, 2, 3][f % 4]  # long/start/short/stop cycle
+                q = random_quant_spectrum(rng, 14 if seq == 2 else 20, RATE,
+                                          short=(seq == 2)) \
+                    if "short" in random_quant_spectrum.__code__.co_varnames \
+                    else random_quant_spectrum(rng, 14, RATE)
+                frames.append(build_raw_block([q], [seq], 14, GAIN, RATE))
+        n_ch = 2 if content == "ms_stereo" else 1
+        data = build_adts(frames, RATE, n_ch)
+        a = self._decode_forced(data, monkeypatch, "on")
+        b = self._decode_forced(data, monkeypatch, "off")
+        assert a.shape == b.shape
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() <= 1e-4 * scale, np.abs(a - b).max()
