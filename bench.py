@@ -328,6 +328,143 @@ def bench_aac_device(n_frames: int = 8192, iters: int = 4):
     return n_frames * 1024 / 44100 * iters, wall
 
 
+# ---------------------------------------------------------------------------
+# Breadth codec stages (VERDICT r2 #3): driver-visible per-packet decode
+# throughput for Vorbis / ALAC / ADPCM / Layer II. Reported in the stderr
+# stage line so regressions move a captured number; NOT in the aggregate
+# (BASELINE.json defines it over FLAC/MP3/AAC). These time the full open+
+# decode AudioDecoder surface (probe, demux, native per-packet dispatch).
+# ---------------------------------------------------------------------------
+
+
+def _bench_stream_surface(data: bytes, repeats: int):
+    """Best-of-N wall time of probe + per-packet decode of a whole stream."""
+    import symphonia_tpu as sym
+    from symphonia_tpu.core.io import MediaSourceStream
+
+    best = float("inf")
+    audio_s = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        mss = MediaSourceStream(data)
+        fmt = sym.get_probe().probe(mss).format
+        tr = fmt.default_track()
+        dec = sym.get_codecs().make_audio_decoder(tr.codec_params)
+        n = 0
+        while True:
+            pkt = fmt.next_packet()
+            if pkt is None:
+                break
+            try:
+                n += dec.decode(pkt).frames
+            except sym.DecodeError:
+                continue
+        best = min(best, time.perf_counter() - t0)
+        audio_s = n / (tr.codec_params.sample_rate or 1)
+    return audio_s, best
+
+
+def bench_vorbis_host(repeats: int = 8):
+    """Vorbis per-packet surface on real media (house_lo.ogg)."""
+    data = Path(HOUSE_MP3.replace(".mp3", ".ogg")).read_bytes()
+    return _bench_stream_surface(data, repeats)
+
+
+def _gen_alac(seconds: int = 8):
+    CACHE.mkdir(exist_ok=True)
+    path = CACHE / f"bench_{seconds}s_alac.pkl"
+    sys.path.insert(0, str(ROOT / "tests"))
+    import pickle
+
+    import alac_builder as ab
+
+    n = 44100 * seconds
+    if path.exists():
+        frames = pickle.loads(path.read_bytes())
+    else:
+        rng = np.random.default_rng(3)
+        chans = [np.clip(np.cumsum(rng.integers(-300, 301, size=n)), -30000,
+                         30000).astype(np.int64) for _ in range(2)]
+        cookie = dict(frame_length=4096, bit_depth=16, pb=40, mb=10, kb=14)
+        frames = []
+        for i in range(0, n - 4095, 4096):
+            seg = [c[i : i + 4096] for c in chans]
+            frames.append(ab.encode_frame_compressed(seg, cookie, order=4))
+        path.write_bytes(pickle.dumps(frames))
+    return frames, ab.build_cookie(4096, 16, 2, 44100), len(frames) * 4096
+
+
+def bench_alac_host(repeats: int = 8):
+    """ALAC per-packet decode (native/alac_decode.cpp path)."""
+    sys.path.insert(0, str(ROOT / "tests"))
+    from symphonia_tpu.codecs.alac import AlacDecoder
+    from symphonia_tpu.core.audio import Channels
+    from symphonia_tpu.core.codecs import AudioCodecParameters
+    from symphonia_tpu.core.packet import Packet
+
+    frames, cookie_bytes, n = _gen_alac()
+    params = AudioCodecParameters(
+        codec="alac", sample_rate=44100, bits_per_sample=16,
+        channels=Channels.from_count(2), extra_data=cookie_bytes)
+    pkts = [Packet(track_id=0, ts=i * 4096, dur=4096, data=f)
+            for i, f in enumerate(frames)]
+    best = float("inf")
+    for _ in range(repeats):
+        dec = AlacDecoder(params)
+        t0 = time.perf_counter()
+        for p in pkts:
+            dec.decode(p)
+        best = min(best, time.perf_counter() - t0)
+    return n / 44100.0, best
+
+
+def bench_adpcm_host(repeats: int = 8):
+    """IMA-WAV ADPCM per-packet surface (native/adpcm_loops.cpp path)."""
+    sys.path.insert(0, str(ROOT / "tests"))
+    from test_adpcm import ima_encode, make_adpcm_wav, smooth_signal
+
+    n = 22050 * 8
+    sig = smooth_signal(n, 11)
+    payload, ba = ima_encode(sig)
+    wav = make_adpcm_wav(payload, 0x11, ba, 505, n)
+    return _bench_stream_surface(wav, repeats)
+
+
+def bench_l2_host(repeats: int = 8):
+    """MPEG-1 Layer II per-packet surface (native/mpa_layer12.cpp path)."""
+    CACHE.mkdir(exist_ok=True)
+    path = CACHE / "bench_l2.mp2"
+    if not path.exists():
+        sys.path.insert(0, str(ROOT / "tests"))
+        from test_layer12 import build_l2_frame
+
+        rng = np.random.default_rng(5)
+        frames = []
+        for _ in range(120):  # ~3.1 s at 44.1 kHz
+            alloc = [int(rng.integers(1, 4)) for _ in range(27)] + [0, 0, 0]
+            sf0 = [int(rng.integers(0, 60)) for _ in range(30)]
+            samples = {}
+            from symphonia_tpu.codecs.mpa_layer12 import (
+                QUANT_CLASS, SB_INFO, SB_QUANT_INFO)
+
+            sblimit, rows = SB_INFO[1]
+            for sb in range(sblimit):
+                ci = alloc[sb]
+                if not ci:
+                    continue
+                c, d, grouping, bits, nlevels = QUANT_CLASS[
+                    SB_QUANT_INFO[rows[sb]][1][ci]]
+                for gr in range(12):
+                    if grouping:
+                        samples[(sb, gr)] = int(rng.integers(0, nlevels ** 3))
+                    else:
+                        samples[(sb, gr)] = [int(rng.integers(0, nlevels))
+                                             for _ in range(3)]
+            frames.append(build_l2_frame(alloc, sf0, samples)[0])
+        path.write_bytes(b"".join(frames))
+    return _bench_stream_surface(path.read_bytes(), repeats)
+
+
 def main() -> None:
     stages = {}
     # Host stages first, before any jax import: the development tunnel's
@@ -368,6 +505,17 @@ def main() -> None:
     for name, _fn in host_stages:
         audio, wall = best[name]
         stages[name] = audio / wall if wall > 0 and audio else 0.0
+    # Breadth stages: single best-of-N capture, stderr-visible only.
+    for name, fn in [("vorbis_host", bench_vorbis_host),
+                     ("alac_host", bench_alac_host),
+                     ("adpcm_host", bench_adpcm_host),
+                     ("l2_host", bench_l2_host)]:
+        try:
+            audio, wall = fn()
+            stages[name] = audio / wall if wall > 0 and audio else 0.0
+        except Exception as e:  # pragma: no cover
+            print(f"bench stage {name} failed: {e}", file=sys.stderr)
+            stages[name] = 0.0
     _configure_jax()
     for name, fn in device_stages:
         try:

@@ -112,7 +112,14 @@ class Layer12State:
 def _synthesize(samples: np.ndarray, n_frames: int, state: Layer12State, ch: int) -> np.ndarray:
     """32-band polyphase synthesis with carried tail (synthesis.rs)."""
     sb = samples.reshape(32, n_frames)
-    resp = polyphase_response_np(sb)
+    # Native polyphase (native/mp3_dense.cpp sh_mp3_polyphase) when
+    # available; numpy oracle otherwise.
+    from .. import native
+
+    resp = native.mp3_polyphase(
+        np.ascontiguousarray(sb.T, dtype=np.float32))
+    if resp is None:
+        resp = polyphase_response_np(sb)
     out_len = 32 * n_frames
     out = resp[:out_len].copy()
     out[:480] += state.synth_tail[ch][: min(480, out_len)]
