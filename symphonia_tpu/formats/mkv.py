@@ -422,8 +422,9 @@ def parse_mkv_attachments(buf, b, e):
 
 
 def parse_mkv_tags(buf, b, e, rev: MetadataRevision) -> None:
-    """Tags element -> RawTags appended to ``rev`` (tags.rs)."""
-    from ..metadata.vorbis import STD_KEYS
+    """Tags element -> RawTags appended to ``rev`` (tags.rs; name map in
+    metadata/std_tag.py MKV_MAP)."""
+    from ..metadata.std_tag import MKV_MAP, map_raw
 
     for eid, b2, e2 in iter_elements(buf, b, e):
         if eid != ID_TAG:
@@ -438,7 +439,7 @@ def parse_mkv_tags(buf, b, e, rev: MetadataRevision) -> None:
                 elif eid3 == ID_TAG_STRING:
                     val = buf[b4:e4].decode("utf-8", "replace")
             if name and val is not None:
-                rev.tags.append(RawTag(name, val, STD_KEYS.get(name.lower())))
+                rev.tags.extend(map_raw(name, val, MKV_MAP))
 
 
 class MkvReader(FormatReader):

@@ -145,15 +145,11 @@ class WavReader(FormatReader):
 
     # -- metadata ----------------------------------------------------------
 
-    _INFO_KEYS = {
-        b"IART": "artist", b"INAM": "track_title", b"IPRD": "album",
-        b"ICMT": "comment", b"ICRD": "date", b"IGNR": "genre",
-        b"ITRK": "track_number", b"ICOP": "copyright", b"ISFT": "encoder",
-        b"IENG": "encoded_by", b"ILNG": "language",
-    }
-
     def _read_info(self, size: int) -> None:
-        """RIFF LIST INFO sub-chunks -> tags (embedded/riff.rs)."""
+        """RIFF LIST INFO sub-chunks -> tags (embedded/riff.rs; key map +
+        value parsers in metadata/std_tag.py RIFF_MAP)."""
+        from ..metadata.std_tag import RIFF_MAP, map_raw
+
         rev = MetadataRevision()
         end = self.mss.pos() + size
         while self.mss.pos() + 8 <= end:
@@ -163,9 +159,7 @@ class WavReader(FormatReader):
             if clen & 1 and self.mss.pos() < end:
                 self.mss.ignore_bytes(1)
             text = payload.split(b"\x00")[0].decode("latin-1", "replace")
-            rev.tags.append(
-                RawTag(cid.decode("latin-1"), text, self._INFO_KEYS.get(cid))
-            )
+            rev.tags.extend(map_raw(cid.decode("latin-1"), text, RIFF_MAP))
         if rev.tags:
             self._metadata.push(rev)
 

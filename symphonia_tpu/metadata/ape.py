@@ -14,18 +14,9 @@ from typing import Optional
 from ..core.errors import DecodeError
 from ..core.meta import MetadataReader, MetadataRevision, RawTag, Visual
 from ..core.probe import Descriptor
-from .vorbis import STD_KEYS  # APE keys largely share the vorbis mapping
+from .std_tag import APE_MAP, map_raw
 
 APE_MARKER = b"APETAGEX"
-
-_APE_EXTRA_KEYS = {
-    "track": "track_number",
-    "disc": "disc_number",
-    "year": "date",
-    "record label": "label",
-    "catalog": "ident_catalog_number",
-}
-
 
 class ApeReader(MetadataReader):
     """APE tag reader (ape.rs). ``read_all`` expects the stream positioned
@@ -69,8 +60,7 @@ class ApeReader(MetadataReader):
                                           usage="front_cover" if "front" in lk else None))
             else:
                 text = value.decode("utf-8", "replace")
-                std = STD_KEYS.get(lk) or _APE_EXTRA_KEYS.get(lk)
-                rev.tags.append(RawTag(key, text, std))
+                rev.tags.extend(map_raw(key, text, APE_MAP))
         return rev
 
 

@@ -26,21 +26,14 @@ from ..core.probe import Descriptor
 
 ID3V2_MARKER = b"ID3"
 
-# v2.3/2.4 four-char frame id -> standard key (frames.rs readers map).
-FRAME_MAP_V34 = {
-    "TALB": K.ALBUM, "TBPM": K.BPM, "TCOM": K.COMPOSER, "TCON": K.GENRE,
-    "TCOP": K.COPYRIGHT, "TDAT": K.DATE, "TDEN": K.ENCODED_BY,
-    "TDOR": K.ORIGINAL_DATE, "TDRC": K.DATE, "TDRL": K.RELEASE_DATE,
-    "TENC": K.ENCODED_BY, "TEXT": K.LYRICIST, "TIT1": K.GROUPING,
-    "TIT2": K.TRACK_TITLE, "TIT3": K.DESCRIPTION, "TLAN": K.LANGUAGE,
-    "TMOO": K.MOOD, "TOPE": K.ORIGINAL_ARTIST, "TPE1": K.ARTIST,
-    "TPE2": K.ALBUM_ARTIST, "TPE3": K.CONDUCTOR, "TPE4": K.REMIXER,
-    "TPOS": K.DISC_NUMBER, "TPUB": K.LABEL, "TRCK": K.TRACK_NUMBER,
-    "TSOA": K.SORT_ALBUM, "TSOP": K.SORT_ARTIST, "TSOT": K.SORT_TRACK_TITLE,
-    "TSRC": K.IDENT_ISRC, "TSSE": K.ENCODER_SETTINGS, "TYER": K.DATE,
-    "TSO2": K.SORT_ALBUM_ARTIST, "TSOC": K.SORT_COMPOSER,
-    "TOAL": K.ALBUM, "TORY": K.ORIGINAL_DATE, "TOLY": K.LYRICIST,
-    "TMED": K.MEDIA_FORMAT, "TOWN": K.OWNER, "TRDA": K.DATE,
+# v2.3/2.4 frame id -> standard key + value parsers: the full frames.rs
+# readers map now lives in std_tag.py (ID3V2_MAP / ID3V2_TXXX_MAP).
+from .std_tag import ID3V2_MAP, ID3V2_TXXX_MAP, map_raw  # noqa: E402
+
+# TIPL/TMCL involved-people roles -> standard keys (readers.rs TIPL map).
+_IPL_ROLES = {
+    "arranger": K.ARRANGER, "engineer": K.ENGINEER, "dj-mix": K.MIX_DJ,
+    "mix": K.MIX_ENGINEER, "producer": K.PRODUCER,
 }
 
 # v2.2 three-char frame id -> v2.3 equivalent.
@@ -181,9 +174,25 @@ class Id3v2Reader(MetadataReader):
         if fid == "TXXX":
             enc = payload[0]
             desc, rest = split_terminated(enc, payload[1:])
-            rev.tags.append(
-                RawTag("TXXX:" + decode_text(enc, desc), decode_text(enc, rest))
-            )
+            desc_text = decode_text(enc, desc)
+            mapped = map_raw(desc_text, decode_text(enc, rest), ID3V2_TXXX_MAP)
+            for t in mapped:
+                t.key = "TXXX:" + desc_text
+            rev.tags.extend(mapped)
+        elif fid in ("TIPL", "TMCL", "IPLS"):
+            # Involved-people / musician-credits pairs (readers.rs TIPL):
+            # null-separated (role, person) pairs; known TIPL roles map to
+            # standard keys, TMCL roles are instruments -> performer.
+            enc = payload[0]
+            text = decode_text(enc, payload[1:]).rstrip("\x00")
+            parts = text.split("\x00")
+            for i in range(0, len(parts) - 1, 2):
+                role, person = parts[i], parts[i + 1]
+                if not person:
+                    continue
+                std = (K.PERFORMER if fid == "TMCL"
+                       else _IPL_ROLES.get(role.lower()))
+                rev.tags.append(RawTag(f"{fid}:{role}", person, std))
         elif fid.startswith("T"):
             enc = payload[0]
             # v2.4 allows multiple null-separated values; join with '/'.
@@ -191,17 +200,45 @@ class Id3v2Reader(MetadataReader):
             text = "/".join(v for v in text.split("\x00") if v) or text
             if fid == "TCON":
                 text = _parse_genre(text)
-            std = FRAME_MAP_V34.get(fid)
-            if fid == "TRCK" and "/" in text:
-                num, _, total = text.partition("/")
-                rev.tags.append(RawTag(fid, num, K.TRACK_NUMBER))
-                rev.tags.append(RawTag(fid, total, K.TRACK_TOTAL))
-            elif fid == "TPOS" and "/" in text:
-                num, _, total = text.partition("/")
-                rev.tags.append(RawTag(fid, num, K.DISC_NUMBER))
-                rev.tags.append(RawTag(fid, total, K.DISC_TOTAL))
+            rev.tags.extend(map_raw(fid, text, ID3V2_MAP))
+        elif fid == "UFID":
+            # Unique file identifier (readers.rs UFID): owner URL + binary
+            # id; the MusicBrainz owner carries the recording id as text.
+            owner, ident = split_terminated(0, payload)
+            owner_text = owner.decode("latin-1", "replace")
+            if "musicbrainz.org" in owner_text:
+                rev.tags.append(RawTag("UFID:" + owner_text,
+                                       ident.decode("utf-8", "replace"),
+                                       K.MUSICBRAINZ_RECORDING_ID))
             else:
-                rev.tags.append(RawTag(fid, text, std))
+                rev.tags.append(RawTag("UFID:" + owner_text, ident))
+        elif fid == "MCDI":
+            rev.tags.append(RawTag("MCDI", payload, K.CD_TOC))
+        elif fid == "PCNT":
+            n = int.from_bytes(payload, "big")
+            rev.tags.append(RawTag("PCNT", n, K.PLAY_COUNTER))
+        elif fid == "PRIV":
+            owner, data = split_terminated(0, payload)
+            rev.tags.append(
+                RawTag("PRIV:" + owner.decode("latin-1", "replace"), data))
+        elif fid == "GEOB":
+            # General encapsulated object: mime, filename, description,
+            # then the object bytes (readers.rs GEOB).
+            enc = payload[0]
+            mime, rest = split_terminated(0, payload[1:])
+            fname, rest = split_terminated(enc, rest)
+            desc, data = split_terminated(enc, rest)
+            rev.tags.append(
+                RawTag("GEOB:" + decode_text(enc, desc), data))
+        elif fid == "RVA2":
+            # Relative volume adjustment v2: identification string, then
+            # (channel, s16 adjustment in 1/512 dB, peak) records.
+            ident, rest = split_terminated(0, payload)
+            if len(rest) >= 3:
+                adj = struct.unpack(">h", rest[1:3])[0] / 512.0
+                rev.tags.append(
+                    RawTag("RVA2:" + ident.decode("latin-1", "replace"),
+                           f"{adj:+.2f} dB"))
         elif fid == "SYLT":
             # Synchronized lyrics (frames/readers.rs SYLT): text chunks each
             # followed by a 32-bit timestamp; joined in time order.
@@ -311,7 +348,11 @@ class Id3v2Reader(MetadataReader):
             desc, rest = split_terminated(enc, payload[1:])
             rev.tags.append(RawTag("WXXX", rest.decode("latin-1", "replace"), K.URL))
         elif fid.startswith("W"):
-            rev.tags.append(RawTag(fid, payload.split(b"\x00")[0].decode("latin-1", "replace"), K.URL))
+            url = payload.split(b"\x00")[0].decode("latin-1", "replace")
+            mapped = map_raw(fid, url, ID3V2_MAP)
+            if mapped[0].std_key is None:
+                mapped[0].std_key = K.URL
+            rev.tags.extend(mapped)
         else:
             rev.tags.append(RawTag(fid, payload))
 

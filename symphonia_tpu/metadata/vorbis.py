@@ -14,57 +14,9 @@ from typing import Optional
 
 from ..core.meta import MetadataRevision, RawTag, StandardTagKey as K, Visual
 
-# Vorbis comment key -> standard tag (utils/std_tag.rs:479 subset).
-STD_KEYS = {
-    "album": K.ALBUM,
-    "albumartist": K.ALBUM_ARTIST,
-    "album artist": K.ALBUM_ARTIST,
-    "arranger": K.ARRANGER,
-    "artist": K.ARTIST,
-    "bpm": K.BPM,
-    "comment": K.COMMENT,
-    "compilation": K.COMPILATION,
-    "composer": K.COMPOSER,
-    "conductor": K.CONDUCTOR,
-    "copyright": K.COPYRIGHT,
-    "date": K.DATE,
-    "description": K.DESCRIPTION,
-    "discnumber": K.DISC_NUMBER,
-    "disctotal": K.DISC_TOTAL,
-    "totaldiscs": K.DISC_TOTAL,
-    "encoded-by": K.ENCODED_BY,
-    "encodedby": K.ENCODED_BY,
-    "encoder": K.ENCODER,
-    "genre": K.GENRE,
-    "grouping": K.GROUPING,
-    "isrc": K.IDENT_ISRC,
-    "catalognumber": K.IDENT_CATALOG_NUMBER,
-    "barcode": K.IDENT_BARCODE,
-    "label": K.LABEL,
-    "language": K.LANGUAGE,
-    "lyricist": K.LYRICIST,
-    "lyrics": K.LYRICS,
-    "mood": K.MOOD,
-    "musicbrainz_albumid": K.MUSICBRAINZ_ALBUM_ID,
-    "musicbrainz_artistid": K.MUSICBRAINZ_ARTIST_ID,
-    "musicbrainz_trackid": K.MUSICBRAINZ_RECORDING_ID,
-    "organization": K.LABEL,
-    "performer": K.PERFORMER,
-    "producer": K.PRODUCER,
-    "rating": K.RATING,
-    "releasedate": K.RELEASE_DATE,
-    "remixer": K.REMIXER,
-    "replaygain_album_gain": K.REPLAYGAIN_ALBUM_GAIN,
-    "replaygain_album_peak": K.REPLAYGAIN_ALBUM_PEAK,
-    "replaygain_track_gain": K.REPLAYGAIN_TRACK_GAIN,
-    "replaygain_track_peak": K.REPLAYGAIN_TRACK_PEAK,
-    "title": K.TRACK_TITLE,
-    "tracknumber": K.TRACK_NUMBER,
-    "tracktotal": K.TRACK_TOTAL,
-    "totaltracks": K.TRACK_TOTAL,
-    "version": K.VERSION,
-    "writer": K.WRITER,
-}
+# Vorbis comment key -> standard tag mapping now lives in std_tag.py
+# (utils/std_tag.rs full map + value parsers).
+from .std_tag import VORBIS_MAP, map_raw  # noqa: E402
 
 
 def parse_flac_picture(data: bytes) -> Optional[Visual]:
@@ -137,5 +89,5 @@ def parse_vorbis_comment(data: bytes, framing_bit: bool = False) -> MetadataRevi
             except Exception:
                 pass
         val = val_raw.decode("utf-8", "replace")
-        rev.tags.append(RawTag(key, val, STD_KEYS.get(lk)))
+        rev.tags.extend(map_raw(key, val, VORBIS_MAP))
     return rev

@@ -54,8 +54,8 @@ class TestId3v2:
         rev = Id3v2Reader().read_all(BufReader(tag))
         assert rev.get("track_title") == "My Song"
         assert rev.get("artist") == "Artist Name"
-        assert rev.get("track_number") == "3"
-        assert rev.get("track_total") == "12"
+        assert rev.get("track_number") == 3
+        assert rev.get("track_total") == 12
         assert rev.get("genre") == "Rock"
 
     def test_v22_frames(self):
@@ -140,7 +140,7 @@ class TestApe:
         rev = ApeReader().read_all(mss)
         assert rev.get("track_title") == "Ape Song"
         assert rev.get("artist") == "Ape Artist"
-        assert rev.get("date") == "1999"
+        assert rev.get("recording_year") == 1999
 
 
 class TestProbeIntegration:
@@ -228,3 +228,109 @@ class TestSylt:
         tag = build_id3v2([("SYLT", body)], major=3)
         rev = Id3v2Reader().read_all(BufReader(tag))
         assert rev.get("lyrics") == "line one\nline two"
+
+
+class TestStdTagMaps:
+    """Table-driven coverage of the std_tag mapping layer
+    (utils/std_tag.rs analog): every mapped key in every per-format map
+    must produce a std_key'd tag from a representative value."""
+
+    def test_all_maps_mapped_keys(self):
+        from symphonia_tpu.metadata import std_tag as st
+
+        maps = [st.VORBIS_MAP, st.APE_MAP, st.RIFF_MAP, st.ID3V2_MAP,
+                st.ID3V2_TXXX_MAP, st.ITUNES_MAP, st.ITUNES_FREEFORM_MAP]
+        total = 0
+        for pmap in maps:
+            for key, ent in pmap.items():
+                if ent is None:
+                    continue
+                kind = ent[0] if isinstance(ent, tuple) else "str"
+                value = {"int": "7", "float": "1.5", "flag": "1",
+                         "year": "2021-05-01", "pair": "3/12"}.get(kind, "x")
+                out = st.map_raw(key, value, pmap)
+                assert out and out[0].std_key, (key, ent)
+                if kind == "pair" and len(ent) > 2:
+                    assert len(out) == 2 and out[1].std_key == ent[2]
+                total += 1
+        assert total >= 150, total
+
+    def test_value_parsers(self):
+        from symphonia_tpu.metadata import std_tag as st
+
+        out = st.map_raw("TRACKNUMBER", "3/12", st.VORBIS_MAP)
+        assert [(t.std_key, t.value) for t in out] == [
+            ("track_number", 3), ("track_total", 12)]
+        (t,) = st.map_raw("compilation", "1", st.VORBIS_MAP)
+        assert t.std_key == "compilation" and t.value is True
+        (t,) = st.map_raw("year", "1987-06-05", st.APE_MAP)
+        assert t.std_key == "recording_year" and t.value == 1987
+        # Unparseable values fall back to plain raw tags.
+        (t,) = st.map_raw("bpm", "fast", st.VORBIS_MAP)
+        assert t.std_key is None and t.value == "fast"
+
+    def test_musicbrainz_and_replaygain_surface(self):
+        """Musicbrainz/replaygain/sort keys must surface from the vorbis
+        reader (VERDICT #4 done criterion)."""
+        from symphonia_tpu.metadata.vorbis import parse_vorbis_comment
+
+        def build(pairs):
+            import struct as _s
+            body = _s.pack("<I", 1) + b"v" + _s.pack("<I", len(pairs))
+            for k, v in pairs:
+                c = f"{k}={v}".encode()
+                body += _s.pack("<I", len(c)) + c
+            return body
+
+        rev = parse_vorbis_comment(build([
+            ("MUSICBRAINZ_RELEASEGROUPID", "rg-1"),
+            ("REPLAYGAIN_TRACK_GAIN", "-6.5 dB"),
+            ("ARTISTSORT", "Beatles, The"),
+            ("CATALOGNUMBER", "CAT-1"),
+        ]))
+        assert rev.get("musicbrainz_release_group_id") == "rg-1"
+        assert rev.get("replaygain_track_gain") == "-6.5 dB"
+        assert rev.get("sort_artist") == "Beatles, The"
+        assert rev.get("ident_catalog_number") == "CAT-1"
+
+
+class TestId3v2NewFrames:
+    """UFID/MCDI/RVA2/PCNT/TIPL/TMCL/PRIV/GEOB readers (VERDICT #7;
+    frames/readers.rs:1-1311)."""
+
+    def _read(self, frames, major=4):
+        from symphonia_tpu.core.io import BufReader
+        from symphonia_tpu.metadata.id3v2 import Id3v2Reader
+
+        tag = build_id3v2(frames, major=major)
+        return Id3v2Reader().read_all(BufReader(tag))
+
+    def test_ufid_musicbrainz(self):
+        rev = self._read([
+            ("UFID", b"http://musicbrainz.org\x00" + b"abcd-1234")])
+        assert rev.get("musicbrainz_recording_id") == "abcd-1234"
+
+    def test_pcnt_and_mcdi(self):
+        rev = self._read([
+            ("PCNT", (1 << 32).to_bytes(5, "big")),
+            ("MCDI", b"\x01\x02\x03")])
+        assert rev.get("play_counter") == 1 << 32
+        assert rev.get("cd_toc") == b"\x01\x02\x03"
+
+    def test_tipl_tmcl(self):
+        rev = self._read([
+            ("TIPL", b"\x00" + "producer\x00Rick\x00mix\x00George".encode("latin-1")),
+            ("TMCL", b"\x00" + "guitar\x00Jimi".encode("latin-1"))])
+        assert rev.get("producer") == "Rick"
+        assert rev.get("mix_engineer") == "George"
+        assert rev.get("performer") == "Jimi"
+
+    def test_priv_geob_rva2_raw(self):
+        rev = self._read([
+            ("PRIV", b"com.example\x00\x01\x02"),
+            ("GEOB", b"\x00app/bin\x00f.bin\x00desc\x00DATA"),
+            ("RVA2", b"track\x00\x01\xfe\x00\x00")])
+        keys = {t.key: t.value for t in rev.tags}
+        assert keys["PRIV:com.example"] == b"\x01\x02"
+        assert keys["GEOB:desc"] == b"DATA"
+        assert keys["RVA2:track"].endswith("dB")
