@@ -138,12 +138,8 @@ def _parse_esds(body: bytes) -> Optional[bytes]:
         return None
 
 
-_ILST_KEYS = {
-    b"\xa9nam": K.TRACK_TITLE, b"\xa9ART": K.ARTIST, b"\xa9alb": K.ALBUM,
-    b"\xa9day": K.DATE, b"\xa9gen": K.GENRE, b"\xa9wrt": K.COMPOSER,
-    b"\xa9cmt": K.COMMENT, b"\xa9too": K.ENCODER, b"aART": K.ALBUM_ARTIST,
-    b"\xa9lyr": K.LYRICS, b"\xa9grp": K.GROUPING, b"cprt": K.COPYRIGHT,
-}
+# iTunes ilst key maps live in metadata/std_tag.py (ITUNES_MAP /
+# ITUNES_FREEFORM_MAP — atoms/ilst.rs + utils/itunes.rs analogs).
 
 
 class IsoMp4Reader(FormatReader):
@@ -552,27 +548,101 @@ class IsoMp4Reader(FormatReader):
             return
         rev = MetadataRevision()
         for atype, ib, ie in iter_atoms(buf, *ilst):
-            data = find_atom(buf, ib, ie, [b"data"])
-            if data is None:
-                continue
-            dtype = int.from_bytes(buf[data[0] : data[0] + 4], "big")
-            payload = buf[data[0] + 8 : data[1]]
-            if atype == b"covr":
-                rev.visuals.append(Visual(media_type=None, data=payload,
-                                          usage="front_cover"))
-                continue
-            if dtype == 1:  # UTF-8
-                val = payload.decode("utf-8", "replace")
-            elif atype == b"trkn" and len(payload) >= 6:
-                rev.tags.append(RawTag("trkn", str(int.from_bytes(payload[2:4], "big")), K.TRACK_NUMBER))
-                rev.tags.append(RawTag("trkn", str(int.from_bytes(payload[4:6], "big")), K.TRACK_TOTAL))
-                continue
-            else:
-                val = payload.hex()
-            rev.tags.append(RawTag(atype.decode("latin-1", "replace"), val,
-                                   _ILST_KEYS.get(atype)))
+            self._parse_ilst_item(buf, atype, ib, ie, rev)
         if rev.tags or rev.visuals:
             self._metadata.push(rev)
+
+    @staticmethod
+    def _decode_ilst_value(dtype: int, payload: bytes):
+        """Typed `data` atom payload -> Python value (atoms/ilst.rs typed
+        readers; itunes well-known data types). Returns None when the type
+        is unrecognized (caller keeps the raw bytes)."""
+        import struct as _s
+
+        if dtype in (1, 4):  # UTF-8 (+ sort variant)
+            return payload.decode("utf-8", "replace")
+        if dtype in (2, 5):  # UTF-16 BE
+            return payload.decode("utf-16-be", "replace")
+        if dtype == 21:  # signed big-endian int (1/2/3/4/8 bytes)
+            return int.from_bytes(payload, "big", signed=True)
+        if dtype in (22, 0):  # unsigned big-endian int / implicit numeric
+            return int.from_bytes(payload, "big")
+        if dtype == 23 and len(payload) == 4:
+            return _s.unpack(">f", payload)[0]
+        if dtype == 24 and len(payload) == 8:
+            return _s.unpack(">d", payload)[0]
+        return None
+
+    def _parse_ilst_item(self, buf, atype, ib, ie, rev) -> None:
+        from ..metadata.std_tag import (
+            ITUNES_FREEFORM_MAP, ITUNES_MAP, map_raw)
+
+        data = find_atom(buf, ib, ie, [b"data"])
+        if data is None:
+            return
+        dtype = int.from_bytes(buf[data[0] : data[0] + 4], "big") & 0xFFFFFF
+        payload = buf[data[0] + 8 : data[1]]
+        key = atype.decode("latin-1", "replace")
+
+        if atype == b"covr":
+            from ..core.meta import sniff_image
+
+            mime = {13: "image/jpeg", 14: "image/png"}.get(dtype) \
+                or sniff_image(payload)
+            rev.visuals.append(Visual(media_type=mime, data=payload,
+                                      usage="front_cover"))
+            return
+        if atype == b"----":
+            # Freeform atom: mean (reverse-DNS namespace) + name + data
+            # (ilst.rs FreeFormTag; utils/itunes.rs name map).
+            mean = find_atom(buf, ib, ie, [b"mean"])
+            name = find_atom(buf, ib, ie, [b"name"])
+            mtxt = (buf[mean[0] + 4 : mean[1]].decode("utf-8", "replace")
+                    if mean else "")
+            ntxt = (buf[name[0] + 4 : name[1]].decode("utf-8", "replace")
+                    if name else "")
+            ffkey = f"{mtxt}:{ntxt}"
+            val = self._decode_ilst_value(dtype, payload)
+            rev.tags.extend(map_raw(
+                ffkey, val if val is not None else payload,
+                ITUNES_FREEFORM_MAP))
+            return
+        if atype in (b"trkn", b"disk") and len(payload) >= 6:
+            # Implicit layout: pad16 + number u16 + total u16 (+ pad).
+            num = int.from_bytes(payload[2:4], "big")
+            total = int.from_bytes(payload[4:6], "big")
+            nk, tk = ((K.TRACK_NUMBER, K.TRACK_TOTAL) if atype == b"trkn"
+                      else (K.DISC_NUMBER, K.DISC_TOTAL))
+            rev.tags.append(RawTag(key, num, nk))
+            if total:
+                rev.tags.append(RawTag(key, total, tk))
+            return
+        if atype == b"gnre" and len(payload) >= 2:
+            # ID3v1 genre index + 1 (ilst.rs GenreTag).
+            from ..metadata.id3v1 import GENRES
+
+            idx = int.from_bytes(payload[:2], "big") - 1
+            if 0 <= idx < len(GENRES):
+                rev.tags.append(RawTag(key, GENRES[idx], K.GENRE))
+            return
+        if atype == b"rtng" and payload:
+            advisory = {0: "None", 2: "Clean", 4: "Explicit"}.get(
+                payload[0], str(payload[0]))
+            rev.tags.append(RawTag(key, advisory, K.CONTENT_ADVISORY))
+            return
+        if atype == b"stik" and payload:
+            media = {0: "Movie", 1: "Normal", 2: "Audio Book",
+                     5: "Whacked Bookmark", 6: "Music Video", 9: "Short Film",
+                     10: "TV Show", 11: "Booklet"}.get(payload[0], "Unknown")
+            rev.tags.append(RawTag(key, media, K.MEDIA_FORMAT))
+            return
+
+        val = self._decode_ilst_value(dtype, payload)
+        if val is None:
+            # Unknown typed payload: preserve the raw bytes (no hex dumps).
+            rev.tags.append(RawTag(key, payload))
+            return
+        rev.tags.extend(map_raw(key, val, ITUNES_MAP))
 
     # -- FormatReader ------------------------------------------------------
 

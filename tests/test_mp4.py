@@ -329,3 +329,65 @@ class TestSampleTableBounds:
         with pytest.raises((DecodeError, Unsupported)):
             batch.decode_bytes(bytes(data))
         assert time.time() - t0 < 5.0
+
+
+class TestIlstTyped:
+    """Typed + freeform ilst atoms (VERDICT #5; atoms/ilst.rs:1-1020 +
+    utils/itunes.rs): disk/tmpo/cpil/gnre/rtng yield typed values, freeform
+    '----' atoms map by reverse-DNS name, unknown payloads stay bytes
+    (no hex strings)."""
+
+    def _m4a_with_items(self, items: bytes) -> bytes:
+        frames = [bytes([i]) * 8 for i in range(2)]
+        base = build_m4a(frames, RATE, 1, tags={b"\xa9nam": "T"})
+        # Rebuild with custom ilst: splice by re-running the builder's
+        # structure — simplest is to append items into a fresh udta.
+        import struct as _s
+        ilst = atom(b"ilst", items)
+        meta = atom(b"meta", b"\x00\x00\x00\x00" + ilst)
+        udta = atom(b"udta", meta)
+        # Append udta inside moov: find moov and extend it.
+        pos = base.find(b"moov") - 4
+        size = _s.unpack(">I", base[pos : pos + 4])[0]
+        new_moov_size = size + len(udta)
+        return (base[:pos] + _s.pack(">I", new_moov_size)
+                + base[pos + 4 : pos + size] + udta + base[pos + size:])
+
+    @staticmethod
+    def _data(dtype: int, payload: bytes) -> bytes:
+        return atom(b"data", dtype.to_bytes(4, "big") + b"\x00" * 4 + payload)
+
+    def test_typed_atoms(self):
+        items = (
+            atom(b"disk", self._data(0, b"\x00\x00\x00\x02\x00\x05"))
+            + atom(b"tmpo", self._data(21, b"\x00\x80"))
+            + atom(b"cpil", self._data(21, b"\x01"))
+            + atom(b"gnre", self._data(0, b"\x00\x13"))  # ID3 idx 18 -> Techno
+            + atom(b"rtng", self._data(21, b"\x04"))
+            + atom(b"stik", self._data(21, b"\x02"))
+            + atom(b"zzzz", self._data(99, b"\xde\xad"))
+        )
+        r = IsoMp4Reader(MediaSourceStream(self._m4a_with_items(items)))
+        rev = r.metadata().current()
+        assert rev.get("disc_number") == 2
+        assert rev.get("disc_total") == 5
+        assert rev.get("bpm") == 128
+        assert rev.get("compilation") is True
+        assert rev.get("genre") == "Techno"
+        assert rev.get("content_advisory") == "Explicit"
+        assert rev.get("media_format") == "Audio Book"
+        zz = [t for t in rev.tags if t.key == "zzzz"]
+        assert zz and zz[0].value == b"\xde\xad"  # bytes, not a hex string
+
+    def test_freeform(self):
+        mean = atom(b"mean", b"\x00" * 4 + b"com.apple.iTunes")
+        name = atom(b"name", b"\x00" * 4 + b"MusicBrainz Album Id")
+        items = atom(b"----", mean + name + self._data(1, b"mbid-1"))
+        name2 = atom(b"name", b"\x00" * 4 + b"MyCustomKey")
+        items += atom(b"----", mean + name2 + self._data(1, b"custom-v"))
+        r = IsoMp4Reader(MediaSourceStream(self._m4a_with_items(items)))
+        rev = r.metadata().current()
+        assert rev.get("musicbrainz_album_id") == "mbid-1"
+        custom = [t for t in rev.tags
+                  if t.key == "com.apple.iTunes:MyCustomKey"]
+        assert custom and custom[0].value == "custom-v"
