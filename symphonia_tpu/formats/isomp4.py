@@ -13,6 +13,7 @@ Batch-first: the sample tables are expanded once into flat numpy arrays
 
 from __future__ import annotations
 
+import bisect
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -47,6 +48,90 @@ _CONTAINERS = {
     b"moov", b"trak", b"mdia", b"minf", b"stbl", b"udta", b"edts",
     b"dinf", b"mvex", b"moof", b"traf",
 }
+
+
+class _RangeView:
+    """Sparse read-through view of a seekable stream.
+
+    Behaves like the whole-file ``bytes`` buffer (``len``, integer index,
+    step-1 slices) but holds only prefetched metadata-atom ranges in
+    memory; any uncovered access (sample data inside ``mdat``) seeks the
+    MediaSourceStream window at access time. This is what makes the MP4
+    reader O(window): the reference reads each sample from disk at its
+    table offset (demuxer.rs:618-663) instead of buffering the file.
+
+    Coordinates are stream offsets relative to the reader's start pos.
+    """
+
+    def __init__(self, mss, base: int, length: int):
+        self._mss = mss
+        self._base = base
+        self._len = length
+        self._los: List[int] = []           # sorted range starts
+        self._ranges: List[Tuple[int, int, bytes]] = []  # (lo, hi, bytes)
+
+    def add(self, lo: int, data: bytes) -> None:
+        if not data:
+            return
+        i = bisect.bisect_left(self._los, lo)
+        self._los.insert(i, lo)
+        self._ranges.insert(i, (lo, lo + len(data), data))
+
+    def stored_bytes(self) -> int:
+        return sum(len(r[2]) for r in self._ranges)
+
+    def _read_file(self, lo: int, hi: int) -> bytes:
+        if hi <= lo:
+            return b""
+        self._mss.seek(self._base + lo)
+        return self._mss.read_upto(hi - lo)
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            lo, hi, step = key.indices(self._len)
+            if step != 1:
+                raise ValueError("_RangeView supports step-1 slices only")
+            if hi <= lo:
+                return b""
+            i = bisect.bisect_right(self._los, lo) - 1
+            if i >= 0:
+                rlo, rhi, data = self._ranges[i]
+                if hi <= rhi:  # fast path: fully inside one stored range
+                    return data[lo - rlo : hi - rlo]
+            # Piecewise: stored spans fill what they cover, the stream
+            # window fills the gaps.
+            out = []
+            pos = lo
+            j = max(i, 0)
+            while pos < hi and j < len(self._ranges):
+                rlo, rhi, data = self._ranges[j]
+                if rhi <= pos:
+                    j += 1
+                    continue
+                if rlo >= hi:
+                    break
+                if rlo > pos:
+                    out.append(self._read_file(pos, min(rlo, hi)))
+                    pos = min(rlo, hi)
+                    if pos >= hi:
+                        break
+                take_hi = min(hi, rhi)
+                out.append(data[pos - rlo : take_hi - rlo])
+                pos = take_hi
+                j += 1
+            if pos < hi:
+                out.append(self._read_file(pos, hi))
+            return b"".join(out)
+        idx = int(key)
+        if idx < 0:
+            idx += self._len
+        b = self[idx : idx + 1]
+        if not b:
+            raise IndexError("index out of range")
+        return b[0]
 
 
 def iter_atoms(buf: bytes, start: int, end: int):
@@ -149,13 +234,21 @@ class IsoMp4Reader(FormatReader):
         super().__init__(mss, options)
         self._metadata = MetadataLog()
         start = mss.pos()
-        chunks = []
-        while True:
-            b = mss.read_upto(1 << 22)
-            if not b:
-                break
-            chunks.append(b)
-        buf = b"".join(chunks)
+        total = mss.byte_len() if mss.is_seekable() else None
+        if total is not None:
+            # O(window) mode: prefetch metadata atoms only; sample bytes
+            # are read through the stream window at packet time
+            # (demuxer.rs:618-663 reads per packet from disk).
+            buf = self._scan_seekable(mss, start, total - start)
+        else:
+            # Pipes: no random access to mdat, so buffer the stream.
+            chunks = []
+            while True:
+                b = mss.read_upto(1 << 22)
+                if not b:
+                    break
+                chunks.append(b)
+            buf = b"".join(chunks)
         self._buf = buf
         self._start = start
 
@@ -218,6 +311,51 @@ class IsoMp4Reader(FormatReader):
                     delay=t.delay,
                 )
             )
+
+    # -- seekable atom prefetch --------------------------------------------
+
+    # Kept-atom caps: a crafted moov/moof size must not force a giant
+    # allocation. Oversized atoms keep header-only coverage; the view's
+    # read-through fallback still makes any access correct, just unbuffered.
+    _KEEP_CAP = 1 << 25          # 32 MiB for general metadata atoms
+    _KEEP_CAP_MOOV = 1 << 28     # 256 MiB: huge-file sample tables are real
+
+    @staticmethod
+    def _scan_seekable(mss, base: int, length: int) -> "_RangeView":
+        """Walk top-level atoms via seeks, prefetching everything except
+        ``mdat`` (and over-cap atoms) into a sparse ``_RangeView``."""
+        view = _RangeView(mss, base, length)
+        pos = 0
+        while pos + 8 <= length:
+            mss.seek(base + pos)
+            hdr = mss.read_upto(16)
+            if len(hdr) < 8:
+                break
+            size = int.from_bytes(hdr[0:4], "big")
+            atype = hdr[4:8]
+            hlen = 8
+            if size == 1:
+                if len(hdr) < 16:
+                    view.add(pos, hdr)
+                    break
+                size = int.from_bytes(hdr[8:16], "big")
+                hlen = 16
+            elif size == 0:
+                size = length - pos
+            if size < hlen or pos + size > length:
+                # Malformed tail: keep the header so iter_atoms sees the
+                # same bytes and stops at the same point a full buffer would.
+                view.add(pos, hdr)
+                break
+            cap = (IsoMp4Reader._KEEP_CAP_MOOV if atype == b"moov"
+                   else IsoMp4Reader._KEEP_CAP)
+            if atype != b"mdat" and size <= cap:
+                mss.seek(base + pos)
+                view.add(pos, mss.read_upto(size))
+            else:
+                view.add(pos, hdr[:hlen])
+            pos += size
+        return view
 
     # -- moov parsing ------------------------------------------------------
 
@@ -511,6 +649,17 @@ class IsoMp4Reader(FormatReader):
                         pos2 += 4
                     if tflags & 0x4:
                         pos2 += 4
+                    # DoS bound: a crafted count must not drive a giant
+                    # walk (mirrors the stsz cap). With per-sample fields
+                    # the trun's own bytes cap the count; without them a
+                    # sample still needs >= 1 byte of stream.
+                    entry_sz = 4 * (bool(tflags & 0x100) + bool(tflags & 0x200)
+                                    + bool(tflags & 0x400) + bool(tflags & 0x800))
+                    if entry_sz:
+                        if cnt > (re_ - pos2) // entry_sz:
+                            raise DecodeError("isomp4: truncated trun table")
+                    elif cnt > len(buf):
+                        raise DecodeError("isomp4: trun count exceeds stream")
                     offs, szs, drs = [], [], []
                     cur = base_offset + data_off
                     for _ in range(cnt):

@@ -391,3 +391,127 @@ class TestIlstTyped:
         custom = [t for t in rev.tags
                   if t.key == "com.apple.iTunes:MyCustomKey"]
         assert custom and custom[0].value == "custom-v"
+
+class _VirtualPadSource:
+    """Seekable file-like: real ``head`` bytes, then virtual zeros up to
+    ``virtual_len``. Lets a test declare a 1 GB file without allocating it,
+    and counts how many bytes the reader actually pulled."""
+
+    def __init__(self, head: bytes, virtual_len: int):
+        self._head = head
+        self._len = virtual_len
+        self._pos = 0
+        self.bytes_served = 0
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return True
+
+    def tell(self):
+        return self._pos
+
+    def seek(self, off, whence=0):
+        import io as _io
+        if whence == _io.SEEK_END:
+            self._pos = self._len + off
+        elif whence == _io.SEEK_CUR:
+            self._pos += off
+        else:
+            self._pos = off
+        return self._pos
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = self._len - self._pos
+        n = max(0, min(n, self._len - self._pos))
+        out = b""
+        if self._pos < len(self._head):
+            out = self._head[self._pos : self._pos + n]
+        out += b"\x00" * (n - len(out))
+        self._pos += n
+        self.bytes_served += n
+        return out
+
+
+class TestMp4OWindow:
+    """VERDICT r2 #6: the seekable MP4 path is O(window) — moov is parsed
+    into tables but sample bytes are read through the MSS window at packet
+    time (demuxer.rs:618-663), never buffering the file."""
+
+    def _fixture(self, n=6, seed=9):
+        rng = np.random.default_rng(seed)
+        frames = [
+            build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)], [0],
+                            MAX_SFB, GAIN, RATE)
+            for _ in range(n)
+        ]
+        return frames, build_m4a(frames, RATE, 1)
+
+    def test_giant_declared_mdat_is_not_buffered(self):
+        from symphonia_tpu.formats.isomp4 import _RangeView
+
+        frames, data = self._fixture()
+        # Patch the trailing mdat's size field to declare ~1 GB.
+        mdat_off = data.rfind(b"mdat") - 4
+        giant = 1 << 30
+        patched = (data[:mdat_off] + struct.pack(">I", 8 + giant)
+                   + data[mdat_off + 4:])
+        src = _VirtualPadSource(patched, mdat_off + 8 + giant)
+        r = IsoMp4Reader(MediaSourceStream(src))
+        assert isinstance(r._buf, _RangeView)
+        # Metadata prefetch is tiny; the giant mdat is header-only.
+        assert r._buf.stored_bytes() < (1 << 20)
+        got = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            got.append(p.data)
+        assert got == frames
+        # The reader never came close to pulling the declared 1 GB.
+        assert src.bytes_served < (8 << 20)
+
+    def test_seekable_matches_pipe_path(self):
+        from tests.conftest import ForwardPipe
+
+        frames, data = self._fixture(n=5, seed=11)
+        r_seek = IsoMp4Reader(MediaSourceStream(data))
+        r_pipe = IsoMp4Reader(MediaSourceStream(ForwardPipe(data)))
+        for r in (r_seek, r_pipe):
+            out = []
+            while True:
+                p = r.next_packet()
+                if p is None:
+                    break
+                out.append((p.ts, p.dur, p.data))
+            assert [d for _, _, d in out] == frames
+        t1 = r_seek.packet_table()
+        assert t1.data == frames
+
+class TestTrunBounds:
+    """Regression (soak hardening): a mutated trun sample count must not
+    drive a multi-billion-iteration walk."""
+
+    def test_giant_trun_count_rejected_fast(self):
+        import time
+
+        from symphonia_tpu.core.errors import DecodeError, Unsupported
+
+        rng = np.random.default_rng(5)
+        frames = [
+            build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)], [0],
+                            MAX_SFB, GAIN, RATE)
+            for _ in range(8)
+        ]
+        data = bytearray(build_fmp4(frames, RATE, 1, frag_size=4))
+        # Patch the first trun's sample count field to 2^31.
+        i = bytes(data).find(b"trun") + 4 + 4  # type + version/flags
+        data[i : i + 4] = (1 << 31).to_bytes(4, "big")
+        t0 = time.time()
+        with pytest.raises((DecodeError, Unsupported)):
+            r = IsoMp4Reader(MediaSourceStream(bytes(data)))
+            while r.next_packet() is not None:
+                pass
+        assert time.time() - t0 < 5.0
