@@ -68,7 +68,15 @@ class CafReader(FormatReader):
                 if size == -1:  # size unknown: rest of file
                     self._data_len = (total - self._data_start) if total else None
                     break
-                self._data_len = size - 4
+                # DoS bound: a mutated declared size must not exceed the
+                # real bytes (ignore_bytes on a seekable source seeks past
+                # EOF without raising, so the declared size would otherwise
+                # drive a giant CBR packet-table allocation); nor go
+                # negative (np.full(-n) is a raw ValueError).
+                self._data_len = max(0, size - 4)
+                if total is not None:
+                    self._data_len = min(self._data_len,
+                                         max(0, total - self._data_start))
                 mss.ignore_bytes(self._data_len)
             elif ctype == b"kuki":
                 self._kuki = mss.read_bytes(size)
@@ -185,12 +193,21 @@ class CafReader(FormatReader):
         self._desc = (rate, fmt_id, flags, bpp, fpp, n_ch, bits)
 
     def _parse_pakt(self, payload: bytes) -> None:
+        if len(payload) < 24:
+            raise DecodeError("pakt chunk too small")
         n_pkts, n_frames, priming, remainder = struct.unpack(">qqii", payload[:24])
+        # DoS bound: every packet entry is at least one varint byte, so the
+        # chunk's own size caps a crafted count (a mutated count must not
+        # drive a giant allocation or walk).
+        if n_pkts < 0 or n_pkts > len(payload) - 24:
+            raise DecodeError("pakt count exceeds chunk")
         sizes = np.zeros(n_pkts, dtype=np.int64)
         pos = 24
         for i in range(n_pkts):
             v = 0
             while True:
+                if pos >= len(payload):
+                    raise DecodeError("truncated pakt table")
                 b = payload[pos]
                 pos += 1
                 v = (v << 7) | (b & 0x7F)

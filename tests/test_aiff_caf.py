@@ -196,3 +196,59 @@ class TestAiffId3:
         r = AiffReader(MediaSourceStream(data))
         rev = r.metadata().current()
         assert rev is not None and rev.get("track_title") == "Aiff Song"
+
+class TestCafPaktBounds:
+    """Regression (soak hardening): a mutated pakt chunk must not drive a
+    giant allocation/walk or escape the error taxonomy."""
+
+    def _caf_with_pakt(self, pakt_payload: bytes) -> bytes:
+        frames = np.zeros((64, 1), dtype=np.int64)
+        base = make_caf(frames, rate=8000)
+        # Splice a pakt chunk before the data chunk.
+        i = base.find(b"data")
+        pakt = b"pakt" + struct.pack(">q", len(pakt_payload)) + pakt_payload
+        return base[:i] + pakt + base[i:]
+
+    def test_giant_count_rejected_fast(self):
+        import time
+
+        from symphonia_tpu.core.errors import DecodeError
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.formats.caf import CafReader
+
+        payload = struct.pack(">qqii", 1 << 40, 0, 0, 0) + b"\x01" * 16
+        t0 = time.time()
+        with pytest.raises(DecodeError):
+            CafReader(MediaSourceStream(self._caf_with_pakt(payload)))
+        assert time.time() - t0 < 2.0
+
+    def test_negative_count_and_truncated_varint(self):
+        from symphonia_tpu.core.errors import DecodeError
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.formats.caf import CafReader
+
+        neg = struct.pack(">qqii", -5, 0, 0, 0)
+        with pytest.raises(DecodeError):
+            CafReader(MediaSourceStream(self._caf_with_pakt(neg)))
+        # Count of 2 but only continuation-bit bytes of table.
+        trunc = struct.pack(">qqii", 2, 0, 0, 0) + b"\x80\x80"
+        with pytest.raises(DecodeError):
+            CafReader(MediaSourceStream(self._caf_with_pakt(trunc)))
+
+    def test_giant_declared_data_size_bounded(self):
+        """A mutated data-chunk size (seekable source: ignore_bytes seeks
+        past EOF silently) must not drive a giant CBR packet table."""
+        import time
+
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.formats.caf import CafReader
+
+        frames = np.zeros((64, 1), dtype=np.int64)
+        base = bytearray(make_caf(frames, rate=8000))
+        i = bytes(base).find(b"data")
+        base[i + 4 : i + 12] = (1 << 60).to_bytes(8, "big")
+        t0 = time.time()
+        r = CafReader(MediaSourceStream(bytes(base)))
+        table = r.packet_table()
+        assert len(table) <= 64
+        assert time.time() - t0 < 2.0

@@ -120,7 +120,41 @@ def builders(rng):
         fpb = (ba - 4) * 2 + 1
         return make_adpcm_wav(payload, 0x11, ba, fpb, fpb * n_blocks)
 
-    return [flac, mp3, aac, wav, mkv, m4a, ogg, adpcm]
+    def aiff():
+        from test_aiff_caf import make_aiff
+
+        n = int(rng.integers(400, 6000))
+        fr = rng.integers(-30000, 30000, size=(n, 2))
+        aifc = bool(rng.integers(2))
+        comp = bytes(rng.choice([b"NONE", b"sowt"])) if aifc else b"NONE"
+        bits = 16 if comp == b"sowt" else int(rng.choice([8, 16, 24]))
+        return make_aiff(fr, rate=int(rng.choice([8000, 44100])),
+                         bits=bits, aifc=aifc, comp=comp)
+
+    def caf():
+        from test_aiff_caf import make_caf
+
+        n = int(rng.integers(400, 6000))
+        fr = rng.integers(-30000, 30000, size=(n, 2))
+        le = bool(rng.integers(2))
+        return make_caf(fr, rate=int(rng.choice([8000, 44100])),
+                        flags=0x2 if le else 0x0)
+
+    def fmp4():
+        from aac_builder import build_raw_block
+        from test_mp4 import build_fmp4
+
+        frames = []
+        for _ in range(int(rng.integers(4, 14))):
+            q = np.zeros(1024, np.int64)
+            idx = rng.choice(1000, size=100, replace=False)
+            q[idx] = rng.integers(-60, 61, size=100)
+            frames.append(build_raw_block([q], [0], 12, 140, 44100))
+        return build_fmp4(frames, rate=44100, n_ch=1,
+                          frag_size=int(rng.choice([2, 4, 7])),
+                          with_sidx=bool(rng.integers(2)))
+
+    return [flac, mp3, aac, wav, mkv, m4a, ogg, adpcm, aiff, caf, fmp4]
 
 
 def mutate(data: bytes, rng) -> bytes:
