@@ -587,6 +587,45 @@ int32_t sh_flac_decode_frame(
     return 0;
 }
 
+// Canonical Vorbis codeword assignment: exact mirror of
+// core/io/codebook.py::from_lengths_canonical (spec left-aligned
+// branch-splitting; analog of symphonia-codec-vorbis codebook.rs
+// synthesis). Hot at decoder construction: ~40 books per Vorbis setup.
+// Returns 0 ok, 1 over-specified, 2 under-specified, 3 invalid length.
+// codes[i] is the right-aligned codeword for entries with lengths[i]>0.
+int32_t sh_codebook_assign(const int32_t* lengths, int64_t n,
+                           uint32_t* codes) {
+    uint64_t available[33] = {0};
+    bool first = true;
+    int64_t used = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t ln = lengths[i];
+        if (ln == 0) continue;
+        if (ln < 1 || ln > 32) return 3;
+        uint64_t code_aligned;
+        if (first) {
+            code_aligned = 0;
+            for (int j = 1; j <= ln; j++) available[j] = 1ull << (32 - j);
+            first = false;
+        } else {
+            int y = ln;
+            while (y > 0 && available[y] == 0) y--;
+            if (y == 0) return 1;
+            code_aligned = available[y];
+            available[y] = 0;
+            for (int j = y + 1; j <= ln; j++)
+                available[j] = code_aligned + (1ull << (32 - j));
+        }
+        codes[i] = (uint32_t)(code_aligned >> (32 - ln));
+        used++;
+    }
+    if (used > 1) {
+        for (int j = 1; j <= 32; j++)
+            if (available[j]) return 2;
+    }
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -422,6 +422,41 @@ class VorbisDsp:
         self.overlap[ch, : bs // 2] = y[bs // 2 :]
         return out
 
+    def synth_all(self, spectra: np.ndarray, block_flag: bool,
+                  prev_block_flag: bool) -> np.ndarray:
+        """Vectorized ``synth`` over all channels at once: one DCT-IV call
+        instead of one per channel (the per-packet surface's hot loop).
+        Elementwise/lapping math is per-row identical to ``synth``; the
+        DCT batches rows through the same pocketfft kernel."""
+        bs = self.bs1 if block_flag else self.bs0
+        n_ch = spectra.shape[0]
+        if bs >= 512 and have_fast_imdct():
+            y = imdct_dct4(np.ascontiguousarray(spectra[:, : bs // 2]))
+        else:
+            m = imdct_matrix(bs)
+            y = np.stack([m @ spectra[c, : bs // 2] for c in range(n_ch)])
+        win = vorbis_window(self.bs1 if (block_flag and prev_block_flag) else self.bs0)
+        prev_bs = self.bs1 if prev_block_flag else self.bs0
+        out = np.empty((n_ch, (prev_bs + bs) // 4), dtype=np.float32)
+        ov = self.overlap[:n_ch]
+        if prev_block_flag == block_flag:
+            np.multiply(ov[:, : bs // 2], win[::-1], out=out)
+            out += y[:, : bs // 2] * win
+        elif prev_block_flag and not block_flag:
+            start = (self.bs1 - self.bs0) // 4
+            end = start + self.bs0 // 2
+            out[:, :start] = ov[:, :start]
+            out[:, start:] = ov[:, start:end] * win[::-1] + y[:, : self.bs0 // 2] * win
+        else:
+            start = (self.bs1 - self.bs0) // 4
+            end = start + self.bs0 // 2
+            out[:, : self.bs0 // 2] = (
+                ov[:, : self.bs0 // 2] * win[::-1] + y[:, start:end] * win
+            )
+            out[:, self.bs0 // 2 :] = y[:, end : self.bs1 // 2]
+        self.overlap[:n_ch, : bs // 2] = y[:, bs // 2 :]
+        return out
+
 
 # Vorbis channel order -> output order (spec §4.3.9). Our output keeps the
 # positioned order (L, R, C, LFE, RL, RR, ...) like the reference's
@@ -633,14 +668,11 @@ class VorbisDecoder(AudioDecoder):
             else block_flag
         )
         first_packet = self.dsp.prev_block_flag is None
-        outs = [
-            self.dsp.synth(ch, spectra[ch], block_flag, prev_flag)
-            for ch in range(n_ch)
-        ]
+        outs = self.dsp.synth_all(spectra[:n_ch], block_flag, prev_flag)
         self.dsp.prev_block_flag = block_flag
 
         chmap = _CHANNEL_MAP.get(n_ch, list(range(n_ch)))
-        pcm = np.zeros((n_ch, len(outs[0])), dtype=np.float32)
+        pcm = np.zeros((n_ch, outs.shape[1]), dtype=np.float32)
         for src, dst in enumerate(chmap):
             pcm[dst] = outs[src]
 

@@ -70,6 +70,30 @@ class Codebook:
         """
         if values is None:
             values = list(range(len(lengths)))
+        # Native fast path: the identical loop in C++ (sh_codebook_assign;
+        # ~40 codebooks per Vorbis setup make this construction-time hot).
+        # Any failure falls through to the Python loop below.
+        try:
+            from ... import native as _native
+
+            got = _native.codebook_assign(np.asarray(lengths, np.int32))
+        except Exception:
+            got = None
+        if got is not None:
+            codes_n, st = got
+            if st == 1:
+                raise ValueError("over-specified codebook")
+            if st == 2:
+                raise ValueError("under-specified codebook")
+            if st == 3:
+                raise ValueError("invalid codeword length")
+            lens_n = np.asarray(lengths, np.int64)
+            mask = lens_n > 0
+            if not mask.any():
+                return Codebook.from_codes([], [], [])
+            vals_n = np.asarray(values, np.int64)[mask]
+            return Codebook.from_codes(
+                codes_n[mask].astype(np.int64), lens_n[mask], vals_n)
         # Left-aligned branch-splitting assignment (the classic canonical
         # Huffman construction; equivalent to the reference's synthesis in
         # symphonia-codec-vorbis/src/codebook.rs). ``available[l]`` holds a

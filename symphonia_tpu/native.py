@@ -74,6 +74,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sh_crc8.restype = ctypes.c_uint32
     lib.sh_crc8.argtypes = [c_u8p, ctypes.c_int64]
     try:
+        lib.sh_codebook_assign.restype = ctypes.c_int32
+        lib.sh_codebook_assign.argtypes = [
+            c_i32p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32)]
+    except AttributeError:
+        pass
+    try:
         lib.sh_crc8_init.restype = ctypes.c_uint32
         lib.sh_crc8_init.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_uint32]
     except AttributeError:
@@ -231,6 +237,23 @@ def available() -> bool:
 
 def _u8ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def codebook_assign(lengths) -> "Optional[tuple]":
+    """Canonical Vorbis codeword assignment (sh_codebook_assign): exact
+    mirror of ``Codebook.from_lengths_canonical``'s branch-splitting loop
+    (hot at every Vorbis decoder construction). Returns (codes uint32,
+    status) or None when the library is unavailable. Status: 0 ok,
+    1 over-specified, 2 under-specified, 3 invalid length."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_codebook_assign"):
+        return None
+    l = np.ascontiguousarray(lengths, dtype=np.int32)
+    codes = np.zeros(len(l), dtype=np.uint32)
+    st = lib.sh_codebook_assign(
+        l.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(l),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return codes, int(st)
 
 
 def crc16(data: bytes, init: int = 0) -> int:

@@ -22,6 +22,25 @@ try:
 except ImportError:  # pragma: no cover - scipy is in the image
     _sfft = None
 
+try:
+    # Same C kernel scipy.fft.dct dispatches to, minus ~8 us/call of
+    # wrapper layers (measured; bit-identical output). Private API, so
+    # fall back to the public entry point on any mismatch.
+    from scipy.fft._pocketfft import pypocketfft as _pfft
+
+    _ppdct = _pfft.dct
+except Exception:  # pragma: no cover - depends on scipy internals
+    _ppdct = None
+
+
+def _dct4(x: np.ndarray) -> np.ndarray:
+    if _ppdct is not None:
+        try:
+            return _ppdct(x, 4, (x.ndim - 1,), 0, None, 1, None)
+        except TypeError:  # signature drift: use the public API
+            pass
+    return _sfft.dct(x, type=4, axis=-1)
+
 
 def have_fast_imdct() -> bool:
     return _sfft is not None
@@ -31,7 +50,7 @@ def imdct_dct4(x: np.ndarray) -> np.ndarray:
     """Unscaled IMDCT along the last axis: [..., n] -> [..., 2n],
     y[i] = sum_j x[j] cos(pi/(4n) (2i+1+n)(2j+1)). Requires scipy."""
     n = x.shape[-1]
-    d = _sfft.dct(x, type=4, axis=-1) * np.float32(0.5)
+    d = _dct4(x) * np.float32(0.5)
     y = np.empty(x.shape[:-1] + (2 * n,), d.dtype)
     h = n // 2
     y[..., :h] = d[..., h:]

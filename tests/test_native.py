@@ -298,3 +298,93 @@ np.savez(sys.argv[2], **outs)
         assert set(da.keys()) == set(db.keys())
         for k in da.keys():
             assert np.array_equal(da[k], db[k]), k
+
+
+class TestCodebookAssignNative:
+    """sh_codebook_assign must agree with the Python branch-splitting loop
+    on codes AND accept/reject decisions across random valid and invalid
+    length sets (it replaces the loop at every Vorbis decoder open)."""
+
+    def _python_assign(self, lengths):
+        # The Python loop, extracted verbatim semantics from
+        # Codebook.from_lengths_canonical's fallback path.
+        used = []
+        available = [0] * 33
+        first = True
+        for val, ln in enumerate(lengths):
+            if ln == 0:
+                continue
+            if not 1 <= ln <= 32:
+                return ("invalid", None)
+            if first:
+                code_aligned = 0
+                for j in range(1, ln + 1):
+                    available[j] = 1 << (32 - j)
+                first = False
+            else:
+                y = ln
+                while y > 0 and available[y] == 0:
+                    y -= 1
+                if y == 0:
+                    return ("over", None)
+                code_aligned = available[y]
+                available[y] = 0
+                for j in range(y + 1, ln + 1):
+                    available[j] = code_aligned + (1 << (32 - j))
+            used.append((code_aligned >> (32 - ln), ln, val))
+        if len(used) > 1 and any(available[1:]):
+            return ("under", None)
+        return ("ok", used)
+
+    def test_agreement(self):
+        import random
+
+        import numpy as np
+
+        from symphonia_tpu import native
+
+        if native.codebook_assign(np.asarray([1, 1], np.int32)) is None:
+            pytest.skip("native library unavailable")
+        rng = random.Random(3)
+
+        def random_valid(max_depth=14):
+            leaves = []
+
+            def grow(d):
+                if len(leaves) > 400:
+                    leaves.append(d)
+                    return
+                if d >= max_depth or (d > 0 and rng.random() < 0.4):
+                    leaves.append(d)
+                else:
+                    grow(d + 1)
+                    grow(d + 1)
+
+            grow(0)
+            if len(leaves) == 1:
+                leaves = [1, 1]
+            rng.shuffle(leaves)
+            out = []
+            for L in leaves:
+                while rng.random() < 0.15:
+                    out.append(0)
+                out.append(L)
+            return out
+
+        cases = [random_valid() for _ in range(300)]
+        # Invalid/edge sets: random garbage, over/under-specified, empties.
+        nrng = np.random.default_rng(4)
+        for _ in range(300):
+            n = int(nrng.integers(1, 50))
+            cases.append(nrng.integers(0, 12, size=n).tolist())
+        cases += [[], [0, 0, 0], [5], [0, 7, 0], [1, 1, 1], [2, 1],
+                  [33], [1, 40, 1]]
+        for lengths in cases:
+            status, used = self._python_assign(lengths)
+            got = native.codebook_assign(np.asarray(lengths, np.int32))
+            codes, st = got
+            want_st = {"ok": 0, "over": 1, "under": 2, "invalid": 3}[status]
+            assert st == want_st, (lengths, status, st)
+            if status == "ok":
+                for code, ln, val in used:
+                    assert codes[val] == code, (lengths, val)

@@ -465,3 +465,29 @@ class TestPerPacketNativeVorbis:
         assert a.shape == b.shape
         scale = max(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() <= 1e-4 * scale
+
+
+class TestSynthAllParity:
+    """synth_all (vectorized per-packet lapping) must be bit-identical to
+    the per-channel synth across every block-flag transition."""
+
+    def test_bit_identical(self):
+        import numpy as np
+
+        from symphonia_tpu.codecs.vorbis import VorbisDsp
+
+        rng = np.random.default_rng(12)
+        bs0, bs1, n_ch = 256, 2048, 2
+        a = VorbisDsp(n_ch, bs0, bs1)
+        b = VorbisDsp(n_ch, bs0, bs1)
+        prev = None
+        for flag in [False, False, True, True, False, True, False]:
+            n2 = (bs1 if flag else bs0) // 2
+            spec = rng.standard_normal((n_ch, n2)).astype(np.float32)
+            pf = flag if prev is None else prev
+            outs_a = np.stack([a.synth(c, spec[c], flag, pf)
+                               for c in range(n_ch)])
+            outs_b = b.synth_all(spec, flag, pf)
+            np.testing.assert_array_equal(outs_a, outs_b)
+            np.testing.assert_array_equal(a.overlap, b.overlap)
+            prev = flag
