@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import bisect
 import struct
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -29,7 +30,7 @@ from ..core.codecs import (
     CODEC_ID_OPUS,
     AudioCodecParameters,
 )
-from ..core.errors import DecodeError, SeekError, Unsupported
+from ..core.errors import DecodeError, EndOfStream, SeekError, Unsupported
 from ..core.formats import (
     FormatOptions,
     FormatReader,
@@ -80,9 +81,18 @@ class _RangeView:
     def stored_bytes(self) -> int:
         return sum(len(r[2]) for r in self._ranges)
 
+    def covers(self, lo: int, hi: int) -> bool:
+        """True when [lo, hi) lies fully inside one stored range."""
+        i = bisect.bisect_right(self._los, lo) - 1
+        return i >= 0 and hi <= self._ranges[i][1]
+
     def _read_file(self, lo: int, hi: int) -> bytes:
         if hi <= lo:
             return b""
+        if self._mss is None:
+            # Forward-only source: the parser must never need bytes it
+            # did not keep (metadata atoms are stored as they arrive).
+            raise DecodeError("isomp4: reference into unbuffered pipe region")
         self._mss.seek(self._base + lo)
         return self._mss.read_upto(hi - lo)
 
@@ -284,6 +294,10 @@ class IsoMp4Reader(FormatReader):
             self._sidx_segments = []
             self._parse_fragments(buf)
 
+        self._finish_tracks()
+
+    def _finish_tracks(self) -> None:
+        """Validate tracks and build the public Track objects + cursors."""
         if not self._tracks:
             raise Unsupported("no supported audio tracks in MP4")
 
@@ -461,7 +475,8 @@ class IsoMp4Reader(FormatReader):
             raise DecodeError(f"isomp4: truncated {what} table")
         return np.frombuffer(buf[start:end], dtype=dtype).astype(np.int64)
 
-    def _expand_sample_tables(self, buf, t: Mp4Track, stbl) -> None:
+    def _expand_sample_tables(self, buf, t: Mp4Track, stbl,
+                              byte_bound: Optional[int] = None) -> None:
         def table(name):
             a = find_atom(buf, *stbl, [name])
             return a
@@ -475,7 +490,10 @@ class IsoMp4Reader(FormatReader):
                 # DoS bound: a sample needs at least one byte, so the file
                 # size caps the count a crafted uniform-size stsz can claim
                 # (a mutated count drove a 117 s np.full in the soak).
-                if count > len(buf):
+                # Pipe readers set _stsz_byte_bound (file size unknown).
+                if byte_bound is None:
+                    byte_bound = getattr(self, "_stsz_byte_bound", None)
+                if count > (byte_bound if byte_bound is not None else len(buf)):
                     raise DecodeError("isomp4: stsz count exceeds stream")
                 sizes = np.full(count, uniform, dtype=np.int64)
             else:
@@ -874,6 +892,276 @@ class IsoMp4Reader(FormatReader):
         )
 
 
+class Mp4StreamReader(IsoMp4Reader):
+    """Forward-only (pipe) MP4 reader, O(window) for streamable layouts.
+
+    The reference reads the stream sequentially the same way
+    (demuxer.rs:618-663 reads each sample at its table offset; on a pipe
+    that requires moov-before-mdat). Metadata atoms are stored as they
+    arrive; once the moov (or, for fragments, each moof) is parsed, the
+    following mdat's sample bytes are read forward through the MSS window
+    at packet time. mdat-before-moov inputs degrade gracefully: those
+    mdat bodies are buffered (no random access on a pipe), everything
+    else still streams.
+    """
+
+    # A sample needs >= 1 byte; on a pipe the file size is unknown, so a
+    # crafted uniform-stsz count is bounded by this instead (16M samples
+    # is a 128 MB table — far beyond any real streamed program).
+    _STSZ_PIPE_BOUND = 1 << 24
+
+    def __init__(self, mss, options: Optional[FormatOptions] = None):
+        FormatReader.__init__(self, mss, options)
+        self._metadata = MetadataLog()
+        self._start = mss.pos()
+        self._stsz_byte_bound = self._STSZ_PIPE_BOUND
+        view = _RangeView(None, self._start, 1 << 62)
+        self._view = view
+        self._buf = view
+        self._tracks = []
+        self._sidx_segments: List[Tuple[int, int, int]] = []
+        self._sidx_timescale = 0
+        self._sidx_track_id = None
+        self._frag_loaded = 0
+        self._moov_parsed = False
+        self._fragmented = False
+        self._saw_ftyp = False
+        self._eof = False
+        self._cur_mdat_end: Optional[int] = None
+        self._pending: deque = deque()
+        self._sched: Dict[int, int] = {}  # per-track scheduled-sample count
+
+        # Walk until the moov has been parsed (buffering any mdat bodies
+        # that precede it), so track params exist before the first packet.
+        while not self._moov_parsed and self._step_atom(buffer_mdat=True):
+            pass
+        if not self._moov_parsed:
+            raise Unsupported("missing moov atom" if self._saw_ftyp
+                              else "not an ISO media file")
+        self._finish_tracks()
+
+    # -- incremental atom walk ---------------------------------------------
+
+    def _pos(self) -> int:
+        return self.mss.pos() - self._start
+
+    def _step_atom(self, buffer_mdat: bool) -> bool:
+        """Consume one top-level atom from the pipe. Returns False at EOF.
+
+        In streaming mode (buffer_mdat=False) an mdat atom is not
+        consumed: its samples are scheduled and emission reads them
+        forward; the walk resumes past the mdat once the schedule drains.
+        """
+        mss = self.mss
+        # Realign past the current mdat's unread tail first.
+        if self._cur_mdat_end is not None:
+            cur = self._pos()
+            if cur < self._cur_mdat_end:
+                try:
+                    mss.ignore_bytes(self._cur_mdat_end - cur)
+                except EndOfStream:
+                    self._eof = True
+                    return False
+            self._cur_mdat_end = None
+        pos = self._pos()
+        try:
+            hdr = mss.read_bytes(8)
+        except EndOfStream:
+            self._eof = True
+            return False
+        size = int.from_bytes(hdr[0:4], "big")
+        atype = hdr[4:8]
+        hlen = 8
+        if size == 1:
+            try:
+                hdr += mss.read_bytes(8)
+            except EndOfStream:
+                self._eof = True
+                return False
+            size = int.from_bytes(hdr[8:16], "big")
+            hlen = 16
+        elif size == 0:
+            size = None  # to end of stream
+        if size is not None and size < hlen:
+            self._eof = True
+            return False
+        self._view.add(pos, hdr)
+        body_lo = pos + hlen
+        body_hi = None if size is None else pos + size
+
+        if atype == b"mdat":
+            if self._moov_parsed:
+                self._schedule_new_samples()
+                self._cur_mdat_end = body_hi
+                if not buffer_mdat:
+                    return True
+                # Pre-moov walk continuing over a post-moov mdat cannot
+                # happen (the walk stops once moov parses); fall through
+                # only for safety.
+            # moov not seen yet: buffer the body so its samples remain
+            # addressable once the tables arrive.
+            want = ((body_hi - body_lo)
+                    if body_hi is not None else (1 << 62))
+            got = bytearray()
+            while want > 0:
+                chunk = mss.read_upto(min(want, 1 << 22))
+                if not chunk:
+                    break
+                got += chunk
+                want -= len(chunk)
+            self._view.add(body_lo, bytes(got))
+            self._cur_mdat_end = None
+            if want > 0 and body_hi is not None:
+                self._eof = True
+                return False
+            return True
+
+        if atype == b"ftyp":
+            self._saw_ftyp = True
+        if body_hi is None:
+            # Unsized non-mdat atom: read to EOF (bounded by the cap).
+            body = mss.read_upto(IsoMp4Reader._KEEP_CAP)
+            self._view.add(body_lo, body)
+            body_hi = body_lo + len(body)
+            self._eof = True
+        else:
+            cap = (IsoMp4Reader._KEEP_CAP_MOOV if atype == b"moov"
+                   else IsoMp4Reader._KEEP_CAP)
+            if body_hi - body_lo > cap:
+                try:
+                    mss.ignore_bytes(body_hi - body_lo)
+                except EndOfStream:
+                    self._eof = True
+                    return False
+                return True
+            try:
+                self._view.add(body_lo, mss.read_bytes(body_hi - body_lo))
+            except EndOfStream:
+                self._eof = True
+                return False
+
+        if atype == b"moov":
+            self._parse_moov_atoms(body_lo, body_hi)
+        elif atype == b"moof" and self._moov_parsed:
+            self._parse_fragments(self._view, pos, body_hi)
+        return True
+
+    def _parse_moov_atoms(self, lo: int, hi: int) -> None:
+        for atype, b, e in iter_atoms(self._view, lo, hi):
+            if atype == b"trak":
+                t = self._parse_trak(self._view, b, e)
+                if t is not None and t.codec is not None:
+                    self._tracks.append(t)
+            elif atype == b"udta":
+                self._parse_udta(self._view, b, e)
+        self._moov_parsed = True
+        self._sched = {t.track_id: 0 for t in self._tracks}
+        # Samples may already be addressable (mdat buffered pre-moov).
+        self._schedule_new_samples()
+
+    def _schedule_new_samples(self) -> None:
+        """Move every not-yet-scheduled table row into the pending queue,
+        merged across tracks in file-offset order (offset order IS the
+        only order a forward-only source can serve)."""
+        entries = []
+        for t in self._tracks:
+            if t.offsets is None:
+                continue
+            i0 = self._sched.get(t.track_id, 0)
+            for i in range(i0, len(t.offsets)):
+                entries.append((int(t.offsets[i]), int(t.sizes[i]),
+                                int(t.ts[i]), int(t.durs[i]), t.track_id))
+            self._sched[t.track_id] = len(t.offsets)
+        entries.sort(key=lambda x: x[0])
+        self._pending.extend(entries)
+
+    # -- packet interface ----------------------------------------------------
+
+    def next_packet(self) -> Optional[Packet]:
+        while True:
+            while not self._pending:
+                if self._eof:
+                    return None
+                if not self._step_atom(buffer_mdat=False):
+                    if not self._pending:
+                        return None
+                    break
+            off, size, ts, dur, tid = self._pending.popleft()
+            if size <= 0:
+                continue
+            hi = off + size
+            if self._view.covers(off, hi):  # buffered (mdat-before-moov)
+                data = self._view[off:hi]
+            else:
+                cur = self._pos()
+                if off < cur:
+                    # Overlapping/backward layout cannot stream; skip the
+                    # packet rather than desync the whole walk.
+                    continue
+                try:
+                    if off > cur:
+                        self.mss.ignore_bytes(off - cur)
+                    data = self.mss.read_bytes(size)
+                except EndOfStream:
+                    self._eof = True
+                    return None
+            return Packet(track_id=tid, ts=ts, dur=dur, data=data)
+
+    def seek(self, mode: str, to: SeekTo) -> SeekedTo:
+        """Forward-only seek: drop pending packets before the target
+        (backward targets raise, as on every pipe reader)."""
+        track = self._tracks[0]
+        if to.track_id is not None:
+            track = next((t for t in self._tracks
+                          if t.track_id == to.track_id), track)
+        if to.ts is not None:
+            ts = to.ts
+        elif to.time is not None:
+            ts = int(to.time.to_seconds() * (track.timescale or 1))
+        else:
+            raise SeekError("no seek target")
+        while True:
+            for i, ent in enumerate(self._pending):
+                if ent[4] == track.track_id and ent[2] + ent[3] > ts:
+                    for _ in range(i):
+                        self._pending.popleft()
+                    return SeekedTo(track.track_id, ts, ent[2])
+            self._pending.clear()
+            if self._eof or not self._step_atom(buffer_mdat=False):
+                raise SeekError("seek target beyond end of stream")
+
+    def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
+        """Drain the pipe once into a materialized table (bulk consumers
+        on unseekable sources inherently need the bytes in memory)."""
+        rows = []
+        while True:
+            p = self.next_packet()
+            if p is None:
+                break
+            if track_id is None or p.track_id == track_id:
+                rows.append(p)
+        tid = track_id if track_id is not None else (
+            rows[0].track_id if rows else self._tracks[0].track_id)
+        rows = [p for p in rows if p.track_id == tid]
+        n = len(rows)
+        return PacketTable(
+            track_id=tid,
+            offsets=np.zeros(n, np.int64),
+            sizes=np.asarray([len(p.data) for p in rows], np.int64),
+            ts=np.asarray([p.ts for p in rows], np.int64),
+            dur=np.asarray([p.dur for p in rows], np.int64),
+            trim_start=np.zeros(n, np.int32),
+            trim_end=np.zeros(n, np.int32),
+            data=[p.data for p in rows],
+        )
+
+
+def _make_mp4_reader(mss, options: Optional[FormatOptions] = None):
+    if mss.is_seekable():
+        return IsoMp4Reader(mss, options)
+    return Mp4StreamReader(mss, options)
+
+
 def _score(context: bytes) -> int:
     if len(context) >= 12 and context[4:8] == b"ftyp":
         return 255
@@ -889,7 +1177,7 @@ def _score(context: bytes) -> int:
 DESCRIPTOR = Descriptor(
     name="isomp4",
     markers=[b"\x00\x00"],
-    factory=IsoMp4Reader,
+    factory=_make_mp4_reader,
     score=_score,
     tier=2,
 )

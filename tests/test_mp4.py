@@ -515,3 +515,88 @@ class TestTrunBounds:
             while r.next_packet() is not None:
                 pass
         assert time.time() - t0 < 5.0
+
+class TestMp4PipeStreaming:
+    """Mp4StreamReader: forward-only sources stream O(window) when the
+    layout allows (moov-first / fragmented), and degrade to buffering the
+    mdat when it precedes the moov."""
+
+    def _frames(self, n=8, seed=17, size=4000):
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            f = build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)],
+                                [0], MAX_SFB, GAIN, RATE)
+            out.append(f + bytes(rng.integers(0, 256, size=max(0, size - len(f)),
+                                              dtype=np.uint8)))
+        return out
+
+    def _drain(self, r):
+        out = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            out.append(p.data)
+        return out
+
+    def test_moov_first_pipe_streams(self):
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+        import symphonia_tpu as sym
+
+        frames = self._frames()
+        data = build_m4a(frames, RATE, 1)
+        mss = MediaSourceStream(ForwardPipe(data))
+        probed = sym.get_probe().probe(mss)
+        r = probed.format
+        assert isinstance(r, Mp4StreamReader)
+        got = self._drain(r)
+        assert got == frames
+        # The mdat body (32 kB of frames) was never stored, only metadata.
+        assert r._view.stored_bytes() < len(data) - sum(map(len, frames))
+
+    def test_fragmented_pipe_streams(self):
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        frames = self._frames(n=10, seed=23)
+        for with_sidx in (False, True):
+            data = build_fmp4(frames, RATE, 1, frag_size=3,
+                              with_sidx=with_sidx)
+            r = Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))
+            got = self._drain(r)
+            assert got == frames, f"with_sidx={with_sidx}"
+            # Everything except the sample payloads is metadata; none of
+            # the mdat bodies may have been stored.
+            assert r._view.stored_bytes() <= len(data) - sum(map(len, frames))
+
+    def test_mdat_before_moov_pipe_buffers(self):
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader, iter_atoms
+
+        frames = self._frames(n=4, seed=29, size=600)
+        data = build_m4a(frames, RATE, 1)
+        atoms = {t: data[b - 8 : e] for t, b, e in iter_atoms(data, 0, len(data))}
+        ftyp, moov, mdat = atoms[b"ftyp"], atoms[b"moov"], atoms[b"mdat"]
+        moved = bytearray(ftyp + mdat + moov)
+        i = bytes(moved).find(b"stco")
+        # single-chunk stco: patch the chunk offset to the new mdat payload.
+        moved[i + 12 : i + 16] = struct.pack(">I", len(ftyp) + 8)
+        r = Mp4StreamReader(MediaSourceStream(ForwardPipe(bytes(moved))))
+        assert self._drain(r) == frames
+
+    def test_pipe_forward_seek(self):
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.core.errors import SeekError
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        frames = self._frames(n=8, seed=31, size=700)
+        data = build_m4a(frames, RATE, 1)
+        r = Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))
+        seeked = r.seek("accurate", sym.SeekTo(ts=3 * 1024))
+        assert seeked.actual_ts == 3 * 1024
+        p = r.next_packet()
+        assert p.ts == 3 * 1024 and p.data == frames[3]
+        with pytest.raises(SeekError):
+            r.seek("accurate", sym.SeekTo(ts=100 * 1024))
