@@ -440,7 +440,7 @@ def bench_l2_host(repeats: int = 8):
 
         rng = np.random.default_rng(5)
         frames = []
-        for _ in range(120):  # ~3.1 s at 44.1 kHz
+        for _ in range(300):  # ~7.8 s at 44.1 kHz (match the other stages)
             alloc = [int(rng.integers(1, 4)) for _ in range(27)] + [0, 0, 0]
             sf0 = [int(rng.integers(0, 60)) for _ in range(30)]
             samples = {}

@@ -1092,6 +1092,9 @@ def ms_decode_nibbles(nibbles, c1, c2, delta, s1, s2, out) -> bool:
     return True
 
 
+_L12_CACHE: dict = {}
+
+
 def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
                     sblimit: int, band_rows, sf_table):
     """Layer I/II bitstream stage (native/mpa_layer12.cpp mirror of
@@ -1101,7 +1104,12 @@ def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
     if lib is None or not hasattr(lib, "sh_mpa_l1_extract"):
         return None
     a = np.frombuffer(data, dtype=np.uint8)
-    sf = np.ascontiguousarray(sf_table, dtype=np.float64)
+    # The scale-factor table is identical every packet: cache the
+    # contiguous f64 copy (id() is stable — tables() memoizes).
+    sf = _L12_CACHE.get(id(sf_table))
+    if sf is None:
+        sf = np.ascontiguousarray(sf_table, dtype=np.float64)
+        _L12_CACHE[id(sf_table)] = sf
     f64p = ctypes.POINTER(ctypes.c_double)
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
