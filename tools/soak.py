@@ -24,6 +24,10 @@ sys.path.insert(0, str(ROOT / "tests"))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: device-stage compiles (5-11 s per new shape
+# bucket) otherwise re-run per soak process and trip the SLOW reporter.
+jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 
@@ -197,12 +201,54 @@ def main():
                  Unsupported, EOFError)
 
     bs = builders(rng)
+    import symphonia_tpu as sym
+
+    class _Pipe:
+        """Forward-only wrapper: routes the input through the streaming
+        readers (Ogg/MPA/FLAC/MKV/Mp4StreamReader) + per-packet decode."""
+
+        def __init__(self, b):
+            self.b = b
+            self.i = 0
+
+        def readable(self):
+            return True
+
+        def seekable(self):
+            return False
+
+        def read(self, n_=-1):
+            if n_ is None or n_ < 0:
+                n_ = len(self.b) - self.i
+            out = self.b[self.i : self.i + n_]
+            self.i += len(out)
+            return out
+
+    def decode_pipe(data: bytes) -> int:
+        from symphonia_tpu.core.io import MediaSourceStream
+
+        fmt = sym.get_probe().probe(MediaSourceStream(_Pipe(data))).format
+        tr = fmt.default_track()
+        dec = sym.get_codecs().make_audio_decoder(tr.codec_params)
+        total = 0
+        while True:
+            pkt = fmt.next_packet()
+            if pkt is None:
+                return total
+            if pkt.track_id != tr.id:
+                continue
+            try:
+                total += dec.decode(pkt).frames
+            except ok_errors:
+                continue  # per-packet errors: skip like the players do
+
     t0 = time.time()
     n = 0
     decoded = 0
     while time.time() - t0 < seconds:
         base = bs[int(rng.integers(len(bs)))]()
-        for variant in (base, mutate(base, rng), mutate(base, rng)):
+        for k, variant in enumerate((base, mutate(base, rng),
+                                     mutate(base, rng))):
             n += 1
             t1 = time.time()
             try:
@@ -211,6 +257,11 @@ def main():
                     decoded += 1
             except ok_errors:
                 pass  # taxonomy errors are the contract for malformed input
+            if k == 1:  # one mutated variant also runs the pipe surface
+                try:
+                    decode_pipe(variant)
+                except ok_errors:
+                    pass
             if time.time() - t1 > 10.0:
                 # Pathologically slow input = DoS-adjacent; surface it.
                 path = f"/tmp/soak_slow_{n}.bin"
