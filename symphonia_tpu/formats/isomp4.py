@@ -676,8 +676,13 @@ class IsoMp4Reader(FormatReader):
                     if entry_sz:
                         if cnt > (re_ - pos2) // entry_sz:
                             raise DecodeError("isomp4: truncated trun table")
-                    elif cnt > len(buf):
-                        raise DecodeError("isomp4: trun count exceeds stream")
+                    else:
+                        # Pipe views report a sentinel length; use the
+                        # explicit bound there (see _stsz_byte_bound).
+                        cap = getattr(self, "_stsz_byte_bound", None)
+                        if cnt > (cap if cap is not None else len(buf)):
+                            raise DecodeError(
+                                "isomp4: trun count exceeds stream")
                     offs, szs, drs = [], [], []
                     cur = base_offset + data_off
                     for _ in range(cnt):
@@ -1041,7 +1046,8 @@ class Mp4StreamReader(IsoMp4Reader):
                 return False
 
         if atype == b"moov":
-            self._parse_moov_atoms(body_lo, body_hi)
+            if not self._moov_parsed:  # a duplicate (mutated) moov must
+                self._parse_moov_atoms(body_lo, body_hi)  # not re-schedule
         elif atype == b"moof" and self._moov_parsed:
             self._parse_fragments(self._view, pos, body_hi)
         return True

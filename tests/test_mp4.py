@@ -600,3 +600,21 @@ class TestMp4PipeStreaming:
         assert p.ts == 3 * 1024 and p.data == frames[3]
         with pytest.raises(SeekError):
             r.seek("accurate", sym.SeekTo(ts=100 * 1024))
+
+    def test_pipe_giant_trun_count_bounded(self):
+        import time
+
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.core.errors import DecodeError, Unsupported
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        frames = self._frames(n=6, seed=37, size=600)
+        data = bytearray(build_fmp4(frames, RATE, 1, frag_size=3))
+        i = bytes(data).find(b"trun") + 4 + 4
+        data[i : i + 4] = (1 << 31).to_bytes(4, "big")
+        t0 = time.time()
+        with pytest.raises((DecodeError, Unsupported)):
+            r = Mp4StreamReader(MediaSourceStream(ForwardPipe(bytes(data))))
+            while r.next_packet() is not None:
+                pass
+        assert time.time() - t0 < 5.0
