@@ -328,6 +328,36 @@ def bench_aac_device(n_frames: int = 8192, iters: int = 4):
     return n_frames * 1024 / 44100 * iters, wall
 
 
+def bench_vorbis_device(n_lanes: int = 8192, iters: int = 8):
+    """Device stage: the grouped long-block IMDCT matmul
+    ([L, n/2] @ [n/2, n]) that carries the Vorbis dense stage
+    (ops/vorbis_dense.py imdct_group; the lap stitch is host-side)."""
+    import jax
+    import jax.numpy as jnp
+
+    from symphonia_tpu.codecs.vorbis import imdct_matrix
+
+    n = 2048
+    rng = np.random.default_rng(7)
+    spec = rng.standard_normal((n_lanes, n // 2)).astype(np.float32)
+    m = jnp.asarray(imdct_matrix(n))
+    sp_d = jax.device_put(spec)
+
+    @jax.jit
+    def many(sp):
+        def body(i, acc):
+            y = (sp + acc[:1, :1] * 0) @ m.T
+            return acc * 0 + y.sum()
+
+        acc = jnp.zeros((1, 1), jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, acc).sum()
+
+    float(many(sp_d))
+    wall = min(_timed(lambda: float(many(sp_d))) for _ in range(3))
+    # Each long-block lane laps into n/2 fresh output samples.
+    return n_lanes * (n // 2) / 44100 * iters, wall
+
+
 # ---------------------------------------------------------------------------
 # Breadth codec stages (VERDICT r2 #3): driver-visible per-packet decode
 # throughput for Vorbis / ALAC / ADPCM / Layer II. Reported in the stderr
@@ -475,7 +505,8 @@ def main() -> None:
                    ("aac_host", bench_aac_host)]
     device_stages = [("flac_device", bench_flac_device),
                      ("mp3_device", bench_mp3_device),
-                     ("aac_device", bench_aac_device)]
+                     ("aac_device", bench_aac_device),
+                     ("vorbis_device", bench_vorbis_device)]
     # Interleaved multi-pass sampling: this shared VM's noise comes in
     # multi-second bursts, so a single best-of-N burst can land entirely
     # inside a noisy phase. Spreading passes over time and taking the
