@@ -45,7 +45,15 @@ def parse_extended_f80(data: bytes) -> float:
     sign = -1.0 if sign_exp & 0x8000 else 1.0
     if exp == 0 and mantissa == 0:
         return 0.0
-    return sign * mantissa * 2.0 ** (exp - 16383 - 63)
+    e = exp - 16383 - 63
+    # A crafted exponent must not overflow the f64 pow (Python raises
+    # OverflowError from 2.0**e past +-1024): values outside the f64
+    # range are never valid sample rates.
+    if e > 960:  # mantissa < 2^64, so e > 960 exceeds 2^1024
+        raise DecodeError("bad extended float")
+    if e < -1140:
+        return 0.0
+    return sign * mantissa * 2.0 ** e
 
 
 _TEXT_CHUNKS = {

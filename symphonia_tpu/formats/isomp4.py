@@ -826,20 +826,23 @@ class IsoMp4Reader(FormatReader):
 
     def next_packet(self) -> Optional[Packet]:
         # Pick the track with the lowest next dts (demuxer.rs:618-663).
+        # Loop rather than recurse: a crafted sidx can declare thousands
+        # of segments that each contribute no packets.
         best = None
-        for t in self._tracks:
-            i = self._cursor[t.track_id]
-            if t.offsets is None or i >= len(t.offsets):
-                continue
-            key = t.ts[i] / (t.timescale or 1)
-            if best is None or key < best[0]:
-                best = (key, t, i)
-        if best is None:
-            if self._sidx_segments and \
-                    self._frag_loaded < len(self._sidx_segments):
-                self._ensure_fragments_loaded(self._frag_loaded)
-                return self.next_packet()
-            return None
+        while best is None:
+            for t in self._tracks:
+                i = self._cursor[t.track_id]
+                if t.offsets is None or i >= len(t.offsets):
+                    continue
+                key = t.ts[i] / (t.timescale or 1)
+                if best is None or key < best[0]:
+                    best = (key, t, i)
+            if best is None:
+                if self._sidx_segments and \
+                        self._frag_loaded < len(self._sidx_segments):
+                    self._ensure_fragments_loaded(self._frag_loaded)
+                    continue
+                return None
         _, t, i = best
         self._cursor[t.track_id] = i + 1
         off, size = int(t.offsets[i]), int(t.sizes[i])

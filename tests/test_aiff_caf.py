@@ -252,3 +252,15 @@ class TestCafPaktBounds:
         table = r.packet_table()
         assert len(table) <= 64
         assert time.time() - t0 < 2.0
+
+
+class TestF80Bounds:
+    def test_crafted_exponent_no_overflow(self):
+        """Regression (soak): a COMM exponent near 0x7FFF drove 2.0**e
+        past the f64 range — OverflowError escaped the taxonomy."""
+        from symphonia_tpu.core.errors import DecodeError
+
+        with pytest.raises(DecodeError):
+            parse_extended_f80(b"\x7f\xfe" + b"\xff" * 8)
+        # Deep-negative exponents underflow to 0.0 (caller rejects rate 0).
+        assert parse_extended_f80(b"\x00\x01" + b"\x00" * 8) == 0.0

@@ -618,3 +618,25 @@ class TestMp4PipeStreaming:
             while r.next_packet() is not None:
                 pass
         assert time.time() - t0 < 5.0
+
+class TestSidxBounds:
+    def test_many_empty_segments_no_recursion(self):
+        """Regression (soak): next_packet recursed once per sidx segment;
+        a crafted index with thousands of empty segments blew the stack."""
+        frames = [bytes([i]) * 40 for i in range(2)]
+        data = build_fmp4(frames, RATE, 1, frag_size=2, with_sidx=True)
+        # Rewrite the sidx to declare 3000 tiny segments pointing at junk.
+        i = data.find(b"sidx") - 4
+        size = struct.unpack(">I", data[i : i + 4])[0]
+        refs = b"".join(struct.pack(">III", 3, 10, 0) for _ in range(3000))
+        payload = struct.pack(">IIIIHH", 1, RATE, 0, 0, 0, 3000) + refs
+        new_sidx = full_atom(b"sidx", payload)
+        patched = data[:i] + new_sidx + data[i + size :]
+        r = IsoMp4Reader(MediaSourceStream(patched))
+        got = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            got.append(p.data)
+        assert len(got) <= 2  # junk segments contribute nothing, no crash
