@@ -1380,7 +1380,9 @@ int32_t sh_mp3_stream_decode(void* p, const uint8_t* fd, int64_t flen,
             int rc = sh_mp3_dense_granule(
                 spec[g][ch], gr[g][ch].block_type, gr[g][ch].mixed ? 1 : 0,
                 hybrid_tail + ch * 32 * 18, synth_tail + ch * 480,
-                pcm + ch * (n_gr * 576) + g * 576);
+                // Fixed [2][2*576] channel-major rows: n_gr=1 (LSF) must
+                // still stride full rows or ch 1 lands in row 0's tail.
+                pcm + ch * (2 * 576) + g * 576);
             if (rc != 0) return -6;
         }
     return n_gr;

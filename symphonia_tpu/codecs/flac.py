@@ -344,6 +344,12 @@ class FlacDecoder(AudioDecoder):
             _native.available()
         except Exception:
             pass
+        # Latch the fast-path switch once, like the other codecs (the
+        # MP3/AAC/Vorbis stream toggles are read at first use, not per
+        # packet).
+        import os
+
+        self._use_native = os.environ.get("SYMPHONIA_TPU_FLAC_FRAME") != "off"
 
     @staticmethod
     def supported_codecs() -> List[str]:
@@ -355,10 +361,8 @@ class FlacDecoder(AudioDecoder):
         # off forces the oracle). Any error status or wide stream falls
         # back to the Python oracle so malformed-input behavior (incl.
         # exception types) is identical.
-        import os
-
         pcm = bps = None
-        if os.environ.get("SYMPHONIA_TPU_FLAC_FRAME") != "off":
+        if self._use_native:
             from .. import native
 
             got = native.flac_decode_frame(

@@ -497,6 +497,14 @@ class VorbisDecoder(AudioDecoder):
         # codebook synthesis land here instead of inside the first (timed)
         # decode call. On any failure it stays None and decode() retries
         # lazily with identical semantics.
+        self._open_native()
+        self.spec = AudioSpec(
+            self.ident.sample_rate, Channels.from_count(self.ident.n_channels)
+        )
+
+    def _open_native(self) -> None:
+        """Set ``_native`` to a context, or False (disabled/unavailable);
+        leaves it None on unexpected errors so decode() retries lazily."""
         try:
             import os as _os
 
@@ -508,9 +516,6 @@ class VorbisDecoder(AudioDecoder):
                 self._native = _native.vorbis_stream_open(self) or False
         except Exception:
             self._native = None
-        self.spec = AudioSpec(
-            self.ident.sample_rate, Channels.from_count(self.ident.n_channels)
-        )
 
     @staticmethod
     def _split_headers(extra: bytes):
@@ -561,14 +566,7 @@ class VorbisDecoder(AudioDecoder):
         # error status falls back to this Python path so malformed-input
         # behavior is identical.
         if self._native is None:
-            import os
-
-            from .. import native as _native
-
-            if os.environ.get("SYMPHONIA_TPU_VORBIS_STREAM") == "off":
-                self._native = False
-            else:
-                self._native = _native.vorbis_stream_open(self) or False
+            self._open_native()
         if self._native:
             from .. import native as _native
 

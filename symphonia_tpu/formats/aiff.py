@@ -49,8 +49,9 @@ def parse_extended_f80(data: bytes) -> float:
     # A crafted exponent must not overflow the f64 pow (Python raises
     # OverflowError from 2.0**e past +-1024): values outside the f64
     # range are never valid sample rates.
-    if e > 960:  # mantissa < 2^64, so e > 960 exceeds 2^1024
-        raise DecodeError("bad extended float")
+    if e > 959:  # float(mantissa) can round up to 2^64; 64+e must stay
+        raise DecodeError("bad extended float")  # below 2^1024
+
     if e < -1140:
         return 0.0
     return sign * mantissa * 2.0 ** e

@@ -188,7 +188,12 @@ class CafReader(FormatReader):
         rate = struct.unpack(">d", payload[:8])[0]
         fmt_id = payload[8:12]
         flags, bpp, fpp, n_ch, bits = struct.unpack(">IIIII", payload[12:32])
-        if rate <= 0 or n_ch == 0:
+        # int(rate) is the value actually used: a crafted 0 < rate < 1
+        # truncates to a zero TimeBase, and NaN raises on int() — both
+        # must be DecodeError, not raw ValueError.
+        import math
+
+        if not math.isfinite(rate) or int(rate) <= 0 or n_ch == 0:
             raise DecodeError("invalid desc parameters")
         self._desc = (rate, fmt_id, flags, bpp, fpp, n_ch, bits)
 

@@ -970,6 +970,12 @@ class Mp4StreamReader(IsoMp4Reader):
                 except EndOfStream:
                     self._eof = True
                     return False
+            elif cur > self._cur_mdat_end:
+                # Emission read past the tracked mdat (multi-mdat table):
+                # the walk cannot re-find an atom boundary on a pipe, so
+                # stop rather than misparse sample bytes as headers.
+                self._eof = True
+                return False
             self._cur_mdat_end = None
         pos = self._pos()
         try:

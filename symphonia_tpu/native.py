@@ -1092,7 +1092,7 @@ def ms_decode_nibbles(nibbles, c1, c2, delta, s1, s2, out) -> bool:
     return True
 
 
-_L12_CACHE: dict = {}
+_L12_SF_CACHE: "Optional[tuple]" = None  # (source array ref, f64 copy)
 
 
 def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
@@ -1100,16 +1100,19 @@ def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
     """Layer I/II bitstream stage (native/mpa_layer12.cpp mirror of
     codecs/mpa_layer12.py). Returns f32 samples [2, 384 or 1152], or None
     when unavailable / on any error status (caller falls back to Python)."""
+    global _L12_SF_CACHE
     lib = _load()
     if lib is None or not hasattr(lib, "sh_mpa_l1_extract"):
         return None
     a = np.frombuffer(data, dtype=np.uint8)
-    # The scale-factor table is identical every packet: cache the
-    # contiguous f64 copy (id() is stable — tables() memoizes).
-    sf = _L12_CACHE.get(id(sf_table))
-    if sf is None:
+    # The scale-factor table is identical every packet: single-slot cache
+    # of the f64 copy, keyed by object identity WITH the source kept
+    # alive (a bare id() key could alias a recycled address).
+    if _L12_SF_CACHE is not None and _L12_SF_CACHE[0] is sf_table:
+        sf = _L12_SF_CACHE[1]
+    else:
         sf = np.ascontiguousarray(sf_table, dtype=np.float64)
-        _L12_CACHE[id(sf_table)] = sf
+        _L12_SF_CACHE = (sf_table, sf)
     f64p = ctypes.POINTER(ctypes.c_double)
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)

@@ -264,3 +264,21 @@ class TestF80Bounds:
             parse_extended_f80(b"\x7f\xfe" + b"\xff" * 8)
         # Deep-negative exponents underflow to 0.0 (caller rejects rate 0).
         assert parse_extended_f80(b"\x00\x01" + b"\x00" * 8) == 0.0
+
+
+class TestCafDescBounds:
+    def test_fractional_and_nan_rates_rejected(self):
+        """Regression (soak): desc rate in (0,1) truncated to a zero
+        TimeBase (raw ValueError); NaN raised on int()."""
+        from symphonia_tpu.core.errors import DecodeError
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.formats.caf import CafReader
+
+        frames = np.zeros((32, 1), dtype=np.int64)
+        base = make_caf(frames, rate=8000)
+        for bad in (0.5, float("nan"), float("inf")):
+            data = bytearray(base)
+            i = data.find(b"desc") + 4 + 8  # chunk type + i64 size
+            data[i : i + 8] = struct.pack(">d", bad)
+            with pytest.raises(DecodeError):
+                CafReader(MediaSourceStream(bytes(data)))

@@ -17,7 +17,7 @@ from symphonia_tpu.core.io import MediaSourceStream
 from symphonia_tpu.formats.mpa import MpaReader
 from symphonia_tpu.ops import mp3_dense as md
 
-from mp3_builder import build_mpeg1_l3_stream
+from mp3_builder import build_mpeg1_l3_stream, build_mpeg2_l3_frame
 
 HOUSE_MP3 = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3"
 
@@ -685,7 +685,8 @@ class TestPerPacketNativeStream:
             n_native = 1 if dec._l3.stream else 0
         return np.concatenate(outs, axis=1), n_native
 
-    @pytest.mark.parametrize("content", ["house", "mpeg1_stereo"])
+    @pytest.mark.parametrize("content",
+                             ["house", "mpeg1_stereo", "mpeg2_stereo"])
     def test_stream_matches_oracle(self, content, monkeypatch):
         from symphonia_tpu import native
 
@@ -694,6 +695,21 @@ class TestPerPacketNativeStream:
         if content == "house":
             with open(HOUSE_MP3, "rb") as f:
                 data = f.read()
+        elif content == "mpeg2_stereo":
+            # Regression: n_gr=1 stereo previously wrote channel 1 into
+            # row 0's tail (fixed [2][2*576] stride bug) — ch 1 came back
+            # as uninitialized memory on the native path.
+            rng = np.random.default_rng(3)
+            fr = []
+            for _ in range(8):
+                gspecs = [{"big_pairs": [(int(rng.integers(-3, 4)),
+                                          int(rng.integers(-3, 4)))
+                                         for _ in range(40)],
+                           "quad_pattern": [(1, 0, -1, 1)] * 3,
+                           "big_table": 5, "count1table": 0,
+                           "global_gain": 190} for _ in range(2)]
+                fr.append(build_mpeg2_l3_frame(gspecs, n_ch=2))
+            data = b"".join(fr)
         else:
             data = build_mpeg1_l3_stream(24, n_ch=2, seed=7)
         a, used_native = self._decode_forced(data, monkeypatch, "on")
