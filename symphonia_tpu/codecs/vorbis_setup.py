@@ -150,13 +150,37 @@ def read_ident_header(data: bytes) -> IdentHeader:
     return IdentHeader(n_channels, sample_rate, bs0_exp, bs1_exp)
 
 
-def _read_codebook(br: BitReaderRtl) -> VorbisCodebook:
-    """One codebook (spec §3.2; codebook.rs)."""
+def _read_codebook(br: BitReaderRtl, skim: bool = False) -> VorbisCodebook:
+    """One codebook (spec §3.2; codebook.rs).
+
+    ``skim`` walks the exact same bit layout but materializes nothing —
+    the OGG mapper only needs the mode list at the end of the setup
+    header (packet durations), not the codebooks themselves; the decoder
+    re-parses fully at construction and reports any codebook errors.
+    """
     if br.read_bits(24) != 0x564342:
         raise DecodeError("codebook sync lost")
     dims = br.read_bits(16)
     entries = br.read_bits(24)
     ordered = br.read_bits(1)
+    if skim and not ordered:
+        if br.read_bits(1):  # sparse: per-entry presence flags
+            for _ in range(entries):
+                if br.read_bits(1):
+                    br.ignore_bits(5)
+        else:
+            br.ignore_bits(entries * 5)
+        lookup_type = br.read_bits(4)
+        if lookup_type in (1, 2):
+            br.ignore_bits(64)  # min/delta floats
+            value_bits = br.read_bits(4) + 1
+            br.read_bits(1)
+            n_vals = (lookup1_values(entries, dims) if lookup_type == 1
+                      else entries * dims)
+            br.ignore_bits(n_vals * value_bits)
+        elif lookup_type != 0:
+            raise DecodeError("reserved codebook lookup type")
+        return VorbisCodebook(None, dims, None)
     lengths = np.zeros(entries, dtype=np.int32)
     if not ordered:
         sparse = br.read_bits(1)
@@ -343,14 +367,17 @@ def _read_mapping(br: BitReaderRtl, n_channels: int, n_floors: int, n_residues: 
     return MappingConfig(coupling, mux, sm_floor, sm_residue)
 
 
-def read_setup_header(data: bytes, ident: IdentHeader) -> Setup:
-    """Setup header (spec §4.2.4; lib.rs:408-770)."""
+def read_setup_header(data: bytes, ident: IdentHeader,
+                      skim: bool = False) -> Setup:
+    """Setup header (spec §4.2.4; lib.rs:408-770). ``skim`` skips
+    codebook/VQ materialization (bit-exact walk) — for consumers that
+    only need floors/residues/mappings/modes (the OGG mapper)."""
     if len(data) < 7 or data[0] != 5 or data[1:7] != VORBIS_MAGIC:
         raise DecodeError("invalid vorbis setup header")
     br = BitReaderRtl(data[7:])
 
     n_books = br.read_bits(8) + 1
-    codebooks = [_read_codebook(br) for _ in range(n_books)]
+    codebooks = [_read_codebook(br, skim) for _ in range(n_books)]
 
     # Time domain transforms: all zero in Vorbis I.
     for _ in range(br.read_bits(6) + 1):

@@ -156,7 +156,9 @@ class VorbisMapper(Mapper):
             from ..codecs.vorbis_setup import read_setup_header
 
             self._setup = packet
-            setup = read_setup_header(packet, self.ident)
+            # Skim: the mapper only needs the mode list for packet
+            # durations; the decoder re-parses codebooks fully.
+            setup = read_setup_header(packet, self.ident, skim=True)
             self._mode_flags = [m.block_flag for m in setup.modes]
             return False  # headers complete
         return True

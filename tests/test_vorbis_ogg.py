@@ -491,3 +491,29 @@ class TestSynthAllParity:
             np.testing.assert_array_equal(outs_a, outs_b)
             np.testing.assert_array_equal(a.overlap, b.overlap)
             prev = flag
+
+
+class TestSetupSkim:
+    """The skim parse must walk the exact same bit layout as the full
+    parse: identical floors/residues/mappings/modes on real setups."""
+
+    def test_skim_matches_full(self):
+        from symphonia_tpu.codecs.vorbis import VorbisDecoder
+        from symphonia_tpu.codecs.vorbis_setup import (read_ident_header,
+                                                       read_setup_header)
+
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        _, r, _ = our_decode(data)
+        extra = r.default_track().codec_params.extra_data
+        ident_data, setup_data = VorbisDecoder._split_headers(extra)
+        ident = read_ident_header(ident_data)
+        full = read_setup_header(setup_data, ident)
+        skim = read_setup_header(setup_data, ident, skim=True)
+        assert [m.block_flag for m in skim.modes] == \
+               [m.block_flag for m in full.modes]
+        assert [m.mapping for m in skim.modes] == \
+               [m.mapping for m in full.modes]
+        assert len(skim.codebooks) == len(full.codebooks)
+        assert len(skim.floors) == len(full.floors)
+        assert len(skim.residues) == len(full.residues)
