@@ -45,6 +45,68 @@ class FlacBatchDecoder:
         self.lane_chunk = lane_chunk
         self.verify = verify
 
+    def _extract_host(self, reader):
+        """Host stage for one stream: (packed | None, blocks | None).
+
+        ``packed`` is the native-extracted lane tensor dict ready for the
+        device; None means the caller must take a robust per-file path
+        (native unavailable, malformed frames, desynced fast scan)."""
+        si = reader.stream_info
+        packed = None
+        blocks = None
+        try:
+            from . import native
+
+            total = reader.mss.byte_len()
+            if native.available() and si.block_len_max and total is not None:
+                mss = reader.mss
+                mss.seek(reader._data_start)
+                buf = mss.read_bytes(int(total - reader._data_start))
+                max_frames = (
+                    si.n_samples // max(1, si.block_len_min) + 8
+                    if si.n_samples else len(buf) // 64 + 16
+                )
+                max_frames = min(max_frames, len(buf) // 10 + 16)
+                packed = native.flac_fast_extract(buf, si, si.block_len_max,
+                                                  max_frames)
+                if packed is not None and (packed["status"] != 0).any():
+                    packed = None
+                if packed is not None:
+                    if si.n_samples:
+                        if int(packed["block"].sum()) < si.n_samples:
+                            packed = None
+                    elif packed["F"] > 0:
+                        tail = len(buf) - int(packed["offsets"][-1])
+                        if tail > max(4096, 8 * len(buf) // packed["F"]):
+                            packed = None
+                if packed is not None:
+                    blocks = packed["block"].astype(np.int64)
+        except (ImportError, AttributeError):
+            pass
+
+        if packed is None:
+            reader._ensure_scan()
+            starts = reader._frame_starts
+            if len(starts) == 0:
+                return None, None
+            buf = reader._buf
+            ends = np.empty(len(starts), dtype=np.int64)
+            ends[:-1] = starts[1:]
+            ends[-1] = len(buf)
+            sizes = ends - starts
+            n_max = si.block_len_max or int(reader._frame_dur.max())
+            try:
+                from . import native
+
+                if native.available():
+                    packed = native.flac_extract(buf, starts, sizes, si, n_max)
+                    if packed is not None and (packed["status"] != 0).any():
+                        packed = None  # malformed frames: robust path
+            except ImportError:
+                pass
+            blocks = reader._frame_dur.astype(np.int64)
+        return packed, blocks
+
     def decode_bytes(self, data: bytes) -> DecodedAudio:
         from .codecs.flac import md5_bytes_of, parse_frame
         from .formats.flac import FlacReader
@@ -71,74 +133,14 @@ class FlacBatchDecoder:
         # Entropy stage (SURVEY.md §7 Phase A), fastest available path:
         # 1. AVX-512 sync scan + 8-lane SIMD extraction (no demux scan);
         # 2. scalar native extraction over the demuxer's scan;
-        # 3. Python oracle.
-        packed = None
-        blocks = None
-        try:
-            from . import native
-
-            total = reader.mss.byte_len()
-            if native.available() and si.block_len_max and total is not None:
-                mss = reader.mss
-                mss.seek(reader._data_start)
-                buf = mss.read_bytes(int(total - reader._data_start))
-                # DoS bound: a crafted STREAMINFO (huge n_samples, tiny
-                # block_len_min) must not drive the lane allocation — a
-                # real frame needs >= ~10 bytes, so the byte length caps
-                # the possible frame count regardless of metadata
-                # (meta.rs:105 limit semantics).
-                max_frames = (
-                    si.n_samples // max(1, si.block_len_min) + 8
-                    if si.n_samples else len(buf) // 64 + 16
-                )
-                max_frames = min(max_frames, len(buf) // 10 + 16)
-                packed = native.flac_fast_extract(buf, si, si.block_len_max,
-                                                  max_frames)
-                if packed is not None and (packed["status"] != 0).any():
-                    packed = None
-                if packed is not None:
-                    # The fast scan's sequence-number chain desyncs
-                    # permanently after one corrupt frame header, silently
-                    # dropping every later frame; truncation shows as a
-                    # short sample total (known length) or a large unscanned
-                    # tail (unknown length) — take the robust scan/extract
-                    # path instead (the reference re-syncs and continues).
-                    if si.n_samples:
-                        if int(packed["block"].sum()) < si.n_samples:
-                            packed = None
-                    elif packed["F"] > 0:
-                        tail = len(buf) - int(packed["offsets"][-1])
-                        if tail > max(4096, 8 * len(buf) // packed["F"]):
-                            packed = None
-                if packed is not None:
-                    blocks = packed["block"].astype(np.int64)
-        except (ImportError, AttributeError):
-            pass
-
-        if packed is None:
-            reader._ensure_scan()
-            starts = reader._frame_starts
-            if len(starts) == 0:
-                return DecodedAudio(
-                    np.zeros((si.channels, 0), np.int32), si.sample_rate,
-                    si.bits_per_sample,
-                )
-            buf = reader._buf
-            ends = np.empty(len(starts), dtype=np.int64)
-            ends[:-1] = starts[1:]
-            ends[-1] = len(buf)
-            sizes = ends - starts
-            n_max = si.block_len_max or int(reader._frame_dur.max())
-            try:
-                from . import native
-
-                if native.available():
-                    packed = native.flac_extract(buf, starts, sizes, si, n_max)
-                    if packed is not None and (packed["status"] != 0).any():
-                        packed = None  # malformed frames: robust path
-            except ImportError:
-                pass
-            blocks = reader._frame_dur.astype(np.int64)
+        # 3. Python oracle. (DoS bounds + fast-scan desync checks live in
+        # _extract_host, shared with decode_many's merged dispatch.)
+        packed, blocks = self._extract_host(reader)
+        if packed is None and blocks is None:  # no frames found at all
+            return DecodedAudio(
+                np.zeros((si.channels, 0), np.int32), si.sample_rate,
+                si.bits_per_sample,
+            )
         if packed is not None:
             t0 = time.perf_counter()
             pcm = self._decode_packed_chunked(packed, blocks)
@@ -222,7 +224,97 @@ class FlacBatchDecoder:
             return self.decode_bytes(f.read())
 
     def decode_files(self, paths: Sequence[str]) -> List[DecodedAudio]:
-        return [self.decode_file(p) for p in paths]
+        return self.decode_many([open(p, "rb").read() for p in paths])
+
+    def decode_many(self, datas: Sequence[bytes]) -> List[DecodedAudio]:
+        """Decode several FLAC streams through MERGED device dispatches.
+
+        The serving-shape entry point: short files underfill the device
+        (an 8 s file is ~90 frame lanes vs the 8192-lane dispatch sweet
+        spot), so frame lanes from all streams merge into shared
+        power-of-two buckets — same kernels, same per-file outputs.
+        Streams whose host stage cannot produce packed lanes (wide bps,
+        malformed frames, no native library) take their exact per-file
+        path, including its error behavior.
+        """
+        from .formats.flac import FlacReader
+
+        results: List[Optional[DecodedAudio]] = [None] * len(datas)
+        jobs = []  # (result idx, stream_info, packed, blocks)
+        for i, data in enumerate(datas):
+            reader = None
+            try:
+                reader = FlacReader(MediaSourceStream(data))
+            except Exception:
+                pass
+            if reader is None or reader.stream_info.bits_per_sample > 25:
+                results[i] = self.decode_bytes(data)
+                continue
+            packed, blocks = self._extract_host(reader)
+            if packed is None:
+                results[i] = self.decode_bytes(data)
+                continue
+            # The native extraction returns POOLED buffers (native.py
+            # _pooled): the next file's extraction reuses them, so the
+            # queued tensors must be copied out.
+            packed = {k: (np.array(v, copy=True)
+                          if isinstance(v, np.ndarray) else v)
+                      for k, v in packed.items()}
+            jobs.append((i, reader.stream_info, packed,
+                         np.array(blocks, copy=True)))
+        by_c = {}
+        for job in jobs:
+            by_c.setdefault(int(job[2]["C"]), []).append(job)
+        for C, group in by_c.items():
+            self._dispatch_merged(C, group, results)
+        return results
+
+    def _dispatch_merged(self, C: int, group, results) -> None:
+        """One merged device pass over every stream with channel count C,
+        then split/stitch/trim per stream (frames are independent lanes;
+        stitching is per-file host work exactly as in decode_bytes)."""
+        from .codecs.flac import md5_bytes_of
+
+        n_max = max(int(p["n_max"]) for _, _, p, _ in group)
+        parts = {k: [] for k in ("res", "coefs", "order", "shift",
+                                 "wasted", "assign")}
+        blocks_l = []
+        spans = []
+        total_f = 0
+        for idx, si, p, blocks in group:
+            F = int(p["F"])
+            res = np.asarray(p["res"]).reshape(F, C, int(p["n_max"]))
+            if int(p["n_max"]) != n_max:
+                res = np.pad(res, ((0, 0), (0, 0),
+                                   (0, n_max - int(p["n_max"]))))
+            parts["res"].append(res.reshape(F * C, n_max))
+            parts["coefs"].append(np.asarray(p["coefs"]).reshape(F * C, 32))
+            for k in ("order", "shift", "wasted"):
+                parts[k].append(np.asarray(p[k]).reshape(F * C))
+            parts["assign"].append(np.asarray(p["assign"])[:F])
+            blocks_l.append(np.asarray(blocks))
+            spans.append((idx, si, int(np.asarray(blocks).sum())))
+            total_f += F
+        merged = {k: np.concatenate(v) for k, v in parts.items()}
+        merged.update(F=total_f, C=C, n_max=n_max)
+        pcm_all = self._decode_packed_chunked(merged, np.concatenate(blocks_l))
+        pos = 0
+        for idx, si, n in spans:
+            pcm = pcm_all[:, pos : pos + n]
+            pos += n
+            if si.n_samples:
+                pcm = pcm[:, : si.n_samples]
+            md5_ok = None
+            if self.verify and si.md5 != b"\x00" * 16:
+                import hashlib
+
+                md5_ok = (
+                    hashlib.md5(md5_bytes_of(pcm.astype(np.int64),
+                                             si.bits_per_sample)).digest()
+                    == si.md5
+                )
+            results[idx] = DecodedAudio(pcm, si.sample_rate,
+                                        si.bits_per_sample, md5_ok)
 
 
 class Mp3BatchDecoder:
@@ -398,6 +490,42 @@ def decode_file(path: str, verify: bool = False) -> DecodedAudio:
     with open(path, "rb") as f:
         data = f.read()
     return decode_bytes(data, verify=verify)
+
+
+def decode_many(datas: Sequence[bytes],
+                verify: bool = False) -> List[DecodedAudio]:
+    """Decode a batch of streams, merging device work across files.
+
+    The serving entry point: streams are probed and grouped by pipeline;
+    FLAC groups share merged device dispatches (frame lanes from all
+    files fill the same power-of-two buckets), everything else decodes
+    through its own best pipeline. Output order matches input order.
+    """
+    import symphonia_tpu as sym
+
+    from .formats.flac import FlacReader
+
+    results: List[Optional[DecodedAudio]] = [None] * len(datas)
+    flac_idx: List[int] = []
+    for i, data in enumerate(datas):
+        codec = None
+        try:
+            probed = sym.get_probe().probe(MediaSourceStream(data))
+            track = probed.format.default_track()
+            codec = track.codec_params.codec if track else None
+            is_flac_native = isinstance(probed.format, FlacReader)
+        except Exception:
+            is_flac_native = False
+        if codec == "flac" and is_flac_native:
+            flac_idx.append(i)
+        else:
+            results[i] = decode_bytes(data, verify=verify)
+    if flac_idx:
+        merged = FlacBatchDecoder(verify=verify).decode_many(
+            [datas[i] for i in flac_idx])
+        for i, out in zip(flac_idx, merged):
+            results[i] = out
+    return results
 
 
 def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:

@@ -222,3 +222,62 @@ class TestPlayTui:
         assert status == 0
         assert "symphonia_tpu" in txt and "PLAYING" in txt
         assert "PAUSED" in txt  # the space key paused playback
+
+
+class TestDecodeMany:
+    """decode_many: merged cross-file device dispatches must be bit-equal
+    to per-file decode_bytes, across block sizes, channel counts, and
+    mixed-codec batches (the serving entry point)."""
+
+    def _flacs(self):
+        outs = []
+        for seed, (block, ch, mode) in enumerate([
+            (256, 2, "left_side"), (1024, 1, "independent"),
+            (4096, 2, "mid_side"), (512, 2, "independent"),
+            (1024, 2, "mid_side"),
+        ]):
+            n = block * (2 + seed % 3)
+            chans = random_walk(n, 16, seed=seed, ch=ch)
+            outs.append(build_flac_file(chans, block_size=block,
+                                        stereo_mode=mode, kind="fixed",
+                                        order=2))
+        return outs
+
+    def test_flac_merged_matches_per_file(self):
+        from symphonia_tpu.batch import decode_many
+
+        datas = self._flacs()
+        merged = decode_many(datas, verify=True)
+        for d, out in zip(datas, merged):
+            ref = decode_bytes(d, verify=True)
+            np.testing.assert_array_equal(out.samples, ref.samples)
+            assert out.sample_rate == ref.sample_rate
+            assert out.md5_ok is True and ref.md5_ok is True
+
+    def test_mixed_codecs_preserve_order(self):
+        from mp3_builder import build_mpeg1_l3_stream
+        from test_wav_pcm import make_wav
+
+        from symphonia_tpu.batch import decode_many
+
+        rng = np.random.default_rng(3)
+        wav = make_wav(rng.integers(-30000, 30000, size=(600, 2)), rate=8000)
+        mp3 = build_mpeg1_l3_stream(4, n_ch=2, seed=5)
+        datas = [self._flacs()[0], mp3, wav, self._flacs()[1]]
+        outs = decode_many(datas)
+        for d, out in zip(datas, outs):
+            ref = decode_bytes(d)
+            np.testing.assert_array_equal(out.samples, ref.samples)
+
+    def test_corrupt_member_falls_back_per_file(self):
+        from symphonia_tpu.batch import decode_many
+
+        datas = self._flacs()[:2]
+        bad = bytearray(datas[0])
+        # Corrupt one frame body mid-stream: per-file path skips it.
+        bad[len(bad) // 2] ^= 0xFF
+        datas = [bytes(bad), datas[1]]
+        outs = decode_many(datas)
+        for d, out in zip(datas, outs):
+            ref = decode_bytes(d)
+            np.testing.assert_array_equal(out.samples, ref.samples)
