@@ -247,8 +247,14 @@ def main():
     decoded = 0
     while time.time() - t0 < seconds:
         base = bs[int(rng.integers(len(bs)))]()
-        for k, variant in enumerate((base, mutate(base, rng),
-                                     mutate(base, rng))):
+        variants = (base, mutate(base, rng), mutate(base, rng))
+        # The merged serving path (cross-file device dispatch) sees the
+        # same batch: merge-specific escapes surface here.
+        try:
+            batch.decode_many(list(variants))
+        except ok_errors:
+            pass
+        for k, variant in enumerate(variants):
             n += 1
             t1 = time.time()
             try:
