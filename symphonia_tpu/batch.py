@@ -455,6 +455,98 @@ class Mp3BatchDecoder:
         with open(path, "rb") as f:
             return self.decode_bytes(f.read())
 
+    def decode_many(self, datas: Sequence[bytes]) -> List[DecodedAudio]:
+        """Merged-dispatch MP3 decode (see FlacBatchDecoder.decode_many):
+        granule lanes from every Layer III stream share the dense-stage
+        buckets; a per-lane boundary mask breaks the hybrid/polyphase
+        chains at file starts, so merged output is bit-equal to
+        per-file. Non-L3 / malformed / native-less streams take their
+        exact per-file path."""
+        from . import native
+        from .codecs.mpa_common import LAYER3
+        from .core.formats import FormatOptions
+        from .formats.mpa import MpaReader
+
+        results: List[Optional[DecodedAudio]] = [None] * len(datas)
+        jobs = []  # (idx, reader, spectra, bt, mixed)
+        for i, data in enumerate(datas):
+            job = None
+            try:
+                if native.available():
+                    reader = MpaReader(
+                        MediaSourceStream(data),
+                        FormatOptions(enable_gapless=self.gapless))
+                    if reader.header.layer == LAYER3:
+                        ext = native.mp3_extract(
+                            reader._buf, reader._offsets, reader._sizes,
+                            max_granules=2 * len(reader._offsets) + 2)
+                        if ext is not None and not (ext["status"] != 0).any():
+                            C = reader.header.n_channels
+                            G = ext["n_granules"]
+                            # Copy out of the POOLED extraction buffers.
+                            job = (i, reader,
+                                   np.array(ext["spectra"][:G, :C],
+                                            copy=True),
+                                   np.array(ext["bt"][:G, :C], copy=True),
+                                   np.array(ext["mixed"][:G, :C],
+                                            copy=True).astype(bool))
+            except Exception:
+                job = None
+            if job is None:
+                results[i] = self.decode_bytes(data)
+            else:
+                jobs.append(job)
+        by_c = {}
+        for job in jobs:
+            by_c.setdefault(int(job[2].shape[1]), []).append(job)
+        for C, group in by_c.items():
+            self._dispatch_merged(C, group, results)
+        return results
+
+    def _dispatch_merged(self, C: int, group, results) -> None:
+        import jax.numpy as jnp
+
+        from .ops.mp3_dense import mp3_dense_batch_jax
+
+        spectra = np.concatenate([g[2] for g in group])
+        bt = np.concatenate([g[3] for g in group])
+        mixed = np.concatenate([g[4] for g in group])
+        counts = [g[2].shape[0] for g in group]
+        boundary = np.zeros(spectra.shape[0], bool)
+        starts = np.cumsum([0] + counts[:-1])
+        boundary[starts[np.asarray(counts) > 0]] = True
+        G = spectra.shape[0]
+        chunk = self.granule_chunk
+        pcm_parts = []
+        ht = st = None
+        for i in range(0, G, chunk):
+            j = min(G, i + chunk)
+            cnt = 1 << (j - i - 1).bit_length() if j - i > 1 else 1
+            cnt = min(cnt, chunk)
+            sp = np.zeros((cnt, C, 576), np.float32)
+            sp[: j - i] = spectra[i:j]
+            b = np.zeros((cnt, C), np.int32)
+            b[: j - i] = bt[i:j]
+            m = np.zeros((cnt, C), bool)
+            m[: j - i] = mixed[i:j]
+            bd = np.zeros(cnt, bool)
+            bd[: j - i] = boundary[i:j]
+            out, ht, st = mp3_dense_batch_jax(
+                jnp.asarray(sp), jnp.asarray(b), jnp.asarray(m), ht, st,
+                boundary=jnp.asarray(bd))
+            pcm_parts.append(np.asarray(out[: j - i]))
+        pcm_all = (np.concatenate(pcm_parts, axis=0) if pcm_parts
+                   else np.zeros((0, C, 576), np.float32))
+        pos = 0
+        for (idx, reader, _, _, _), n_g in zip(group, counts):
+            pcm = pcm_all[pos : pos + n_g].transpose(1, 0, 2).reshape(C, -1)
+            pos += n_g
+            track = reader.default_track()
+            if self.gapless:
+                total = pcm.shape[1]
+                pcm = pcm[:, track.delay : total - track.padding]
+            results[idx] = DecodedAudio(pcm, reader.header.sample_rate, 32)
+
 
 def _fallback_decode(data: bytes, gapless: bool) -> DecodedAudio:
     from .core.formats import FormatOptions
@@ -504,26 +596,35 @@ def decode_many(datas: Sequence[bytes],
     import symphonia_tpu as sym
 
     from .formats.flac import FlacReader
+    from .formats.mpa import MpaReader
 
     results: List[Optional[DecodedAudio]] = [None] * len(datas)
     flac_idx: List[int] = []
+    mp3_idx: List[int] = []
     for i, data in enumerate(datas):
         codec = None
+        fmt = None
         try:
             probed = sym.get_probe().probe(MediaSourceStream(data))
             track = probed.format.default_track()
             codec = track.codec_params.codec if track else None
-            is_flac_native = isinstance(probed.format, FlacReader)
+            fmt = probed.format
         except Exception:
-            is_flac_native = False
-        if codec == "flac" and is_flac_native:
+            pass
+        if codec == "flac" and isinstance(fmt, FlacReader):
             flac_idx.append(i)
+        elif codec == "mp3" and isinstance(fmt, MpaReader):
+            mp3_idx.append(i)
         else:
             results[i] = decode_bytes(data, verify=verify)
     if flac_idx:
         merged = FlacBatchDecoder(verify=verify).decode_many(
             [datas[i] for i in flac_idx])
         for i, out in zip(flac_idx, merged):
+            results[i] = out
+    if mp3_idx:
+        merged = Mp3BatchDecoder().decode_many([datas[i] for i in mp3_idx])
+        for i, out in zip(mp3_idx, merged):
             results[i] = out
     return results
 

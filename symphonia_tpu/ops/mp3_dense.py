@@ -343,7 +343,8 @@ def l12_dense_batch_jax(sb, synth_tail0=None):
     return pcm.transpose(2, 0, 1), synth_tail
 
 
-def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
+def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None,
+                        boundary=None):
     """Device dense stage for a granule sequence batch.
 
     Args:
@@ -352,6 +353,11 @@ def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
       bt: [G, C] int32 block types, mixed: [G, C] bool.
       hybrid_tail0: [C, 32, 18] carried hybrid overlap (None = stream start).
       synth_tail0: [C, 480] carried synthesis tail.
+      boundary: optional [G] bool, True where a NEW stream starts at that
+         granule (merged multi-file batches): the cross-granule couplings
+         (hybrid overlap, polyphase tail) are zeroed there, exactly as a
+         fresh stream's zero tails would be. Interior granules see
+         identical arithmetic, so merged output is bit-equal to per-file.
 
     Returns (pcm [G, C, 576], hybrid_tail [C, 32, 18], synth_tail [C, 480]).
 
@@ -420,6 +426,8 @@ def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
     if hybrid_tail0 is None:
         hybrid_tail0 = jnp.zeros((C, 32, 18), jnp.float32)
     prev = jnp.concatenate([hybrid_tail0[..., None], tails[..., :-1]], axis=3)
+    if boundary is not None:
+        prev = jnp.where(boundary[None, None, None, :], 0.0, prev)
     sb_time = heads + prev  # [C, 32, 18, G]
     hybrid_tail = tails[..., -1]
 
@@ -438,6 +446,8 @@ def mp3_dense_batch_jax(x, bt, mixed, hybrid_tail0=None, synth_tail0=None):
     prev_tail = jnp.concatenate(
         [synth_tail0[..., None], resp[:, 576:, :-1]], axis=2
     )
+    if boundary is not None:
+        prev_tail = jnp.where(boundary[None, None, :], 0.0, prev_tail)
     pcm = jnp.concatenate(
         [resp[:, :480, :] + prev_tail, resp[:, 480:576, :]], axis=1
     )

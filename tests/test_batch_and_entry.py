@@ -281,3 +281,35 @@ class TestDecodeMany:
         for d, out in zip(datas, outs):
             ref = decode_bytes(d)
             np.testing.assert_array_equal(out.samples, ref.samples)
+
+    def test_mp3_merged_matches_per_file(self):
+        from mp3_builder import build_mpeg1_l3_stream
+
+        from symphonia_tpu.batch import decode_many
+
+        datas = [build_mpeg1_l3_stream(3 + s, n_ch=2, seed=s)
+                 for s in range(5)]
+        # A real MPEG2.5 mono file joins the batch (separate C group).
+        datas.append(open("/opt/venv/lib/python3.12/site-packages/pygame/"
+                          "examples/data/house_lo.mp3", "rb").read())
+        merged = decode_many(datas)
+        for d, out in zip(datas, merged):
+            ref = decode_bytes(d)
+            np.testing.assert_array_equal(out.samples, ref.samples)
+            assert out.sample_rate == ref.sample_rate
+
+    def test_mp3_boundary_masks_chain_break(self):
+        """Concatenating two streams' granules WITHOUT the boundary mask
+        would leak OLA tails across the file seam; the merged path must
+        equal per-file decode exactly at the seam."""
+        from mp3_builder import build_mpeg1_l3_stream
+
+        from symphonia_tpu.batch import Mp3BatchDecoder
+
+        a = build_mpeg1_l3_stream(6, n_ch=2, seed=21)
+        b = build_mpeg1_l3_stream(4, n_ch=2, seed=22)
+        dec = Mp3BatchDecoder()
+        outs = dec.decode_many([a, b])
+        ra, rb = dec.decode_bytes(a), dec.decode_bytes(b)
+        np.testing.assert_array_equal(outs[0].samples, ra.samples)
+        np.testing.assert_array_equal(outs[1].samples, rb.samples)
