@@ -601,6 +601,7 @@ def decode_many(datas: Sequence[bytes],
     results: List[Optional[DecodedAudio]] = [None] * len(datas)
     flac_idx: List[int] = []
     mp3_idx: List[int] = []
+    aac_idx: List[int] = []
     for i, data in enumerate(datas):
         codec = None
         fmt = None
@@ -615,6 +616,8 @@ def decode_many(datas: Sequence[bytes],
             flac_idx.append(i)
         elif codec == "mp3" and isinstance(fmt, MpaReader):
             mp3_idx.append(i)
+        elif codec == "aac":
+            aac_idx.append(i)
         else:
             results[i] = decode_bytes(data, verify=verify)
     if flac_idx:
@@ -625,6 +628,10 @@ def decode_many(datas: Sequence[bytes],
     if mp3_idx:
         merged = Mp3BatchDecoder().decode_many([datas[i] for i in mp3_idx])
         for i, out in zip(mp3_idx, merged):
+            results[i] = out
+    if aac_idx:
+        merged = AacBatchDecoder().decode_many([datas[i] for i in aac_idx])
+        for i, out in zip(aac_idx, merged):
             results[i] = out
     return results
 
@@ -760,12 +767,15 @@ class AacBatchDecoder:
     """Whole-stream AAC-LC decode: per-packet host entropy/prep + grouped
     device IMDCTs + host window/OLA chain (ops.aac_dense)."""
 
-    def decode_bytes(self, data: bytes) -> DecodedAudio:
+    def _extract_host(self, data: bytes, copy: bool = False):
+        """Host stage: (decoder, per-channel item lists, quant handoff or
+        None). ``copy`` copies the POOLED extraction tensors out —
+        decode_many queues results across files, and the next file's
+        extraction reuses the pool."""
         import symphonia_tpu as sym
 
         from .codecs.aac import AacDecoder
         from .core.errors import DecodeError
-        from .ops.aac_dense import imdct_frames, window_ola_batch
 
         probed = sym.get_probe().probe(MediaSourceStream(data))
         fmt = probed.format
@@ -800,6 +810,10 @@ class AacBatchDecoder:
                     (ext["status"] != 0).any() or (ext["nch"] != C).any()
                 ):
                     ext = None  # malformed/unsupported frames: robust path
+                if ext is not None and copy:
+                    ext = {k: (np.array(v, copy=True)
+                               if isinstance(v, np.ndarray) else v)
+                           for k, v in ext.items()}
         except ImportError:
             pass
         quant_ch = None
@@ -825,6 +839,13 @@ class AacBatchDecoder:
                     continue
                 for c, item in enumerate(chans[:C]):
                     per_ch[c].append(item)
+        return dec, per_ch, quant_ch
+
+    def decode_bytes(self, data: bytes) -> DecodedAudio:
+        from .ops.aac_dense import imdct_frames, window_ola_batch
+
+        dec, per_ch, quant_ch = self._extract_host(data)
+        C = dec.spec.num_channels
         outs = []
         for c in range(C):
             if not per_ch[c]:
@@ -846,3 +867,75 @@ class AacBatchDecoder:
     def decode_file(self, path: str) -> DecodedAudio:
         with open(path, "rb") as f:
             return self.decode_bytes(f.read())
+
+    def decode_many(self, datas: Sequence[bytes]) -> List[DecodedAudio]:
+        """Merged-dispatch AAC decode: (file, channel) frame sequences
+        flatten into one lane batch per sample-rate group (the device
+        IMDCT/dequant is per-lane stateless; the window/OLA chain runs on
+        the host per sequence, exactly as in decode_bytes)."""
+        results: List[Optional[DecodedAudio]] = [None] * len(datas)
+        jobs = []
+        for i, data in enumerate(datas):
+            try:
+                dec, per_ch, quant_ch = self._extract_host(data, copy=True)
+            except Exception:
+                results[i] = self.decode_bytes(data)
+                continue
+            jobs.append((i, dec, per_ch, quant_ch))
+        groups = {}
+        for job in jobs:
+            key = tuple(int(b) for b in job[1].bands_long)
+            groups.setdefault(key, []).append(job)
+        for bl, group in groups.items():
+            self._dispatch_merged(bl, group, results)
+        return results
+
+    def _dispatch_merged(self, bl, group, results) -> None:
+        from .ops.aac_dense import imdct_frames, window_ola_batch
+
+        lanes = []  # (group idx, channel, n frames)
+        coeffs_l, seqs, shapes, prevs = [], [], [], []
+        qb_l, sc_l, dq_l = [], [], []
+        for gi, (idx, dec, per_ch, quant_ch) in enumerate(group):
+            for c in range(dec.spec.num_channels):
+                items = per_ch[c]
+                lanes.append((gi, c, len(items)))
+                if not items:
+                    continue
+                coeffs_l += [it[0] for it in items]
+                seqs += [it[1] for it in items]
+                shapes += [it[2] for it in items]
+                prevs += [it[3] for it in items]
+                n = len(items)
+                if quant_ch is not None:
+                    qb, sc, dq, _ = quant_ch[c]
+                    qb_l.append(qb[:n])
+                    sc_l.append(sc[:n])
+                    dq_l.append(dq[:n])
+                else:  # oracle-path file: coefficients already dequantized
+                    qb_l.append(np.zeros((n, 1024), np.int16))
+                    sc_l.append(np.zeros((n, 64), np.float32))
+                    dq_l.append(np.ones(n, np.int32))
+        pcms = []
+        if coeffs_l:
+            quant = (np.concatenate(qb_l), np.concatenate(sc_l),
+                     np.concatenate(dq_l), np.asarray(bl))
+            pcms = imdct_frames(np.stack(coeffs_l), seqs, quant)
+        outs_by = {}
+        pos = 0
+        for gi, c, n in lanes:
+            if n:
+                outs_by[(gi, c)] = window_ola_batch(
+                    pcms[pos : pos + n], seqs[pos : pos + n],
+                    shapes[pos : pos + n], prevs[pos : pos + n])
+                pos += n
+            else:
+                outs_by[(gi, c)] = np.zeros(0, np.float32)
+        for gi, (idx, dec, per_ch, _) in enumerate(group):
+            C = dec.spec.num_channels
+            outs = [outs_by[(gi, c)] for c in range(C)]
+            n = max((len(o) for o in outs), default=0)
+            pcm = np.zeros((C, n), np.float32)
+            for c, o in enumerate(outs):
+                pcm[c, : len(o)] = o
+            results[idx] = DecodedAudio(pcm, dec.spec.rate, 32)

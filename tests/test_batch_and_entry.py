@@ -313,3 +313,31 @@ class TestDecodeMany:
         ra, rb = dec.decode_bytes(a), dec.decode_bytes(b)
         np.testing.assert_array_equal(outs[0].samples, ra.samples)
         np.testing.assert_array_equal(outs[1].samples, rb.samples)
+
+    def test_aac_merged_matches_per_file(self):
+        from aac_builder import build_adts, build_raw_block
+        from test_mp4 import build_m4a
+
+        from symphonia_tpu.batch import decode_many
+
+        rng = np.random.default_rng(9)
+        datas = []
+        for s in range(4):
+            frames = []
+            for _ in range(3 + s):
+                q = np.zeros(1024, np.int64)
+                idx = rng.choice(1000, size=120, replace=False)
+                q[idx] = rng.integers(-80, 81, size=120)
+                frames.append(build_raw_block([q, q], [s % 4, s % 4], 12,
+                                              150, 44100))
+            datas.append(build_adts(frames, 44100, 2))
+        # An M4A joins (same rate group, different container + mono).
+        q = np.zeros(1024, np.int64)
+        q[rng.choice(1000, size=90, replace=False)] = rng.integers(-50, 51,
+                                                                   size=90)
+        datas.append(build_m4a([build_raw_block([q], [0], 12, 140, 44100)
+                                for _ in range(3)], 44100, 1))
+        merged = decode_many(datas)
+        for d, out in zip(datas, merged):
+            ref = decode_bytes(d)
+            np.testing.assert_array_equal(out.samples, ref.samples)
