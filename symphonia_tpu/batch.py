@@ -597,11 +597,13 @@ def decode_many(datas: Sequence[bytes],
 
     from .formats.flac import FlacReader
     from .formats.mpa import MpaReader
+    from .formats.ogg import OggReader
 
     results: List[Optional[DecodedAudio]] = [None] * len(datas)
     flac_idx: List[int] = []
     mp3_idx: List[int] = []
     aac_idx: List[int] = []
+    vorbis_idx: List[int] = []
     for i, data in enumerate(datas):
         codec = None
         fmt = None
@@ -618,6 +620,8 @@ def decode_many(datas: Sequence[bytes],
             mp3_idx.append(i)
         elif codec == "aac":
             aac_idx.append(i)
+        elif codec == "vorbis" and isinstance(fmt, OggReader):
+            vorbis_idx.append(i)
         else:
             results[i] = decode_bytes(data, verify=verify)
     if flac_idx:
@@ -632,6 +636,11 @@ def decode_many(datas: Sequence[bytes],
     if aac_idx:
         merged = AacBatchDecoder().decode_many([datas[i] for i in aac_idx])
         for i, out in zip(aac_idx, merged):
+            results[i] = out
+    if vorbis_idx:
+        merged = VorbisBatchDecoder().decode_many(
+            [datas[i] for i in vorbis_idx])
+        for i, out in zip(vorbis_idx, merged):
             results[i] = out
     return results
 
@@ -694,11 +703,13 @@ class VorbisBatchDecoder:
     residues/coupling) + grouped device IMDCT dense stage
     (ops.vorbis_dense)."""
 
-    def decode_bytes(self, data: bytes) -> DecodedAudio:
-        from .codecs.vorbis import VorbisDecoder, _CHANNEL_MAP
+    def _extract_host(self, data: bytes, copy: bool = False):
+        """Host stage: (dec, track, spectra list, flags, trims). ``copy``
+        copies spectra out of the pooled entropy buffers (decode_many
+        queues them across files)."""
+        from .codecs.vorbis import VorbisDecoder
         from .core.errors import DecodeError
         from .formats.ogg import OggReader
-        from .ops.vorbis_dense import decode_packets_dense
 
         reader = OggReader(MediaSourceStream(data))
         track = reader.default_track()
@@ -729,7 +740,8 @@ class VorbisBatchDecoder:
             bs0, bs1 = dec.bs0, dec.bs1
             for i in range(len(pkts)):
                 n2 = (bs1 if fl_all[i] else bs0) // 2
-                spectra.append(sp_all[i, :, :n2])
+                sp = sp_all[i, :, :n2]
+                spectra.append(np.array(sp, copy=True) if copy else sp)
                 flags.append(bool(fl_all[i]))
         else:
             trims2 = []
@@ -742,7 +754,12 @@ class VorbisBatchDecoder:
                 flags.append(flag)
                 trims2.append(tr)
             trims = trims2
-        pcm = decode_packets_dense(spectra, flags, dec.bs0, dec.bs1)
+        return dec, track, spectra, flags, trims
+
+    @staticmethod
+    def _finish(dec, track, pcm, trims) -> DecodedAudio:
+        from .codecs.vorbis import _CHANNEL_MAP
+
         total_trim_end = sum(t[1] for t in trims)
         if total_trim_end:
             pcm = pcm[:, : pcm.shape[1] - total_trim_end]
@@ -757,6 +774,35 @@ class VorbisBatchDecoder:
         for src, dst in enumerate(chmap):
             out[dst] = pcm[src]
         return DecodedAudio(out, track.codec_params.sample_rate, 32)
+
+    def decode_bytes(self, data: bytes) -> DecodedAudio:
+        from .ops.vorbis_dense import decode_packets_dense
+
+        dec, track, spectra, flags, trims = self._extract_host(data)
+        pcm = decode_packets_dense(spectra, flags, dec.bs0, dec.bs1)
+        return self._finish(dec, track, pcm, trims)
+
+    def decode_many(self, datas: Sequence[bytes]) -> List[DecodedAudio]:
+        """Merged-dispatch Vorbis decode: packet-channel lanes from every
+        stream group by BLOCK SIZE across files, one device IMDCT per
+        distinct size (the lap stitch stays per-stream host work)."""
+        from .ops.vorbis_dense import decode_packets_dense_multi
+
+        results: List[Optional[DecodedAudio]] = [None] * len(datas)
+        jobs = []
+        for i, data in enumerate(datas):
+            try:
+                got = self._extract_host(data, copy=True)
+            except Exception:
+                results[i] = self.decode_bytes(data)
+                continue
+            jobs.append((i, got))
+        if jobs:
+            pcms = decode_packets_dense_multi(
+                [(g[2], g[3], g[0].bs0, g[0].bs1) for _, g in jobs])
+            for (i, g), pcm in zip(jobs, pcms):
+                results[i] = self._finish(g[0], g[1], pcm, g[4])
+        return results
 
     def decode_file(self, path: str) -> DecodedAudio:
         with open(path, "rb") as f:

@@ -79,22 +79,42 @@ def decode_packets_dense(
 ) -> np.ndarray:
     """Full dense stage for a packet sequence: grouped device IMDCTs +
     host lap stitch. Returns [C, total_samples]."""
-    if not spectra_list:
-        return np.zeros((1, 0), np.float32)
-    C = spectra_list[0].shape[0]
-    # Group packet-channel lanes by block size.
-    short_idx = [p for p, f in enumerate(flags) if not f]
-    long_idx = [p for p, f in enumerate(flags) if f]
-    out_imdct: List[List[np.ndarray]] = [[None] * len(flags) for _ in range(C)]
-    for idxs, n in ((short_idx, bs0), (long_idx, bs1)):
-        if not idxs:
-            continue
-        lanes = np.stack(
-            [spectra_list[p][c][: n // 2] for p in idxs for c in range(C)]
-        )
-        y = imdct_group(lanes, n)
-        for j, p in enumerate(idxs):
+    return decode_packets_dense_multi([(spectra_list, flags, bs0, bs1)])[0]
+
+
+def decode_packets_dense_multi(jobs) -> List[np.ndarray]:
+    """Merged dense stage over several packet sequences (streams).
+
+    ``jobs``: list of (spectra_list, flags, bs0, bs1). Lanes from every
+    job group by BLOCK SIZE — not by job — so all streams share one
+    device IMDCT per distinct n (the lap stitch stays per-stream host
+    work). Returns one [C, total_samples] per job, identical to running
+    decode_packets_dense per job."""
+    lane_map: dict = {}   # n -> list of [n/2] rows
+    slot_map: dict = {}   # n -> list of (job, packet, channel)
+    for ji, (spectra_list, flags, bs0, bs1) in enumerate(jobs):
+        for p, f in enumerate(flags):
+            n = bs1 if f else bs0
+            C = spectra_list[p].shape[0]
             for c in range(C):
-                out_imdct[c][p] = y[j * C + c]
-    chans = [lap_stitch(out_imdct[c], flags, bs0, bs1) for c in range(C)]
-    return np.stack(chans)
+                lane_map.setdefault(n, []).append(spectra_list[p][c][: n // 2])
+                slot_map.setdefault(n, []).append((ji, p, c))
+    out_imdct = [
+        [[None] * len(jobs[ji][1])
+         for _ in range(jobs[ji][0][0].shape[0] if jobs[ji][0] else 1)]
+        for ji in range(len(jobs))
+    ]
+    for n, lanes in lane_map.items():
+        y = imdct_group(np.stack(lanes), n)
+        for row, (ji, p, c) in enumerate(slot_map[n]):
+            out_imdct[ji][c][p] = y[row]
+    outs = []
+    for ji, (spectra_list, flags, bs0, bs1) in enumerate(jobs):
+        if not spectra_list:
+            outs.append(np.zeros((1, 0), np.float32))
+            continue
+        C = spectra_list[0].shape[0]
+        chans = [lap_stitch(out_imdct[ji][c], flags, bs0, bs1)
+                 for c in range(C)]
+        outs.append(np.stack(chans))
+    return outs

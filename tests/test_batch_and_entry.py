@@ -341,3 +341,14 @@ class TestDecodeMany:
         for d, out in zip(datas, merged):
             ref = decode_bytes(d)
             np.testing.assert_array_equal(out.samples, ref.samples)
+
+    def test_vorbis_merged_matches_per_file(self):
+        from symphonia_tpu.batch import decode_many
+
+        ogg = open("/opt/venv/lib/python3.12/site-packages/pygame/examples/"
+                   "data/house_lo.ogg", "rb").read()
+        datas = [ogg, ogg]
+        merged = decode_many(datas)
+        ref = decode_bytes(ogg)
+        for out in merged:
+            np.testing.assert_array_equal(out.samples, ref.samples)
