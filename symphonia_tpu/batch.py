@@ -224,7 +224,11 @@ class FlacBatchDecoder:
             return self.decode_bytes(f.read())
 
     def decode_files(self, paths: Sequence[str]) -> List[DecodedAudio]:
-        return self.decode_many([open(p, "rb").read() for p in paths])
+        datas = []
+        for p in paths:
+            with open(p, "rb") as f:
+                datas.append(f.read())
+        return self.decode_many(datas)
 
     def decode_many(self, datas: Sequence[bytes]) -> List[DecodedAudio]:
         """Decode several FLAC streams through MERGED device dispatches.
@@ -589,9 +593,16 @@ def decode_many(datas: Sequence[bytes],
     """Decode a batch of streams, merging device work across files.
 
     The serving entry point: streams are probed and grouped by pipeline;
-    FLAC groups share merged device dispatches (frame lanes from all
-    files fill the same power-of-two buckets), everything else decodes
-    through its own best pipeline. Output order matches input order.
+    FLAC/MP3/AAC/Vorbis groups share merged device dispatches (lanes
+    from all files fill the same power-of-two buckets), everything else
+    decodes through its own best pipeline. Output order matches input
+    order.
+
+    Error contract: fail-fast — an undecodable stream raises exactly
+    what ``decode_bytes`` would raise for it (recoverable corruption is
+    still skipped per-packet inside the pipelines, as the reference's
+    decode loop does). Callers wanting per-file isolation should wrap
+    individual ``decode_bytes`` calls instead.
     """
     import symphonia_tpu as sym
 
@@ -703,10 +714,11 @@ class VorbisBatchDecoder:
     residues/coupling) + grouped device IMDCT dense stage
     (ops.vorbis_dense)."""
 
-    def _extract_host(self, data: bytes, copy: bool = False):
-        """Host stage: (dec, track, spectra list, flags, trims). ``copy``
-        copies spectra out of the pooled entropy buffers (decode_many
-        queues them across files)."""
+    def _extract_host(self, data: bytes):
+        """Host stage: (dec, track, spectra list, flags, trims). The bulk
+        entropy call allocates fresh arrays per call (native.py
+        vorbis_decode_spectra — NOT pooled, unlike flac/mp3/aac), so the
+        spectra views are safe to queue across files."""
         from .codecs.vorbis import VorbisDecoder
         from .core.errors import DecodeError
         from .formats.ogg import OggReader
@@ -740,8 +752,7 @@ class VorbisBatchDecoder:
             bs0, bs1 = dec.bs0, dec.bs1
             for i in range(len(pkts)):
                 n2 = (bs1 if fl_all[i] else bs0) // 2
-                sp = sp_all[i, :, :n2]
-                spectra.append(np.array(sp, copy=True) if copy else sp)
+                spectra.append(sp_all[i, :, :n2])
                 flags.append(bool(fl_all[i]))
         else:
             trims2 = []
@@ -792,7 +803,7 @@ class VorbisBatchDecoder:
         jobs = []
         for i, data in enumerate(datas):
             try:
-                got = self._extract_host(data, copy=True)
+                got = self._extract_host(data)
             except Exception:
                 results[i] = self.decode_bytes(data)
                 continue

@@ -137,23 +137,40 @@ def imdct_frames(coeffs: np.ndarray, seqs: np.ndarray,
     long_idx = [i for i in range(n) if seqs[i] != EIGHT_SHORT]
     short_idx = [i for i in range(n) if seqs[i] == EIGHT_SHORT]
     out: List[np.ndarray] = [None] * n
+
+    def _bucket(a, fill=0):
+        # Power-of-two lane buckets keep HLO shapes stable across files
+        # and batch compositions (a fresh lane count recompiles).
+        L = a.shape[0]
+        cnt = 1 << (L - 1).bit_length() if L > 1 else 1
+        if cnt == L:
+            return a
+        pad = np.full((cnt - L,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad])
+
     if long_idx:
-        co = np.stack([coeffs[i] for i in long_idx])
+        L = len(long_idx)
+        co = _bucket(np.stack([coeffs[i] for i in long_idx]))
         if quant is not None and not (np.asarray(quant[2])[long_idx] != 0).all():
             qbuf, scales, deq, bands_long = quant
             fn = _dequant_imdct_long_jax(tuple(int(b) for b in bands_long))
-            y = np.asarray(fn(co, np.stack([qbuf[i] for i in long_idx]),
-                              np.stack([scales[i] for i in long_idx]),
-                              np.asarray(deq)[long_idx]))
+            # Padding lanes get deq=1: they pass their (zero) coeffs
+            # through, skipping the dequant gather.
+            y = np.asarray(fn(
+                co, _bucket(np.stack([qbuf[i] for i in long_idx])),
+                _bucket(np.stack([scales[i] for i in long_idx])),
+                _bucket(np.asarray(deq)[long_idx], fill=1)))[:L]
         else:
-            y = np.asarray(_imdct_jax(1024)(co))
+            y = np.asarray(_imdct_jax(1024)(co))[:L]
         for j, i in enumerate(long_idx):
             out[i] = y[j]
     if short_idx:
-        stacked = np.stack(
+        S = len(short_idx) * 8
+        stacked = _bucket(np.stack(
             [coeffs[i].reshape(8, 128) for i in short_idx]
-        ).reshape(-1, 128)
-        y = np.asarray(_imdct_jax(128)(stacked)).reshape(len(short_idx), 8, 256)
+        ).reshape(-1, 128))
+        y = np.asarray(_imdct_jax(128)(stacked))[:S].reshape(
+            len(short_idx), 8, 256)
         for j, i in enumerate(short_idx):
             out[i] = y[j]
     return out

@@ -34,10 +34,20 @@ def _imdct_jax(n: int):
 
 
 def imdct_group(spectra: np.ndarray, n: int) -> np.ndarray:
-    """Batched IMDCT on device for one block-size group."""
-    if len(spectra) == 0:
+    """Batched IMDCT on device for one block-size group.
+
+    Lane counts bucket to the next power of two (zero rows appended,
+    result sliced back): HLO shapes stay stable across files/batches —
+    a fresh lane count would otherwise compile a new program per batch
+    composition (minutes on the remote TPU target)."""
+    L = len(spectra)
+    if L == 0:
         return np.zeros((0, n), np.float32)
-    return np.asarray(_imdct_jax(n)(spectra))
+    cnt = 1 << (L - 1).bit_length() if L > 1 else 1
+    if cnt != L:
+        spectra = np.concatenate(
+            [spectra, np.zeros((cnt - L, spectra.shape[1]), spectra.dtype)])
+    return np.asarray(_imdct_jax(n)(spectra))[:L]
 
 
 def lap_stitch(
