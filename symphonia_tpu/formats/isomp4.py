@@ -702,6 +702,12 @@ class IsoMp4Reader(FormatReader):
                         szs.append(s)
                         drs.append(d)
                         cur += s
+                    if not offs:
+                        # A zero-sample trun must append NOTHING: the
+                        # [[0]] + cumsum idiom below would append one ts
+                        # with no matching offset/size/dur row (soak-found
+                        # length desync -> IndexError on the next trun).
+                        continue
                     base_ts = int(track.ts[-1] + track.durs[-1]) if len(track.ts) else 0
                     new_ts = base_ts + np.concatenate(
                         [[0], np.cumsum(np.asarray(drs[:-1], dtype=np.int64))]

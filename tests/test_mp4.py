@@ -640,3 +640,26 @@ class TestSidxBounds:
                 break
             got.append(p.data)
         assert len(got) <= 2  # junk segments contribute nothing, no crash
+
+    def test_zero_sample_trun_no_desync(self):
+        """Regression (soak): a zero-sample trun appended one ts with no
+        matching offset/size/dur row, desyncing table lengths (IndexError
+        on the next fragment)."""
+        rng = np.random.default_rng(41)
+        frames = [
+            build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)], [0],
+                            MAX_SFB, GAIN, RATE)
+            for _ in range(6)
+        ]
+        data = bytearray(build_fmp4(frames, RATE, 1, frag_size=2))
+        i = bytes(data).find(b"trun") + 4 + 4
+        data[i : i + 4] = (0).to_bytes(4, "big")  # first fragment: 0 samples
+        r = IsoMp4Reader(MediaSourceStream(bytes(data)))
+        got = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            got.append(p.data)
+        # Later fragments still decode; the zeroed one contributes nothing.
+        assert got == frames[2:]
