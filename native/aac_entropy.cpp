@@ -436,8 +436,11 @@ struct Ics {
         return 0;
     }
 
-    // aac.py synth_pulse
-    void synth_pulse() {
+    // aac.py synth_pulse. noinline/cold: this file's codegen is
+    // perf-sensitive (see header notes) and pulse synthesis is rare —
+    // keeping it out-of-line was A/B-verified neutral where inlining the
+    // f32 powf version cost ~4% on pulse-free content.
+    __attribute__((noinline, cold)) void synth_pulse() {
         if (!has_pulse) return;
         int nb;
         const int32_t* bands = get_bands(&nb);
@@ -448,13 +451,17 @@ struct Ics {
             k += pulse_off[p];
             if (k >= 1024) return;
             while (bands[band + 1] <= k) band++;
-            double scale = scales[0][band];
-            double base = coeffs[k];
-            if (base != 0.0)
-                base = (base > 0 ? 1.0 : -1.0) * pow(fabs(base), 0.75);
-            base = base > 0 ? base + pulse_amp[p] : base - pulse_amp[p];
-            double sign = base > 0 ? 1.0 : (base < 0 ? -1.0 : 0.0);
-            coeffs[k] = (float)(sign * pow(fabs(base), 4.0 / 3.0) * scale);
+            // f32 pow throughout: the oracle (NEP-50 float32 ** scalar)
+            // and the reference (ics/pulse.rs f32::powf) both requantize
+            // in single precision — double pow here diverges by 1 ulp.
+            float scale = scales[0][band];
+            float base = coeffs[k];
+            if (base != 0.0f)
+                base = (base > 0 ? 1.0f : -1.0f) * powf(fabsf(base), 0.75f);
+            base = base > 0 ? base + (float)pulse_amp[p]
+                            : base - (float)pulse_amp[p];
+            float sign = base > 0 ? 1.0f : (base < 0 ? -1.0f : 0.0f);
+            coeffs[k] = sign * powf(fabsf(base), (float)(4.0 / 3.0)) * scale;
         }
     }
 

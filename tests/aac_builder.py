@@ -169,11 +169,23 @@ def encode_ics(
     common_window: bool = False,
     book_select: str = "auto",
     special_books: Optional[dict] = None,
+    pulse: Optional[tuple] = None,
+    tns: Optional[list] = None,
 ) -> None:
     """Encode one individual_channel_stream.
 
     ``special_books``: {sfb: cb} forcing NOISE_HCB (13) / INTENSITY (14/15)
     on given bands (long windows; the band's quant values are ignored).
+
+    ``pulse``: (start_sfb, [(offset5, amplitude4), ...]) — pulse_data
+    (long windows only, 1-4 pulses).
+
+    ``tns``: per-window list of filter lists; each filter is a dict
+    {"length": int, "order": int, "direction": 0/1, "compress": 0/1,
+    "coefs": [raw bit values]} plus a per-window "coef_res" key on the
+    first filter (default 0). Raw coef values are written with
+    (4 if coef_res else 3) - compress bits each, matching
+    Ics.decode_tns (codecs/aac.py, ics/tns.rs analog).
     """
     long_bands, short_bands = swb_tables(rate)
     bw.write(global_gain, 8)
@@ -230,8 +242,35 @@ def encode_ics(
                 noise_first = False
             else:
                 write_scf_delta(bw, 0)
-    bw.write(0, 1)  # no pulse
-    bw.write(0, 1)  # no tns
+    if pulse is not None:
+        bw.write(1, 1)
+        start_sfb, pulses = pulse
+        bw.write(len(pulses) - 1, 2)
+        bw.write(start_sfb, 6)
+        for off, amp in pulses:
+            bw.write(off, 5)
+            bw.write(amp, 4)
+    else:
+        bw.write(0, 1)  # no pulse
+    if tns is not None:
+        bw.write(1, 1)
+        for wf in tns:
+            bw.write(len(wf), 2 if long_win else 1)
+            if wf:
+                coef_res = wf[0].get("coef_res", 0)
+                bw.write(coef_res, 1)
+            for f in wf:
+                bw.write(f["length"], 6 if long_win else 4)
+                bw.write(f["order"], 5 if long_win else 3)
+                if f["order"]:
+                    bw.write(f.get("direction", 0), 1)
+                    compress = f.get("compress", 0)
+                    bw.write(compress, 1)
+                    nbits = (4 if wf[0].get("coef_res", 0) else 3) - compress
+                    for c in f["coefs"]:
+                        bw.write(c & ((1 << nbits) - 1), nbits)
+    else:
+        bw.write(0, 1)  # no tns
     bw.write(0, 1)  # no gain control
     # Spectrum: per group, per sfb, per window-in-group (1 window each);
     # noise/intensity bands carry no codewords.
@@ -267,6 +306,10 @@ def build_raw_block(
     ms_used: Optional[Sequence[int]] = None,
     special_books0: Optional[dict] = None,
     special_books1: Optional[dict] = None,
+    pulse0: Optional[tuple] = None,
+    tns0: Optional[list] = None,
+    pulse1: Optional[tuple] = None,
+    tns1: Optional[list] = None,
 ) -> bytes:
     bw = BitWriter()
     n_ch = len(channel_quants)
@@ -284,16 +327,17 @@ def build_raw_block(
                     bw.write(1 if (ms_used and sfb in ms_used) else 0, 1)
         encode_ics(bw, channel_quants[0], seqs[0], max_sfb, global_gain, rate,
                    common_window=common_window, book_select=book_select,
-                   special_books=special_books0)
+                   special_books=special_books0, pulse=pulse0, tns=tns0)
         encode_ics(bw, channel_quants[1], seqs[1], max_sfb, global_gain, rate,
                    common_window=common_window, book_select=book_select,
-                   special_books=special_books1)
+                   special_books=special_books1, pulse=pulse1, tns=tns1)
     else:
         for q, s in zip(channel_quants, seqs):
             bw.write(0, 3)  # SCE
             bw.write(0, 4)
             encode_ics(bw, q, s, max_sfb, global_gain, rate,
-                       book_select=book_select, special_books=special_books0)
+                       book_select=book_select, special_books=special_books0,
+                       pulse=pulse0, tns=tns0)
     bw.write(7, 3)  # END
     return bw.to_bytes()
 

@@ -198,9 +198,12 @@ def build_mpeg2_l3_frame(
     channel_mode: int = None,
     mode_ext: int = 0,
     scalefac_compress: int = 0,
+    version: float = 2.0,
 ):
     """Build one MPEG2 (LSF) Layer III frame: single granule, 8-bit
-    main_data_begin, no scfsi/preflag, 9-bit scalefac_compress."""
+    main_data_begin, no scfsi/preflag, 9-bit scalefac_compress.
+    ``version=2.5`` emits the MPEG2.5 header (version bits 00, halved
+    sample-rate table) with the same LSF side-info layout."""
     if channel_mode is None:
         channel_mode = 3 if n_ch == 1 else 0
 
@@ -240,9 +243,13 @@ def build_mpeg2_l3_frame(
     side_info = si.pad_to_bytes()
     assert len(side_info) == (9 if n_ch == 1 else 17), len(side_info)
 
-    rates = {0: 22050, 1: 24000, 2: 16000}
+    if version == 2.5:
+        rates = {0: 11025, 1: 12000, 2: 8000}
+        b1 = 0xE3  # 1110 0011: sync + MPEG2.5 + Layer3 + no CRC
+    else:
+        rates = {0: 22050, 1: 24000, 2: 16000}
+        b1 = 0xF3  # 1111 0011: sync + MPEG2 + Layer3 + no CRC
     b0 = 0xFF
-    b1 = 0xF3  # 1111 0011: sync + MPEG2 + Layer3 + no CRC
     b2 = (bitrate_idx << 4) | (sample_rate_idx << 2)
     b3 = (channel_mode << 6) | (mode_ext << 4)
     header = bytes([b0, b1, b2, b3])

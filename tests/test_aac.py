@@ -364,6 +364,46 @@ class TestNativeEntropySpecialBands(TestNativeEntropy):
         ]
         self._compare(frames, RATE, 2)
 
+    def test_pulse_long_window(self):
+        """pulse_data synthesis (requant + amplitude-toward-sign + dequant)
+        — native vs oracle exact, pulses landing on zero, positive and
+        negative base coefficients."""
+        rng = np.random.default_rng(74)
+        frames = []
+        for f in range(6):
+            q = random_quant_spectrum(rng, 20, RATE)
+            pulse = (2, [(0, 3), (5, 1), (17, 15), (31, 7)]) if f % 2 == 0 \
+                else (0, [(2, 9)])
+            frames.append(build_raw_block([q], [0], 20, GAIN, RATE,
+                                          pulse0=pulse))
+        self._compare(frames, RATE, 1)
+
+    def test_tns_long_and_short_windows(self):
+        """TNS all-pole filters: both directions, coef_res 0/1, compress
+        0/1, multiple filters per window, eight-short windows — native vs
+        oracle exact (f32 Levinson expansion + in-order filter loop)."""
+        rng = np.random.default_rng(75)
+        frames = []
+        for f in range(8):
+            if f % 2 == 0:
+                q = random_quant_spectrum(rng, 20, RATE)
+                tns = [[{"coef_res": 1, "length": 10, "order": 4,
+                         "direction": 0, "compress": 0,
+                         "coefs": [3, 14, 7, 9]},
+                        {"length": 6, "order": 2, "direction": 1,
+                         "compress": 1, "coefs": [5, 2]}]]
+                frames.append(build_raw_block([q], [0], 20, GAIN, RATE,
+                                              tns0=tns))
+            else:
+                q = random_quant_spectrum(rng, 8, RATE, seq=2)
+                tns = [([{"coef_res": 0, "length": 5, "order": 3,
+                          "direction": w % 2, "compress": 0,
+                          "coefs": [2, 6, 1]}] if w % 3 != 1 else [])
+                       for w in range(8)]
+                frames.append(build_raw_block([q], [2], 8, GAIN, RATE,
+                                              tns0=tns))
+        self._compare(frames, RATE, 1)
+
     def test_pns_with_ms_noise_exclusion(self):
         rng = np.random.default_rng(73)
         frames = [
@@ -435,7 +475,8 @@ class TestPerPacketNativeStream:
         out, _ = decode_adts(data)
         return out
 
-    @pytest.mark.parametrize("content", ["pns_mono", "ms_stereo", "short_windows"])
+    @pytest.mark.parametrize("content", ["pns_mono", "ms_stereo",
+                                         "short_windows", "pulse_tns"])
     def test_stream_matches_oracle(self, content, monkeypatch):
         from symphonia_tpu import native
 
@@ -454,6 +495,14 @@ class TestPerPacketNativeStream:
                     [random_quant_spectrum(rng, 20, RATE),
                      random_quant_spectrum(rng, 20, RATE)],
                     [0, 0], 20, GAIN, RATE, common_window=True, ms_mask=2))
+            elif content == "pulse_tns":
+                q = random_quant_spectrum(rng, 20, RATE)
+                pulse = (1, [(3, 4), (9, 2)]) if f % 2 == 0 else None
+                tns = [[{"coef_res": 1, "length": 12, "order": 3,
+                         "direction": f % 2, "compress": 0,
+                         "coefs": [4, 11, 6]}]] if f % 3 != 2 else None
+                frames.append(build_raw_block([q], [0], 20, GAIN, RATE,
+                                              pulse0=pulse, tns0=tns))
             else:
                 seq = [0, 1, 2, 3][f % 4]  # long/start/short/stop cycle
                 q = random_quant_spectrum(rng, 14 if seq == 2 else 20, RATE,

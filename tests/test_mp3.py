@@ -686,7 +686,8 @@ class TestPerPacketNativeStream:
         return np.concatenate(outs, axis=1), n_native
 
     @pytest.mark.parametrize("content",
-                             ["house", "mpeg1_stereo", "mpeg2_stereo"])
+                             ["house", "mpeg1_stereo", "mpeg2_stereo",
+                              "mpeg1_mono", "mpeg25_stereo"])
     def test_stream_matches_oracle(self, content, monkeypatch):
         from symphonia_tpu import native
 
@@ -710,6 +711,23 @@ class TestPerPacketNativeStream:
                            "global_gain": 190} for _ in range(2)]
                 fr.append(build_mpeg2_l3_frame(gspecs, n_ch=2))
             data = b"".join(fr)
+        elif content == "mpeg25_stereo":
+            # MPEG2.5 stereo: completes the version x n_ch matrix (house
+            # covers 2.5 mono; the stride bug taught that native parity
+            # must span every (n_gr, n_ch) header combination).
+            rng = np.random.default_rng(11)
+            fr = []
+            for _ in range(8):
+                gspecs = [{"big_pairs": [(int(rng.integers(-3, 4)),
+                                          int(rng.integers(-3, 4)))
+                                         for _ in range(30)],
+                           "quad_pattern": [(0, 1, -1, 0)] * 4,
+                           "big_table": 5, "count1table": 0,
+                           "global_gain": 188} for _ in range(2)]
+                fr.append(build_mpeg2_l3_frame(gspecs, n_ch=2, version=2.5))
+            data = b"".join(fr)
+        elif content == "mpeg1_mono":
+            data = build_mpeg1_l3_stream(24, n_ch=1, seed=13)
         else:
             data = build_mpeg1_l3_stream(24, n_ch=2, seed=7)
         a, used_native = self._decode_forced(data, monkeypatch, "on")
