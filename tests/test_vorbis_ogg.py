@@ -517,3 +517,114 @@ class TestSetupSkim:
         assert len(skim.codebooks) == len(full.codebooks)
         assert len(skim.floors) == len(full.floors)
         assert len(skim.residues) == len(full.residues)
+
+
+class TestFloor0Residue0:
+    """Floor type 0 (LSP) + residue type 0 via the mirror builder
+    (tests/vorbis_builder.py) — no real-world fixture uses either path
+    (house_lo.ogg is floor 1 / residue 2). Covers setup parsing,
+    floor0_read_channel VQ accumulation, LSP curve synthesis, residue-0
+    stride-interleaved partitions, and native-vs-oracle parity."""
+
+    def _make_decoder(self, extra):
+        from symphonia_tpu.core.codecs import AudioCodecParameters
+
+        params = AudioCodecParameters()
+        params.codec = "vorbis"
+        params.extra_data = extra
+        return VorbisDecoder(params)
+
+    def test_oracle_structure(self, monkeypatch):
+        import vorbis_builder as vb
+
+        monkeypatch.setenv("SYMPHONIA_TPU_VORBIS_STREAM", "off")
+        extra, pkts, info = vb.build_stream(10, seed=42)
+        dec = self._make_decoder(extra)
+        assert dec.setup.floors[0].kind == 0
+        assert dec.setup.residues[0].kind == 0
+        for pkt, (amp, fe, ce, pe) in zip(pkts, info):
+            spectra, block_flag = dec.decode_spectra(pkt)
+            assert not block_flag
+            assert spectra.shape == (1, vb.N2)
+            if amp == 0:
+                np.testing.assert_array_equal(spectra, 0.0)
+                continue
+            res = vb.expected_residue(ce, pe)
+            # spectra = positive LSP curve * residue: zero pattern and
+            # signs must match the independently reconstructed residue.
+            np.testing.assert_array_equal(spectra[0] == 0.0, res == 0.0)
+            np.testing.assert_array_equal(np.sign(spectra[0]), np.sign(res))
+
+    def test_floor0_curve_matches_spec_pseudocode(self, monkeypatch):
+        """floor0_synthesis vs a direct scalar transcription of the spec
+        §6.2.3 pseudocode (independent loop structure)."""
+        from symphonia_tpu.codecs.vorbis import floor0_synthesis, _bark_map
+        import vorbis_builder as vb
+
+        monkeypatch.setenv("SYMPHONIA_TPU_VORBIS_STREAM", "off")
+        extra, pkts, info = vb.build_stream(4, seed=7)
+        dec = self._make_decoder(extra)
+        cfg = dec.setup.floors[0].f0
+        amp, fe, _, _ = info[0]
+        # Reconstruct the 2cos coefficient vector the decoder derives.
+        last = 0.0
+        coeffs = []
+        for e in fe:
+            vec = vb.f0_vq(e) + last
+            coeffs.extend(vec.tolist())
+            last = float(vec[-1])
+        tc = 2.0 * np.cos(np.asarray(coeffs[: vb.ORDER], dtype=np.float64))
+        got = floor0_synthesis(amp, tc, cfg, vb.N2)
+
+        m = _bark_map(vb.N2, cfg.rate, cfg.bark_map_size)
+        expect = np.empty(vb.N2, dtype=np.float32)
+        i = 0
+        while i < vb.N2:
+            omega = np.pi * m[i] / cfg.bark_map_size
+            cos_w = np.cos(omega)
+            p, q = 1.0, 1.0
+            for j in range(cfg.order // 2):
+                p *= tc[2 * j + 1] - 2.0 * cos_w
+                q *= tc[2 * j] - 2.0 * cos_w
+            if cfg.order % 2:
+                q *= tc[cfg.order - 1] - 2.0 * cos_w
+                p = p * p * (1.0 - cos_w * cos_w)
+                q = q * q * 0.25
+            else:
+                p = p * p * (1.0 - cos_w) / 2.0
+                q = q * q * (1.0 + cos_w) / 2.0
+            lin = np.exp(
+                0.11512925
+                * (amp * cfg.amplitude_offset
+                   / (((1 << cfg.amplitude_bits) - 1) * np.sqrt(p + q))
+                   - cfg.amplitude_offset)
+            ).astype(np.float32)
+            j = i
+            while j < vb.N2 and m[j] == m[i]:
+                expect[j] = lin
+                j += 1
+            i = j
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+    def test_native_matches_oracle(self, monkeypatch):
+        """Native stream context vs the Python oracle on floor0/residue0
+        packets — exact spectra equality, and native must engage."""
+        from symphonia_tpu import native
+        import vorbis_builder as vb
+
+        extra, pkts, _ = vb.build_stream(12, seed=5)
+        monkeypatch.delenv("SYMPHONIA_TPU_VORBIS_STREAM", raising=False)
+        dec_n = self._make_decoder(extra)
+        if not dec_n._native:
+            pytest.skip("native vorbis unavailable")
+        # Assert per-packet native engagement (no silent fallback).
+        for pkt in pkts:
+            assert native.vorbis_stream_decode(dec_n._native, pkt) is not None
+        dec_n = self._make_decoder(extra)
+        monkeypatch.setenv("SYMPHONIA_TPU_VORBIS_STREAM", "off")
+        dec_o = self._make_decoder(extra)
+        for pkt in pkts:
+            a, fa = dec_n.decode_spectra(pkt)
+            b, fb = dec_o.decode_spectra(pkt)
+            assert fa == fb
+            np.testing.assert_array_equal(a, b)
