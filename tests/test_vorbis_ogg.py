@@ -628,3 +628,69 @@ class TestFloor0Residue0:
             b, fb = dec_o.decode_spectra(pkt)
             assert fa == fb
             np.testing.assert_array_equal(a, b)
+
+
+class TestVorbisStereoCoupling:
+    """Stereo square-polar coupling + residue type 2 + two block sizes via
+    the builder's stereo variant — house_lo.ogg (mono, residue 1, single
+    short mode) covers none of these paths."""
+
+    def _make_decoder(self, extra):
+        from symphonia_tpu.core.codecs import AudioCodecParameters
+
+        params = AudioCodecParameters()
+        params.codec = "vorbis"
+        params.extra_data = extra
+        return VorbisDecoder(params)
+
+    def test_oracle_structure(self, monkeypatch):
+        import vorbis_builder as vb
+
+        monkeypatch.setenv("SYMPHONIA_TPU_VORBIS_STREAM", "off")
+        extra, pkts, info = vb.build_stream_stereo(14, seed=21)
+        dec = self._make_decoder(extra)
+        assert dec.setup.residues[0].kind == 2
+        assert dec.setup.mappings[0].coupling_steps == [(0, 1)]
+        saw_long = saw_short = saw_dead_floor = False
+        for pkt, (long_block, amps, fe, ce, pe) in zip(pkts, info):
+            spectra, block_flag = dec.decode_spectra(pkt)
+            assert block_flag == long_block
+            n2 = vb.N2_LONG if long_block else vb.N2
+            assert spectra.shape == (2, n2)
+            saw_long |= long_block
+            saw_short |= not long_block
+            if amps == (0, 0):
+                np.testing.assert_array_equal(spectra, 0.0)
+                continue
+            res = vb.expected_stereo_residue(long_block, ce, pe)
+            for ch in range(2):
+                if amps[ch] == 0:
+                    saw_dead_floor = True
+                    np.testing.assert_array_equal(spectra[ch], 0.0)
+                else:
+                    # positive LSP curve * post-coupling residue
+                    np.testing.assert_array_equal(spectra[ch] == 0.0,
+                                                  res[ch] == 0.0)
+                    np.testing.assert_array_equal(np.sign(spectra[ch]),
+                                                  np.sign(res[ch]))
+        assert saw_long and saw_short and saw_dead_floor
+
+    def test_native_matches_oracle(self, monkeypatch):
+        from symphonia_tpu import native
+        import vorbis_builder as vb
+
+        extra, pkts, _ = vb.build_stream_stereo(16, seed=77)
+        monkeypatch.delenv("SYMPHONIA_TPU_VORBIS_STREAM", raising=False)
+        dec_n = self._make_decoder(extra)
+        if not dec_n._native:
+            pytest.skip("native vorbis unavailable")
+        for pkt in pkts:
+            assert native.vorbis_stream_decode(dec_n._native, pkt) is not None
+        dec_n = self._make_decoder(extra)
+        monkeypatch.setenv("SYMPHONIA_TPU_VORBIS_STREAM", "off")
+        dec_o = self._make_decoder(extra)
+        for pkt in pkts:
+            a, fa = dec_n.decode_spectra(pkt)
+            b, fb = dec_o.decode_spectra(pkt)
+            assert fa == fb
+            np.testing.assert_array_equal(a, b)

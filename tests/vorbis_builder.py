@@ -248,3 +248,190 @@ def build_stream(n_packets: int, seed: int = 0):
             pkts.append(p)
             info.append((amp, fe, ce, pe))
     return extra, pkts, info
+
+
+# ---------------------------------------------------------------------------
+# Stereo variant: coupling + residue type 2 + two block sizes.
+# house_lo.ogg exercises none of these (mono, floor1/residue1, single
+# short mode), so this variant is the only coverage for square-polar
+# coupling, residue-2 channel interleave, and long-block window flags.
+# ---------------------------------------------------------------------------
+
+BS1_EXP = 9          # long blocks: 512 samples, n2 = 256
+N2_LONG = 256
+R2_END = 2 * N2_LONG  # residue end covers the long block; short clips
+
+
+def build_ident_header_stereo() -> bytes:
+    bw = BitWriterLsb()
+    bw.write(0, 32)
+    bw.write(2, 8)
+    bw.write(RATE, 32)
+    bw.write(0, 96)
+    bw.write(BS_EXP, 4)
+    bw.write(BS1_EXP, 4)
+    bw.write(1, 1)
+    return b"\x01vorbis" + bw.to_bytes()
+
+
+def build_setup_header_stereo() -> bytes:
+    bw = BitWriterLsb()
+    bw.write(2, 8)  # 3 codebooks (same books as the mono variant)
+    _write_codebook(bw, 2, 16, 4, 1, value_bits=2,
+                    min_pack=float32_pack(1, 786, 0),
+                    delta_pack=float32_pack(1, 786, 0),
+                    mults=F0_MULTS)
+    _write_codebook(bw, 2, 4, 2, 0)
+    _write_codebook(bw, 2, 16, 4, 2, value_bits=3,
+                    min_pack=float32_pack(7, 787, 1),
+                    delta_pack=float32_pack(1, 788, 0),
+                    mults=R_MULTS)
+    bw.write(0, 6)
+    bw.write(0, 16)          # one time transform, type 0
+    # One floor: type 0 (as mono variant).
+    bw.write(0, 6)
+    bw.write(0, 16)
+    bw.write(ORDER, 8)
+    bw.write(RATE, 16)
+    bw.write(BARK_SIZE, 16)
+    bw.write(AMP_BITS, 6)
+    bw.write(AMP_OFFSET, 8)
+    bw.write(0, 4)
+    bw.write(0, 8)
+    # One residue: type 2.
+    bw.write(0, 6)
+    bw.write(2, 16)
+    bw.write(0, 24)          # begin
+    bw.write(R2_END, 24)     # end (clipped to n_ch*n2 for short blocks)
+    bw.write(PART_SIZE - 1, 24)
+    bw.write(1, 6)           # 2 classes
+    bw.write(1, 8)           # classbook
+    for _ in range(2):
+        bw.write(1, 3)
+        bw.write(0, 1)
+    for _ in range(2):
+        bw.write(2, 8)
+    # One mapping: 1 submap, one coupling step (mag 0, ang 1).
+    bw.write(0, 6)
+    bw.write(0, 16)
+    bw.write(0, 1)           # submaps flag (1 submap)
+    bw.write(1, 1)           # coupling flag
+    bw.write(0, 8)           # steps - 1
+    bw.write(0, 1)           # magnitude ch (ilog(1) = 1 bit)
+    bw.write(1, 1)           # angle ch
+    bw.write(0, 2)           # reserved
+    bw.write(0, 8)
+    bw.write(0, 8)           # submap floor
+    bw.write(0, 8)           # submap residue
+    # Two modes: short and long.
+    bw.write(1, 6)
+    bw.write(0, 1)           # mode 0: short
+    bw.write(0, 16)
+    bw.write(0, 16)
+    bw.write(0, 8)
+    bw.write(1, 1)           # mode 1: long
+    bw.write(0, 16)
+    bw.write(0, 16)
+    bw.write(0, 8)
+    bw.write(1, 1)           # framing
+    return b"\x05vorbis" + bw.to_bytes()
+
+
+def build_audio_packet_stereo(
+    long_block: bool,
+    amps: Tuple[int, int],
+    floor_entries: Tuple[Tuple[int, int], Tuple[int, int]],
+    class_entries: List[int],
+    part_entries: List[List[int]],
+) -> bytes:
+    """Stereo packet: mode bit, window flags (long), two floor0 channels,
+    one interleaved residue-2 vector (decoded unless both floors are
+    unused — coupling propagates not-do-not-decode to both channels)."""
+    bw = BitWriterLsb()
+    bw.write(0, 1)
+    bw.write(1 if long_block else 0, 1)   # mode number (ilog(1) = 1 bit)
+    if long_block:
+        bw.write(0, 1)                    # prev window flag
+        bw.write(0, 1)                    # next window flag
+    for ch in range(2):
+        bw.write(amps[ch], AMP_BITS)
+        if amps[ch]:
+            bw.write(0, 1)
+            for e in floor_entries[ch]:
+                bw.write_codeword(e, 4)
+    if amps[0] == 0 and amps[1] == 0:
+        return bw.to_bytes()
+    it = iter(part_entries)
+    for cw in class_entries:
+        bw.write_codeword(cw, 2)
+        for _ in range(2):
+            for e in next(it):
+                bw.write_codeword(e, 4)
+    return bw.to_bytes()
+
+
+def expected_stereo_residue(long_block: bool, class_entries: List[int],
+                            part_entries: List[List[int]]) -> np.ndarray:
+    """[2, n2] residue after inverse coupling, reconstructed from the
+    emitted entries (spec §8.6.2 format 2 deinterleave + §4.3.4 square
+    polar), independent of decoder code."""
+    n2 = N2_LONG if long_block else N2
+    n = 2 * n2
+    flat = np.zeros(n, dtype=np.float32)
+    it = iter(part_entries)
+    for ci, _cw in enumerate(class_entries):
+        for k in range(2):
+            off = (ci * 2 + k) * PART_SIZE
+            i = 0
+            for e in next(it):
+                flat[off + i : off + i + 2] += r_vq(e)
+                i += 2
+    res = flat.reshape(n2, 2).T.copy()
+    m, a = res[0].copy(), res[1].copy()
+    new_m = np.empty_like(m)
+    new_a = np.empty_like(a)
+    for i in range(n2):
+        if m[i] > 0:
+            if a[i] > 0:
+                new_m[i], new_a[i] = m[i], m[i] - a[i]
+            else:
+                new_m[i], new_a[i] = m[i] + a[i], m[i]
+        else:
+            if a[i] > 0:
+                new_m[i], new_a[i] = m[i], m[i] + a[i]
+            else:
+                new_m[i], new_a[i] = m[i] - a[i], m[i]
+    return np.stack([new_m, new_a])
+
+
+def n_parts_stereo(long_block: bool) -> int:
+    return (2 * (N2_LONG if long_block else N2)) // PART_SIZE
+
+
+def build_stream_stereo(n_packets: int, seed: int = 0):
+    """Returns (extra_data, [packets], [(long_block, amps, fe, ce, pe)])."""
+    rng = np.random.default_rng(seed)
+    extra = build_ident_header_stereo() + build_setup_header_stereo()
+    pkts, info = [], []
+    for i in range(n_packets):
+        long_block = bool(rng.integers(0, 2))
+        if i % 6 == 4:
+            amps = (0, 0)
+            pkt = build_audio_packet_stereo(long_block, amps,
+                                            ((0, 0), (0, 0)), [], [])
+            pkts.append(pkt)
+            info.append((long_block, amps, None, None, None))
+            continue
+        # One channel's floor is periodically unused; residue still
+        # decodes for both (coupling propagation).
+        amp0 = 0 if i % 6 == 1 else int(rng.integers(1, 1 << AMP_BITS))
+        amps = (amp0, int(rng.integers(1, 1 << AMP_BITS)))
+        fe = tuple((int(rng.integers(0, 16)), int(rng.integers(0, 16)))
+                   for _ in range(2))
+        parts = n_parts_stereo(long_block)
+        ce = [int(rng.integers(0, 4)) for _ in range(parts // 2)]
+        pe = [[int(rng.integers(0, 16)) for _ in range(4)]
+              for _ in range(parts)]
+        pkts.append(build_audio_packet_stereo(long_block, amps, fe, ce, pe))
+        info.append((long_block, amps, fe, ce, pe))
+    return extra, pkts, info
