@@ -179,6 +179,94 @@ struct Mapping {
     std::vector<int32_t> mux, submap_floor, submap_residue;
 };
 
+// FFT-based DCT-IV for the per-packet synthesis path (sh_vorbis_decode_pcm).
+// Computes d[k] = sum_j x[j] cos(pi/n (j+1/2)(k+1/2)) — the same half-scale
+// DCT-IV ops/imdct_host.imdct_dct4 gets from pocketfft (whose type-4 DCT
+// returns 2x this sum, which imdct_dct4 then halves) — via an M = n/2
+// complex FFT in double precision:
+//   u[m] = x[2m] + i x[n-1-2m];  v = u * e^{-i pi (4m+1)/(4n)}
+//   V = FFT_M(v);  w[k] = V[k] * e^{-i pi k / n}
+//   d[2k] = Re w[k];  d[n-1-2k] = -Im w[k]
+struct Dct4Plan {
+    int n = 0, M = 0;
+    std::vector<int> bitrev;                      // [M]
+    std::vector<double> twr, twi;                 // FFT twiddles [M/2]
+    std::vector<double> pre_re, pre_im;           // [M]
+    std::vector<double> post_re, post_im;         // [M]
+    std::vector<double> re, im, d;                // scratch [M],[M],[n]
+
+    void init(int n_) {
+        n = n_;
+        M = n / 2;
+        bitrev.assign(M, 0);
+        int bits = 0;
+        while ((1 << bits) < M) bits++;
+        for (int i = 0; i < M; i++) {
+            int r = 0;
+            for (int b = 0; b < bits; b++) r |= ((i >> b) & 1) << (bits - 1 - b);
+            bitrev[i] = r;
+        }
+        twr.resize(M / 2 > 0 ? M / 2 : 1);
+        twi.resize(twr.size());
+        for (int k = 0; k < M / 2; k++) {
+            double a = -2.0 * M_PI * k / M;
+            twr[k] = std::cos(a);
+            twi[k] = std::sin(a);
+        }
+        pre_re.resize(M); pre_im.resize(M);
+        post_re.resize(M); post_im.resize(M);
+        for (int m = 0; m < M; m++) {
+            double a = -M_PI * (4.0 * m + 1.0) / (4.0 * n);
+            pre_re[m] = std::cos(a);
+            pre_im[m] = std::sin(a);
+        }
+        for (int k = 0; k < M; k++) {
+            double a = -M_PI * k / n;
+            post_re[k] = std::cos(a);
+            post_im[k] = std::sin(a);
+        }
+        re.resize(M); im.resize(M); d.resize(n);
+    }
+
+    void fft() {
+        double* r = re.data();
+        double* i_ = im.data();
+        for (int i = 0; i < M; i++) {
+            int j = bitrev[i];
+            if (j > i) { std::swap(r[i], r[j]); std::swap(i_[i], i_[j]); }
+        }
+        for (int len = 2; len <= M; len <<= 1) {
+            int half = len >> 1, step = M / len;
+            for (int base = 0; base < M; base += len) {
+                for (int k = 0; k < half; k++) {
+                    double wr = twr[(size_t)k * step], wi = twi[(size_t)k * step];
+                    int a = base + k, b = a + half;
+                    double xr = r[b] * wr - i_[b] * wi;
+                    double xi = r[b] * wi + i_[b] * wr;
+                    r[b] = r[a] - xr; i_[b] = i_[a] - xi;
+                    r[a] += xr; i_[a] += xi;
+                }
+            }
+        }
+    }
+
+    // x: n float32 spectral bins -> d: n doubles (half-scale DCT-IV).
+    void dct4_half(const float* x) {
+        for (int m = 0; m < M; m++) {
+            double ur = x[2 * m], ui = x[n - 1 - 2 * m];
+            re[m] = ur * pre_re[m] - ui * pre_im[m];
+            im[m] = ur * pre_im[m] + ui * pre_re[m];
+        }
+        fft();
+        for (int k = 0; k < M; k++) {
+            double wr = re[k] * post_re[k] - im[k] * post_im[k];
+            double wi = re[k] * post_im[k] + im[k] * post_re[k];
+            d[2 * k] = wr;
+            d[n - 1 - 2 * k] = -wi;
+        }
+    }
+};
+
 struct Ctx {
     int n_channels, sample_rate, bs0, bs1;
     std::vector<Cb> codebooks;
@@ -192,6 +280,14 @@ struct Ctx {
     std::vector<float> flat_buf;      // [n_ch * n2max]
     std::vector<int64_t> floor1_y;    // posts
     std::vector<int64_t> classes_buf;
+    // per-packet synthesis state (sh_vorbis_decode_pcm); lazily built
+    bool synth_init = false;
+    int prev_flag = -1;               // -1 = no previous block (fresh/reset)
+    std::vector<float> overlap;       // [n_ch, bs1/2]
+    std::vector<float> win0, win0r, win1, win1r;  // window slopes + reversed
+    Dct4Plan plan0, plan1;
+    std::vector<float> ybuf;          // [bs1] imdct output scratch
+    std::vector<float> spec_scratch;  // [n_ch, bs1/2] spectra for pcm path
 };
 
 struct Reader {
@@ -746,6 +842,136 @@ int32_t sh_vorbis_decode(
         }
     }
     return 0;
+}
+
+// Vorbis channel order -> positioned output order (spec §4.3.9; mirrors
+// codecs/vorbis.py _CHANNEL_MAP). Identity for n_ch > 8.
+static const int kChMap3[] = {0, 2, 1};
+static const int kChMap5[] = {0, 2, 1, 3, 4};
+static const int kChMap6[] = {0, 2, 1, 4, 5, 3};
+static const int kChMap7[] = {0, 2, 1, 5, 6, 4, 3};
+static const int kChMap8[] = {0, 2, 1, 6, 7, 4, 5, 3};
+
+static const int* ch_map(int n_ch) {
+    switch (n_ch) {
+        case 3: return kChMap3;
+        case 5: return kChMap5;
+        case 6: return kChMap6;
+        case 7: return kChMap7;
+        case 8: return kChMap8;
+        default: return nullptr;  // identity
+    }
+}
+
+// Window slope of length bs/2 (spec §4.3.1; vorbis.py vorbis_window):
+// sin(pi/2 * sin^2(pi (i+0.5) / bs)).
+static void make_window(int bs, std::vector<float>& w, std::vector<float>& wr) {
+    int h = bs / 2;
+    w.resize(h);
+    wr.resize(h);
+    for (int i = 0; i < h; i++) {
+        double s = std::sin(M_PI / 2.0 * (i + 0.5) / h);
+        w[i] = (float)std::sin(M_PI / 2.0 * s * s);
+    }
+    for (int i = 0; i < h; i++) wr[i] = w[h - 1 - i];
+}
+
+static void synth_prepare(Ctx& C) {
+    if (C.synth_init) return;
+    make_window(C.bs0, C.win0, C.win0r);
+    make_window(C.bs1, C.win1, C.win1r);
+    C.plan0.init(C.bs0 / 2);
+    C.plan1.init(C.bs1 / 2);
+    C.overlap.assign((size_t)C.n_channels * (C.bs1 / 2), 0.0f);
+    C.ybuf.resize(C.bs1);
+    C.spec_scratch.resize((size_t)C.n_channels * (C.bs1 / 2));
+    C.synth_init = true;
+}
+
+// Full per-packet decode: entropy/floor/residue (sh_vorbis_decode) +
+// IMDCT + windowed overlap-add + channel reorder (codecs/vorbis.py
+// VorbisDsp.synth_all / VorbisDecoder.decode). PCM rows are written in
+// positioned output order at stride pcm_stride. *out_n gets the frame
+// count, *first 1 when this is the first block after open/reset (its
+// output is not valid audio; the caller truncates, lib.rs:318-326).
+// status: 0 ok, <0 = the sh_vorbis_decode skip statuses. The lapping
+// state (overlap + previous block flag) lives in the context; callers
+// must route EVERY packet of the stream through this entry (or reset).
+int32_t sh_vorbis_decode_pcm(
+    void* ctx, const uint8_t* data, int64_t size,
+    float* pcm, int64_t pcm_stride,
+    int32_t* out_n, int32_t* first, int32_t* status) {
+    Ctx& C = *(Ctx*)ctx;
+    synth_prepare(C);
+    int n_ch = C.n_channels;
+    int n2max = C.bs1 / 2;
+    int64_t off = 0;
+    int64_t sz = size;
+    int32_t flag = 0;
+    *out_n = 0;
+    *first = 0;
+    sh_vorbis_decode(ctx, data, size, &off, &sz, 1, C.spec_scratch.data(),
+                     &flag, status);
+    if (*status != 0) return 0;
+
+    bool is_first = C.prev_flag < 0;
+    bool cur = flag != 0;
+    bool prev = is_first ? cur : C.prev_flag != 0;
+    int bs = cur ? C.bs1 : C.bs0;
+    int n2 = bs / 2;
+    int prev_bs = prev ? C.bs1 : C.bs0;
+    int out_len = (prev_bs + bs) / 4;
+    // Lap window: long only when both blocks are long (synth_all's wbs).
+    const std::vector<float>& win = (cur && prev) ? C.win1 : C.win0;
+    const std::vector<float>& winr = (cur && prev) ? C.win1r : C.win0r;
+    const int* map = ch_map(n_ch);
+    Dct4Plan& P = cur ? C.plan1 : C.plan0;
+
+    for (int ch = 0; ch < n_ch; ch++) {
+        P.dct4_half(C.spec_scratch.data() + (size_t)ch * n2max);
+        // IMDCT assembly (ops/imdct_host.imdct_dct4): y[:h]=d[h:],
+        // y[h:h+n]=-d[::-1], y[h+n:]=-d[:h] with n = n2, h = n2/2.
+        float* y = C.ybuf.data();
+        const double* d = P.d.data();
+        int h = n2 / 2;
+        for (int i = 0; i < h; i++) y[i] = (float)d[h + i];
+        for (int i = 0; i < n2; i++) y[h + i] = (float)(-d[n2 - 1 - i]);
+        for (int i = 0; i < h; i++) y[h + n2 + i] = (float)(-d[i]);
+
+        float* ov = C.overlap.data() + (size_t)ch * n2max;
+        float* out = pcm + (size_t)(map ? map[ch] : ch) * pcm_stride;
+        if (prev == cur) {
+            for (int k = 0; k < n2; k++)
+                out[k] = ov[k] * winr[k] + y[k] * win[k];
+        } else if (prev && !cur) {
+            int start = (C.bs1 - C.bs0) / 4;
+            int half0 = C.bs0 / 2;
+            for (int k = 0; k < start; k++) out[k] = ov[k];
+            for (int k = 0; k < half0; k++)
+                out[start + k] = ov[start + k] * winr[k] + y[k] * win[k];
+        } else {
+            int start = (C.bs1 - C.bs0) / 4;
+            int half0 = C.bs0 / 2;
+            for (int k = 0; k < half0; k++)
+                out[k] = ov[k] * winr[k] + y[start + k] * win[k];
+            for (int k = half0; k < out_len; k++)
+                out[k] = y[start + k];
+        }
+        // overlap[:n2] = y[n2:]
+        memcpy(ov, y + n2, (size_t)n2 * sizeof(float));
+    }
+    C.prev_flag = cur ? 1 : 0;
+    *out_n = out_len;
+    *first = is_first ? 1 : 0;
+    return 0;
+}
+
+// Clear the lapping state (decoder reset / post-seek; vorbis lib.rs:336).
+void sh_vorbis_reset(void* ctx) {
+    Ctx& C = *(Ctx*)ctx;
+    C.prev_flag = -1;
+    if (C.synth_init)
+        std::fill(C.overlap.begin(), C.overlap.end(), 0.0f);
 }
 
 }  // extern "C"

@@ -378,6 +378,14 @@ def vorbis_window(bs: int) -> np.ndarray:
     return np.sin(np.pi / 2 * s * s).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def vorbis_window_rev(bs: int) -> np.ndarray:
+    """Contiguous reversed window slope (same values as
+    ``vorbis_window(bs)[::-1]``; a materialized copy avoids the
+    reversed-stride multiply in the per-packet lapping hot path)."""
+    return np.ascontiguousarray(vorbis_window(bs)[::-1])
+
+
 class VorbisDsp:
     """Per-channel lapping state (dsp.rs DspChannel)."""
 
@@ -401,22 +409,24 @@ class VorbisDsp:
             y = imdct_dct4(np.ascontiguousarray(spectrum[: bs // 2]))
         else:
             y = imdct_matrix(bs) @ spectrum[: bs // 2]
-        win = vorbis_window(self.bs1 if (block_flag and prev_block_flag) else self.bs0)
+        wbs = self.bs1 if (block_flag and prev_block_flag) else self.bs0
+        win = vorbis_window(wbs)
+        win_rev = vorbis_window_rev(wbs)
         prev_bs = self.bs1 if prev_block_flag else self.bs0
         out = np.empty((prev_bs + bs) // 4, dtype=np.float32)
         ov = self.overlap[ch]
         if prev_block_flag == block_flag:
-            out[:] = ov[: bs // 2] * win[::-1] + y[: bs // 2] * win
+            out[:] = ov[: bs // 2] * win_rev + y[: bs // 2] * win
         elif prev_block_flag and not block_flag:
             start = (self.bs1 - self.bs0) // 4
             end = start + self.bs0 // 2
             out[:start] = ov[:start]
-            out[start:] = ov[start:end] * win[::-1] + y[: self.bs0 // 2] * win
+            out[start:] = ov[start:end] * win_rev + y[: self.bs0 // 2] * win
         else:
             start = (self.bs1 - self.bs0) // 4
             end = start + self.bs0 // 2
             out[: self.bs0 // 2] = (
-                ov[: self.bs0 // 2] * win[::-1] + y[start:end] * win
+                ov[: self.bs0 // 2] * win_rev + y[start:end] * win
             )
             out[self.bs0 // 2 :] = y[end : self.bs1 // 2]
         self.overlap[ch, : bs // 2] = y[bs // 2 :]
@@ -435,23 +445,25 @@ class VorbisDsp:
         else:
             m = imdct_matrix(bs)
             y = np.stack([m @ spectra[c, : bs // 2] for c in range(n_ch)])
-        win = vorbis_window(self.bs1 if (block_flag and prev_block_flag) else self.bs0)
+        wbs = self.bs1 if (block_flag and prev_block_flag) else self.bs0
+        win = vorbis_window(wbs)
+        win_rev = vorbis_window_rev(wbs)
         prev_bs = self.bs1 if prev_block_flag else self.bs0
         out = np.empty((n_ch, (prev_bs + bs) // 4), dtype=np.float32)
         ov = self.overlap[:n_ch]
         if prev_block_flag == block_flag:
-            np.multiply(ov[:, : bs // 2], win[::-1], out=out)
+            np.multiply(ov[:, : bs // 2], win_rev, out=out)
             out += y[:, : bs // 2] * win
         elif prev_block_flag and not block_flag:
             start = (self.bs1 - self.bs0) // 4
             end = start + self.bs0 // 2
             out[:, :start] = ov[:, :start]
-            out[:, start:] = ov[:, start:end] * win[::-1] + y[:, : self.bs0 // 2] * win
+            out[:, start:] = ov[:, start:end] * win_rev + y[:, : self.bs0 // 2] * win
         else:
             start = (self.bs1 - self.bs0) // 4
             end = start + self.bs0 // 2
             out[:, : self.bs0 // 2] = (
-                ov[:, : self.bs0 // 2] * win[::-1] + y[:, start:end] * win
+                ov[:, : self.bs0 // 2] * win_rev + y[:, start:end] * win
             )
             out[:, self.bs0 // 2 :] = y[:, end : self.bs1 // 2]
         self.overlap[:n_ch, : bs // 2] = y[:, bs // 2 :]
@@ -552,6 +564,10 @@ class VorbisDecoder(AudioDecoder):
 
     def reset(self) -> None:
         self.dsp.reset()
+        if self._native:
+            from .. import native as _native
+
+            _native.vorbis_stream_reset(self._native)
 
     def decode_spectra(self, data: bytes):
         """Entropy + floor/residue/coupling stage: packet -> per-channel
@@ -656,6 +672,34 @@ class VorbisDecoder(AudioDecoder):
         return spectra, block_flag
 
     def decode(self, packet: Packet) -> AudioBuffer:
+        # Full-native per-packet path (entropy + IMDCT + lapped OLA +
+        # channel reorder in C++, sh_vorbis_decode_pcm). The lapping state
+        # lives in the native context; the Python dsp state stays idle
+        # while this path is engaged (reset() clears both). On any native
+        # error status the Python path below runs and raises the identical
+        # DecodeError (the native lapping state is untouched on failure).
+        # Output parity vs the oracle is ~1 ulp of the packet's peak (the
+        # C++ DCT-IV runs in double; pocketfft's runs in float32) — see
+        # TestNativePcmPath.
+        if self._native is None:
+            self._open_native()
+        if self._native and self._native.has_pcm and packet.data:
+            from .. import native as _native
+
+            got = _native.vorbis_stream_decode_pcm(
+                self._native, bytes(packet.data)
+            )
+            if got is not None:
+                pcm, first_packet = got
+                buf = AudioBuffer.from_array(pcm, self.spec)
+                if first_packet:
+                    # No overlap partner; not valid audio (lib.rs:318-326).
+                    buf.truncate(0)
+                else:
+                    buf.trim(packet.trim_start, packet.trim_end)
+                self._last = buf
+                return buf
+
         spectra, block_flag = self.decode_spectra(packet.data)
         n_ch = self.ident.n_channels
 
@@ -670,9 +714,12 @@ class VorbisDecoder(AudioDecoder):
         self.dsp.prev_block_flag = block_flag
 
         chmap = _CHANNEL_MAP.get(n_ch, list(range(n_ch)))
-        pcm = np.zeros((n_ch, outs.shape[1]), dtype=np.float32)
-        for src, dst in enumerate(chmap):
-            pcm[dst] = outs[src]
+        if chmap == list(range(n_ch)):
+            pcm = outs  # identity map: synth_all's buffer is fresh each call
+        else:
+            pcm = np.zeros((n_ch, outs.shape[1]), dtype=np.float32)
+            for src, dst in enumerate(chmap):
+                pcm[dst] = outs[src]
 
         buf = AudioBuffer.from_array(pcm, self.spec)
         if first_packet:

@@ -274,6 +274,8 @@ class AudioBuffer:
 
     def shift(self, n: int) -> None:
         """Drop the first n frames (buf.rs shift)."""
+        if n == 0:
+            return
         if n >= self.frames:
             self.frames = 0
             return

@@ -167,6 +167,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), c_i32p, c_i32p,
     ]
     try:
+        lib.sh_vorbis_decode_pcm.restype = ctypes.c_int32
+        lib.sh_vorbis_decode_pcm.argtypes = [
+            ctypes.c_void_p, c_u8p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            c_i32p, c_i32p, c_i32p,
+        ]
+        lib.sh_vorbis_reset.restype = None
+        lib.sh_vorbis_reset.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        pass  # older .so without the vorbis synthesis stage
+    try:
         lib.sh_alac_decode.restype = ctypes.c_int32
         lib.sh_alac_decode.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -943,6 +954,12 @@ class VorbisStream:
             ctypes.POINTER(ctypes.c_float))
         self._p_flags = self._flags.ctypes.data_as(i32p)
         self._p_status = self._status.ctypes.data_as(i32p)
+        # Full-packet PCM path (sh_vorbis_decode_pcm): out_n / first slots.
+        self.has_pcm = hasattr(lib, "sh_vorbis_decode_pcm")
+        self._outn = np.empty(1, np.int32)
+        self._first = np.empty(1, np.int32)
+        self._p_outn = self._outn.ctypes.data_as(i32p)
+        self._p_first = self._first.ctypes.data_as(i32p)
 
     def __del__(self):
         if self._ctx:
@@ -980,6 +997,33 @@ def vorbis_stream_decode(stream: "VorbisStream", data: bytes):
     if stream._status[0] != 0:
         return None
     return stream.spectra[0], bool(stream._flags[0])
+
+
+def vorbis_stream_decode_pcm(stream: "VorbisStream", data: bytes):
+    """FULL per-packet decode (entropy + IMDCT + lapped OLA + channel
+    reorder) via the persistent context. Returns (pcm [n_ch, n_out] f32
+    freshly allocated, first_block) or None (caller falls back; the
+    context's lapping state is untouched on failure). The caller must
+    route every packet of the stream through this entry once it engages
+    (the overlap state lives in the context)."""
+    if not stream.has_pcm:
+        return None
+    a = np.frombuffer(data, dtype=np.uint8)
+    pcm = np.empty((stream.n_ch, stream.n2max), np.float32)
+    stream._lib.sh_vorbis_decode_pcm(
+        stream._ctx, _u8ptr(a), len(a),
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), stream.n2max,
+        stream._p_outn, stream._p_first, stream._p_status,
+    )
+    if stream._status[0] != 0:
+        return None
+    return pcm[:, : stream._outn[0]], bool(stream._first[0])
+
+
+def vorbis_stream_reset(stream: "VorbisStream") -> None:
+    """Clear the context's lapping state (decoder reset / post-seek)."""
+    if stream.has_pcm:
+        stream._lib.sh_vorbis_reset(stream._ctx)
 
 
 def vorbis_decode_spectra(dec, packets):

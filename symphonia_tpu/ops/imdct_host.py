@@ -50,10 +50,11 @@ def imdct_dct4(x: np.ndarray) -> np.ndarray:
     """Unscaled IMDCT along the last axis: [..., n] -> [..., 2n],
     y[i] = sum_j x[j] cos(pi/(4n) (2i+1+n)(2j+1)). Requires scipy."""
     n = x.shape[-1]
-    d = _dct4(x) * np.float32(0.5)
+    d = _dct4(x)
+    np.multiply(d, np.float32(0.5), out=d)
     y = np.empty(x.shape[:-1] + (2 * n,), d.dtype)
     h = n // 2
     y[..., :h] = d[..., h:]
-    y[..., h : h + n] = -d[..., ::-1]
-    y[..., h + n :] = -d[..., :h]
+    np.negative(d[..., ::-1], out=y[..., h : h + n])
+    np.negative(d[..., :h], out=y[..., h + n :])
     return y

@@ -694,3 +694,144 @@ class TestVorbisStereoCoupling:
             b, fb = dec_o.decode_spectra(pkt)
             assert fa == fb
             np.testing.assert_array_equal(a, b)
+
+
+class TestNativePcmPath:
+    """Full-native per-packet decode (sh_vorbis_decode_pcm: entropy +
+    IMDCT + windowed OLA + channel reorder in C++). The C++ DCT-IV runs
+    in double precision vs pocketfft's float32 in the oracle, so PCM
+    parity is a last-ulp bound scaled by the packet's peak, not bit-exact; exact
+    entropy-stage parity is asserted separately in
+    TestVorbisStereoCoupling/TestFloor0Residue0."""
+
+    # DCT rounding error scales with the spectrum magnitude, not the
+    # sample magnitude: bound |diff| by ~1e-6 x the packet's peak.
+    ATOL = 1e-6
+
+    def _decoders(self, params, monkeypatch):
+        monkeypatch.delenv("SYMPHONIA_TPU_VORBIS_STREAM", raising=False)
+        dec_n = VorbisDecoder(params)
+        if not dec_n._native or not dec_n._native.has_pcm:
+            pytest.skip("native vorbis pcm unavailable")
+        monkeypatch.setenv("SYMPHONIA_TPU_VORBIS_STREAM", "off")
+        dec_o = VorbisDecoder(params)
+        assert not dec_o._native
+        return dec_n, dec_o
+
+    def _tame_stereo_stream(self, flags, seed):
+        """Builder stereo packets rejection-sampled to finite, moderate
+        spectra (the raw builder's floor-0 curves routinely overflow to
+        inf, where double-vs-float32 DCT garbage legitimately diverges).
+        ``flags`` fixes the block-size sequence so both long<->short
+        lapping transitions are exercised deterministically."""
+        import vorbis_builder as vb
+        from symphonia_tpu.core.codecs import AudioCodecParameters
+
+        rng = np.random.default_rng(seed)
+        extra = vb.build_ident_header_stereo() + vb.build_setup_header_stereo()
+        params = AudioCodecParameters()
+        params.codec = "vorbis"
+        params.extra_data = extra
+        os.environ["SYMPHONIA_TPU_VORBIS_STREAM"] = "off"
+        try:
+            scratch = VorbisDecoder(params)
+        finally:
+            del os.environ["SYMPHONIA_TPU_VORBIS_STREAM"]
+        pkts = []
+        for long_block in flags:
+            for _ in range(200):
+                amps = (int(rng.integers(1, 5)), int(rng.integers(1, 5)))
+                fe = tuple(
+                    (int(rng.integers(0, 16)), int(rng.integers(0, 16)))
+                    for _ in range(2)
+                )
+                parts = vb.n_parts_stereo(long_block)
+                ce = [int(rng.integers(0, 4)) for _ in range(parts // 2)]
+                pe = [[int(rng.integers(0, 16)) for _ in range(4)]
+                      for _ in range(parts)]
+                pkt = vb.build_audio_packet_stereo(
+                    long_block, amps, fe, ce, pe)
+                spectra, _bf = scratch.decode_spectra(pkt)
+                if np.isfinite(spectra).all() and np.abs(spectra).max() < 1e3:
+                    pkts.append(pkt)
+                    break
+            else:
+                raise AssertionError("no tame packet found")
+        return params, pkts
+
+    def _assert_parity(self, dec_n, dec_o, pkt):
+        bn = dec_n.decode(pkt)
+        bo = dec_o.decode(pkt)
+        assert len(bn) == len(bo)
+        if len(bn):
+            o = bo.planes()
+            atol = self.ATOL * max(1.0, float(np.abs(o).max()))
+            np.testing.assert_allclose(bn.planes(), o, rtol=0, atol=atol)
+
+    def test_house_lo_parity_and_engagement(self, monkeypatch):
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        r = OggReader(MediaSourceStream(data))
+        params = r.default_track().codec_params
+        dec_n, dec_o = self._decoders(params, monkeypatch)
+        n = 0
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            self._assert_parity(dec_n, dec_o, p)
+            n += 1
+        assert n > 100
+        # The Python dsp state was never touched -> every packet took the
+        # native path (no silent fallback).
+        assert dec_n.dsp.prev_block_flag is None
+        assert dec_o.dsp.prev_block_flag is not None
+
+    def test_stereo_dual_blocksize_parity(self, monkeypatch):
+        """Stereo + coupling + both block sizes: all three lapping
+        branches (long->long, long->short, short->long) in the C++ OLA."""
+        from symphonia_tpu.core.packet import Packet
+
+        flags = [False, False, True, True, False, True,
+                 False, False, True, True, True, False]
+        params, pkts = self._tame_stereo_stream(flags, seed=9)
+        dec_n, dec_o = self._decoders(params, monkeypatch)
+        for i, pkt in enumerate(pkts):
+            self._assert_parity(dec_n, dec_o, Packet(0, i, 0, pkt))
+        assert dec_n.dsp.prev_block_flag is None
+
+    def test_reset_clears_lapping_state(self, monkeypatch):
+        from symphonia_tpu.core.packet import Packet
+
+        params, pkts = self._tame_stereo_stream(
+            [False, True, False, True, True, False, True, False], seed=3)
+        dec_n, dec_o = self._decoders(params, monkeypatch)
+        for i, pkt in enumerate(pkts[:4]):
+            self._assert_parity(dec_n, dec_o, Packet(0, i, 0, pkt))
+        dec_n.reset()
+        dec_o.reset()
+        # First packet after reset has no overlap partner on either path.
+        assert len(dec_n.decode(Packet(0, 0, 0, pkts[4]))) == 0
+        assert len(dec_o.decode(Packet(0, 0, 0, pkts[4]))) == 0
+        for i, pkt in enumerate(pkts[5:]):
+            self._assert_parity(dec_n, dec_o, Packet(0, i, 0, pkt))
+
+    def test_malformed_packet_identical_behavior(self, monkeypatch):
+        """A packet the native engine rejects raises the same DecodeError
+        via the Python fallback, leaves the native lapping state
+        untouched, and the stream continues in parity."""
+        from symphonia_tpu.core.errors import DecodeError
+        from symphonia_tpu.core.packet import Packet
+
+        params, pkts = self._tame_stereo_stream(
+            [False, True, True, False, True, False, False, True], seed=5)
+        dec_n, dec_o = self._decoders(params, monkeypatch)
+        for i, pkt in enumerate(pkts[:3]):
+            self._assert_parity(dec_n, dec_o, Packet(0, i, 0, pkt))
+        bad = Packet(0, 99, 0, b"\x01not-audio-packet")
+        with pytest.raises(DecodeError):
+            dec_n.decode(bad)
+        with pytest.raises(DecodeError):
+            dec_o.decode(bad)
+        for i, pkt in enumerate(pkts[3:]):
+            self._assert_parity(dec_n, dec_o, Packet(0, i, 0, pkt))

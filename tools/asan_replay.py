@@ -174,6 +174,10 @@ def replay_vorbis() -> int:
                 pkts.append(bytes(pkt.data))
             if pkts:
                 native.vorbis_decode_spectra(dec, pkts)
+                # Full per-packet PCM path (entropy + IMDCT + OLA in C++).
+                if dec._native:
+                    for p in pkts:
+                        native.vorbis_stream_decode_pcm(dec._native, p)
                 n += 1
         except _ERRS:
             pass
