@@ -681,9 +681,21 @@ class VorbisDecoder(AudioDecoder):
         # Output parity vs the oracle is ~1 ulp of the packet's peak (the
         # C++ DCT-IV runs in double; pocketfft's runs in float32) — see
         # TestNativePcmPath.
+        # The dsp.prev_block_flag guard keeps the two lapping states from
+        # desyncing: once any packet has gone through the Python dsp
+        # (native open failed at first, or a native-skip/Python-decode
+        # divergence), the native path must not (re-)engage mid-stream —
+        # its fresh context would mislabel the next packet as first and
+        # overlap-add against a zeroed buffer. reset() clears both states
+        # and re-arms the native path.
         if self._native is None:
             self._open_native()
-        if self._native and self._native.has_pcm and packet.data:
+        if (
+            self._native
+            and self._native.has_pcm
+            and packet.data
+            and self.dsp.prev_block_flag is None
+        ):
             from .. import native as _native
 
             got = _native.vorbis_stream_decode_pcm(

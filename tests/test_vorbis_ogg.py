@@ -732,11 +732,15 @@ class TestNativePcmPath:
         params = AudioCodecParameters()
         params.codec = "vorbis"
         params.extra_data = extra
+        prior = os.environ.get("SYMPHONIA_TPU_VORBIS_STREAM")
         os.environ["SYMPHONIA_TPU_VORBIS_STREAM"] = "off"
         try:
             scratch = VorbisDecoder(params)
         finally:
-            del os.environ["SYMPHONIA_TPU_VORBIS_STREAM"]
+            if prior is None:
+                del os.environ["SYMPHONIA_TPU_VORBIS_STREAM"]
+            else:
+                os.environ["SYMPHONIA_TPU_VORBIS_STREAM"] = prior
         pkts = []
         for long_block in flags:
             for _ in range(200):
@@ -815,6 +819,35 @@ class TestNativePcmPath:
         assert len(dec_o.decode(Packet(0, 0, 0, pkts[4]))) == 0
         for i, pkt in enumerate(pkts[5:]):
             self._assert_parity(dec_n, dec_o, Packet(0, i, 0, pkt))
+
+    def test_no_midstream_native_engagement(self, monkeypatch):
+        """If the native engine only becomes available after some packets
+        decoded through the Python dsp, it must NOT engage mid-stream:
+        a fresh native context would mislabel the next packet as first
+        and lap against a zeroed overlap buffer."""
+        from symphonia_tpu.core.packet import Packet
+
+        params, pkts = self._tame_stereo_stream(
+            [False, True, False, True, True], seed=11)
+        monkeypatch.setenv("SYMPHONIA_TPU_VORBIS_STREAM", "off")
+        dec = VorbisDecoder(params)
+        oracle = VorbisDecoder(params)
+        for i, pkt in enumerate(pkts[:2]):
+            dec.decode(Packet(0, i, 0, pkt))
+            oracle.decode(Packet(0, i, 0, pkt))
+        # Native turns loadable mid-stream (late-succeeding _open_native).
+        monkeypatch.delenv("SYMPHONIA_TPU_VORBIS_STREAM")
+        dec._native = None
+        for i, pkt in enumerate(pkts[2:]):
+            a = dec.decode(Packet(0, i, 0, pkt))
+            b = oracle.decode(Packet(0, i, 0, pkt))
+            assert len(a) == len(b)
+            np.testing.assert_array_equal(a.planes(), b.planes())
+        # After a reset both lapping states are fresh: engaging is fine.
+        dec.reset()
+        if dec._native and dec._native.has_pcm:
+            assert len(dec.decode(Packet(0, 0, 0, pkts[0]))) == 0
+            assert dec.dsp.prev_block_flag is None
 
     def test_malformed_packet_identical_behavior(self, monkeypatch):
         """A packet the native engine rejects raises the same DecodeError
