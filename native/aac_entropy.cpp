@@ -30,10 +30,12 @@
 //   8 burst iters    9 emitted lanes (popcnt act)          10 freezes
 //  11 quad_scalar   12 build_runs (incl. fused plan emit)  13 finalize
 //  14 joint+synth   15 tail drain
+//  16-20: pre_spectrum sub-shares (ics_info, section_data, scale_factors,
+//  pulse, tns) — overlap slot 3.
 #ifdef SH_AAC_PROF
 #include <x86intrin.h>
 namespace {
-uint64_t g_prof[16];
+uint64_t g_prof[24];
 }
 extern "C" const uint64_t* sh_aac_prof() { return g_prof; }
 extern "C" void sh_aac_prof_reset() { memset(g_prof, 0, sizeof(g_prof)); }
@@ -905,17 +907,31 @@ struct Ics {
 #endif
         global_gain = (int)br.read(8);
         if (!common_window) {
+            PROF_START(pi);
             int r = info.decode(br);
+            PROF_STOP(pi, 16);
             if (r < 0) return r;
             int nb;
             get_bands(&nb);
             if (info.max_sfb + 1 > nb) return -37;
         }
         int r;
-        if ((r = decode_section_data(br)) < 0) return r;
-        if ((r = decode_scale_factors(br)) < 0) return r;
-        if ((r = decode_pulse(br)) < 0) return r;
-        if ((r = decode_tns(br)) < 0) return r;
+        PROF_START(pd);
+        r = decode_section_data(br);
+        PROF_STOP(pd, 17);
+        if (r < 0) return r;
+        PROF_START(psf);
+        r = decode_scale_factors(br);
+        PROF_STOP(psf, 18);
+        if (r < 0) return r;
+        PROF_START(pp);
+        r = decode_pulse(br);
+        PROF_STOP(pp, 19);
+        if (r < 0) return r;
+        PROF_START(pt);
+        r = decode_tns(br);
+        PROF_STOP(pt, 20);
+        if (r < 0) return r;
         if (br.read(1)) return -38;  // gain control unsupported
         return 0;
     }

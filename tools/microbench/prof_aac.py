@@ -67,12 +67,14 @@ def main():
         out = native.aac_extract(buf, offs, sizes, ri, bl, bs, 2)
         best = min(best, time.perf_counter() - t0)
         assert (out["status"] == 0).all()
-    p = [lib.sh_aac_prof()[i] / N for i in range(16)]
+    p = [lib.sh_aac_prof()[i] / N for i in range(24)]
 
     names = ["total", "vector_burst", "fixup(lane_to_hot)", "pre_spectrum",
              "dequant_runs", "build_plan", "pns_prevshape", "final_drain",
              None, None, None, "quad_scalar", "build_runs",
-             "finalize_layout", "joint_synth", "tail_drain"]
+             "finalize_layout", "joint_synth", "tail_drain",
+             "  ps:ics_info", "  ps:section_data", "  ps:scale_factors",
+             "  ps:pulse", "  ps:tns"]
     print(f"frames={len(pkts)} audio={audio:.2f}s "
           f"best_wall={best*1e3:.3f}ms -> {audio/best:.0f}x")
     print(f"burst iters/call={p[8]:.0f} emitted lane-iters={p[9]:.0f} "
