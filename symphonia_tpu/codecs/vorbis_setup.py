@@ -184,12 +184,12 @@ def _read_codebook(br: BitReaderRtl, skim: bool = False) -> VorbisCodebook:
     lengths = np.zeros(entries, dtype=np.int32)
     if not ordered:
         sparse = br.read_bits(1)
-        for i in range(entries):
-            if sparse:
+        if sparse:
+            for i in range(entries):
                 if br.read_bits(1):
                     lengths[i] = br.read_bits(5) + 1
-            else:
-                lengths[i] = br.read_bits(5) + 1
+        else:
+            lengths[:] = br.read_bits_array(5, entries) + 1
     else:
         cur_entry = 0
         cur_len = br.read_bits(5) + 1
@@ -215,9 +215,7 @@ def _read_codebook(br: BitReaderRtl, skim: bool = False) -> VorbisCodebook:
         sequence_p = br.read_bits(1)
         if lookup_type == 1:
             lv = lookup1_values(entries, dims)
-            mults = np.array(
-                [br.read_bits(value_bits) for _ in range(lv)], dtype=np.float64
-            )
+            mults = br.read_bits_array(value_bits, lv).astype(np.float64)
             # value[e][d] = mults[(e // lv**d) % lv] * delta + min (+cumsum)
             e = np.arange(entries)[:, None]
             d = np.arange(dims)[None, :]
@@ -225,9 +223,7 @@ def _read_codebook(br: BitReaderRtl, skim: bool = False) -> VorbisCodebook:
             vq = mults[idx] * delta + min_value
         else:
             count = entries * dims
-            mults = np.array(
-                [br.read_bits(value_bits) for _ in range(count)], dtype=np.float64
-            )
+            mults = br.read_bits_array(value_bits, count).astype(np.float64)
             vq = mults.reshape(entries, dims) * delta + min_value
         if sequence_p:
             vq = np.cumsum(vq, axis=1)

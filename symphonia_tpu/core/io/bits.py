@@ -202,6 +202,48 @@ class BitReaderRtl:
             v -= 1 << n
         return v
 
+    def read_bits_array(self, width: int, count: int):
+        """``count`` consecutive ``read_bits(width)`` reads as an int64
+        array — value-identical to the sequential loop (LSB-first fixed
+        stride), vectorized via ``np.unpackbits`` for the Vorbis setup
+        hot loops (codebook entry lengths, VQ multiplicands). Raises
+        EndOfStream (reader exhausted) when the span passes the end,
+        like the sequential loop's failing read would."""
+        import numpy as np
+
+        if count <= 0:
+            return np.zeros(0, dtype=np.int64)
+        if count * width < 256:  # unpackbits overhead beats tiny loops
+            return np.fromiter(
+                (self.read_bits(width) for _ in range(count)),
+                dtype=np.int64, count=count)
+        total = width * count
+        start = self.bits_read()
+        if start + total > len(self._data) * 8:
+            self._pos = len(self._data)
+            self._buf = 0
+            self._cnt = 0
+            raise EndOfStream("bitstream exhausted")
+        b0 = start // 8
+        b1 = (start + total + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(self._data[b0:b1], dtype=np.uint8),
+            bitorder="little")
+        off = start - b0 * 8
+        fields = bits[off : off + total].reshape(count, width)
+        vals = fields.astype(np.int64) @ (
+            np.int64(1) << np.arange(width, dtype=np.int64))
+        # Re-anchor the reader just past the span: discard the consumed
+        # low bits of the split byte (LSB-first), keeping the invariant
+        # bits_read() == start + total.
+        end = start + total
+        self._pos = end // 8
+        self._buf = 0
+        self._cnt = 0
+        if end % 8:
+            self.read_bits(end % 8)
+        return vals
+
     def read_unary_ones(self) -> int:
         """Count 1-bits (from LSB) until a 0, consuming it."""
         ones = 0

@@ -115,7 +115,7 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         lib.sh_flac_decode_frame.restype = ctypes.c_int32
         lib.sh_flac_decode_frame.argtypes = [
-            c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, c_i32p, c_i32p,
         ]
@@ -150,7 +150,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sh_aac_stream_reset.argtypes = [ctypes.c_void_p]
         lib.sh_aac_stream_decode.restype = ctypes.c_int32
         lib.sh_aac_stream_decode.argtypes = [
-            ctypes.c_void_p, c_u8p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
             c_i32p, ctypes.c_int32, c_i32p, ctypes.c_int32, ctypes.c_int32,
             c_f32p2, ctypes.POINTER(ctypes.c_int16), c_f32p2,
             c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
@@ -163,13 +163,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sh_vorbis_close.argtypes = [ctypes.c_void_p]
     lib.sh_vorbis_decode.restype = ctypes.c_int32
     lib.sh_vorbis_decode.argtypes = [
-        ctypes.c_void_p, c_u8p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), c_i32p, c_i32p,
     ]
     try:
         lib.sh_vorbis_decode_pcm.restype = ctypes.c_int32
+        # data as c_char_p: bytes pass pointer-directly, no frombuffer/
+        # cast per packet (this call sits on the per-packet hot path).
         lib.sh_vorbis_decode_pcm.argtypes = [
-            ctypes.c_void_p, c_u8p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             c_i32p, c_i32p, c_i32p,
         ]
@@ -229,7 +231,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sh_mp3_stream_reset.argtypes = [ctypes.c_void_p]
         lib.sh_mp3_stream_decode.restype = ctypes.c_int32
         lib.sh_mp3_stream_decode.argtypes = [
-            ctypes.c_void_p, c_u8p, ctypes.c_int64, c_f32p, c_f32p, c_f32p]
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            c_f32p, c_f32p, c_f32p]
     except AttributeError:
         pass  # older .so without the dense stage
     lib.sh_mp3_extract.restype = ctypes.c_int32
@@ -362,14 +365,14 @@ def flac_decode_frame(data: bytes, si, verify_crc: bool = False):
     if si.bits_per_sample > 25 or si.channels > 8:
         return None
     n_max = max(si.block_len_max, 16)
-    a = np.frombuffer(data, dtype=np.uint8)
-    pcm = _pooled("flac_pkt_pcm", (si.channels, n_max), np.int32)
-    meta = np.zeros(3, dtype=np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    pcm, p_pcm = _pooled_ptr("flac_pkt_pcm", (si.channels, n_max), np.int32,
+                             i32p)
+    meta, p_meta = _pooled_ptr("flac_pkt_meta", (3,), np.int32, i32p)
     rc = lib.sh_flac_decode_frame(
-        _u8ptr(a), len(a), si.channels, si.bits_per_sample, si.sample_rate,
+        data, len(data), si.channels, si.bits_per_sample, si.sample_rate,
         si.block_len_max, si.channels, n_max, 1 if verify_crc else 0,
-        pcm.ctypes.data_as(i32p), meta.ctypes.data_as(i32p),
+        p_pcm, p_meta,
     )
     if rc != 0:
         return None
@@ -495,6 +498,10 @@ class Mp3Stream:
     def __init__(self, lib, ctx):
         self._lib = lib
         self._ctx = ctx
+        # (key, pcm_ptr, hybrid_ptr, synth_ptr, strong refs): the decoder
+        # passes the same three arrays every call; building the ctypes
+        # pointers once keeps the per-packet call overhead flat.
+        self._ptr_cache = None
 
     def __del__(self):
         if self._ctx:
@@ -526,14 +533,17 @@ def mp3_stream_decode(stream: "Mp3Stream", frame: bytes,
     success. Returns granule count > 0, or a negative status (same codes
     and reservoir bookkeeping as sh_mp3_extract)."""
     lib = stream._lib
-    a = np.frombuffer(frame, dtype=np.uint8)
-    f32p = ctypes.POINTER(ctypes.c_float)
+    c = stream._ptr_cache
+    key = (id(pcm_out), id(hybrid_tails), id(synth_tails))
+    if c is None or c[0] != key:
+        f32p = ctypes.POINTER(ctypes.c_float)
+        c = (key, pcm_out.ctypes.data_as(f32p),
+             hybrid_tails.ctypes.data_as(f32p),
+             synth_tails.ctypes.data_as(f32p),
+             (pcm_out, hybrid_tails, synth_tails))  # keep ids alive
+        stream._ptr_cache = c
     return int(lib.sh_mp3_stream_decode(
-        stream._ctx, _u8ptr(a), len(a),
-        pcm_out.ctypes.data_as(f32p),
-        hybrid_tails.ctypes.data_as(f32p),
-        synth_tails.ctypes.data_as(f32p),
-    ))
+        stream._ctx, frame, len(frame), c[1], c[2], c[3]))
 
 
 _POOL = {}
@@ -545,6 +555,20 @@ def _pooled(key, shape, dtype):
         arr = np.empty(shape, dtype)
         _POOL[key] = arr
     return arr
+
+
+_PTRS = {}
+
+
+def _pooled_ptr(key, shape, dtype, ctp):
+    """_pooled plus a cached ctypes pointer (the data_as/cast dance costs
+    ~3 us per array; the per-packet fast paths call in a tight loop)."""
+    arr = _POOL.get(key)
+    if arr is None or arr.shape != shape or arr.dtype != dtype:
+        arr = np.empty(shape, dtype)
+        _POOL[key] = arr
+        _PTRS[key] = arr.ctypes.data_as(ctp)
+    return arr, _PTRS[key]
 
 
 def flac_stream_extract(buf: bytes, si, n_max: int, max_frames: int):
@@ -733,11 +757,10 @@ def aac_stream_decode(stream: "AacStream", data: bytes):
     stream — consume before the next call), or None on any error status
     (caller falls back to the Python oracle permanently, preserving
     state continuity)."""
-    a = np.frombuffer(data, dtype=np.uint8)
     stream.deq[:] = 1
     p = stream._p
     rc = stream._lib.sh_aac_stream_decode(
-        stream._ctx, _u8ptr(a), len(a), stream.rate_idx,
+        stream._ctx, data, len(data), stream.rate_idx,
         p["bl"], len(stream._bl), p["bs"], len(stream._bs), stream.max_ch,
         p["coeffs"], p["qbuf"], p["scales"], p["deq"], p["seq"], p["shape"],
         p["prev_shape"], p["nch"], p["status"],
@@ -954,12 +977,16 @@ class VorbisStream:
             ctypes.POINTER(ctypes.c_float))
         self._p_flags = self._flags.ctypes.data_as(i32p)
         self._p_status = self._status.ctypes.data_as(i32p)
-        # Full-packet PCM path (sh_vorbis_decode_pcm): out_n / first slots.
+        # Full-packet PCM path (sh_vorbis_decode_pcm): out_n / first slots
+        # + a persistent output buffer (callers receive a sliced copy).
         self.has_pcm = hasattr(lib, "sh_vorbis_decode_pcm")
         self._outn = np.empty(1, np.int32)
         self._first = np.empty(1, np.int32)
         self._p_outn = self._outn.ctypes.data_as(i32p)
         self._p_first = self._first.ctypes.data_as(i32p)
+        self._pcmbuf = np.empty((n_ch, n2max), np.float32)
+        self._p_pcmbuf = self._pcmbuf.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float))
 
     def __del__(self):
         if self._ctx:
@@ -987,10 +1014,9 @@ def vorbis_stream_decode(stream: "VorbisStream", data: bytes):
     """Entropy + floor/residue/coupling for ONE packet via the persistent
     context. Returns (spectra [n_ch, n2max] f32 pooled view, block_flag)
     or None (caller falls back to the Python oracle)."""
-    a = np.frombuffer(data, dtype=np.uint8)
-    stream._sizes[0] = len(a)
+    stream._sizes[0] = len(data)
     stream._lib.sh_vorbis_decode(
-        stream._ctx, _u8ptr(a), len(a),
+        stream._ctx, data, len(data),
         stream._p_offs, stream._p_sizes, 1,
         stream._p_spec, stream._p_flags, stream._p_status,
     )
@@ -1008,16 +1034,16 @@ def vorbis_stream_decode_pcm(stream: "VorbisStream", data: bytes):
     (the overlap state lives in the context)."""
     if not stream.has_pcm:
         return None
-    a = np.frombuffer(data, dtype=np.uint8)
-    pcm = np.empty((stream.n_ch, stream.n2max), np.float32)
     stream._lib.sh_vorbis_decode_pcm(
-        stream._ctx, _u8ptr(a), len(a),
-        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), stream.n2max,
+        stream._ctx, data, len(data),
+        stream._p_pcmbuf, stream.n2max,
         stream._p_outn, stream._p_first, stream._p_status,
     )
     if stream._status[0] != 0:
         return None
-    return pcm[:, : stream._outn[0]], bool(stream._first[0])
+    # Copy out of the persistent buffer: the caller owns the result.
+    return (stream._pcmbuf[:, : stream._outn[0]].copy(),
+            bool(stream._first[0]))
 
 
 def vorbis_stream_reset(stream: "VorbisStream") -> None:
@@ -1049,7 +1075,6 @@ def vorbis_decode_spectra(dec, packets):
         return None
     try:
         buf = b"".join(packets)
-        a = np.frombuffer(buf, dtype=np.uint8)
         sizes = np.array([len(p) for p in packets], np.int64)
         offs = np.zeros(len(packets), np.int64)
         np.cumsum(sizes[:-1], out=offs[1:])
@@ -1063,7 +1088,7 @@ def vorbis_decode_spectra(dec, packets):
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.sh_vorbis_decode(
-            ctx, _u8ptr(a), len(a),
+            ctx, buf, len(buf),
             offs.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p), N,
             spectra.ctypes.data_as(f32p), flags.ctypes.data_as(i32p),
             status.ctypes.data_as(i32p),

@@ -186,6 +186,39 @@ class TestBitReaderRtl:
             assert r.read_bits(n) == expect
             pos += n
 
+    def test_read_bits_array_matches_loop(self):
+        """Vectorized fixed-width reads: value- and state-identical to
+        the sequential loop at arbitrary bit phases, both above and
+        below the unpackbits threshold."""
+        import numpy as np
+
+        rng = random.Random(7)
+        data = bytes(rng.randrange(256) for _ in range(600))
+        for lead in (0, 1, 3, 7, 11):
+            for width in (1, 5, 9, 16):
+                for count in (0, 3, 31, 40, 257):
+                    a = BitReaderRtl(data)
+                    b = BitReaderRtl(data)
+                    a.read_bits(lead) if lead else None
+                    b.read_bits(lead) if lead else None
+                    got = a.read_bits_array(width, count)
+                    expect = [b.read_bits(width) for _ in range(count)]
+                    assert got.tolist() == expect, (lead, width, count)
+                    assert a.bits_read() == b.bits_read()
+                    # Subsequent reads agree (reader state re-anchored).
+                    if a.bits_left() >= 13:
+                        assert a.read_bits(13) == b.read_bits(13)
+
+    def test_read_bits_array_end_of_stream(self):
+        from symphonia_tpu.core.errors import EndOfStream
+
+        r = BitReaderRtl(b"\x01\x02\x03")
+        with pytest.raises(EndOfStream):
+            r.read_bits_array(5, 2000)
+        r2 = BitReaderRtl(bytes(range(100)))
+        with pytest.raises(EndOfStream):
+            r2.read_bits_array(16, 51)  # 816 bits > 800
+
 
 class TestCodebook:
     def test_simple_decode(self):
