@@ -56,6 +56,7 @@ constexpr int MAX_SFBS = 64;
 constexpr int ONLY_LONG = 0;
 constexpr int LONG_START = 1;
 constexpr int EIGHT_SHORT = 2;
+constexpr int LONG_STOP = 3;
 
 constexpr int ZERO_HCB = 0;
 constexpr int NOISE_HCB = 13;
@@ -2657,7 +2658,29 @@ int32_t sh_aac_extract(
 
 struct AacStream {
     std::vector<ChannelPair> pairs;
+    // Per-packet PCM synthesis scratch (sh_aac_stream_decode_pcm).
+    Dct4Plan plan_long, plan_short;  // n = 1024 / 128
+    bool plans_init = false;
+    std::vector<float> coeffs, scales;
+    std::vector<int16_t> qbuf;
+    std::vector<int32_t> deq, seq, shape, prevshape;
 };
+
+// Window tables for the PCM synthesis, registered from Python so they are
+// byte-identical to the oracle's (aac.py kbd_window/sine_window; the
+// reference generates them in window.rs). Index [shape]: 0 sine, 1 KBD.
+static float g_aac_win_long[2][1024];
+static float g_aac_win_short[2][128];
+static bool g_aac_win_set = false;
+
+void sh_aac_set_windows(const float* sine_long, const float* kbd_long,
+                        const float* sine_short, const float* kbd_short) {
+    memcpy(g_aac_win_long[0], sine_long, sizeof(g_aac_win_long[0]));
+    memcpy(g_aac_win_long[1], kbd_long, sizeof(g_aac_win_long[1]));
+    memcpy(g_aac_win_short[0], sine_short, sizeof(g_aac_win_short[0]));
+    memcpy(g_aac_win_short[1], kbd_short, sizeof(g_aac_win_short[1]));
+    g_aac_win_set = true;
+}
 
 void* sh_aac_stream_open() { return new AacStream(); }
 void sh_aac_stream_close(void* p) { delete (AacStream*)p; }
@@ -2682,6 +2705,129 @@ int32_t sh_aac_stream_decode(
                bands_long, n_bands_long, bands_short, n_bands_short};
     decode_frame_scalar(data, len, 0, len, 0, ((AacStream*)p)->pairs, O);
     return status[0];
+}
+
+// Full per-packet decode: raw_data_block -> PCM (entropy + dequant +
+// pulse/TNS/PNS/joint via decode_frame_scalar, then IMDCT + window +
+// overlap-add mirroring aac.py AacDsp.synth). ``delay`` is the Python-
+// owned OLA state [max_ch, 1024], updated in place ONLY on full success —
+// a failed or channel-mismatched frame leaves it valid for the Python
+// fallback path (which shares the same buffer). The C++ DCT-IV runs in
+// double (shared Dct4Plan) vs pocketfft f32 in the oracle: PCM parity is
+// ~1 ulp of the frame's peak, bounded in TestAacNativePcmPath.
+int32_t sh_aac_stream_decode_pcm(
+    void* p, const uint8_t* data, int64_t len,
+    int32_t rate_idx,
+    const int32_t* bands_long, int32_t n_bands_long,
+    const int32_t* bands_short, int32_t n_bands_short,
+    int32_t max_ch,
+    float* delay, float* pcm_out, int32_t* shape_out,
+    int32_t* nch_out, int32_t* status) {
+    AacStream& S = *(AacStream*)p;
+    *nch_out = 0;
+    if (!g_aac_win_set) { *status = -90; return -90; }
+    if (!S.plans_init) {
+        S.plan_long.init(1024);
+        S.plan_short.init(128);
+        S.plans_init = true;
+    }
+    S.coeffs.resize((size_t)max_ch * 1024);
+    S.qbuf.resize((size_t)max_ch * 1024);
+    S.scales.resize((size_t)max_ch * 64);
+    S.deq.assign(max_ch, 1);
+    S.seq.resize(max_ch);
+    S.shape.resize(max_ch);
+    S.prevshape.resize(max_ch);
+    int32_t nch = 0;
+    *status = 0;
+    FrameOut O{S.coeffs.data(), S.qbuf.data(), S.scales.data(), S.deq.data(),
+               S.seq.data(), S.shape.data(), S.prevshape.data(), &nch,
+               status, max_ch, rate_idx,
+               bands_long, n_bands_long, bands_short, n_bands_short};
+    decode_frame_scalar(data, len, 0, len, 0, S.pairs, O);
+    *nch_out = nch;
+    if (*status != 0) return *status;
+    if (nch != max_ch) return 0;  // caller falls back; delay untouched
+
+    constexpr int P0 = 512 - 64, P1 = 512 + 64;
+    float pcm[2048];
+    float sh[1152];
+    for (int ch = 0; ch < max_ch; ch++) {
+        const float* cf = S.coeffs.data() + (size_t)ch * 1024;
+        float* dl = delay + (size_t)ch * 1024;
+        float* dst = pcm_out + (size_t)ch * 1024;
+        int sq = S.seq[ch];
+        const float* long_win = g_aac_win_long[S.shape[ch] ? 1 : 0];
+        const float* short_win = g_aac_win_short[S.shape[ch] ? 1 : 0];
+        const float* prev_long = g_aac_win_long[S.prevshape[ch] ? 1 : 0];
+        const float* prev_short = g_aac_win_short[S.prevshape[ch] ? 1 : 0];
+
+        if (sq != EIGHT_SHORT) {
+            // imdct_dct4(coeffs) * 1/2048: y[:h]=d[h:], y[h:h+n]=-d[rev],
+            // y[h+n:]=-d[:h] with n=1024, h=512 (ops/imdct_host).
+            S.plan_long.dct4_half(cf);
+            const double* d = S.plan_long.d.data();
+            const double sc = 1.0 / 2048.0;
+            for (int i = 0; i < 512; i++) pcm[i] = (float)(d[512 + i] * sc);
+            for (int i = 0; i < 1024; i++)
+                pcm[512 + i] = (float)(-d[1023 - i] * sc);
+            for (int i = 0; i < 512; i++)
+                pcm[1536 + i] = (float)(-d[i] * sc);
+        } else {
+            const double sc = 1.0 / 256.0;
+            for (int w = 0; w < 8; w++) {
+                S.plan_short.dct4_half(cf + w * 128);
+                const double* d = S.plan_short.d.data();
+                float* pw = pcm + w * 256;
+                for (int i = 0; i < 64; i++) pw[i] = (float)(d[64 + i] * sc);
+                for (int i = 0; i < 128; i++)
+                    pw[64 + i] = (float)(-d[127 - i] * sc);
+                for (int i = 0; i < 64; i++)
+                    pw[192 + i] = (float)(-d[i] * sc);
+            }
+            memset(sh, 0, sizeof(sh));
+            for (int w = 0; w < 8; w++) {
+                const float* src = pcm + w * 256;
+                float* s0 = sh + w * 128;
+                if (w == 0) {
+                    for (int i = 0; i < 128; i++) s0[i] = src[i] * prev_short[i];
+                    for (int i = 0; i < 128; i++)
+                        s0[128 + i] = src[128 + i] * short_win[127 - i];
+                } else {
+                    for (int i = 0; i < 128; i++) s0[i] += src[i] * short_win[i];
+                    for (int i = 0; i < 128; i++)
+                        s0[128 + i] += src[128 + i] * short_win[127 - i];
+                }
+            }
+        }
+
+        if (sq == ONLY_LONG || sq == LONG_START) {
+            for (int i = 0; i < 1024; i++) dst[i] = dl[i] + pcm[i] * prev_long[i];
+        } else if (sq == EIGHT_SHORT) {
+            for (int i = 0; i < P0; i++) dst[i] = dl[i];
+            for (int i = P0; i < 1024; i++) dst[i] = dl[i] + sh[i - P0];
+        } else {  // LONG_STOP
+            for (int i = 0; i < P0; i++) dst[i] = dl[i];
+            for (int i = P0; i < P1; i++)
+                dst[i] = dl[i] + pcm[i] * prev_short[i - P0];
+            for (int i = P1; i < 1024; i++) dst[i] = dl[i] + pcm[i];
+        }
+
+        if (sq == ONLY_LONG || sq == LONG_STOP) {
+            for (int i = 0; i < 1024; i++)
+                dl[i] = pcm[1024 + i] * long_win[1023 - i];
+        } else if (sq == EIGHT_SHORT) {
+            for (int i = 0; i < P1; i++) dl[i] = sh[P1 + i];
+            memset(dl + P1, 0, (1024 - P1) * sizeof(float));
+        } else {  // LONG_START
+            for (int i = 0; i < P0; i++) dl[i] = pcm[1024 + i];
+            for (int i = 0; i < P1 - P0; i++)
+                dl[P0 + i] = pcm[1024 + P0 + i] * short_win[127 - i];
+            memset(dl + P1, 0, (1024 - P1) * sizeof(float));
+        }
+        shape_out[ch] = S.shape[ch];
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -19,6 +19,8 @@
 #include <cstring>
 #include <vector>
 
+#include "entropy_common.h"  // Dct4Plan (shared with the AAC PCM path)
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -177,94 +179,6 @@ struct Residue {
 struct Mapping {
     std::vector<std::pair<int32_t, int32_t>> coupling_steps;
     std::vector<int32_t> mux, submap_floor, submap_residue;
-};
-
-// FFT-based DCT-IV for the per-packet synthesis path (sh_vorbis_decode_pcm).
-// Computes d[k] = sum_j x[j] cos(pi/n (j+1/2)(k+1/2)) — the same half-scale
-// DCT-IV ops/imdct_host.imdct_dct4 gets from pocketfft (whose type-4 DCT
-// returns 2x this sum, which imdct_dct4 then halves) — via an M = n/2
-// complex FFT in double precision:
-//   u[m] = x[2m] + i x[n-1-2m];  v = u * e^{-i pi (4m+1)/(4n)}
-//   V = FFT_M(v);  w[k] = V[k] * e^{-i pi k / n}
-//   d[2k] = Re w[k];  d[n-1-2k] = -Im w[k]
-struct Dct4Plan {
-    int n = 0, M = 0;
-    std::vector<int> bitrev;                      // [M]
-    std::vector<double> twr, twi;                 // FFT twiddles [M/2]
-    std::vector<double> pre_re, pre_im;           // [M]
-    std::vector<double> post_re, post_im;         // [M]
-    std::vector<double> re, im, d;                // scratch [M],[M],[n]
-
-    void init(int n_) {
-        n = n_;
-        M = n / 2;
-        bitrev.assign(M, 0);
-        int bits = 0;
-        while ((1 << bits) < M) bits++;
-        for (int i = 0; i < M; i++) {
-            int r = 0;
-            for (int b = 0; b < bits; b++) r |= ((i >> b) & 1) << (bits - 1 - b);
-            bitrev[i] = r;
-        }
-        twr.resize(M / 2 > 0 ? M / 2 : 1);
-        twi.resize(twr.size());
-        for (int k = 0; k < M / 2; k++) {
-            double a = -2.0 * M_PI * k / M;
-            twr[k] = std::cos(a);
-            twi[k] = std::sin(a);
-        }
-        pre_re.resize(M); pre_im.resize(M);
-        post_re.resize(M); post_im.resize(M);
-        for (int m = 0; m < M; m++) {
-            double a = -M_PI * (4.0 * m + 1.0) / (4.0 * n);
-            pre_re[m] = std::cos(a);
-            pre_im[m] = std::sin(a);
-        }
-        for (int k = 0; k < M; k++) {
-            double a = -M_PI * k / n;
-            post_re[k] = std::cos(a);
-            post_im[k] = std::sin(a);
-        }
-        re.resize(M); im.resize(M); d.resize(n);
-    }
-
-    void fft() {
-        double* r = re.data();
-        double* i_ = im.data();
-        for (int i = 0; i < M; i++) {
-            int j = bitrev[i];
-            if (j > i) { std::swap(r[i], r[j]); std::swap(i_[i], i_[j]); }
-        }
-        for (int len = 2; len <= M; len <<= 1) {
-            int half = len >> 1, step = M / len;
-            for (int base = 0; base < M; base += len) {
-                for (int k = 0; k < half; k++) {
-                    double wr = twr[(size_t)k * step], wi = twi[(size_t)k * step];
-                    int a = base + k, b = a + half;
-                    double xr = r[b] * wr - i_[b] * wi;
-                    double xi = r[b] * wi + i_[b] * wr;
-                    r[b] = r[a] - xr; i_[b] = i_[a] - xi;
-                    r[a] += xr; i_[a] += xi;
-                }
-            }
-        }
-    }
-
-    // x: n float32 spectral bins -> d: n doubles (half-scale DCT-IV).
-    void dct4_half(const float* x) {
-        for (int m = 0; m < M; m++) {
-            double ur = x[2 * m], ui = x[n - 1 - 2 * m];
-            re[m] = ur * pre_re[m] - ui * pre_im[m];
-            im[m] = ur * pre_im[m] + ui * pre_re[m];
-        }
-        fft();
-        for (int k = 0; k < M; k++) {
-            double wr = re[k] * post_re[k] - im[k] * post_im[k];
-            double wi = re[k] * post_im[k] + im[k] * post_re[k];
-            d[2 * k] = wr;
-            d[n - 1 - 2 * k] = -wi;
-        }
-    }
 };
 
 struct Ctx {

@@ -877,8 +877,24 @@ class AacDecoder(AudioDecoder):
                     self.spec.num_channels) or False
         if not self._native:
             return None
-        ext = native.aac_stream_decode(self._native, bytes(data))
         n_ch = self.spec.num_channels
+        if self._native.has_pcm:
+            # Full-C++ path: entropy + dequant + IMDCT + window/OLA in one
+            # call (sh_aac_stream_decode_pcm). The OLA delay stays in the
+            # Python-owned self._delay (updated in place), so the fallback
+            # below remains state-continuous. PCM parity vs the oracle is
+            # ~1 ulp of the frame's peak (C++ DCT-IV in double vs
+            # pocketfft f32) — see TestAacNativePcmPath.
+            got = native.aac_stream_decode_pcm(
+                self._native, bytes(data), self._delay)
+            if got is not None:
+                pcm, shapes = got
+                self._last_shape[:] = shapes
+                return pcm
+            self._native = False
+            self._seed_shapes = self._last_shape.copy()
+            return None
+        ext = native.aac_stream_decode(self._native, bytes(data))
         if ext is None or int(ext["nch"][0]) != n_ch:
             # Switch to the Python path for good: seed its window-shape
             # chain from the last native frame (the PNS LCG state cannot

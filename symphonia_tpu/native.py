@@ -155,6 +155,14 @@ def _load() -> Optional[ctypes.CDLL]:
             c_f32p2, ctypes.POINTER(ctypes.c_int16), c_f32p2,
             c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
         ]
+        lib.sh_aac_set_windows.restype = None
+        lib.sh_aac_set_windows.argtypes = [c_f32p2, c_f32p2, c_f32p2, c_f32p2]
+        lib.sh_aac_stream_decode_pcm.restype = ctypes.c_int32
+        lib.sh_aac_stream_decode_pcm.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            c_i32p, ctypes.c_int32, c_i32p, ctypes.c_int32, ctypes.c_int32,
+            c_f32p2, c_f32p2, c_i32p, c_i32p, c_i32p,
+        ]
     except AttributeError:
         pass  # older .so without the AAC stream stage
     lib.sh_vorbis_open.restype = ctypes.c_void_p
@@ -729,6 +737,13 @@ class AacStream:
             nch=self.nch.ctypes.data_as(i32p),
             status=self.status.ctypes.data_as(i32p),
         )
+        # Full-packet PCM path (sh_aac_stream_decode_pcm).
+        self.has_pcm = hasattr(lib, "sh_aac_stream_decode_pcm")
+        self.pcm = np.empty((max_ch, 1024), np.float32)
+        self.pcm_shape = np.empty(max_ch, np.int32)
+        self._p_pcm = self.pcm.ctypes.data_as(f32p)
+        self._p_pcm_shape = self.pcm_shape.ctypes.data_as(i32p)
+        self._delay_cache = None  # (id, ptr, strong ref)
 
     def __del__(self):
         if self._ctx:
@@ -739,12 +754,32 @@ class AacStream:
         self._lib.sh_aac_stream_reset(self._ctx)
 
 
+_AAC_WINDOWS_SET = False
+
+
+def _aac_ensure_windows(lib) -> None:
+    """Register the oracle's exact window tables for the native PCM
+    synthesis (byte-identical floats; aac.py kbd_window/sine_window)."""
+    global _AAC_WINDOWS_SET
+    if _AAC_WINDOWS_SET or not hasattr(lib, "sh_aac_set_windows"):
+        return
+    from .codecs.aac import kbd_window, sine_window
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    tabs = [np.ascontiguousarray(t, np.float32) for t in (
+        sine_window(1024), kbd_window(1024, 4.0),
+        sine_window(128), kbd_window(128, 6.0))]
+    lib.sh_aac_set_windows(*(t.ctypes.data_as(f32p) for t in tabs))
+    _AAC_WINDOWS_SET = True
+
+
 def aac_stream_open(rate_idx: int, bands_long, bands_short, max_ch: int):
     """Open a persistent native AAC context, or None if unavailable."""
     lib = _load()
     if lib is None or not hasattr(lib, "sh_aac_stream_open"):
         return None
     _aac_ensure_codebooks(lib)
+    _aac_ensure_windows(lib)
     ctx = lib.sh_aac_stream_open()
     if not ctx:
         return None
@@ -771,6 +806,33 @@ def aac_stream_decode(stream: "AacStream", data: bytes):
             "scales": stream.scales, "deq": stream.deq, "seq": stream.seq,
             "shape": stream.shape, "prev_shape": stream.prev_shape,
             "nch": stream.nch, "status": stream.status, "F": 1}
+
+
+def aac_stream_decode_pcm(stream: "AacStream", data: bytes,
+                          delay: np.ndarray):
+    """FULL per-packet decode (entropy + dequant + pulse/TNS/PNS/joint +
+    IMDCT + window/OLA in C++). ``delay`` is the caller-owned OLA state
+    [max_ch, 1024] f32 C-contiguous, updated in place only on success —
+    on None (error status, channel-count mismatch, engine without the
+    entry) it is untouched and the caller falls back to the Python path,
+    which shares the same buffer. Returns (pcm [max_ch, 1024] f32 copy,
+    shape [max_ch] int32 copy)."""
+    if not stream.has_pcm:
+        return None
+    c = stream._delay_cache
+    if c is None or c[0] != id(delay):
+        c = (id(delay),
+             delay.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), delay)
+        stream._delay_cache = c
+    p = stream._p
+    rc = stream._lib.sh_aac_stream_decode_pcm(
+        stream._ctx, data, len(data), stream.rate_idx,
+        p["bl"], len(stream._bl), p["bs"], len(stream._bs), stream.max_ch,
+        c[1], stream._p_pcm, stream._p_pcm_shape, p["nch"], p["status"],
+    )
+    if rc != 0 or int(stream.nch[0]) != stream.max_ch:
+        return None
+    return stream.pcm.copy(), stream.pcm_shape.copy()
 
 
 def aac_sfb_map(bands_long, n: int = 1024) -> np.ndarray:

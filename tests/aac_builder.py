@@ -171,6 +171,7 @@ def encode_ics(
     special_books: Optional[dict] = None,
     pulse: Optional[tuple] = None,
     tns: Optional[list] = None,
+    shape: int = 0,
 ) -> None:
     """Encode one individual_channel_stream.
 
@@ -190,7 +191,7 @@ def encode_ics(
     long_bands, short_bands = swb_tables(rate)
     bw.write(global_gain, 8)
     if not common_window:
-        encode_ics_info(bw, seq, max_sfb)
+        encode_ics_info(bw, seq, max_sfb, shape)
     long_win = seq != 2
     bands = long_bands if long_win else short_bands
     n_groups = 1 if long_win else 8  # no grouping: 8 groups of 1 window
@@ -281,10 +282,11 @@ def encode_ics(
             write_band(bw, books[g][sfb], band_seg(g, sfb))
 
 
-def encode_ics_info(bw: BitWriter, seq: int, max_sfb: int) -> None:
+def encode_ics_info(bw: BitWriter, seq: int, max_sfb: int,
+                    shape: int = 0) -> None:
     bw.write(0, 1)  # reserved
     bw.write(seq, 2)
-    bw.write(0, 1)  # window shape: sine
+    bw.write(shape, 1)  # window shape: 0 sine / 1 KBD
     if seq == 2:
         bw.write(max_sfb, 4)
         bw.write(0, 7)  # no grouping: 8 groups
@@ -310,6 +312,7 @@ def build_raw_block(
     tns0: Optional[list] = None,
     pulse1: Optional[tuple] = None,
     tns1: Optional[list] = None,
+    shape: int = 0,
 ) -> bytes:
     bw = BitWriter()
     n_ch = len(channel_quants)
@@ -320,24 +323,26 @@ def build_raw_block(
         bw.write(0, 4)  # tag
         bw.write(1 if common_window else 0, 1)
         if common_window:
-            encode_ics_info(bw, seqs[0], max_sfb)
+            encode_ics_info(bw, seqs[0], max_sfb, shape)
             bw.write(ms_mask, 2)
             if ms_mask == 1:
                 for sfb in range(max_sfb):  # one group (long windows)
                     bw.write(1 if (ms_used and sfb in ms_used) else 0, 1)
         encode_ics(bw, channel_quants[0], seqs[0], max_sfb, global_gain, rate,
                    common_window=common_window, book_select=book_select,
-                   special_books=special_books0, pulse=pulse0, tns=tns0)
+                   special_books=special_books0, pulse=pulse0, tns=tns0,
+                   shape=shape)
         encode_ics(bw, channel_quants[1], seqs[1], max_sfb, global_gain, rate,
                    common_window=common_window, book_select=book_select,
-                   special_books=special_books1, pulse=pulse1, tns=tns1)
+                   special_books=special_books1, pulse=pulse1, tns=tns1,
+                   shape=shape)
     else:
         for q, s in zip(channel_quants, seqs):
             bw.write(0, 3)  # SCE
             bw.write(0, 4)
             encode_ics(bw, q, s, max_sfb, global_gain, rate,
                        book_select=book_select, special_books=special_books0,
-                       pulse=pulse0, tns=tns0)
+                       pulse=pulse0, tns=tns0, shape=shape)
     bw.write(7, 3)  # END
     return bw.to_bytes()
 

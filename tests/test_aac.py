@@ -517,3 +517,118 @@ class TestPerPacketNativeStream:
         assert a.shape == b.shape
         scale = max(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() <= 1e-4 * scale, np.abs(a - b).max()
+
+
+class TestAacNativePcmPath:
+    """Full-C++ per-packet decode (sh_aac_stream_decode_pcm: entropy +
+    dequant + IMDCT + window/OLA). The C++ DCT-IV runs in double vs
+    pocketfft f32 in the oracle, so PCM parity is a tight per-frame bound
+    scaled by the stream's peak (the entropy/dequant stage itself stays
+    exact and is asserted elsewhere)."""
+
+    ATOL = 4e-6  # ~a few ulp of the (post-gain) signal scale
+
+    def _stream(self, shapes=None, seqs=None, n=12, seed=5):
+        rng = np.random.default_rng(seed)
+        frames = []
+        for f in range(n):
+            seq = seqs[f % len(seqs)] if seqs else [0, 1, 2, 3][f % 4]
+            shape = shapes[f % len(shapes)] if shapes else 0
+            q = random_quant_spectrum(rng, 14, RATE, seq=seq)
+            frames.append(build_raw_block([q], [seq], 14, GAIN, RATE,
+                                          shape=shape))
+        return build_adts(frames, RATE, 1)
+
+    def _pair(self, data, monkeypatch):
+        from symphonia_tpu import native
+
+        monkeypatch.delenv("SYMPHONIA_TPU_AAC_STREAM", raising=False)
+        r = AdtsReader(MediaSourceStream(data))
+        track = r.default_track()
+        dec_n = AacDecoder(track.codec_params)
+        # Open the native context eagerly (decode() opens lazily).
+        dec_n._native = native.aac_stream_open(
+            dec_n.rate_idx, dec_n.bands_long, dec_n.bands_short,
+            dec_n.spec.num_channels) or False
+        monkeypatch.setenv("SYMPHONIA_TPU_AAC_STREAM", "off")
+        dec_o = AacDecoder(track.codec_params)
+        return r, dec_n, dec_o
+
+    @pytest.mark.parametrize("shapes", [[1], [0, 1], [1, 0, 1, 1]])
+    def test_kbd_and_shape_transitions(self, shapes, monkeypatch):
+        """KBD windows + sine<->KBD prev-shape transitions across all four
+        window sequences — previously zero synthetic shape coverage."""
+        from symphonia_tpu import native
+
+        if native.aac_stream_open(0, [0, 4], [0, 4], 1) is None:
+            pytest.skip("native AAC stream unavailable")
+        data = self._stream(shapes=shapes)
+        r, dec_n, dec_o = self._pair(data, monkeypatch)
+        if not (dec_n._native and dec_n._native.has_pcm):
+            pytest.skip("native AAC pcm unavailable")
+        peak = 1e-3
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            a = dec_n.decode(p).planes()
+            b = dec_o.decode(p).planes()
+            assert a.shape == b.shape
+            peak = max(peak, float(np.abs(b).max()))
+            np.testing.assert_allclose(a, b, rtol=0, atol=self.ATOL * peak)
+        # No silent fallback: the native context stayed engaged.
+        assert dec_n._native
+
+    def test_midstream_fallback_keeps_delay_continuity(self, monkeypatch):
+        """When the native PCM path dies mid-stream, the Python fallback
+        continues from the same OLA delay buffer (updated in place by
+        C++) — output stays in parity with an all-oracle decode."""
+        from symphonia_tpu import native
+
+        if native.aac_stream_open(0, [0, 4], [0, 4], 1) is None:
+            pytest.skip("native AAC stream unavailable")
+        data = self._stream(shapes=[0], seqs=[0, 1, 2, 3], n=10, seed=7)
+        r, dec_n, dec_o = self._pair(data, monkeypatch)
+        if not (dec_n._native and dec_n._native.has_pcm):
+            pytest.skip("native AAC pcm unavailable")
+        pkts = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            pkts.append(p)
+        real_pcm = native.aac_stream_decode_pcm
+        peak = 1e-3
+        for i, p in enumerate(pkts):
+            if i == 5:
+                # Simulate a native failure: next call returns None.
+                monkeypatch.setattr(native, "aac_stream_decode_pcm",
+                                    lambda *a, **k: None)
+            a = dec_n.decode(p).planes()
+            b = dec_o.decode(p).planes()
+            peak = max(peak, float(np.abs(b).max()))
+            np.testing.assert_allclose(a, b, rtol=0, atol=self.ATOL * peak,
+                                       err_msg=f"packet {i}")
+        assert dec_n._native is False  # switched permanently
+        monkeypatch.setattr(native, "aac_stream_decode_pcm", real_pcm)
+
+    def test_reset_restarts_cleanly(self, monkeypatch):
+        from symphonia_tpu import native
+
+        if native.aac_stream_open(0, [0, 4], [0, 4], 1) is None:
+            pytest.skip("native AAC stream unavailable")
+        data = self._stream(shapes=[0, 1], n=8, seed=11)
+        r, dec_n, _ = self._pair(data, monkeypatch)
+        if not (dec_n._native and dec_n._native.has_pcm):
+            pytest.skip("native AAC pcm unavailable")
+        pkts = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            pkts.append(p)
+        first = [dec_n.decode(p).planes().copy() for p in pkts]
+        dec_n.reset()
+        second = [dec_n.decode(p).planes().copy() for p in pkts]
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(a, b)

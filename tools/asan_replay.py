@@ -147,6 +147,14 @@ def replay_aac() -> int:
             native.aac_extract(buf, offs, sizes, dec.rate_idx,
                                dec.bands_long, dec.bands_short,
                                dec.spec.num_channels)
+            # Full per-packet PCM path (entropy + IMDCT + OLA in C++).
+            stream = native.aac_stream_open(
+                dec.rate_idx, dec.bands_long, dec.bands_short,
+                dec.spec.num_channels)
+            if stream is not None and stream.has_pcm:
+                delay = np.zeros((dec.spec.num_channels, 1024), np.float32)
+                for p in pkts:
+                    native.aac_stream_decode_pcm(stream, p, delay)
             n += 1
         except _ERRS:
             pass
