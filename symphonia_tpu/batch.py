@@ -424,14 +424,14 @@ class Mp3BatchDecoder:
             else:
                 layer, T = 2, 36
                 sblimit, rows = _find_sb_info(fh)
-                rows = list(rows) + [0] * (32 - len(rows))
                 bound = min(_intensity_bound(fh), sblimit)
             s = native.mpa_l12_extract(
-                layer, frame[pos : fh.frame_size], fh.n_channels, bound,
-                sblimit, rows, sf_table)
+                layer, bytes(frame[pos : fh.frame_size]), fh.n_channels,
+                bound, sblimit, rows, sf_table)
             if s is None or fh.n_channels != C or fh.layer != reader.header.layer:
                 return _fallback_decode(data, self.gapless)
-            sb_frames.append(s[:C].reshape(C, 32, T))
+            # The wrapper's output is pooled — copy before the next call.
+            sb_frames.append(s[:C].reshape(C, 32, T).copy())
         if not sb_frames:
             return _fallback_decode(data, self.gapless)
         sb = np.stack(sb_frames)  # [F, C, 32, T]

@@ -116,8 +116,7 @@ def _synthesize(samples: np.ndarray, n_frames: int, state: Layer12State, ch: int
     # available; numpy oracle otherwise.
     from .. import native
 
-    resp = native.mp3_polyphase(
-        np.ascontiguousarray(sb.T, dtype=np.float32))
+    resp = native.mp3_polyphase(sb.T)  # wrapper copies into its pool
     if resp is None:
         resp = polyphase_response_np(sb)
     out_len = 32 * n_frames
@@ -210,7 +209,7 @@ def decode_layer2(header: MpaHeader, frame: bytes, state: Layer12State) -> np.nd
 
     fast = _native.mpa_l12_extract(
         2, bytes(frame[pos:header.frame_size]), n_ch, bound, sblimit,
-        list(band_rows) + [0] * (32 - len(band_rows)), sf_table)
+        band_rows, sf_table)
     if fast is not None:
         out = np.zeros((n_ch, 1152), dtype=np.float32)
         for ch in range(n_ch):

@@ -211,11 +211,11 @@ def _load() -> Optional[ctypes.CDLL]:
         c_f32p = ctypes.POINTER(ctypes.c_float)
         lib.sh_mpa_l1_extract.restype = ctypes.c_int32
         lib.sh_mpa_l1_extract.argtypes = [
-            c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             c_f64p, c_f32p]
         lib.sh_mpa_l2_extract.restype = ctypes.c_int32
         lib.sh_mpa_l2_extract.argtypes = [
-            c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, c_i32p, c_f64p, c_f32p]
     except AttributeError:
         pass  # older .so without the L1/L2 stage
@@ -486,16 +486,19 @@ def mp3_dense_granule(x: np.ndarray, bt: int, mixed: bool,
 
 def mp3_polyphase(S: np.ndarray):
     """Native polyphase: [T, 32] subband samples -> [(T+15)*32] response
-    (Layer I/II per-packet path). Returns None if unavailable."""
+    (Layer I/II per-packet path). Returns None if unavailable. The
+    returned array is POOLED — callers must copy out what they keep
+    before the next call (the L12 synthesize path already does)."""
     lib = _load()
     if lib is None or not _mp3_ensure_dense(lib):
         return None
     T = S.shape[0]
-    S = np.ascontiguousarray(S, dtype=np.float32)
-    resp = np.empty((T + 15) * 32, dtype=np.float32)
     f32p = ctypes.POINTER(ctypes.c_float)
-    rc = lib.sh_mp3_polyphase(S.ctypes.data_as(f32p), T,
-                              resp.ctypes.data_as(f32p))
+    Sbuf, p_S = _pooled_ptr(("l12_S", T), (T, 32), np.float32, f32p)
+    np.copyto(Sbuf, S)
+    resp, p_resp = _pooled_ptr(("l12_resp", T), ((T + 15) * 32,),
+                               np.float32, f32p)
+    rc = lib.sh_mp3_polyphase(p_S, T, p_resp)
     return resp if rc == 0 else None
 
 
@@ -1223,7 +1226,8 @@ def ms_decode_nibbles(nibbles, c1, c2, delta, s1, s2, out) -> bool:
     return True
 
 
-_L12_SF_CACHE: "Optional[tuple]" = None  # (source array ref, f64 copy)
+_L12_SF_CACHE: "Optional[tuple]" = None  # (source ref, f64 copy, ptr)
+_L12_ROWS_CACHE: "Optional[tuple]" = None  # (source ref, i32 copy, ptr)
 
 
 def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
@@ -1235,31 +1239,39 @@ def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
     lib = _load()
     if lib is None or not hasattr(lib, "sh_mpa_l1_extract"):
         return None
-    a = np.frombuffer(data, dtype=np.uint8)
-    # The scale-factor table is identical every packet: single-slot cache
-    # of the f64 copy, keyed by object identity WITH the source kept
-    # alive (a bare id() key could alias a recycled address).
-    if _L12_SF_CACHE is not None and _L12_SF_CACHE[0] is sf_table:
-        sf = _L12_SF_CACHE[1]
-    else:
-        sf = np.ascontiguousarray(sf_table, dtype=np.float64)
-        _L12_SF_CACHE = (sf_table, sf)
     f64p = ctypes.POINTER(ctypes.c_double)
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    if layer == 1:
-        out = np.zeros((2, 384), dtype=np.float32)
-        r = lib.sh_mpa_l1_extract(_u8ptr(a), len(a), ctypes.c_int32(n_ch),
-                                  ctypes.c_int32(bound),
-                                  sf.ctypes.data_as(f64p),
-                                  out.ctypes.data_as(f32p))
+    # The scale-factor / band-row tables are identical every packet:
+    # single-slot caches of the converted copy + its ctypes pointer,
+    # keyed by object identity WITH the source kept alive (a bare id()
+    # key could alias a recycled address).
+    if _L12_SF_CACHE is not None and _L12_SF_CACHE[0] is sf_table:
+        p_sf = _L12_SF_CACHE[2]
     else:
-        out = np.zeros((2, 1152), dtype=np.float32)
-        rows = np.ascontiguousarray(band_rows, dtype=np.int32)
-        r = lib.sh_mpa_l2_extract(_u8ptr(a), len(a), ctypes.c_int32(n_ch),
+        sf = np.ascontiguousarray(sf_table, dtype=np.float64)
+        _L12_SF_CACHE = (sf_table, sf, sf.ctypes.data_as(f64p))
+        p_sf = _L12_SF_CACHE[2]
+    # Pooled output (callers copy out via _synthesize before the next
+    # call); zero-filled each call — uncoded regions rely on it.
+    out, p_out = _pooled_ptr(("l12_out", layer == 1),
+                             (2, 384 if layer == 1 else 1152),
+                             np.float32, f32p)
+    out.fill(0.0)
+    if layer == 1:
+        r = lib.sh_mpa_l1_extract(data, len(data), ctypes.c_int32(n_ch),
+                                  ctypes.c_int32(bound), p_sf, p_out)
+    else:
+        global _L12_ROWS_CACHE
+        if _L12_ROWS_CACHE is not None and _L12_ROWS_CACHE[0] is band_rows:
+            p_rows = _L12_ROWS_CACHE[2]
+        else:
+            rows = np.zeros(32, dtype=np.int32)
+            rows[: len(band_rows)] = band_rows
+            _L12_ROWS_CACHE = (band_rows, rows, rows.ctypes.data_as(i32p))
+            p_rows = _L12_ROWS_CACHE[2]
+        r = lib.sh_mpa_l2_extract(data, len(data), ctypes.c_int32(n_ch),
                                   ctypes.c_int32(bound),
                                   ctypes.c_int32(sblimit),
-                                  rows.ctypes.data_as(i32p),
-                                  sf.ctypes.data_as(f64p),
-                                  out.ctypes.data_as(f32p))
+                                  p_rows, p_sf, p_out)
     return out if r == 0 else None
