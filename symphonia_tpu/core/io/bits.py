@@ -213,17 +213,20 @@ class BitReaderRtl:
 
         if count <= 0:
             return np.zeros(0, dtype=np.int64)
-        if count * width < 256:  # unpackbits overhead beats tiny loops
-            return np.fromiter(
-                (self.read_bits(width) for _ in range(count)),
-                dtype=np.int64, count=count)
         total = width * count
         start = self.bits_read()
         if start + total > len(self._data) * 8:
+            # Same exhausted end state on both size paths (the sequential
+            # loop would stop mid-way; callers treat EndOfStream as fatal
+            # either way, but keep the state path-independent).
             self._pos = len(self._data)
             self._buf = 0
             self._cnt = 0
             raise EndOfStream("bitstream exhausted")
+        if total < 256:  # unpackbits overhead beats tiny loops
+            return np.fromiter(
+                (self.read_bits(width) for _ in range(count)),
+                dtype=np.int64, count=count)
         b0 = start // 8
         b1 = (start + total + 7) // 8
         bits = np.unpackbits(

@@ -511,7 +511,10 @@ class Mp3Stream:
         self._ctx = ctx
         # (key, pcm_ptr, hybrid_ptr, synth_ptr, strong refs): the decoder
         # passes the same three arrays every call; building the ctypes
-        # pointers once keeps the per-packet call overhead flat.
+        # pointers once keeps the per-packet call overhead flat. The
+        # cache assumes a live array's data pointer never moves — callers
+        # must not resize(refcheck=False) the cached arrays (the decoder
+        # only ever writes them in place).
         self._ptr_cache = None
 
     def __del__(self):
@@ -565,6 +568,7 @@ def _pooled(key, shape, dtype):
     if arr is None or arr.shape != shape or arr.dtype != dtype:
         arr = np.empty(shape, dtype)
         _POOL[key] = arr
+        _PTRS.pop(key, None)  # keep _pooled_ptr's cache coherent
     return arr
 
 
@@ -573,13 +577,19 @@ _PTRS = {}
 
 def _pooled_ptr(key, shape, dtype, ctp):
     """_pooled plus a cached ctypes pointer (the data_as/cast dance costs
-    ~3 us per array; the per-packet fast paths call in a tight loop)."""
+    ~3 us per array; the per-packet fast paths call in a tight loop).
+    Safe to interleave with _pooled on the same key: reallocation by
+    either helper invalidates/refreshes the pointer entry."""
     arr = _POOL.get(key)
+    ptr = _PTRS.get(key)
     if arr is None or arr.shape != shape or arr.dtype != dtype:
         arr = np.empty(shape, dtype)
         _POOL[key] = arr
-        _PTRS[key] = arr.ctypes.data_as(ctp)
-    return arr, _PTRS[key]
+        ptr = None
+    if ptr is None:
+        ptr = arr.ctypes.data_as(ctp)
+        _PTRS[key] = ptr
+    return arr, ptr
 
 
 def flac_stream_extract(buf: bytes, si, n_max: int, max_frames: int):
