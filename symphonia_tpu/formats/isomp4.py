@@ -880,6 +880,10 @@ class IsoMp4Reader(FormatReader):
             starts = [s[0] for s in self._sidx_segments]
             seg = max(0, int(np.searchsorted(starts, ts_sidx, side="right")) - 1)
             self._ensure_fragments_loaded(seg)
+        if len(track.ts) == 0:
+            # A track with no samples (fragmented file whose moofs were
+            # all malformed, or an empty stbl) has nothing to seek to.
+            raise SeekError("track has no samples")
         i = int(np.searchsorted(track.ts, ts, side="right")) - 1
         i = max(0, i)
         for t in self._tracks:

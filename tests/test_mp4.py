@@ -663,3 +663,17 @@ class TestSidxBounds:
             got.append(p.data)
         # Later fragments still decode; the zeroed one contributes nothing.
         assert got == frames[2:]
+
+
+class TestSeekEmptyTrack:
+    def test_seek_no_samples_raises_seek_error(self):
+        """A track with zero samples (empty stbl / all-malformed moofs)
+        must raise SeekError, not a raw IndexError (soak find)."""
+        from symphonia_tpu.core.errors import SeekError
+        from symphonia_tpu.core.formats import SeekTo
+        from symphonia_tpu.formats.isomp4 import IsoMp4Reader
+
+        data = build_m4a([], rate=44100, n_ch=1)
+        r = IsoMp4Reader(MediaSourceStream(data))
+        with pytest.raises(SeekError):
+            r.seek("accurate", SeekTo(ts=1000))

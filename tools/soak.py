@@ -224,6 +224,34 @@ def main():
             self.i += len(out)
             return out
 
+    def seek_pass(data: bytes, rng) -> None:
+        """Randomized seek + short redecode on a seekable source. Seeks on
+        mutated containers stress index math / re-sync; only taxonomy
+        errors are acceptable."""
+        from symphonia_tpu.core.io import MediaSourceStream
+
+        fmt = sym.get_probe().probe(MediaSourceStream(data)).format
+        tr = fmt.default_track()
+        if tr is None or tr.codec_params is None:
+            return
+        dec = sym.get_codecs().make_audio_decoder(tr.codec_params)
+        span = tr.num_frames or 200000
+        for _ in range(4):
+            ts = int(rng.integers(0, max(1, int(span * 1.1))))
+            try:
+                fmt.seek("accurate", sym.SeekTo(ts=ts))
+            except ok_errors:
+                continue
+            dec.reset()
+            for _ in range(3):
+                pkt = fmt.next_packet()
+                if pkt is None:
+                    break
+                try:
+                    dec.decode(pkt)
+                except ok_errors:
+                    break
+
     def decode_pipe(data: bytes) -> int:
         from symphonia_tpu.core.io import MediaSourceStream
 
@@ -266,6 +294,11 @@ def main():
             if k == 1:  # one mutated variant also runs the pipe surface
                 try:
                     decode_pipe(variant)
+                except ok_errors:
+                    pass
+            if k == 2:  # the other mutated variant runs the seek surface
+                try:
+                    seek_pass(variant, rng)
                 except ok_errors:
                     pass
             if time.time() - t1 > 10.0:
