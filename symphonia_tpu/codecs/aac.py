@@ -758,7 +758,8 @@ class AacDecoder(AudioDecoder):
             self.asc.sample_rate
         )
         self.spec = AudioSpec(
-            self.asc.sample_rate, Channels.from_count(self.asc.n_channels)
+            self.asc.sample_rate,
+            self.asc.channels or Channels.from_count(self.asc.n_channels),
         )
         self.dsp = Dsp()
         self.pairs: List[ChannelPair] = []

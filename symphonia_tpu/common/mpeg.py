@@ -10,6 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+from ..core.audio import Channels, Position
 from ..core.errors import DecodeError, Unsupported
 from ..core.io.bits import BitReaderLtr
 
@@ -25,6 +26,31 @@ SAMPLE_RATES = [
     16000, 12000, 11025, 8000, 7350,
 ]
 
+# Channel-configuration index -> positioned speaker layout, mirroring
+# get_mpeg4_audio_channels_by_config_index (mpeg/audio/mod.rs:201-213).
+# Index 4 is front C/L/R + rear center (AAC_4P0) and index 7 is the
+# 7.1-wide layout (front left/right-of-center, not sides) — both differ
+# from the generic n-channel defaults.
+_CONFIG_LAYOUTS = {
+    1: Position.MONO,
+    2: Position.STEREO,
+    3: Position.STEREO | Position.FRONT_CENTER,
+    4: Position.STEREO | Position.FRONT_CENTER | Position.REAR_CENTER,
+    5: Position.STEREO | Position.FRONT_CENTER
+    | Position.REAR_LEFT | Position.REAR_RIGHT,
+    6: Position.STEREO | Position.FRONT_CENTER | Position.LFE1
+    | Position.REAR_LEFT | Position.REAR_RIGHT,
+    7: Position.STEREO | Position.FRONT_CENTER | Position.LFE1
+    | Position.REAR_LEFT | Position.REAR_RIGHT
+    | Position.FRONT_LEFT_CENTER | Position.FRONT_RIGHT_CENTER,
+}
+
+
+def channels_for_config(ch_config: int) -> Optional[Channels]:
+    """AAC channel layout for a channel-configuration index (1-7)."""
+    mask = _CONFIG_LAYOUTS.get(ch_config)
+    return Channels(mask=mask) if mask is not None else None
+
 
 @dataclass
 class AudioSpecificConfig:
@@ -33,6 +59,7 @@ class AudioSpecificConfig:
     n_channels: int
     samples: int = 1024
     sbr_present: bool = False
+    channels: Optional[Channels] = None  # positioned layout when known
 
     @staticmethod
     def read(buf: bytes) -> "AudioSpecificConfig":
@@ -72,6 +99,7 @@ class AudioSpecificConfig:
             n_channels=channels,
             samples=960 if short_frame else 1024,
             sbr_present=sbr,
+            channels=channels_for_config(ch_config),
         )
 
     @staticmethod

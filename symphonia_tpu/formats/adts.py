@@ -109,10 +109,16 @@ class AdtsReader(FormatReader):
         self._cursor = 0
 
         asc = AudioSpecificConfig.build(profile + 1, rate, channels)
+        # `channels` is the raw ADTS channel-configuration index, not a
+        # count: config 7 means 8 channels, and configs 4/7 carry
+        # non-default speaker layouts (mpeg/audio/mod.rs:201-213).
+        from ..common.mpeg import channels_for_config
+
         params = AudioCodecParameters(
             codec=CODEC_ID_AAC,
             sample_rate=rate,
-            channels=Channels.from_count(channels),
+            channels=channels_for_config(channels)
+            or Channels.from_count(channels),
             max_frames_per_packet=SAMPLES_PER_FRAME,
             extra_data=asc,
         )

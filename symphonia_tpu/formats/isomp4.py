@@ -180,6 +180,7 @@ class Mp4Track:
     n_channels: int = 0
     bits_per_sample: Optional[int] = None
     extra_data: Optional[bytes] = None
+    ch_layout: Optional[object] = None  # positioned Channels when known (ASC)
     # Expanded sample table.
     offsets: Optional[np.ndarray] = None
     sizes: Optional[np.ndarray] = None
@@ -307,7 +308,8 @@ class IsoMp4Reader(FormatReader):
             params = AudioCodecParameters(
                 codec=t.codec,
                 sample_rate=t.sample_rate or t.timescale,
-                channels=Channels.from_count(t.n_channels) if t.n_channels else None,
+                channels=t.ch_layout
+                or (Channels.from_count(t.n_channels) if t.n_channels else None),
                 bits_per_sample=t.bits_per_sample,
                 extra_data=t.extra_data,
             )
@@ -444,6 +446,7 @@ class IsoMp4Reader(FormatReader):
                             parsed = AudioSpecificConfig.read(asc)
                             t.sample_rate = parsed.sample_rate
                             t.n_channels = parsed.n_channels
+                            t.ch_layout = parsed.channels
                         except Exception:
                             pass
                         # .mp3-in-mp4 signals via object type in esds; the

@@ -347,6 +347,43 @@ def build_raw_block(
     return bw.to_bytes()
 
 
+def build_raw_block_elements(
+    layout: Sequence[str],
+    channel_quants: List[np.ndarray],
+    seqs: Sequence[int],
+    max_sfb: int,
+    global_gain: int,
+    rate: int,
+) -> bytes:
+    """Multi-element raw_data_block for surround layouts: `layout` is a
+    sequence of "sce"/"cpe"/"lfe" element kinds consuming channel_quants
+    (and seqs) in order — e.g. ("sce", "cpe", "cpe", "lfe") is the 5.1
+    channel-configuration-6 element order (aac/mod.rs:126-223)."""
+    bw = BitWriter()
+    ch = 0
+    tags = {"sce": 0, "cpe": 0, "lfe": 0}
+    for kind in layout:
+        if kind == "cpe":
+            bw.write(1, 3)
+            bw.write(tags["cpe"], 4)
+            bw.write(0, 1)  # not common_window
+            encode_ics(bw, channel_quants[ch], seqs[ch], max_sfb,
+                       global_gain, rate)
+            encode_ics(bw, channel_quants[ch + 1], seqs[ch + 1], max_sfb,
+                       global_gain, rate)
+            ch += 2
+        else:
+            bw.write(0 if kind == "sce" else 3, 3)
+            bw.write(tags[kind], 4)
+            encode_ics(bw, channel_quants[ch], seqs[ch], max_sfb,
+                       global_gain, rate)
+            ch += 1
+        tags[kind] += 1
+    assert ch == len(channel_quants)
+    bw.write(7, 3)  # END
+    return bw.to_bytes()
+
+
 _SR_IDX = {96000: 0, 88200: 1, 64000: 2, 48000: 3, 44100: 4, 32000: 5,
            24000: 6, 22050: 7, 16000: 8, 12000: 9, 11025: 10, 8000: 11}
 

@@ -23,6 +23,7 @@ from symphonia_tpu.formats.adts import AdtsReader
 from aac_builder import (
     build_adts,
     build_raw_block,
+    build_raw_block_elements,
     random_quant_spectrum,
     reference_synthesis,
 )
@@ -460,6 +461,71 @@ class TestDeviceDequantLookup:
         v = np.where(q < 0, -v, v).astype(np.float32)
         expect = np.where((deq == 0)[:, None], v, coeffs)
         np.testing.assert_array_equal(got, expect)
+
+
+class TestSurroundLayouts:
+    """Multi-element raw_data_blocks (channel configs 6 and 7): the
+    SCE/CPE/LFE element loop beyond mono/stereo, the native per-packet
+    path at >2 channels, and the config->layout mapping
+    (mpeg/audio/mod.rs:201-213 — config 7 is EIGHT channels)."""
+
+    def _stream_5p1(self, n_frames=8, seed=11):
+        rng = np.random.default_rng(seed)
+        frames = []
+        for f in range(n_frames):
+            seqs = [[0, 1, 2, 3][(f + c) % 4] for c in range(6)]
+            quants = [random_quant_spectrum(rng, 14, RATE, seq=s)
+                      for s in seqs]
+            frames.append(build_raw_block_elements(
+                ("sce", "cpe", "cpe", "lfe"), quants, seqs, 14, GAIN, RATE))
+        return build_adts(frames, RATE, 6)
+
+    def test_5p1_track_layout(self):
+        from symphonia_tpu.core.audio import Position
+
+        r = AdtsReader(MediaSourceStream(self._stream_5p1(2)))
+        ch = r.default_track().codec_params.channels
+        assert ch.count == 6
+        assert ch.mask == (Position.STEREO | Position.FRONT_CENTER
+                           | Position.LFE1 | Position.REAR_LEFT
+                           | Position.REAR_RIGHT)
+
+    def test_5p1_native_matches_oracle(self, monkeypatch):
+        from symphonia_tpu import native
+
+        data = self._stream_5p1()
+        monkeypatch.delenv("SYMPHONIA_TPU_AAC_STREAM", raising=False)
+        r = AdtsReader(MediaSourceStream(data))
+        dec = AacDecoder(r.default_track().codec_params)
+        outs = []
+        while (p := r.next_packet()) is not None:
+            outs.append(dec.decode(p).planes().copy())
+        a = np.concatenate(outs, axis=1)
+        if native.available():
+            # Engagement proof: a silent fallback would flip _native off.
+            assert dec._native
+        monkeypatch.setenv("SYMPHONIA_TPU_AAC_STREAM", "off")
+        b, _ = decode_adts(data)
+        assert a.shape == b.shape == (6, 8 * 1024)
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() <= 1e-4 * scale
+
+    def test_config7_is_eight_channels(self):
+        """ADTS channel config 7 -> 8 channels, 7.1-wide positions."""
+        from symphonia_tpu.core.audio import Position
+
+        rng = np.random.default_rng(3)
+        quants = [random_quant_spectrum(rng, 20, RATE) for _ in range(8)]
+        frame = build_raw_block_elements(
+            ("sce", "cpe", "cpe", "cpe", "lfe"), quants, [0] * 8, 20,
+            GAIN, RATE)
+        data = build_adts([frame] * 3, RATE, 7)
+        r = AdtsReader(MediaSourceStream(data))
+        ch = r.default_track().codec_params.channels
+        assert ch.count == 8
+        assert ch.mask & Position.FRONT_LEFT_CENTER
+        out, _ = decode_adts(data)
+        assert out.shape == (8, 3 * 1024)
 
 
 class TestPerPacketNativeStream:
