@@ -81,6 +81,13 @@ def replay_flac() -> int:
                     for simd in (False, True):
                         native.flac_extract(buf, offs, sizes, si,
                                             si.block_len_max, use_simd=simd)
+                    # Per-packet full-frame decode (sh_flac_decode_frame).
+                    for o, s in zip(offs[:8], sizes[:8]):
+                        native.flac_decode_frame(buf[o : o + s], si,
+                                                 verify_crc=True)
+                # Single-pass demux+extract (sh_flac_stream_extract).
+                native.flac_stream_extract(buf, si, si.block_len_max,
+                                           len(buf) // 8 + 16)
                 n += 1
             except _ERRS:
                 pass
@@ -104,6 +111,103 @@ def replay_mp3() -> int:
                 native.mp3_extract(reader._buf, reader._offsets,
                                    reader._sizes,
                                    max_granules=2 * len(reader._offsets) + 2)
+                # Per-packet stateful stream path (sh_mp3_stream_decode,
+                # carried bit reservoir in C++) + the Python fallback on
+                # frames the native walk rejects — same loop the
+                # AudioDecoder runs.
+                _per_packet_decode(reader)
+                n += 1
+            except _ERRS:
+                pass
+    return n
+
+
+def _per_packet_decode(reader, max_pkts: int = 64) -> None:
+    """Drive the real AudioDecoder per-packet over a reader's track —
+    the same surface tools/play.py uses, native fast paths included."""
+    import symphonia_tpu as sym
+
+    track = reader.default_track()
+    if track is None or track.codec_params is None:
+        return
+    dec = sym.get_codecs().make_audio_decoder(track.codec_params)
+    for _ in range(max_pkts):
+        pkt = reader.next_packet()
+        if pkt is None:
+            break
+        try:
+            dec.decode(pkt)
+        except _ERRS:
+            pass
+
+
+def replay_l12() -> int:
+    from test_layer12 import build_l1_frame, build_l2_frame
+    from symphonia_tpu.codecs.mpa_layer12 import (QUANT_CLASS, SB_INFO,
+                                                  SB_QUANT_INFO)
+    from symphonia_tpu.core.formats import FormatOptions
+    from symphonia_tpu.formats.mpa import MpaReader
+
+    rng = np.random.default_rng(600)
+    l1_frames = []
+    for _ in range(4):
+        # Keep within the fixed 448 kbps frame: 12 active subbands.
+        allocs = [[int(rng.integers(2, 16)) if sb < 12 else 0
+                   for sb in range(32)]]
+        raws = [[[int(rng.integers(0, 1 << max(1, b - 1)))
+                  for _ in range(12)] for b in allocs[0]]]
+        sfi = [[int(rng.integers(0, 60)) for _ in range(32)]]
+        l1_frames.append(build_l1_frame(raws, allocs, sfi)[0])
+    sblimit, rows = SB_INFO[1]
+    l2_frames = []
+    for _ in range(4):
+        alloc = [int(rng.integers(0, 4)) for _ in range(sblimit)]
+        sf0 = [int(rng.integers(0, 60)) for _ in range(sblimit)]
+        samples = {}
+        for sb in range(sblimit):
+            ci = alloc[sb]
+            if not ci:
+                continue
+            _, _, grouping, bits, nlevels = QUANT_CLASS[
+                SB_QUANT_INFO[rows[sb]][1][ci]]
+            for gr in range(12):
+                if grouping:
+                    samples[(sb, gr)] = int(rng.integers(0, nlevels ** 3))
+                else:
+                    samples[(sb, gr)] = [int(rng.integers(0, nlevels))
+                                         for _ in range(3)]
+        l2_frames.append(build_l2_frame(alloc, sf0, samples)[0])
+    n = 0
+    for fi, clean in enumerate((b"".join(l1_frames), b"".join(l2_frames))):
+        for data in _variants(clean, seed=600 + fi):
+            try:
+                reader = MpaReader(MediaSourceStream(data), FormatOptions())
+                _per_packet_decode(reader)
+                n += 1
+            except _ERRS:
+                pass
+    return n
+
+
+def replay_adpcm() -> int:
+    from test_adpcm import make_adpcm_wav
+    from symphonia_tpu.formats.wav import WavReader
+
+    rng = np.random.default_rng(700)
+    fixtures = []
+    for tag, ba in ((0x02, 512), (0x11, 1024)):  # MS, IMA (mono)
+        n_blocks = 6
+        fpb = (ba - 7) * 2 + 2 if tag == 0x02 else (ba - 4) * 2 + 1
+        payload = rng.integers(0, 256, size=ba * n_blocks,
+                               dtype=np.uint8).tobytes()
+        fixtures.append(make_adpcm_wav(payload, tag, ba, fpb,
+                                       fpb * n_blocks))
+    n = 0
+    for fi, clean in enumerate(fixtures):
+        for data in _variants(clean, seed=700 + fi):
+            try:
+                reader = WavReader(MediaSourceStream(data))
+                _per_packet_decode(reader)
                 n += 1
             except _ERRS:
                 pass
@@ -223,7 +327,8 @@ def main() -> None:
     print(f"[asan_replay] native .so: {so}")
     for name, fn in (("flac", replay_flac), ("mp3", replay_mp3),
                      ("aac", replay_aac), ("vorbis", replay_vorbis),
-                     ("alac", replay_alac)):
+                     ("alac", replay_alac), ("l12", replay_l12),
+                     ("adpcm", replay_adpcm)):
         n = fn()
         print(f"[asan_replay] {name}: {n} native-stage replays survived")
     print("[asan_replay] done (ASAN-clean if this process exits 0)")
