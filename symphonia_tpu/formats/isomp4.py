@@ -50,6 +50,18 @@ _CONTAINERS = {
     b"dinf", b"mvex", b"moof", b"traf",
 }
 
+# DoS bounds for trun sample-row materialization. Zero-size samples
+# consume no stream bytes, so byte anchors cannot bound them — and each
+# row costs real list/scheduling work (a soak-found 2 KB pipe input
+# claimed 5x5.7M zero-size samples: 29 s). No real audio stream carries
+# more than a handful of empty samples.
+_TRUN_EMPTY_SAMPLE_CAP = 1 << 16
+# On a pipe the stream length is unknown (a 16 MiB size is assumed), so
+# byte anchors alone still admit millions of 1-byte samples; cap the
+# cumulative materialized rows instead (2M samples = 12+ h of 48 kHz AAC
+# — far beyond any real streamed program).
+_PIPE_SAMPLE_CAP = 1 << 21
+
 
 class _RangeView:
     """Sparse read-through view of a seekable stream.
@@ -279,6 +291,8 @@ class IsoMp4Reader(FormatReader):
                 t = self._parse_trak(buf, b, e)
                 if t is not None and t.codec is not None:
                     self._tracks.append(t)
+            elif atype == b"mvex":
+                self._parse_mvex(buf, b, e)
             elif atype == b"udta":
                 self._parse_udta(buf, b, e)
 
@@ -490,13 +504,21 @@ class IsoMp4Reader(FormatReader):
             uniform = int.from_bytes(buf[stsz[0] + 4 : stsz[0] + 8], "big")
             count = int.from_bytes(buf[stsz[0] + 8 : stsz[0] + 12], "big")
             if uniform:
-                # DoS bound: a sample needs at least one byte, so the file
-                # size caps the count a crafted uniform-size stsz can claim
-                # (a mutated count drove a 117 s np.full in the soak).
-                # Pipe readers set _stsz_byte_bound (file size unknown).
+                # DoS bound: count samples of `uniform` bytes each must fit
+                # the file, so the file size caps the count a crafted
+                # uniform-size stsz can claim (a mutated count drove a
+                # 117 s np.full in the soak). Pipe readers set
+                # _stsz_byte_bound (file size unknown) and additionally cap
+                # the row count — their per-sample scheduling loop is what
+                # a crafted count would actually drive.
+                pipe_bound = getattr(self, "_stsz_byte_bound", None)
                 if byte_bound is None:
-                    byte_bound = getattr(self, "_stsz_byte_bound", None)
-                if count > (byte_bound if byte_bound is not None else len(buf)):
+                    byte_bound = pipe_bound
+                bound = (byte_bound if byte_bound is not None
+                         else len(buf)) // uniform
+                if pipe_bound is not None:
+                    bound = min(bound, _PIPE_SAMPLE_CAP)
+                if count > bound:
                     raise DecodeError("isomp4: stsz count exceeds stream")
                 sizes = np.full(count, uniform, dtype=np.int64)
             else:
@@ -623,6 +645,21 @@ class IsoMp4Reader(FormatReader):
             self._parse_fragments(self._buf, lo, min(hi, len(self._buf)))
             self._frag_loaded += 1
 
+    def _parse_mvex(self, buf, lo: int, hi: int) -> None:
+        """Record per-track trex defaults (trex.rs): fragments whose tfhd
+        omits default duration/size inherit them from here (resolution
+        order is trun > tfhd > trex)."""
+        defaults = getattr(self, "_trex_defaults", None)
+        if defaults is None:
+            defaults = self._trex_defaults = {}
+        for atype, b, e in iter_atoms(buf, lo, hi):
+            if atype != b"trex" or e - b < 24:
+                continue
+            track_id = int.from_bytes(buf[b + 4 : b + 8], "big")
+            dur = int.from_bytes(buf[b + 12 : b + 16], "big")
+            size = int.from_bytes(buf[b + 16 : b + 20], "big")
+            defaults[track_id] = (dur, size)
+
     def _parse_fragments(self, buf, lo: int = 0, hi: Optional[int] = None) -> None:
         """Minimal moof/traf/trun support (fragmented MP4, stream.rs:83)."""
         if hi is None:
@@ -647,8 +684,8 @@ class IsoMp4Reader(FormatReader):
                     pos += 8
                 if flags & 0x2:
                     pos += 4
-                default_dur = 0
-                default_size = 0
+                default_dur, default_size = getattr(
+                    self, "_trex_defaults", {}).get(track_id, (0, 0))
                 if flags & 0x8:
                     default_dur = int.from_bytes(buf[pos : pos + 4], "big")
                     pos += 4
@@ -680,12 +717,33 @@ class IsoMp4Reader(FormatReader):
                         if cnt > (re_ - pos2) // entry_sz:
                             raise DecodeError("isomp4: truncated trun table")
                     else:
-                        # Pipe views report a sentinel length; use the
-                        # explicit bound there (see _stsz_byte_bound).
+                        # No per-sample fields: the trun's own bytes can't
+                        # bound the count. Pipe views report a sentinel
+                        # length; use the explicit bound there (see
+                        # _stsz_byte_bound). Each sample then claims
+                        # default_size stream bytes — and when that is 0,
+                        # byte anchors bound nothing, so empty samples get
+                        # a small cumulative cap of their own.
                         cap = getattr(self, "_stsz_byte_bound", None)
-                        if cnt > (cap if cap is not None else len(buf)):
+                        if default_size:
+                            bound = ((cap if cap is not None else len(buf))
+                                     // default_size)
+                            if cap is not None:  # pipe: length is assumed
+                                used = getattr(self, "_trun_samples", 0)
+                                bound = min(bound, _PIPE_SAMPLE_CAP - used)
+                        else:
+                            used = getattr(self, "_empty_trun_samples", 0)
+                            bound = _TRUN_EMPTY_SAMPLE_CAP - used
+                        if cnt > max(0, bound):
                             raise DecodeError(
                                 "isomp4: trun count exceeds stream")
+                        if default_size:
+                            if cap is not None:
+                                self._trun_samples = getattr(
+                                    self, "_trun_samples", 0) + cnt
+                        else:
+                            self._empty_trun_samples = getattr(
+                                self, "_empty_trun_samples", 0) + cnt
                     offs, szs, drs = [], [], []
                     cur = base_offset + data_off
                     for _ in range(cnt):
@@ -1080,6 +1138,8 @@ class Mp4StreamReader(IsoMp4Reader):
                 t = self._parse_trak(self._view, b, e)
                 if t is not None and t.codec is not None:
                     self._tracks.append(t)
+            elif atype == b"mvex":
+                self._parse_mvex(self._view, b, e)
             elif atype == b"udta":
                 self._parse_udta(self._view, b, e)
         self._moov_parsed = True

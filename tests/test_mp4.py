@@ -140,7 +140,7 @@ class TestMp4Aac:
 
 
 def build_fmp4(frames, rate=44100, n_ch=1, frag_size=4,
-               with_sidx=False) -> bytes:
+               with_sidx=False, sizes_in_trex=False) -> bytes:
     """Minimal fragmented MP4: moov with empty sample tables + mvex, then
     one moof/mdat pair per ``frag_size`` frames; with_sidx inserts a
     segment index referencing each moof+mdat subsegment."""
@@ -169,7 +169,12 @@ def build_fmp4(frames, rate=44100, n_ch=1, frag_size=4,
     mdia = atom(b"mdia", mdhd + minf)
     tkhd = full_atom(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 72)
     trak = atom(b"trak", tkhd + mdia)
-    trex = full_atom(b"trex", struct.pack(">IIIII", 1, 1, 1024, 0, 0))
+    # sizes_in_trex: carry duration AND size only in trex (tfhd/trun bare)
+    # — requires uniform frame sizes.
+    trex_size = len(frames[0]) if sizes_in_trex else 0
+    if sizes_in_trex:
+        assert all(len(f) == trex_size for f in frames)
+    trex = full_atom(b"trex", struct.pack(">IIIII", 1, 1, 1024, trex_size, 0))
     mvex = atom(b"mvex", trex)
     mvhd = full_atom(b"mvhd", struct.pack(">III", 0, 0, rate) + b"\x00" * 88)
     moov = atom(b"moov", mvhd + trak + mvex)
@@ -182,12 +187,19 @@ def build_fmp4(frames, rate=44100, n_ch=1, frag_size=4,
         grp = frames[i : i + frag_size]
         mfhd = full_atom(b"mfhd", struct.pack(">I", seq))
         seq += 1
-        # tfhd: default-sample-duration present (0x8)
-        tfhd = full_atom(b"tfhd", struct.pack(">II", 1, 1024), flags=0x8)
-        # trun: data-offset (0x1) + sample-size (0x200)
-        sizes = b"".join(struct.pack(">I", len(f)) for f in grp)
-        trun_payload = struct.pack(">I", len(grp)) + struct.pack(">i", 0) + sizes
-        trun = full_atom(b"trun", trun_payload, flags=0x201)
+        if sizes_in_trex:
+            # tfhd: track_id only; trun: data-offset only — duration and
+            # size both resolve through the trex defaults.
+            tfhd = full_atom(b"tfhd", struct.pack(">I", 1), flags=0)
+            trun_payload = struct.pack(">I", len(grp)) + struct.pack(">i", 0)
+            trun = full_atom(b"trun", trun_payload, flags=0x1)
+        else:
+            # tfhd: default-sample-duration present (0x8)
+            tfhd = full_atom(b"tfhd", struct.pack(">II", 1, 1024), flags=0x8)
+            # trun: data-offset (0x1) + sample-size (0x200)
+            sizes = b"".join(struct.pack(">I", len(f)) for f in grp)
+            trun_payload = struct.pack(">I", len(grp)) + struct.pack(">i", 0) + sizes
+            trun = full_atom(b"trun", trun_payload, flags=0x201)
         traf = atom(b"traf", tfhd + trun)
         moof = atom(b"moof", mfhd + traf)
         # Patch the trun data offset: moof start + moof size + mdat header.
@@ -240,6 +252,56 @@ class TestFragmentedMp4:
         seeked = r.seek("accurate", sym.SeekTo(ts=5000))
         assert seeked.actual_ts == 4096
         assert r.next_packet().ts == 4096
+
+    @staticmethod
+    def _packets(reader):
+        out = []
+        while True:
+            pkt = reader.next_packet()
+            if pkt is None:
+                break
+            out.append((bytes(pkt.data), pkt.ts, pkt.dur))
+        return out
+
+    def test_trex_default_size_and_duration(self):
+        # Duration AND size carried only in trex (tfhd/trun bare): the
+        # trun > tfhd > trex resolution order (trex.rs) must surface the
+        # same packets as the per-sample-size build.
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        frames = [self._frames(1)[0]] * 8  # trex size is per-track uniform
+        want = self._packets(IsoMp4Reader(MediaSourceStream(
+            build_fmp4(frames, frag_size=4))))
+        assert len(want) == 8
+        via_trex = build_fmp4(frames, frag_size=4, sizes_in_trex=True)
+        assert self._packets(
+            IsoMp4Reader(MediaSourceStream(via_trex))) == want
+        assert self._packets(Mp4StreamReader(MediaSourceStream(
+            ForwardPipe(via_trex)))) == want
+
+    def test_trun_sample_flood_bounded(self):
+        # A soak-found 2 KB pipe input claimed millions of zero-size
+        # samples (no per-sample trun fields, default size 0): byte
+        # anchors bound nothing there, and each row costs real scheduling
+        # work (29 s stall). Must be a DecodeError on both readers.
+        from symphonia_tpu.core.errors import DecodeError
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        frames = [self._frames(1)[0]] * 4
+        clean = bytearray(build_fmp4(frames, frag_size=4,
+                                     sizes_in_trex=True))
+        ti = clean.find(b"trun")
+        for trex_size, flood in ((0, 5_000_000), (1, 3_000_000)):
+            data = bytearray(clean)
+            struct.pack_into(">I", data, data.find(b"trex") + 20, trex_size)
+            struct.pack_into(">I", data, ti + 8, flood)
+            with pytest.raises(DecodeError):
+                IsoMp4Reader(MediaSourceStream(bytes(data)))
+            with pytest.raises(DecodeError):
+                self._packets(Mp4StreamReader(MediaSourceStream(
+                    ForwardPipe(bytes(data)))))
 
 
 class TestSidxSeek:
