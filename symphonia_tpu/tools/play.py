@@ -55,9 +55,15 @@ def main(argv=None) -> int:
                     help="decode without output and report realtime speed")
     ap.add_argument("--output", help="write decoded audio to a WAV file")
     ap.add_argument("--seek", type=float, help="seek to time (seconds)")
+    ap.add_argument("--seek-ts", type=int,
+                    help="seek to a timestamp in TimeBase units (main.rs:67)")
     ap.add_argument("--track", type=int, help="track id to decode")
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--verify-only", action="store_true",
+                    help="decode solely to verify, no output (main.rs:99)")
     ap.add_argument("--no-gapless", action="store_true")
+    ap.add_argument("--no-progress", action="store_true",
+                    help="suppress the playback progress line")
     ap.add_argument("--play", action="store_true", help="play via SDL")
     ap.add_argument("--tui", action="store_true",
                     help="curses now-playing UI during --play (ui.rs analog)")
@@ -113,9 +119,12 @@ def main(argv=None) -> int:
 
     if args.seek is not None:
         fmt.seek(SeekMode.ACCURATE, SeekTo(time=sym.Time.from_seconds(args.seek)))
+    elif args.seek_ts is not None:
+        fmt.seek(SeekMode.ACCURATE, SeekTo(ts=args.seek_ts))
 
     dec = sym.get_codecs().make_audio_decoder(
-        track.codec_params, AudioDecoderOptions(verify=args.verify)
+        track.codec_params,
+        AudioDecoderOptions(verify=args.verify or args.verify_only),
     )
     outs = []
     n_samples = 0
@@ -132,13 +141,15 @@ def main(argv=None) -> int:
             print(f"  decode error (skipped packet): {e}", file=sys.stderr)
             continue
         n_samples += buf.frames
-        if not args.decode_only:
+        if not (args.decode_only or args.verify_only):
             outs.append(buf.planes().copy())
     elapsed = time.perf_counter() - t0
 
     fin = dec.finalize()
     if fin.verify_ok is not None:
         print(f"  verification: {'passed' if fin.verify_ok else 'FAILED'}")
+    if args.verify_only:
+        return 0 if fin.verify_ok is not False else 1
 
     rate = track.codec_params.sample_rate or 1
     audio_s = n_samples / rate
@@ -168,7 +179,7 @@ def main(argv=None) -> int:
                     if tag.std_key == "track_title":
                         title = str(tag.value)
             ui = NowPlayingUI(title, info, pcm.shape[1] / rate)
-        _play_sdl(pcm, rate, ui)
+        _play_sdl(pcm, rate, ui, progress=not args.no_progress)
     return 0
 
 
@@ -189,7 +200,7 @@ def _write_wav(path: str, pcm: np.ndarray, rate: int) -> None:
         w.writeframes(inter.tobytes())
 
 
-def _play_sdl(pcm: np.ndarray, rate: int, ui=None) -> None:
+def _play_sdl(pcm: np.ndarray, rate: int, ui=None, progress=True) -> None:
     try:
         import pygame
 
@@ -216,8 +227,16 @@ def _play_sdl(pcm: np.ndarray, rate: int, ui=None) -> None:
                            "stop": pygame.mixer.stop}
             ui.run(ch.get_busy)
         else:
+            total = pcm.shape[1] / rate
+            t0 = time.monotonic()
             while ch.get_busy():
+                if progress:
+                    pos = min(time.monotonic() - t0, total)
+                    print(f"\r  playing {format_time(pos)} / "
+                          f"{format_time(total)} ", end="", flush=True)
                 time.sleep(0.1)
+            if progress:
+                print()
     except Exception as e:  # no audio device etc.
         print(f"  playback unavailable: {e}", file=sys.stderr)
 
