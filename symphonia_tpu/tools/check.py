@@ -37,17 +37,21 @@ class TestResult:
     n_failed_packets: int = 0
     abs_max_delta: float = 0.0
 
-    def print_report(self) -> None:
-        print(f"  samples compared: {self.n_samples}")
-        print(f"  failed samples:   {self.n_failed_samples}")
-        print(f"  abs max delta:    {self.abs_max_delta:.3e}")
+    def print_report(self, quiet: bool = False) -> None:
         ok = self.n_failed_samples == 0
+        if not quiet:
+            print(f"  packets compared: {self.n_packets}")
+            print(f"  failed packets:   {self.n_failed_packets}")
+            print(f"  samples compared: {self.n_samples}")
+            print(f"  failed samples:   {self.n_failed_samples}")
+            print(f"  abs max delta:    {self.abs_max_delta:.3e}")
         print(f"  result:           {'PASS' if ok else 'FAIL'}")
 
 
-def our_decode(data: bytes, gapless: bool):
+def our_decode(data: bytes, gapless: bool, keep_going: bool = False):
     import symphonia_tpu as sym
     from symphonia_tpu.core.codecs import AudioDecoderOptions
+    from symphonia_tpu.core.errors import DecodeError
     from symphonia_tpu.core.formats import FormatOptions
     from symphonia_tpu.core.io import MediaSourceStream
 
@@ -60,17 +64,28 @@ def our_decode(data: bytes, gapless: bool):
         track.codec_params, AudioDecoderOptions(verify=True)
     )
     outs = []
+    spans = []  # (start_frame, n_frames) per decoded packet
+    pos = 0
     while True:
         pkt = fmt.next_packet()
         if pkt is None:
             break
         if pkt.track_id != track.id:
             continue
-        buf = dec.decode(pkt)
+        try:
+            buf = dec.decode(pkt)
+        except DecodeError:
+            # --keep-going: continue after a decode error (main.rs:404);
+            # default aborts the comparison like the reference does.
+            if keep_going:
+                continue
+            raise
         if buf.frames:
             outs.append(buf.to_float().copy())
+            spans.append((pos, buf.frames))
+            pos += buf.frames
     pcm = np.concatenate(outs, axis=1) if outs else np.zeros((1, 0), np.float32)
-    return pcm, track, dec.finalize()
+    return pcm, track, dec.finalize(), spans
 
 
 def sdl_decode(path: str, rate: int, channels: int) -> np.ndarray:
@@ -83,14 +98,19 @@ def sdl_decode(path: str, rate: int, channels: int) -> np.ndarray:
     return (raw.astype(np.float32) / 32768.0).reshape(-1, channels).T
 
 
-def run_check(path: str, tolerance: float = 1e-5, gapless: bool = False) -> int:
+def run_check(path: str, tolerance: float = 1e-5, gapless: bool = False,
+              ref_name: str = "auto", quiet: bool = False,
+              samples: bool = False, first_fail: bool = False,
+              keep_going: bool = False) -> int:
     with open(path, "rb") as f:
         data = f.read()
-    ours, track, fin = our_decode(data, gapless)
+    ours, track, fin, spans = our_decode(data, gapless, keep_going)
     codec = track.codec_params.codec
-    print(f"checking {path} ({codec})")
+    if not quiet:
+        print(f"checking {path} ({codec})")
 
-    if codec == "flac":
+    use_md5 = ref_name == "md5" or (ref_name == "auto" and codec == "flac")
+    if use_md5:
         # Bit-exact whole-stream MD5 self-verification (validate.rs:18).
         if fin.verify_ok is None:
             print("  no STREAMINFO MD5 present; nothing to verify against")
@@ -98,7 +118,9 @@ def run_check(path: str, tolerance: float = 1e-5, gapless: bool = False) -> int:
         print(f"  FLAC MD5 self-verification: {'PASS' if fin.verify_ok else 'FAIL'}")
         return 0 if fin.verify_ok else 2
 
-    if codec in ("mp1", "mp2", "mp3", "vorbis") or codec.startswith(("pcm", "adpcm")):
+    sdl_ok = codec in ("mp1", "mp2", "mp3", "vorbis") or \
+        codec.startswith(("pcm", "adpcm"))
+    if ref_name in ("auto", "sdl") and sdl_ok:
         ref = sdl_decode(path, track.codec_params.sample_rate,
                          track.codec_params.channels.count)
         n = min(ours.shape[1], ref.shape[1])
@@ -110,8 +132,25 @@ def run_check(path: str, tolerance: float = 1e-5, gapless: bool = False) -> int:
             n_failed_samples=int((delta > tol).sum()),
             abs_max_delta=float(delta.max()) if delta.size else 0.0,
         )
-        result.print_report()
-        return 0 if result.n_failed_samples == 0 else 2
+        # Per-packet accounting (main.rs:228-340): a packet fails when any
+        # of its samples exceeds the tolerance.
+        for start, length in spans:
+            if start >= n:
+                break
+            d = delta[:, start : min(start + length, n)]
+            result.n_packets += 1
+            if d.size and float(d.max()) > tol:
+                result.n_failed_packets += 1
+                if samples and not quiet:
+                    bad = np.argwhere(d > tol)
+                    for ch, off in bad[:20]:
+                        print(f"    packet@{start}: ch{ch} frame "
+                              f"{start + int(off)} delta "
+                              f"{float(d[ch, off]):.3e}")
+                if first_fail:
+                    break
+        result.print_report(quiet)
+        return 0 if result.n_failed_packets == 0 else 2
 
     print(f"  no external reference decoder for codec '{codec}'")
     return 1
@@ -122,10 +161,25 @@ def main(argv=None) -> int:
     ap.add_argument("files", nargs="+")
     ap.add_argument("--tolerance", type=float, default=1e-5)
     ap.add_argument("--gapless", action="store_true")
+    ap.add_argument("--no-gapless", action="store_true",
+                    help="disable gapless decoding (reference default here)")
+    ap.add_argument("--ref", choices=["auto", "sdl", "md5"], default="auto",
+                    help="reference oracle (main.rs:410 --ref analog)")
+    ap.add_argument("--samples", action="store_true",
+                    help="print failures per sample (main.rs:384)")
+    ap.add_argument("-f", "--first-fail", action="store_true",
+                    help="stop after the first failed packet (main.rs:390)")
+    ap.add_argument("-q", "--quiet", action="store_true",
+                    help="only print test results (main.rs:397)")
+    ap.add_argument("--keep-going", action="store_true",
+                    help="continue after a decode error (main.rs:404)")
     args = ap.parse_args(argv)
     worst = 0
     for path in args.files:
-        worst = max(worst, run_check(path, args.tolerance, args.gapless))
+        worst = max(worst, run_check(
+            path, args.tolerance, args.gapless and not args.no_gapless,
+            args.ref, args.quiet, args.samples, args.first_fail,
+            args.keep_going))
     return worst
 
 
