@@ -29,6 +29,12 @@ from ..core.codecs import (
     CODEC_ID_MP3,
     CODEC_ID_OPUS,
     AudioCodecParameters,
+    CODEC_ID_PCM_F32BE, CODEC_ID_PCM_F32LE, CODEC_ID_PCM_F64BE,
+    CODEC_ID_PCM_F64LE, CODEC_ID_PCM_S16BE, CODEC_ID_PCM_S16LE,
+    CODEC_ID_PCM_S24BE, CODEC_ID_PCM_S24LE, CODEC_ID_PCM_S32BE,
+    CODEC_ID_PCM_S32LE, CODEC_ID_PCM_S8, CODEC_ID_PCM_U8,
+    CODEC_ID_PCM_U16BE, CODEC_ID_PCM_U16LE, CODEC_ID_PCM_U24BE,
+    CODEC_ID_PCM_U24LE, CODEC_ID_PCM_U32BE, CODEC_ID_PCM_U32LE,
 )
 from ..core.errors import DecodeError, EndOfStream, SeekError, Unsupported
 from ..core.formats import (
@@ -61,6 +67,55 @@ _TRUN_EMPTY_SAMPLE_CAP = 1 << 16
 # cumulative materialized rows instead (2M samples = 12+ h of 48 kHz AAC
 # — far beyond any real streamed program).
 _PIPE_SAMPLE_CAP = 1 << 21
+
+# Version 0/1 PCM sample entries: fourcc -> (codec id, bytes/sample),
+# mirroring pcm_codec_id (stsd.rs:356-367). Packets are coalesced per
+# chunk (every MP4 sample is one PCM frame).
+_MP4_PCM = {
+    b"raw ": (CODEC_ID_PCM_U8, 1),
+    b"twos": (CODEC_ID_PCM_S16BE, 2),
+    b"sowt": (CODEC_ID_PCM_S16LE, 2),
+    b"in24": (CODEC_ID_PCM_S24LE, 3),
+    b"in32": (CODEC_ID_PCM_S32LE, 4),
+    b"fl32": (CODEC_ID_PCM_F32LE, 4),
+    b"fl64": (CODEC_ID_PCM_F64LE, 8),
+}
+
+# Visual sample entries: fourcc -> experimental video codec id
+# (stsd.rs:87-95 VisualSampleEntry arm); tracks are described via
+# other_tracks(), not demuxed, matching the MKV V_* handling.
+_MP4_VIDEO = {
+    b"av01": "av1", b"avc1": "h264", b"dvh1": "hevc", b"dvhe": "hevc",
+    b"hev1": "hevc", b"hvc1": "hevc", b"mp4v": "mpeg4video",
+    b"vp08": "vp8", b"vp09": "vp9",
+}
+
+# Subtitle sample entries (stsd.rs:99-101): tx3g carries MOV timed text.
+_MP4_SUBTITLE = {b"tx3g": "mov_text", b"text": None, b"stpp": None}
+
+
+def _lpcm_codec_id(bits: int, flags: int) -> Optional[str]:
+    """Version-2 `lpcm` sample-format flags -> codec id (stsd.rs:386-430)."""
+    is_float = bool(flags & 0x1)
+    be = bool(flags & 0x2)
+    signed = bool(flags & 0x4)
+    if is_float:
+        return {(32, True): CODEC_ID_PCM_F32BE, (64, True): CODEC_ID_PCM_F64BE,
+                (32, False): CODEC_ID_PCM_F32LE,
+                (64, False): CODEC_ID_PCM_F64LE}.get((bits, be))
+    if signed:
+        if bits == 8:
+            return CODEC_ID_PCM_S8
+        return {(16, True): CODEC_ID_PCM_S16BE, (24, True): CODEC_ID_PCM_S24BE,
+                (32, True): CODEC_ID_PCM_S32BE, (16, False): CODEC_ID_PCM_S16LE,
+                (24, False): CODEC_ID_PCM_S24LE,
+                (32, False): CODEC_ID_PCM_S32LE}.get((bits, be))
+    if bits == 8:
+        return CODEC_ID_PCM_U8
+    return {(16, True): CODEC_ID_PCM_U16BE, (24, True): CODEC_ID_PCM_U24BE,
+            (32, True): CODEC_ID_PCM_U32BE, (16, False): CODEC_ID_PCM_U16LE,
+            (24, False): CODEC_ID_PCM_U24LE,
+            (32, False): CODEC_ID_PCM_U32LE}.get((bits, be))
 
 
 class _RangeView:
@@ -200,6 +255,12 @@ class Mp4Track:
     durs: Optional[np.ndarray] = None
     delay: int = 0  # edit-list media offset in timescale ticks
     duration: int = 0
+    # Experimental video/subtitle description (stsd.rs visual/subtitle
+    # sample entries); the trak is surfaced via other_tracks(), not demuxed.
+    other_params: Optional[object] = None
+    # v0/v1 PCM entries: bytes per PCM frame (all channels); packets
+    # coalesce per chunk in _expand_sample_tables.
+    pcm_frame_bytes: int = 0
 
 
 def _parse_esds(body: bytes) -> Optional[bytes]:
@@ -412,6 +473,15 @@ class IsoMp4Reader(FormatReader):
         if stbl is None:
             return None
         self._parse_stsd(buf, t, stbl)
+        if t.other_params is not None:
+            # Experimental video/subtitle track: describe, don't demux
+            # (matches the MKV V_*/S_* handling via other_tracks()).
+            if not hasattr(self, "_other_tracks"):
+                self._other_tracks: List[Track] = []
+            self._other_tracks.append(Track(
+                id=t.track_id, codec_params=t.other_params,
+                time_base=TimeBase(1, t.timescale or 1)))
+            return None
         self._expand_sample_tables(buf, t, stbl)
         # Edit list -> delay (elst.rs).
         elst = find_atom(buf, b, e, [b"edts", b"elst"])
@@ -480,6 +550,59 @@ class IsoMp4Reader(FormatReader):
                 t.codec = CODEC_ID_OPUS
             elif atype == b".mp3":
                 t.codec = CODEC_ID_MP3
+            elif atype in _MP4_PCM:
+                # Uncompressed QuickTime audio, v0/v1 sample entries
+                # (stsd.rs:212-265). Every MP4 sample is one PCM frame;
+                # packets coalesce per chunk.
+                codec, nbytes = _MP4_PCM[atype]
+                version = int.from_bytes(entry[8:10], "big")
+                if version == 0 and t.bits_per_sample not in (None,
+                                                              8 * nbytes):
+                    raise DecodeError("isomp4: invalid pcm sample size")
+                if t.n_channels not in (1, 2):
+                    raise DecodeError("isomp4: invalid number of channels")
+                t.codec = codec
+                t.bits_per_sample = 8 * nbytes
+                t.pcm_frame_bytes = nbytes * t.n_channels
+            elif atype == b"lpcm":
+                # Version-2 sample entry (stsd.rs:266-298): f64 rate,
+                # u32 channels, explicit sample format flags; every MP4
+                # sample is already a multi-frame packet.
+                if len(entry) < 64 or int.from_bytes(entry[8:10], "big") != 2:
+                    raise DecodeError("isomp4: malformed lpcm entry")
+                if int.from_bytes(entry[44:48], "big") != 0x7F000000:
+                    raise DecodeError("isomp4: lpcm reserved mismatch")
+                import struct as _struct
+
+                t.sample_rate = int(_struct.unpack(">d", entry[32:40])[0])
+                t.n_channels = int.from_bytes(entry[40:44], "big")
+                bits = int.from_bytes(entry[48:52], "big")
+                flags = int.from_bytes(entry[52:56], "big")
+                codec = _lpcm_codec_id(bits, flags)
+                if codec is None:
+                    raise DecodeError("isomp4: unsupported lpcm format")
+                t.codec = codec
+                t.bits_per_sample = bits
+            elif atype in _MP4_VIDEO:
+                from ..core.video import VideoCodecParameters, VideoExtraData
+
+                p = VideoCodecParameters(codec=_MP4_VIDEO[atype])
+                if len(entry) >= 28:
+                    p.width = int.from_bytes(entry[24:26], "big")
+                    p.height = int.from_bytes(entry[26:28], "big")
+                # Codec configuration boxes follow the 70-byte
+                # VisualSampleEntry body (avcC/hvcC/esds/av1C/vpcC...).
+                if e - b > 78:
+                    for ctype, cb, ce in iter_atoms(buf, b + 78, e):
+                        p.extra_data.append(VideoExtraData(
+                            id=ctype.decode("latin1").strip(),
+                            data=bytes(buf[cb:ce])))
+                t.other_params = p
+            elif atype in _MP4_SUBTITLE:
+                from ..core.subtitle import SubtitleCodecParameters
+
+                t.other_params = SubtitleCodecParameters(
+                    codec=_MP4_SUBTITLE[atype] or "null_subtitle")
             break  # only first entry
 
     @staticmethod
@@ -554,6 +677,37 @@ class IsoMp4Reader(FormatReader):
         runs = self._table_array(buf, stsc[0] + 8, 12, sc, ">u4",
                                  "stsc").reshape(-1, 3)
         # (first_chunk, samples, desc_idx)
+
+        if t.pcm_frame_bytes:
+            # v0/v1 PCM: every MP4 sample is one PCM frame; emitting
+            # per-frame packets would mean millions of 2-8 byte reads.
+            # Coalesce each chunk into one packet of samples-per-chunk
+            # frames (stsz granularity for QuickTime uncompressed audio
+            # is muxer-dependent, so the chunk byte count derives from
+            # the frame size like ffmpeg's mov demuxer does). The PCM
+            # decoder takes whole frames of any count; a final short
+            # chunk clips at the stream end.
+            fb = t.pcm_frame_bytes
+            offs, durs = [], []
+            si = 0
+            for ri in range(len(runs)):
+                first = int(runs[ri, 0]) - 1
+                spc = max(0, int(runs[ri, 1]))
+                last = (int(runs[ri + 1, 0]) - 1 if ri + 1 < len(runs)
+                        else len(chunk_offsets))
+                for ci in range(max(0, first), min(last, len(chunk_offsets))):
+                    if si >= n:
+                        break
+                    take = min(spc, n - si)
+                    offs.append(int(chunk_offsets[ci]))
+                    durs.append(take)
+                    si += take
+            t.offsets = np.asarray(offs, np.int64)
+            t.durs = np.asarray(durs, np.int64)
+            t.sizes = t.durs * fb
+            t.ts = np.concatenate([[0], np.cumsum(t.durs[:-1])]) \
+                if len(t.durs) else np.zeros(0, np.int64)
+            return
 
         # Expand to per-sample offsets.
         offsets = np.empty(n, dtype=np.int64)
@@ -887,6 +1041,9 @@ class IsoMp4Reader(FormatReader):
 
     def tracks(self) -> List[Track]:
         return self._track_objs
+
+    def other_tracks(self) -> List[Track]:
+        return getattr(self, "_other_tracks", [])
 
     def default_track(self) -> Optional[Track]:
         return self._track_objs[0] if self._track_objs else None

@@ -139,6 +139,186 @@ class TestMp4Aac:
         assert r.next_packet().ts == 2048
 
 
+def build_pcm_m4a(pcm, fourcc=b"sowt", rate=22050, frames_per_chunk=400,
+                  extra_traks=b"") -> bytes:
+    """QuickTime uncompressed-audio M4A: interleaved PCM in chunks.
+
+    ``pcm`` is int16 [channels, frames]. v0 sample entries for
+    sowt/twos; a version-2 ``lpcm`` entry when fourcc == b"lpcm".
+    ``extra_traks`` appends prebuilt trak atoms (video/subtitle tests).
+    """
+    n_ch, n_frames = pcm.shape
+    le = fourcc != b"twos"
+    inter = np.ascontiguousarray(pcm.T.astype("<i2" if le else ">i2"))
+    payload = inter.tobytes()
+    fb = 2 * n_ch
+
+    common = (b"\x00" * 6 + struct.pack(">H", 1)          # dref index
+              + struct.pack(">H", 2 if fourcc == b"lpcm" else 0)  # version
+              + b"\x00" * 6                                # revision+vendor
+              + struct.pack(">HH", n_ch, 16)
+              + b"\x00" * 4
+              + struct.pack(">I", rate << 16))
+    if fourcc == b"lpcm":
+        body = (common[:20] + struct.pack(">HH", 3, 16) + common[24:]
+                + struct.pack(">I", 0)                    # sizeof ext
+                + struct.pack(">d", float(rate))
+                + struct.pack(">I", n_ch)
+                + struct.pack(">I", 0x7F000000)
+                + struct.pack(">IIII", 16, 0x4,           # s16, signed LE
+                              frames_per_chunk * fb, frames_per_chunk))
+        entry = atom(b"lpcm", body)
+    else:
+        entry = atom(fourcc, common)
+    stsd = full_atom(b"stsd", struct.pack(">I", 1) + entry)
+
+    n_chunks = (n_frames + frames_per_chunk - 1) // frames_per_chunk
+    if fourcc == b"lpcm":
+        # v2: each MP4 sample is one multi-frame packet.
+        stts_rows = [(n_chunks - 1, frames_per_chunk)] if n_chunks > 1 else []
+        last = n_frames - (n_chunks - 1) * frames_per_chunk
+        stts_rows.append((1, last))
+        stts = full_atom(b"stts", struct.pack(">I", len(stts_rows))
+                         + b"".join(struct.pack(">II", c, d)
+                                    for c, d in stts_rows))
+        stsc = full_atom(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+        sz = [frames_per_chunk * fb] * (n_chunks - 1) + [last * fb]
+        stsz = full_atom(b"stsz", struct.pack(">II", 0, n_chunks)
+                         + b"".join(struct.pack(">I", s) for s in sz))
+    else:
+        # v0: each MP4 sample is one PCM frame.
+        stts = full_atom(b"stts", struct.pack(">III", 1, n_frames, 1))
+        stsc = full_atom(b"stsc",
+                         struct.pack(">IIII", 1, 1, frames_per_chunk, 1))
+        stsz = full_atom(b"stsz", struct.pack(">III", fb, n_frames, 0)[:12])
+
+    def build(mdat_offset):
+        offs = [mdat_offset + i * frames_per_chunk * fb
+                for i in range(n_chunks)]
+        stco = full_atom(b"stco", struct.pack(">I", n_chunks)
+                         + b"".join(struct.pack(">I", o) for o in offs))
+        stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = atom(b"minf", stbl)
+        mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, rate,
+                                              n_frames, 0x55C4, 0))
+        mdia = atom(b"mdia", mdhd + minf)
+        tkhd = full_atom(b"tkhd",
+                         struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 72)
+        trak = atom(b"trak", tkhd + mdia)
+        mvhd = full_atom(b"mvhd",
+                         struct.pack(">III", 0, 0, rate) + b"\x00" * 88)
+        return atom(b"moov", mvhd + trak + extra_traks)
+
+    ftyp = atom(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42isom")
+    moov = build(0)
+    moov = build(len(ftyp) + len(moov) + 8)
+    return ftyp + moov + atom(b"mdat", payload)
+
+
+def build_other_trak(track_id, entry: bytes, timescale=1000) -> bytes:
+    """A minimal trak whose stsd holds one (video/subtitle) sample entry."""
+    stsd = full_atom(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full_atom(b"stts", struct.pack(">I", 0))
+    stsc = full_atom(b"stsc", struct.pack(">I", 0))
+    stsz = full_atom(b"stsz", struct.pack(">II", 0, 0))
+    stco = full_atom(b"stco", struct.pack(">I", 0))
+    stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = atom(b"minf", stbl)
+    mdhd = full_atom(b"mdhd",
+                     struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0))
+    mdia = atom(b"mdia", mdhd + minf)
+    tkhd = full_atom(b"tkhd", struct.pack(">IIII", 0, 0, track_id, 0)
+                     + b"\x00" * 72)
+    return atom(b"trak", tkhd + mdia)
+
+
+class TestMp4PcmAndOtherTracks:
+    def _pcm(self, n_frames=1000, n_ch=2, seed=11):
+        rng = np.random.default_rng(seed)
+        return rng.integers(-30000, 30000,
+                            size=(n_ch, n_frames)).astype(np.int16)
+
+    def _decode(self, data):
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        track = probed.format.default_track()
+        dec = sym.get_codecs().make_audio_decoder(track.codec_params)
+        outs = []
+        while True:
+            p = probed.format.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        return np.concatenate(outs, axis=1), track, probed.format
+
+    @pytest.mark.parametrize("fourcc,codec", [
+        (b"sowt", "pcm_s16le"), (b"twos", "pcm_s16be"), (b"lpcm", "pcm_s16le"),
+    ])
+    def test_pcm_decode(self, fourcc, codec):
+        pcm = self._pcm()
+        out, track, fmt = self._decode(build_pcm_m4a(pcm, fourcc))
+        assert track.codec_params.codec == codec
+        assert track.codec_params.sample_rate == 22050
+        # s16 planes scale to int PCM exactly.
+        np.testing.assert_array_equal(out.astype(np.int16), pcm)
+        # chunks (3) became packets, not per-frame packets
+        assert len(fmt.packet_table()) == 3
+
+    def test_pcm_seek(self):
+        pcm = self._pcm()
+        data = build_pcm_m4a(pcm, b"sowt")
+        r = IsoMp4Reader(MediaSourceStream(data))
+        seeked = r.seek("accurate", sym.SeekTo(ts=750))
+        assert seeked.actual_ts == 400  # chunk granularity
+        assert r.next_packet().ts == 400
+
+    def test_pcm_stream_reader(self):
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        pcm = self._pcm(n_frames=800)
+        data = build_pcm_m4a(pcm, b"sowt")
+        r = Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))
+        dec = sym.get_codecs().make_audio_decoder(
+            r.default_track().codec_params)
+        outs = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        np.testing.assert_array_equal(
+            np.concatenate(outs, axis=1).astype(np.int16), pcm)
+
+    def test_other_tracks_video_subtitle(self):
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        avcc = atom(b"avcC", b"\x01\x64\x00\x1f\xff")
+        visual = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                  + struct.pack(">HH", 640, 360)      # width, height
+                  + struct.pack(">II", 0x480000, 0x480000)
+                  + b"\x00" * 4 + struct.pack(">H", 1)
+                  + b"\x00" * 32                       # compressor name
+                  + struct.pack(">Hh", 24, -1) + avcc)
+        vtrak = build_other_trak(2, atom(b"avc1", visual))
+        strak = build_other_trak(3, atom(b"tx3g", b"\x00" * 8))
+        pcm = self._pcm(n_frames=400)
+        data = build_pcm_m4a(pcm, b"sowt", extra_traks=vtrak + strak)
+
+        for fmt in (IsoMp4Reader(MediaSourceStream(data)),
+                    Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))):
+            others = fmt.other_tracks()
+            assert len(others) == 2
+            vid = others[0].codec_params
+            assert vid.codec == "h264"
+            assert (vid.width, vid.height) == (640, 360)
+            assert vid.extra_data[0].id == "avcC"
+            assert vid.extra_data[0].data == b"\x01\x64\x00\x1f\xff"
+            assert others[1].codec_params.codec == "mov_text"
+            # the audio track still decodes
+            assert fmt.default_track().codec_params.codec == "pcm_s16le"
+
+
 def build_fmp4(frames, rate=44100, n_ch=1, frag_size=4,
                with_sidx=False, sizes_in_trex=False) -> bytes:
     """Minimal fragmented MP4: moov with empty sample tables + mvex, then

@@ -89,8 +89,16 @@ def builders(rng):
 
     def m4a():
         from aac_builder import build_raw_block
-        from test_mp4 import build_m4a
+        from test_mp4 import build_m4a, build_pcm_m4a
 
+        if rng.integers(4) == 0:  # QuickTime uncompressed-audio flavor
+            pcm = rng.integers(-30000, 30000,
+                               size=(int(rng.integers(1, 3)),
+                                     int(rng.integers(200, 3000)))
+                               ).astype(np.int16)
+            fourcc = [b"sowt", b"twos", b"lpcm"][int(rng.integers(3))]
+            return build_pcm_m4a(pcm, fourcc,
+                                 frames_per_chunk=int(rng.integers(50, 800)))
         frames = []
         for _ in range(int(rng.integers(2, 8))):
             q = np.zeros(1024, np.int64)
