@@ -43,6 +43,18 @@ class Track:
 
 
 @dataclass
+class ExternalFormatData:
+    """Side-channel data handed to a reader at open (formats/mod.rs:145-156):
+    metadata read before the container started (e.g. leading ID3v2 consumed
+    by the probe) and/or externally sourced chapters. Readers surface the
+    metadata revisions *first* in their log and use the chapters only when
+    the container itself carries none."""
+
+    metadata: Optional[object] = None  # MetadataLog
+    chapters: Optional[object] = None  # ChapterGroup
+
+
+@dataclass
 class FormatOptions:
     """Demuxer options (formats/mod.rs:123-156).
 
@@ -58,6 +70,7 @@ class FormatOptions:
     prebuild_seek_index: bool = False
     seek_index_fill_rate: int = 20  # seconds between seek points
     enable_gapless: bool = True
+    external_data: ExternalFormatData = field(default_factory=ExternalFormatData)
 
 
 class SeekMode:
@@ -188,13 +201,30 @@ class FormatReader:
     # -- optional ----------------------------------------------------------
 
     def metadata(self):
-        """Current MetadataLog (may be empty)."""
+        """Current MetadataLog (may be empty). Revisions provided through
+        ``FormatOptions.external_data`` come first, the container's own
+        after (formats/mod.rs:148-153 — external revisions seed the log)."""
         from .meta import MetadataLog
 
-        return getattr(self, "_metadata", None) or MetadataLog()
+        own = getattr(self, "_metadata", None)
+        ext = getattr(getattr(self, "options", None), "external_data", None)
+        ext_log = ext.metadata if ext is not None else None
+        if ext_log is None or ext_log.is_empty():
+            return own or MetadataLog()
+        merged = MetadataLog()
+        for rev in ext_log:
+            merged.push(rev)
+        if own is not None:
+            for rev in own:
+                merged.push(rev)
+        return merged
 
     def chapters(self):
-        return getattr(self, "_chapters", None)
+        own = getattr(self, "_chapters", None)
+        if own is not None:
+            return own
+        ext = getattr(getattr(self, "options", None), "external_data", None)
+        return ext.chapters if ext is not None else None
 
     def attachments(self):
         return getattr(self, "_attachments", []) or []

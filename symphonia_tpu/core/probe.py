@@ -149,11 +149,41 @@ class Probe:
                     if rev is not None:
                         log.push(rev)
                     continue  # resume scanning after the metadata block
-                fmt = desc.factory(mss, fmt_opts)
+                fmt = desc.factory(mss, self._with_external(fmt_opts, log))
                 return ProbeResult(format=fmt, metadata=log)
             mss.ignore_bytes(1)
             scanned += 1
         raise Unsupported("unsupported format (probe depth exceeded)")
+
+    @staticmethod
+    def _with_external(fmt_opts: FormatOptions, log: MetadataLog) -> FormatOptions:
+        """Hand probe-consumed metadata to the reader via
+        ``FormatOptions.external_data`` (probe.rs:644-659): revisions are
+        pushed into the external log, and chapters found in a revision
+        (ID3v2 CHAP/CTOC) become the external chapters when none are set.
+        The caller's options object is not mutated."""
+        if log.is_empty():
+            return fmt_opts
+        import dataclasses
+
+        from .formats import ExternalFormatData
+        from .meta import ChapterGroup
+
+        ext = fmt_opts.external_data
+        merged = MetadataLog()
+        if ext.metadata is not None:
+            for rev in ext.metadata:
+                merged.push(rev)
+        chapters = ext.chapters
+        for rev in log:
+            merged.push(rev)
+            rev_chapters = getattr(rev, "_chapters", None)
+            if rev_chapters and chapters is None:
+                chapters = ChapterGroup(items=list(rev_chapters))
+        return dataclasses.replace(
+            fmt_opts,
+            external_data=ExternalFormatData(metadata=merged, chapters=chapters),
+        )
 
     def _probe_trailing(self, mss, meta_opts: MetadataOptions, log: MetadataLog) -> None:
         """Check end-of-stream metadata anchors (probe.rs:475-544)."""

@@ -992,9 +992,6 @@ class MkvStreamReader(FormatReader):
     def other_tracks(self) -> List[Track]:
         return self._other_tracks
 
-    def metadata(self) -> MetadataLog:
-        return self._metadata
-
     def next_packet(self) -> Optional[Packet]:
         while not self._queue:
             if not self._advance():

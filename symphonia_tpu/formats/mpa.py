@@ -346,9 +346,6 @@ class MpaStreamReader(FormatReader):
     def tracks(self) -> List[Track]:
         return [self._track]
 
-    def metadata(self) -> MetadataLog:
-        return self._metadata
-
     def _read_frame(self) -> Optional[Packet]:
         while True:
             head = self.mss.peek_bytes(4)

@@ -747,9 +747,6 @@ class OggStreamReader(FormatReader):
     def tracks(self) -> List[Track]:
         return [self._track]
 
-    def metadata(self) -> MetadataLog:
-        return self._metadata
-
     def next_packet(self) -> Optional[Packet]:
         while not self._queue:
             page = self._next_page()

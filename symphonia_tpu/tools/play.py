@@ -96,9 +96,13 @@ def main(argv=None) -> int:
 
         exts = {"image/jpeg": "jpg", "image/png": "png", "image/gif": "gif",
                 "image/bmp": "bmp"}
-        revs = [fmt.metadata().current()] if fmt.metadata() else []
-        if probed.metadata and probed.metadata.current():
-            revs.append(probed.metadata.current())
+        # The reader's log already includes probe-consumed revisions (they
+        # ride in via FormatOptions.external_data), so dedupe by identity.
+        revs = []
+        for log in (fmt.metadata(), probed.metadata):
+            rev = log.current() if log else None
+            if rev is not None and not any(rev is r for r in revs):
+                revs.append(rev)
         count = 0
         base, _ = os.path.splitext(args.file)
         for rev in revs:

@@ -334,3 +334,63 @@ class TestId3v2NewFrames:
         assert keys["PRIV:com.example"] == b"\x01\x02"
         assert keys["GEOB:desc"] == b"DATA"
         assert keys["RVA2:track"].endswith("dB")
+
+
+class TestExternalFormatData:
+    """FormatOptions.external_data (formats/mod.rs:145-156, probe.rs:644-659):
+    side-channel metadata/chapters surface through the reader."""
+
+    def _wav_reader(self, options=None):
+        from test_wav_pcm import make_wav
+
+        from symphonia_tpu.formats.wav import WavReader
+
+        frames = np.zeros((64, 1), dtype=np.int32)
+        return WavReader(MediaSourceStream(make_wav(frames, rate=8000)), options)
+
+    def test_explicit_injection(self):
+        from symphonia_tpu.core.formats import ExternalFormatData, FormatOptions
+        from symphonia_tpu.core.meta import (Chapter, ChapterGroup, MetadataLog,
+                                             MetadataRevision, RawTag)
+
+        log = MetadataLog()
+        log.push(MetadataRevision(tags=[RawTag("TITLE", "External",
+                                               std_key="track_title")]))
+        grp = ChapterGroup(items=[Chapter(start_time=0.0, title="One")])
+        opts = FormatOptions(
+            external_data=ExternalFormatData(metadata=log, chapters=grp))
+        r = self._wav_reader(opts)
+        revs = list(r.metadata())
+        assert revs and revs[0].get("track_title") == "External"
+        assert r.chapters() is grp
+
+    def test_container_chapters_win(self):
+        # A reader with its own chapters ignores the external ones.
+        from symphonia_tpu.core.formats import ExternalFormatData, FormatOptions
+        from symphonia_tpu.core.meta import Chapter, ChapterGroup
+
+        ext = ChapterGroup(items=[Chapter(start_time=0.0, title="ext")])
+        own = ChapterGroup(items=[Chapter(start_time=1.0, title="own")])
+        r = self._wav_reader(FormatOptions(
+            external_data=ExternalFormatData(chapters=ext)))
+        r._chapters = own
+        assert r.chapters() is own
+
+    def test_probe_injects_leading_id3v2(self):
+        # probe.rs:650 — revisions the probe consumed become the reader's
+        # first metadata revisions.
+        mp3 = build_mpeg1_l3_stream(6, n_ch=1)
+        tag2 = build_id3v2([("TIT2", text_frame("ViaProbe"))])
+        probed = sym.get_probe().probe(MediaSourceStream(tag2 + mp3))
+        rev = probed.format.metadata().current()
+        assert rev is not None and rev.get("track_title") == "ViaProbe"
+
+    def test_probe_injects_id3v2_chapters(self):
+        # probe.rs:654-659 — CHAP chapters ride into reader.chapters().
+        sub = b"TIT2" + struct.pack(">I", 8) + b"\x00\x00" + bytes([3]) + b"Intro\x00"
+        payload = b"ch1\x00" + struct.pack(">IIII", 0, 30000, 0, 0) + sub
+        tag = build_id3v2([("CHAP", payload)], major=3)
+        mp3 = build_mpeg1_l3_stream(6, n_ch=1)
+        probed = sym.get_probe().probe(MediaSourceStream(tag + mp3))
+        grp = probed.format.chapters()
+        assert grp is not None and grp.items[0].title == "Intro"
