@@ -28,6 +28,18 @@ from .packet import Packet
 from .units import Time, TimeBase
 
 
+class TrackFlags:
+    """Track attribute bitflags (formats/mod.rs:197-216)."""
+
+    DEFAULT = 1 << 0
+    FORCED = 1 << 1
+    ORIGINAL_LANGUAGE = 1 << 2
+    COMMENTARY = 1 << 3
+    HEARING_IMPAIRED = 1 << 4
+    VISUALLY_IMPAIRED = 1 << 5
+    TEXT_DESCRIPTIONS = 1 << 6
+
+
 @dataclass
 class Track:
     """A single media track (formats/mod.rs:234)."""
@@ -35,11 +47,13 @@ class Track:
     id: int
     codec_params: Optional[AudioCodecParameters]
     time_base: Optional[TimeBase] = None
-    num_frames: Optional[int] = None  # total duration in timebase ticks
+    num_frames: Optional[int] = None  # playable frames (excl. delay/padding)
+    duration: Optional[int] = None  # container-declared length, timebase ticks
     start_ts: int = 0
     delay: int = 0  # gapless leading frames to trim (formats/mod.rs:269)
     padding: int = 0  # gapless trailing frames to trim
     language: Optional[str] = None
+    flags: int = 0  # TrackFlags bits
 
 
 @dataclass
@@ -230,7 +244,12 @@ class FormatReader:
         return getattr(self, "_attachments", []) or []
 
     def default_track(self) -> Optional[Track]:
+        """The DEFAULT-flagged track if any, else the first
+        (formats/mod.rs:630-637)."""
         t = self.tracks()
+        for tr in t:
+            if tr.flags & TrackFlags.DEFAULT:
+                return tr
         return t[0] if t else None
 
     def into_inner(self):

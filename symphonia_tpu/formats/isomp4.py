@@ -255,6 +255,7 @@ class Mp4Track:
     durs: Optional[np.ndarray] = None
     delay: int = 0  # edit-list media offset in timescale ticks
     duration: int = 0
+    language: Optional[str] = None  # mdhd packed ISO-639-2/T code
     # Experimental video/subtitle description (stsd.rs visual/subtitle
     # sample entries); the trak is surfaced via other_tracks(), not demuxed.
     other_params: Optional[object] = None
@@ -399,7 +400,9 @@ class IsoMp4Reader(FormatReader):
                     codec_params=params,
                     time_base=TimeBase(1, t.timescale or 1),
                     num_frames=num_frames,
+                    duration=t.duration or None,
                     delay=t.delay,
+                    language=t.language,
                 )
             )
 
@@ -466,9 +469,17 @@ class IsoMp4Reader(FormatReader):
             if version == 1:
                 t.timescale = int.from_bytes(buf[mdhd[0] + 20 : mdhd[0] + 24], "big")
                 t.duration = int.from_bytes(buf[mdhd[0] + 24 : mdhd[0] + 32], "big")
+                lang_off = mdhd[0] + 32
             else:
                 t.timescale = int.from_bytes(buf[mdhd[0] + 12 : mdhd[0] + 16], "big")
                 t.duration = int.from_bytes(buf[mdhd[0] + 16 : mdhd[0] + 20], "big")
+                lang_off = mdhd[0] + 20
+            if lang_off + 2 <= mdhd[1]:
+                # Packed ISO-639-2/T: three 5-bit letters biased by 0x60.
+                packed = int.from_bytes(buf[lang_off : lang_off + 2], "big")
+                letters = [((packed >> s) & 0x1F) + 0x60 for s in (10, 5, 0)]
+                if all(0x61 <= c <= 0x7A for c in letters) and packed != 0x7FFF:
+                    t.language = bytes(letters).decode("ascii")
         stbl = find_atom(buf, *mdia, [b"minf", b"stbl"])
         if stbl is None:
             return None

@@ -28,6 +28,7 @@ from ..core.formats import (
     SeekTo,
     SeekedTo,
     Track,
+    TrackFlags,
 )
 from ..core.meta import MetadataLog, MetadataRevision, RawTag
 from ..core.packet import Packet
@@ -66,6 +67,9 @@ ID_SIMPLE_TAG = 0x67C8
 ID_TAG_NAME = 0x45A3
 ID_TAG_STRING = 0x4487
 ID_LANGUAGE = 0x22B59C
+ID_TRACK_LANGUAGE = 0x22B59C  # TrackEntry Language (ISO 639-2)
+ID_TRACK_LANGUAGE_BCP47 = 0x22B59D  # overrides Language when present
+ID_SEG_DURATION = 0x4489  # Info Duration (float, timescale units)
 ID_CHAPTERS = 0x1043A770
 ID_EDITION_ENTRY = 0x45B9
 ID_CHAPTER_ATOM = 0xB6
@@ -177,6 +181,65 @@ class MkvTrack:
     params: Optional[AudioCodecParameters] = None
     width: Optional[int] = None
     height: Optional[int] = None
+    language: Optional[str] = None
+    flags: int = 0  # core TrackFlags bits
+
+
+# TrackEntry flag elements -> TrackFlags bits (segment.rs:466-507). The
+# value element carries 0/1; FlagDefault's schema default is 1 (set), so
+# its bit is pre-set on MkvTrack construction and cleared on explicit 0.
+_FLAG_ELEMENTS = {
+    0x88: TrackFlags.DEFAULT,  # FlagDefault
+    0x55AA: TrackFlags.FORCED,
+    0x55AB: TrackFlags.HEARING_IMPAIRED,
+    0x55AC: TrackFlags.VISUALLY_IMPAIRED,
+    0x55AD: TrackFlags.TEXT_DESCRIPTIONS,
+    0x55AE: TrackFlags.ORIGINAL_LANGUAGE,
+    0x55AF: TrackFlags.COMMENTARY,
+}
+
+
+def _parse_track_entry(buf: bytes, b: int, e: int) -> Tuple["MkvTrack", int]:
+    """Parse one TrackEntry master element; returns (track, track_type)."""
+    t = MkvTrack()
+    t.flags = TrackFlags.DEFAULT  # FlagDefault schema default is 1
+    ttype = 0
+    for eid3, b3, e3 in iter_elements(buf, b, e):
+        if eid3 == ID_TRACK_NUMBER:
+            t.number = _uint(buf, b3, e3)
+        elif eid3 == ID_TRACK_TYPE:
+            ttype = _uint(buf, b3, e3)
+        elif eid3 == ID_DEFAULT_DURATION:
+            t.default_duration_ns = _uint(buf, b3, e3)
+        elif eid3 == ID_CODEC_ID:
+            t.codec_id = buf[b3:e3].decode("ascii", "replace")
+        elif eid3 == ID_CODEC_PRIVATE:
+            t.codec_private = buf[b3:e3]
+        elif eid3 in (ID_TRACK_LANGUAGE, ID_TRACK_LANGUAGE_BCP47):
+            # BCP47 (0x22B59D) overrides the legacy ISO 639-2 element.
+            lang = buf[b3:e3].split(b"\x00")[0].decode("ascii", "replace")
+            if eid3 == ID_TRACK_LANGUAGE_BCP47 or t.language is None:
+                t.language = lang or t.language
+        elif eid3 in _FLAG_ELEMENTS:
+            if _uint(buf, b3, e3):
+                t.flags |= _FLAG_ELEMENTS[eid3]
+            else:
+                t.flags &= ~_FLAG_ELEMENTS[eid3]
+        elif eid3 == ID_AUDIO:
+            for eid4, b4, e4 in iter_elements(buf, b3, e3):
+                if eid4 == ID_SAMPLING_FREQ:
+                    t.sample_rate = _float(buf, b4, e4)
+                elif eid4 == ID_CHANNELS:
+                    t.channels = _uint(buf, b4, e4)
+                elif eid4 == ID_BIT_DEPTH:
+                    t.bit_depth = _uint(buf, b4, e4)
+        elif eid3 == ID_VIDEO:
+            for eid4, b4, e4 in iter_elements(buf, b3, e3):
+                if eid4 == ID_PIXEL_WIDTH:
+                    t.width = _uint(buf, b4, e4)
+                elif eid4 == ID_PIXEL_HEIGHT:
+                    t.height = _uint(buf, b4, e4)
+    return t, ttype
 
 
 def _map_codec(t: MkvTrack) -> None:
@@ -473,6 +536,7 @@ class MkvReader(FormatReader):
             raise Unsupported("missing Matroska segment")
 
         timescale_ns = 1_000_000
+        seg_duration: Optional[int] = None  # Info Duration, timescale ticks
         self._mkv_tracks: Dict[int, MkvTrack] = {}
         # Blocks: (track_no, ts_ticks, [frames], block_dur_ticks|None)
         blocks: List[Tuple[int, int, List[bytes], Optional[int]]] = []
@@ -518,6 +582,10 @@ class MkvReader(FormatReader):
                         # 0 is invalid (and would build a 0/denominator
                         # TimeBase); keep the spec default.
                         timescale_ns = _uint(buf, b2, e2) or timescale_ns
+                    elif eid2 == ID_SEG_DURATION:
+                        d = _float(buf, b2, e2)
+                        if d and d > 0:
+                            seg_duration = int(round(d))
                     elif eid2 == ID_TITLE:
                         rev.tags.append(RawTag("title",
                                                buf[b2:e2].decode("utf-8", "replace"),
@@ -526,33 +594,7 @@ class MkvReader(FormatReader):
                 for eid2, b2, e2 in iter_elements(buf, b, e):
                     if eid2 != ID_TRACK_ENTRY:
                         continue
-                    t = MkvTrack()
-                    ttype = 0
-                    for eid3, b3, e3 in iter_elements(buf, b2, e2):
-                        if eid3 == ID_TRACK_NUMBER:
-                            t.number = _uint(buf, b3, e3)
-                        elif eid3 == ID_TRACK_TYPE:
-                            ttype = _uint(buf, b3, e3)
-                        elif eid3 == ID_DEFAULT_DURATION:
-                            t.default_duration_ns = _uint(buf, b3, e3)
-                        elif eid3 == ID_CODEC_ID:
-                            t.codec_id = buf[b3:e3].decode("ascii", "replace")
-                        elif eid3 == ID_CODEC_PRIVATE:
-                            t.codec_private = buf[b3:e3]
-                        elif eid3 == ID_AUDIO:
-                            for eid4, b4, e4 in iter_elements(buf, b3, e3):
-                                if eid4 == ID_SAMPLING_FREQ:
-                                    t.sample_rate = _float(buf, b4, e4)
-                                elif eid4 == ID_CHANNELS:
-                                    t.channels = _uint(buf, b4, e4)
-                                elif eid4 == ID_BIT_DEPTH:
-                                    t.bit_depth = _uint(buf, b4, e4)
-                        elif eid3 == ID_VIDEO:
-                            for eid4, b4, e4 in iter_elements(buf, b3, e3):
-                                if eid4 == ID_PIXEL_WIDTH:
-                                    t.width = _uint(buf, b4, e4)
-                                elif eid4 == ID_PIXEL_HEIGHT:
-                                    t.height = _uint(buf, b4, e4)
+                    t, ttype = _parse_track_entry(buf, b2, e2)
                     if ttype == 2:  # audio
                         _map_codec(t)
                         if t.codec is not None:
@@ -561,7 +603,8 @@ class MkvReader(FormatReader):
                         op = _map_other_codec(t, ttype)
                         if op is not None:
                             self._other_tracks.append(
-                                Track(id=t.number, codec_params=op))
+                                Track(id=t.number, codec_params=op,
+                                      language=t.language, flags=t.flags))
             elif eid == ID_CLUSTER:
                 cluster_ts = 0
                 for eid2, b2, e2 in iter_elements(buf, b, e):
@@ -617,6 +660,9 @@ class MkvReader(FormatReader):
                     id=no,
                     codec_params=t.params,
                     time_base=TimeBase(timescale_ns, 1_000_000_000),
+                    duration=seg_duration,
+                    language=t.language,
+                    flags=t.flags,
                 )
             )
 
@@ -731,6 +777,7 @@ class MkvStreamReader(FormatReader):
                              else self._segment_start + size)
 
         self._timescale_ns = 1_000_000
+        self._seg_duration: Optional[int] = None  # Info Duration, ticks
         self._mkv_tracks: Dict[int, MkvTrack] = {}
         self._cues: List[Tuple[int, int]] = []
         cues_pos: Optional[int] = None
@@ -756,6 +803,10 @@ class MkvStreamReader(FormatReader):
                     if eid2 == ID_TIMESTAMP_SCALE:
                         self._timescale_ns = (_uint(body, b2, e2)
                                               or self._timescale_ns)
+                    elif eid2 == ID_SEG_DURATION:
+                        d = _float(body, b2, e2)
+                        if d and d > 0:
+                            self._seg_duration = int(round(d))
             elif eid == ID_TRACKS:
                 self._parse_tracks(body)
             elif eid == ID_SEEK_HEAD:
@@ -789,7 +840,9 @@ class MkvStreamReader(FormatReader):
 
         self._track_objs = [
             Track(id=no, codec_params=t.params,
-                  time_base=TimeBase(self._timescale_ns, 1_000_000_000))
+                  time_base=TimeBase(self._timescale_ns, 1_000_000_000),
+                  duration=self._seg_duration,
+                  language=t.language, flags=t.flags)
             for no, t in sorted(self._mkv_tracks.items())
         ]
 
@@ -831,33 +884,7 @@ class MkvStreamReader(FormatReader):
         for eid2, b2, e2 in iter_elements(body, 0, len(body)):
             if eid2 != ID_TRACK_ENTRY:
                 continue
-            t = MkvTrack()
-            ttype = 0
-            for eid3, b3, e3 in iter_elements(body, b2, e2):
-                if eid3 == ID_TRACK_NUMBER:
-                    t.number = _uint(body, b3, e3)
-                elif eid3 == ID_TRACK_TYPE:
-                    ttype = _uint(body, b3, e3)
-                elif eid3 == ID_DEFAULT_DURATION:
-                    t.default_duration_ns = _uint(body, b3, e3)
-                elif eid3 == ID_CODEC_ID:
-                    t.codec_id = body[b3:e3].decode("ascii", "replace")
-                elif eid3 == ID_CODEC_PRIVATE:
-                    t.codec_private = body[b3:e3]
-                elif eid3 == ID_AUDIO:
-                    for eid4, b4, e4 in iter_elements(body, b3, e3):
-                        if eid4 == ID_SAMPLING_FREQ:
-                            t.sample_rate = _float(body, b4, e4)
-                        elif eid4 == ID_CHANNELS:
-                            t.channels = _uint(body, b4, e4)
-                        elif eid4 == ID_BIT_DEPTH:
-                            t.bit_depth = _uint(body, b4, e4)
-                elif eid3 == ID_VIDEO:
-                    for eid4, b4, e4 in iter_elements(body, b3, e3):
-                        if eid4 == ID_PIXEL_WIDTH:
-                            t.width = _uint(body, b4, e4)
-                        elif eid4 == ID_PIXEL_HEIGHT:
-                            t.height = _uint(body, b4, e4)
+            t, ttype = _parse_track_entry(body, b2, e2)
             if ttype == 2:
                 _map_codec(t)
                 if t.codec is not None:
@@ -866,7 +893,8 @@ class MkvStreamReader(FormatReader):
                 op = _map_other_codec(t, ttype)
                 if op is not None:
                     self._other_tracks.append(
-                        Track(id=t.number, codec_params=op))
+                        Track(id=t.number, codec_params=op,
+                              language=t.language, flags=t.flags))
 
     def _parse_cues_body(self, body: bytes) -> None:
         for eid, b2, e2 in iter_elements(body, 0, len(body)):

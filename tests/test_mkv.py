@@ -58,7 +58,7 @@ def simple_block(track: int, rel_ts: int, frames, lacing=0) -> bytes:
 
 def build_mkv(codec_id: str, private: bytes, blocks, rate=44100, ch=1,
               bit_depth=None, tags=None, extra_segment=b"",
-              timescale=1_000_000) -> bytes:
+              timescale=1_000_000, track_extra=b"", info_extra=b"") -> bytes:
     ebml_hdr = elem(0x1A45DFA3,
                     elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
     track_entry = (
@@ -67,9 +67,10 @@ def build_mkv(codec_id: str, private: bytes, blocks, rate=44100, ch=1,
         + (elem(0x63A2, private) if private else b"")
         + elem(0xE1, float_elem(0xB5, float(rate)) + uint_elem(0x9F, ch)
                + (uint_elem(0x6264, bit_depth) if bit_depth else b""))
+        + track_extra
     )
     tracks = elem(0x1654AE6B, elem(0xAE, track_entry))
-    info = elem(0x1549A966, uint_elem(0x2AD7B1, timescale))
+    info = elem(0x1549A966, uint_elem(0x2AD7B1, timescale) + info_extra)
     clusters = b""
     for cluster_ts, cluster_blocks in blocks:
         body = uint_elem(0xE7, cluster_ts)
@@ -639,3 +640,63 @@ class TestZeroTimestampScale:
         r = MkvReader(MediaSourceStream(data))
         t = r.default_track()
         assert t.time_base.numer == 1_000_000
+
+
+class TestTrackAttributes:
+    """TrackEntry language/flags + Info Duration (segment.rs:440-507,
+    formats/mod.rs:197-216,234-276)."""
+
+    def _build(self, track_extra=b"", info_extra=b""):
+        payload = np.zeros(200, dtype="<i2").tobytes()
+        blocks = [(0, [simple_block(1, 0, [payload])])]
+        return build_mkv("A_PCM/INT/LIT", b"", blocks, rate=8000, ch=1,
+                         bit_depth=16, track_extra=track_extra,
+                         info_extra=info_extra)
+
+    def test_language_flags_duration(self):
+        track_extra = (elem(0x22B59C, b"ger")
+                       + uint_elem(0x88, 0)      # FlagDefault: explicit 0
+                       + uint_elem(0x55AA, 1)    # FlagForced
+                       + uint_elem(0x55AF, 1))   # FlagCommentary
+        info_extra = float_elem(0x4489, 2500.0)  # Info Duration, ticks
+        data = self._build(track_extra, info_extra)
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        from symphonia_tpu.core.formats import TrackFlags
+
+        t = probed.format.tracks()[0]
+        assert t.language == "ger"
+        assert not (t.flags & TrackFlags.DEFAULT)
+        assert t.flags & TrackFlags.FORCED
+        assert t.flags & TrackFlags.COMMENTARY
+        assert t.duration == 2500
+        # default_track falls back to the first track when none is flagged.
+        assert probed.format.default_track() is t
+
+    def test_default_flag_is_set_by_schema_default(self):
+        data = self._build()
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        from symphonia_tpu.core.formats import TrackFlags
+
+        t = probed.format.tracks()[0]
+        assert t.flags & TrackFlags.DEFAULT
+        assert t.language is None and t.duration is None
+
+    def test_bcp47_overrides_legacy(self):
+        track_extra = (elem(0x22B59C, b"ger")
+                       + elem(0x22B59D, b"de-CH"))
+        data = self._build(track_extra)
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        assert probed.format.tracks()[0].language == "de-CH"
+
+    def test_streaming_reader_matches(self):
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+        from symphonia_tpu.core.formats import TrackFlags
+
+        track_extra = elem(0x22B59C, b"fra") + uint_elem(0x55AA, 1)
+        info_extra = float_elem(0x4489, 1234.0)
+        data = self._build(track_extra, info_extra)
+        r = MkvStreamReader(MediaSourceStream(data))
+        t = r.tracks()[0]
+        assert t.language == "fra"
+        assert t.flags & TrackFlags.FORCED
+        assert t.duration == 1234

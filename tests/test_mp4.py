@@ -919,3 +919,19 @@ class TestSeekEmptyTrack:
         r = IsoMp4Reader(MediaSourceStream(data))
         with pytest.raises(SeekError):
             r.seek("accurate", SeekTo(ts=1000))
+
+
+class TestMdhdAttributes:
+    """mdhd duration + packed ISO-639 language surface on Track
+    (formats/mod.rs:234-276)."""
+
+    def test_duration_and_language(self):
+        frames = [b"\x01\x02\x03"] * 4
+        data = build_m4a(frames, rate=44100)
+        from symphonia_tpu.formats.isomp4 import IsoMp4Reader
+
+        r = IsoMp4Reader(MediaSourceStream(data))
+        t = r.tracks()[0]
+        assert t.duration == 4 * 1024  # mdhd ticks
+        # Builder's mdhd language field is packed "und" (0x55C4).
+        assert t.language == "und"
