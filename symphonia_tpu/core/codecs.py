@@ -63,6 +63,10 @@ CODEC_ID_VORBIS = "vorbis"
 CODEC_ID_OPUS = "opus"
 CODEC_ID_ALAC = "alac"
 CODEC_ID_WAVPACK = "wavpack"
+# Described-only (no decoder ships, matching the reference: the demuxers
+# surface the track parameters and make_audio_decoder raises Unsupported).
+CODEC_ID_AC3 = "ac3"
+CODEC_ID_EAC3 = "eac3"
 
 
 class Tier:

@@ -24,7 +24,9 @@ import numpy as np
 from ..core.audio import Channels
 from ..core.codecs import (
     CODEC_ID_AAC,
+    CODEC_ID_AC3,
     CODEC_ID_ALAC,
+    CODEC_ID_EAC3,
     CODEC_ID_FLAC,
     CODEC_ID_MP3,
     CODEC_ID_OPUS,
@@ -523,14 +525,24 @@ class IsoMp4Reader(FormatReader):
             entry = buf[b : e]
             # SampleEntry: 6 reserved + 2 data_ref_index, audio: 8 more
             # reserved, channels(2), samplesize(2), 4 reserved, rate(4, 16.16)
+            version = int.from_bytes(entry[8:10], "big") if len(entry) >= 10 else 0
             if len(entry) >= 28:
                 t.n_channels = int.from_bytes(entry[16:18], "big")
                 t.bits_per_sample = int.from_bytes(entry[18:20], "big") or None
                 t.sample_rate = int.from_bytes(entry[24:26], "big")
-            sub_start = b + 28
+            # Child config atoms follow the v0 fields; a v1 (QuickTime)
+            # entry inserts 16 bytes of packet-layout fields first
+            # (stsd.rs:229-246).
+            sub_start = b + 28 + (16 if version == 1 else 0)
             if atype == b"mp4a":
                 t.codec = CODEC_ID_AAC
                 esds = find_atom(buf, sub_start, e, [b"esds"])
+                if esds is None:
+                    # QuickTime wraps decoder params in a 'wave'
+                    # (siDecompressionParam) atom (atoms/wave.rs).
+                    wave = find_atom(buf, sub_start, e, [b"wave"])
+                    if wave:
+                        esds = find_atom(buf, wave[0], wave[1], [b"esds"])
                 if esds:
                     asc = _parse_esds(buf[esds[0] : esds[1]])
                     if asc:
@@ -559,6 +571,20 @@ class IsoMp4Reader(FormatReader):
                     t.extra_data = buf[sub[0] + 8 : sub[0] + 8 + 34]
             elif atype == b"Opus":
                 t.codec = CODEC_ID_OPUS
+                sub = find_atom(buf, sub_start, e, [b"dOps"])
+                if sub:
+                    # dOps carries an Opus id header minus the magic
+                    # (atoms/opus.rs:37-59); 11..268 payload bytes.
+                    if 11 <= sub[1] - sub[0] <= 268:
+                        t.extra_data = b"OpusHead" + bytes(buf[sub[0]:sub[1]])
+            elif atype in (b"ac-3", b"ec-3"):
+                # Described-only: the reference surfaces AC-3/E-AC-3 params
+                # via dac3/dec3 (atoms/{dac3,dec3}.rs) but ships no decoder.
+                t.codec = CODEC_ID_AC3 if atype == b"ac-3" else CODEC_ID_EAC3
+                sub = find_atom(buf, sub_start, e,
+                                [b"dac3" if atype == b"ac-3" else b"dec3"])
+                if sub:
+                    t.extra_data = bytes(buf[sub[0]:sub[1]])
             elif atype == b".mp3":
                 t.codec = CODEC_ID_MP3
             elif atype in _MP4_PCM:
@@ -566,10 +592,16 @@ class IsoMp4Reader(FormatReader):
                 # (stsd.rs:212-265). Every MP4 sample is one PCM frame;
                 # packets coalesce per chunk.
                 codec, nbytes = _MP4_PCM[atype]
-                version = int.from_bytes(entry[8:10], "big")
                 if version == 0 and t.bits_per_sample not in (None,
                                                               8 * nbytes):
                     raise DecodeError("isomp4: invalid pcm sample size")
+                if version == 1:
+                    # v1 bytes-per-audio-sample supersedes sample_size
+                    # (stsd.rs:246-257).
+                    bpas = int.from_bytes(entry[32:36], "big")
+                    if bpas != nbytes:
+                        raise DecodeError(
+                            "isomp4: invalid pcm bytes per sample")
                 if t.n_channels not in (1, 2):
                     raise DecodeError("isomp4: invalid number of channels")
                 t.codec = codec

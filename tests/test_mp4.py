@@ -935,3 +935,153 @@ class TestMdhdAttributes:
         assert t.duration == 4 * 1024  # mdhd ticks
         # Builder's mdhd language field is packed "und" (0x55C4).
         assert t.language == "und"
+
+
+def build_m4a_custom_entry(frames, entry: bytes, rate=44100,
+                           samples_per_frame=1024) -> bytes:
+    """Non-fragmented MP4 around an arbitrary prebuilt stsd sample entry."""
+    stsd = full_atom(b"stsd", struct.pack(">I", 1) + entry)
+    n = len(frames)
+    stts = full_atom(b"stts", struct.pack(">III", 1, n, samples_per_frame))
+    stsc = full_atom(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    sizes = b"".join(struct.pack(">I", len(f)) for f in frames)
+    stsz = full_atom(b"stsz", struct.pack(">II", 0, n) + sizes)
+
+    def build(mdat_offset):
+        stco = full_atom(b"stco", struct.pack(">II", 1, mdat_offset))
+        stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = atom(b"minf", stbl)
+        mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, rate,
+                                              n * samples_per_frame,
+                                              0x55C4, 0))
+        mdia = atom(b"mdia", mdhd + minf)
+        tkhd = full_atom(b"tkhd",
+                         struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 72)
+        trak = atom(b"trak", tkhd + mdia)
+        mvhd = full_atom(b"mvhd",
+                         struct.pack(">III", 0, 0, rate) + b"\x00" * 88)
+        return atom(b"moov", mvhd + trak)
+
+    ftyp = atom(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42isom")
+    payload = b"".join(frames)
+    moov = build(0)
+    moov = build(len(ftyp) + len(moov) + 8)
+    return ftyp + moov + atom(b"mdat", payload)
+
+
+def _esds_for(rate, n_ch):
+    from symphonia_tpu.common.mpeg import AudioSpecificConfig
+
+    asc = AudioSpecificConfig.build(2, rate, n_ch)
+    dsi = bytes([0x05, len(asc)]) + asc
+    dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15]) + b"\x00" * 11 + dsi
+    slc = bytes([0x06, 0x01, 0x02])
+    es = bytes([0x03, 3 + len(dcd) + len(slc)]) + b"\x00\x00\x00" + dcd + slc
+    return full_atom(b"esds", es)
+
+
+class TestStsdEntryVariants:
+    """QuickTime v1 entries, wave-wrapped esds, dOps, dac3/dec3
+    (stsd.rs:195-346, atoms/wave.rs, atoms/opus.rs)."""
+
+    def _aac_frames(self, n):
+        rng = np.random.default_rng(7)
+        return [build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)],
+                                [0], MAX_SFB, GAIN, RATE) for _ in range(n)]
+
+    def _decode_all(self, data):
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        t = probed.format.default_track()
+        dec = sym.get_codecs().make_audio_decoder(t.codec_params)
+        outs = []
+        while True:
+            p = probed.format.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        return np.concatenate(outs, axis=1)
+
+    def test_v1_wave_wrapped_esds(self):
+        frames = self._aac_frames(6)
+        esds = _esds_for(RATE, 1)
+        v0_entry = atom(b"mp4a",
+                        b"\x00" * 6 + struct.pack(">H", 1)
+                        + b"\x00" * 8 + struct.pack(">HH", 1, 16)
+                        + b"\x00" * 4 + struct.pack(">I", RATE << 16)
+                        + esds)
+        # v1: 16 extra packet-layout bytes, esds inside 'wave'.
+        wave = atom(b"wave", esds)
+        v1_entry = atom(b"mp4a",
+                        b"\x00" * 6 + struct.pack(">H", 1)
+                        + struct.pack(">H", 1) + b"\x00" * 6
+                        + struct.pack(">HH", 1, 16)
+                        + b"\x00" * 4 + struct.pack(">I", RATE << 16)
+                        + struct.pack(">IIII", 1024, 0, 0, 2)
+                        + wave)
+        ref = self._decode_all(build_m4a_custom_entry(frames, v0_entry,
+                                                      rate=RATE))
+        got = self._decode_all(build_m4a_custom_entry(frames, v1_entry,
+                                                      rate=RATE))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_opus_dops_extra_data(self):
+        # dOps payload: version(1) ch(1) preskip(2) rate(4) gain(2) map(1)
+        dops = atom(b"dOps", bytes([0, 2]) + struct.pack(">H", 312)
+                    + struct.pack(">I", 48000) + b"\x00\x00" + b"\x00")
+        entry = atom(b"Opus",
+                     b"\x00" * 6 + struct.pack(">H", 1)
+                     + b"\x00" * 8 + struct.pack(">HH", 2, 16)
+                     + b"\x00" * 4 + struct.pack(">I", 48000 << 16)
+                     + dops)
+        data = build_m4a_custom_entry([b"\x01\x02"] * 3, entry, rate=48000,
+                                      samples_per_frame=960)
+        from symphonia_tpu.formats.isomp4 import IsoMp4Reader
+
+        r = IsoMp4Reader(MediaSourceStream(data))
+        p = r.tracks()[0].codec_params
+        assert p.codec == "opus"
+        assert p.extra_data is not None
+        assert p.extra_data.startswith(b"OpusHead")
+        assert p.extra_data[9] == 2  # channel count rides through
+
+    def test_ac3_described_not_decodable(self):
+        from symphonia_tpu.core.errors import Unsupported
+
+        dac3 = atom(b"dac3", b"\x10\x3d\x40")
+        entry = atom(b"ac-3",
+                     b"\x00" * 6 + struct.pack(">H", 1)
+                     + b"\x00" * 8 + struct.pack(">HH", 2, 16)
+                     + b"\x00" * 4 + struct.pack(">I", 48000 << 16)
+                     + dac3)
+        data = build_m4a_custom_entry([b"\x0b\x77" * 8] * 2, entry,
+                                      rate=48000, samples_per_frame=1536)
+        from symphonia_tpu.formats.isomp4 import IsoMp4Reader
+
+        r = IsoMp4Reader(MediaSourceStream(data))
+        p = r.tracks()[0].codec_params
+        assert p.codec == "ac3" and p.extra_data == b"\x10\x3d\x40"
+        with pytest.raises(Unsupported):
+            sym.get_codecs().make_audio_decoder(p)
+
+    def test_v1_pcm_bytes_per_sample_validated(self):
+        from symphonia_tpu.core.errors import DecodeError
+
+        pcm = np.zeros((1, 64), dtype=np.int16)
+        payload = pcm.T.astype("<i2").tobytes()
+        for bpas, ok in ((2, True), (3, False)):
+            entry = atom(b"sowt",
+                         b"\x00" * 6 + struct.pack(">H", 1)
+                         + struct.pack(">H", 1) + b"\x00" * 6
+                         + struct.pack(">HH", 1, 16)
+                         + b"\x00" * 4 + struct.pack(">I", 8000 << 16)
+                         + struct.pack(">IIII", 1, bpas, 2 * bpas, 2))
+            data = build_m4a_custom_entry([payload], entry, rate=8000,
+                                          samples_per_frame=64)
+            from symphonia_tpu.formats.isomp4 import IsoMp4Reader
+
+            if ok:
+                r = IsoMp4Reader(MediaSourceStream(data))
+                assert r.tracks()[0].codec_params.codec == "pcm_s16le"
+            else:
+                with pytest.raises(DecodeError):
+                    IsoMp4Reader(MediaSourceStream(data))
