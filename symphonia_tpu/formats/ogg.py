@@ -109,6 +109,7 @@ def parse_page(buf: bytes, pos: int, check_crc: bool = True) -> Tuple[OggPage, i
 class Mapper:
     codec: str = "null"
     sample_rate: int = 0
+    delay: int = 0  # encoder lead-in frames (Opus pre-skip, opus.rs:62)
 
     def absorb_header(self, packet: bytes, meta: MetadataLog) -> bool:
         """Consume a header packet; True while more headers expected."""
@@ -281,6 +282,7 @@ class OpusMapper(Mapper):
             raise DecodeError("invalid OpusHead")
         self.n_channels = id_packet[9]
         self.pre_skip = int.from_bytes(id_packet[10:12], "little")
+        self.delay = self.pre_skip
         self._id = id_packet
 
     def absorb_header(self, packet: bytes, meta: MetadataLog) -> bool:
@@ -449,6 +451,7 @@ class OggReader(FormatReader):
 
         # Assign timestamps from durations, anchored to page granules.
         entries: List[_PacketEntry] = []
+        start_ts = 0
         ts = 0
         for p, pi in self._stream["packets"]:
             dur = mapper.packet_dur(p)
@@ -466,6 +469,17 @@ class OggReader(FormatReader):
             first_count, first_granule = next(
                 ((c, g) for c, g in granules if c > 0), (0, -1))
             head_dur = sum(e.dur for e in entries[:first_count])
+            if first_granule > head_dur and first_count > 0:
+                # Stream starts at t > 0 (logical.rs:230 start_ts =
+                # granule_end - total_dur): Opus granules include the
+                # pre-skip, and mid-stream captures start late. Keep raw
+                # granule time, exposing the offset as Track.start_ts.
+                start_ts = first_granule - head_dur
+                ts = start_ts
+                for e in entries:
+                    e.ts = ts
+                    ts += e.dur
+                total = ts
             if 0 <= first_granule < head_dur:
                 trim = head_dur - first_granule
                 for e in entries:
@@ -507,7 +521,9 @@ class OggReader(FormatReader):
             id=0,
             codec_params=params,
             time_base=TimeBase(1, mapper.sample_rate),
-            num_frames=total,
+            num_frames=total - start_ts,
+            start_ts=start_ts,
+            delay=mapper.delay,
         )
 
     # -- FormatReader ------------------------------------------------------
@@ -672,6 +688,8 @@ class OggStreamReader(FormatReader):
             codec_params=params,
             time_base=TimeBase(1, self.mapper.sample_rate),
             num_frames=None,
+            start_ts=getattr(self, "_start_ts", 0),
+            delay=self.mapper.delay,
         )
 
     def _page_packets(self, page: OggPage) -> List[bytes]:
@@ -728,6 +746,17 @@ class OggStreamReader(FormatReader):
                     pkt.ts = ts
                     ts += pkt.dur
                 self._ts = g if not self._queue else ts
+            elif g > self._ts:
+                # Stream starts at t > 0 (logical.rs:230: start_ts =
+                # granule_end - total_dur): Opus granules include pre-skip;
+                # mid-stream captures begin late. Shift onto granule time.
+                shift = g - self._ts
+                for pkt in self._queue:
+                    pkt.ts += shift
+                self._ts = g
+                self._start_ts = shift
+                if getattr(self, "_track", None) is not None:
+                    self._track.start_ts = shift
         if self._eos and 0 < g < self._ts:
             trim = self._ts - g
             for pkt in reversed(self._queue):

@@ -868,3 +868,99 @@ class TestNativePcmPath:
             dec_o.decode(bad)
         for i, pkt in enumerate(pkts[3:]):
             self._assert_parity(dec_n, dec_o, Packet(0, i, 0, pkt))
+
+
+def _ogg_page(serial, seqno, granule, packets, header_type=0):
+    """Build one OGG page (page.rs:144-331); each packet must be <255*255."""
+    from symphonia_tpu.core.checksum import crc32_buf
+
+    lacing = b""
+    body = b""
+    for p in packets:
+        n = len(p)
+        while n >= 255:
+            lacing += bytes([255])
+            n -= 255
+        lacing += bytes([n])
+        body += p
+    head = (b"OggS\x00" + bytes([header_type])
+            + granule.to_bytes(8, "little", signed=True)
+            + serial.to_bytes(4, "little") + seqno.to_bytes(4, "little")
+            + b"\x00" * 4 + bytes([len(lacing)]) + lacing)
+    blob = bytearray(head + body)
+    blob[22:26] = crc32_buf(bytes(blob)).to_bytes(4, "little")
+    return bytes(blob)
+
+
+class TestOggOpus:
+    """Opus mapper (mappings/opus.rs): id/tags headers, TOC packet
+    durations, pre-skip -> Track.delay (opus.rs:62)."""
+
+    PRE_SKIP = 312
+
+    def _stream(self):
+        head = (b"OpusHead" + bytes([1, 2])
+                + self.PRE_SKIP.to_bytes(2, "little")
+                + (48000).to_bytes(4, "little") + b"\x00\x00" + b"\x00")
+        tags = (b"OpusTags" + (4).to_bytes(4, "little") + b"test"
+                + (1).to_bytes(4, "little")
+                + (12).to_bytes(4, "little") + b"TITLE=OpusIt")
+        # TOC 0x10: config 2 (SILK NB 40 ms = 1920 @48k), code 0 (1 frame).
+        pkt = bytes([0x10]) + b"\x11" * 10
+        pages = [
+            _ogg_page(7, 0, 0, [head], header_type=0x02),
+            _ogg_page(7, 1, 0, [tags]),
+            _ogg_page(7, 2, self.PRE_SKIP + 1920, [pkt]),
+            _ogg_page(7, 3, self.PRE_SKIP + 3840, [pkt], header_type=0x04),
+        ]
+        return b"".join(pages)
+
+    def test_demux_and_delay(self):
+        import symphonia_tpu as sym
+        from symphonia_tpu.formats.ogg import OggReader
+
+        data = self._stream()
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        t = probed.format.default_track()
+        p = t.codec_params
+        assert p.codec == "opus"
+        assert p.sample_rate == 48000 and p.channels.count == 2
+        assert p.extra_data.startswith(b"OpusHead")
+        assert t.delay == self.PRE_SKIP
+        rev = probed.format.metadata().current()
+        assert rev is not None and rev.get("track_title") == "OpusIt"
+        pkts = []
+        while True:
+            pk = probed.format.next_packet()
+            if pk is None:
+                break
+            pkts.append(pk)
+        assert len(pkts) == 2
+        assert all(pk.dur == 1920 for pk in pkts)
+        # Granule time is kept raw (logical.rs:230): the stream starts at
+        # t = pre_skip, surfaced as Track.start_ts.
+        assert t.start_ts == self.PRE_SKIP
+        assert [pk.ts for pk in pkts] == [self.PRE_SKIP,
+                                          self.PRE_SKIP + 1920]
+        assert t.num_frames == 2 * 1920
+        # No decoder ships for Opus, matching the reference stub.
+        from symphonia_tpu.core.errors import Unsupported
+        import pytest as _pytest
+
+        with _pytest.raises(Unsupported):
+            sym.get_codecs().make_audio_decoder(p)
+
+    def test_streaming_reader_parity(self):
+        from symphonia_tpu.formats.ogg import OggReader, OggStreamReader
+
+        data = self._stream()
+        bulk = OggReader(MediaSourceStream(data))
+        stream = OggStreamReader(MediaSourceStream(data))
+        assert stream.tracks()[0].delay == self.PRE_SKIP
+        while True:
+            a = bulk.next_packet()
+            b = stream.next_packet()
+            assert (a is None) == (b is None)
+            if a is None:
+                break
+            assert (a.data, a.ts, a.dur) == (b.data, b.ts, b.dur)
