@@ -131,6 +131,16 @@ class CafReader(FormatReader):
             codec = c.CODEC_ID_ALAC
         elif fmt_id == b"aac ":
             codec = c.CODEC_ID_AAC
+        elif fmt_id == b".mp1":
+            codec = c.CODEC_ID_MP1
+        elif fmt_id == b".mp2":
+            codec = c.CODEC_ID_MP2
+        elif fmt_id == b".mp3":
+            codec = c.CODEC_ID_MP3
+        elif fmt_id == b"flac":
+            codec = c.CODEC_ID_FLAC
+        elif fmt_id == b"opus":
+            codec = c.CODEC_ID_OPUS
         if codec is None:
             raise Unsupported(f"CAF format {fmt_id!r}")
 
@@ -162,7 +172,7 @@ class CafReader(FormatReader):
             max_frames_per_packet=frames_per_packet or None,
             frames_per_block=frames_per_packet or None,
             block_align=bytes_per_packet or None,
-            extra_data=self._kuki,
+            extra_data=self._decoder_extra(codec),
         )
         self._track = Track(
             id=0,
@@ -170,6 +180,22 @@ class CafReader(FormatReader):
             time_base=TimeBase(1, self._rate),
             num_frames=int(n_frames) if n_frames else None,
         )
+
+    def _decoder_extra(self, codec) -> Optional[bytes]:
+        """Decoder extra data from the magic cookie (demuxer.rs:517-542):
+        an AAC cookie is an ES descriptor — only its DecoderSpecificInfo
+        (the ASC) is the decoder's extra data; every other format takes
+        the whole cookie."""
+        kuki = self._kuki
+        if kuki and codec == ccodec.CODEC_ID_AAC:
+            from .isomp4 import _parse_esds
+
+            # _parse_esds expects the 4 version/flags bytes an esds atom
+            # carries before the descriptor; the cookie starts at tag 0x03.
+            asc = _parse_esds(b"\x00\x00\x00\x00" + kuki)
+            if asc:
+                return asc
+        return kuki
 
     def _parse_chan(self, payload: bytes) -> None:
         """Audio channel layout chunk (chunks.rs ChannelLayout): layout tag

@@ -242,6 +242,21 @@ def _parse_track_entry(buf: bytes, b: int, e: int) -> Tuple["MkvTrack", int]:
     return t, ttype
 
 
+_MKV_DESCRIBED_ONLY = {
+    "A_MPC": "musepack",
+    "A_AC3": "ac3", "A_AC3/BSID9": "ac3", "A_AC3/BSID10": "ac3",
+    "A_EAC3": "eac3",
+    "A_TRUEHD": "truehd",
+    "A_DTS": "dca",
+    "A_TTA1": "tta",
+    "A_WAVPACK4": "wavpack",
+    "A_ATRAC/AT1": "atrac1",
+    "A_REAL/ATRC": "atrac3",
+    "A_REAL/14_4": "ra10", "A_REAL/28_8": "ra20",
+    "A_REAL/COOK": "cook", "A_REAL/SIPR": "sipr", "A_REAL/RALF": "ralf",
+}
+
+
 def _map_codec(t: MkvTrack) -> None:
     """Matroska codec id -> codec parameters (codecs.rs:392)."""
     cid = t.codec_id
@@ -278,6 +293,11 @@ def _map_codec(t: MkvTrack) -> None:
         c = {8: "pcm_s8", 16: "pcm_s16be", 24: "pcm_s24be", 32: "pcm_s32be"}.get(bits or 16)
     elif cid == "A_PCM/FLOAT/IEEE":
         c = {32: "pcm_f32le", 64: "pcm_f64le"}.get(bits or 32)
+    else:
+        # Described-only ids (codecs.rs:264-280): the reference maps these
+        # to well-known codec IDs but ships no decoder — the track
+        # surfaces and demuxes; make_audio_decoder raises Unsupported.
+        c = _MKV_DESCRIBED_ONLY.get(cid)
     if c is None:
         return
     t.codec = c

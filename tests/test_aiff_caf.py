@@ -282,3 +282,108 @@ class TestCafDescBounds:
             data[i : i + 8] = struct.pack(">d", bad)
             with pytest.raises(DecodeError):
                 CafReader(MediaSourceStream(bytes(data)))
+
+
+def _caf_vbr(fmt_id: bytes, frames, rate, fpp, n_ch=1, bits=0, kuki=b""):
+    """CAF with a VBR pakt table: one packet per element of ``frames``."""
+    desc = struct.pack(">d", float(rate)) + fmt_id + struct.pack(
+        ">IIIII", 0, 0, fpp, n_ch, bits)
+    pakt = struct.pack(">qqii", len(frames), len(frames) * fpp, 0, 0)
+    for f in frames:
+        n = len(f)
+        varint = bytearray()
+        while True:
+            varint.insert(0, n & 0x7F)
+            n >>= 7
+            if not n:
+                break
+        for i in range(len(varint) - 1):
+            varint[i] |= 0x80
+        pakt += bytes(varint)
+    payload = b"".join(frames)
+    out = b"caff" + struct.pack(">HH", 1, 0)
+    out += b"desc" + struct.pack(">q", len(desc)) + desc
+    if kuki:
+        out += b"kuki" + struct.pack(">q", len(kuki)) + kuki
+    out += b"pakt" + struct.pack(">q", len(pakt)) + pakt
+    out += b"data" + struct.pack(">q", len(payload) + 4) + struct.pack(">I", 0) + payload
+    return out
+
+
+class TestCafCompressedFormats:
+    """CAF '.mp3' and 'aac ' format ids (chunks.rs:282-306); the AAC magic
+    cookie is an ES descriptor whose DecoderSpecificInfo is the decoder
+    extra data (demuxer.rs:517-542)."""
+
+    def _decode_packets(self, reader):
+        import symphonia_tpu as sym
+
+        t = reader.default_track()
+        dec = sym.get_codecs().make_audio_decoder(t.codec_params)
+        outs = []
+        while True:
+            p = reader.next_packet()
+            if p is None:
+                break
+            buf = dec.decode(p)
+            if len(buf):
+                outs.append(buf.planes().copy())
+        return np.concatenate(outs, axis=1)
+
+    def test_mp3_in_caf(self):
+        import symphonia_tpu as sym
+        from mp3_builder import build_mpeg1_l3_stream
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.formats.mpa import try_parse_header
+
+        stream = build_mpeg1_l3_stream(6, n_ch=1)
+        # Split into frames via header sizes.
+        frames, pos = [], 0
+        while pos < len(stream):
+            h = try_parse_header(stream[pos:pos + 4], 0)
+            frames.append(stream[pos:pos + h.frame_size])
+            pos += h.frame_size
+        caf = _caf_vbr(b".mp3", frames, h.sample_rate, 1152)
+        probed = sym.get_probe().probe(MediaSourceStream(caf))
+        t = probed.format.default_track()
+        assert t.codec_params.codec == "mp3"
+        got = self._decode_packets(probed.format)
+        # Reference result: the same stream through the MPA reader.
+        ref_probe = sym.get_probe().probe(MediaSourceStream(stream))
+        ref = self._decode_packets(ref_probe.format)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_aac_in_caf_es_descriptor_kuki(self):
+        import symphonia_tpu as sym
+        from aac_builder import build_raw_block, random_quant_spectrum
+        from test_aac import GAIN, MAX_SFB, RATE
+        from symphonia_tpu.common.mpeg import AudioSpecificConfig
+        from symphonia_tpu.core.codecs import AudioCodecParameters
+        from symphonia_tpu.core.io import MediaSourceStream
+
+        rng = np.random.default_rng(3)
+        frames = [build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)],
+                                  [0], MAX_SFB, GAIN, RATE) for _ in range(4)]
+        asc = AudioSpecificConfig.build(2, RATE, 1)
+        dsi = bytes([0x05, len(asc)]) + asc
+        dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15]) + b"\x00" * 11 + dsi
+        slc = bytes([0x06, 0x01, 0x02])
+        es = bytes([0x03, 3 + len(dcd) + len(slc)]) + b"\x00\x00\x00" + dcd + slc
+        caf = _caf_vbr(b"aac ", frames, RATE, 1024, kuki=es)
+        probed = sym.get_probe().probe(MediaSourceStream(caf))
+        t = probed.format.default_track()
+        assert t.codec_params.codec == "aac"
+        assert t.codec_params.extra_data == asc  # cookie unwrapped to ASC
+        got = self._decode_packets(probed.format)
+        # Reference: decode the same raw blocks directly with the ASC.
+        dec = sym.get_codecs().make_audio_decoder(AudioCodecParameters(
+            codec="aac", sample_rate=RATE, extra_data=asc))
+        from symphonia_tpu.core.packet import Packet
+
+        refs = []
+        for i, f in enumerate(frames):
+            buf = dec.decode(Packet(track_id=0, ts=i * 1024, dur=1024, data=f))
+            if len(buf):
+                refs.append(buf.planes().copy())
+        ref = np.concatenate(refs, axis=1)
+        np.testing.assert_array_equal(got, ref)

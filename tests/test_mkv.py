@@ -700,3 +700,30 @@ class TestTrackAttributes:
         assert t.language == "fra"
         assert t.flags & TrackFlags.FORCED
         assert t.duration == 1234
+
+
+class TestDescribedOnlyCodecs:
+    """codecs.rs:264-280: AC-3/DTS/TrueHD/... tracks surface with their
+    codec id and demux, but no decoder ships (Unsupported), matching the
+    reference's support level."""
+
+    def test_dts_track_demuxes_but_has_no_decoder(self):
+        from symphonia_tpu.core.errors import Unsupported
+
+        blocks = [(0, [simple_block(1, 0, [b"\x7f\xfe\x80\x01" + b"\x00" * 32])])]
+        data = build_mkv("A_DTS", b"", blocks, rate=48000, ch=2)
+        r = MkvReader(MediaSourceStream(data))
+        t = r.tracks()[0]
+        assert t.codec_params.codec == "dca"
+        assert t.codec_params.sample_rate == 48000
+        pkt = r.next_packet()
+        assert pkt is not None and pkt.data[:2] == b"\x7f\xfe"
+        with pytest.raises(Unsupported):
+            sym.get_codecs().make_audio_decoder(t.codec_params)
+
+    def test_ac3_bsid_variants(self):
+        for cid in ("A_AC3", "A_AC3/BSID9", "A_AC3/BSID10"):
+            data = build_mkv(cid, b"", [(0, [simple_block(1, 0, [b"\x0b\x77"])])],
+                             rate=48000, ch=2)
+            r = MkvReader(MediaSourceStream(data))
+            assert r.tracks()[0].codec_params.codec == "ac3"
