@@ -117,6 +117,16 @@ WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 _GUID_TAIL = bytes(
     [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
 )
+# Ambisonic B-format GUID tail ({..-0721-11d3-8644-C8C1CA000000},
+# wave/chunks.rs:253-261); the leading tag is PCM (1) or IEEE float (3).
+_AMB_GUID_TAIL = bytes(
+    [0x21, 0x07, 0xD3, 0x11, 0x86, 0x44, 0xC8, 0xC1, 0xCA, 0x00, 0x00, 0x00]
+)
+# FuMa B-format component labels by channel count (wave/chunks.rs:740-810).
+_AMB_LAYOUTS = {
+    1: "W", 2: "WY", 3: "WXY", 4: "WXYZ",
+    5: "WXYUV", 6: "WXYZUV", 7: "WXYUVPQ", 8: "WXYZUVPQ", 9: "WXYZRSTUV",
+}
 
 
 def pcm_codec_id(bits: int, is_float: bool, big_endian: bool = False) -> str:
@@ -157,10 +167,18 @@ def parse_waveformat(data: bytes) -> FormatData:
             raise DecodeError("extensible fmt chunk too small")
         (cb_size, valid_bits, ch_mask) = struct.unpack("<HHI", data[16:24])
         guid = data[24:40]
-        if guid[4:] != _GUID_TAIL:
+        is_amb = guid[4:] == _AMB_GUID_TAIL
+        if guid[4:] != _GUID_TAIL and not is_amb:
             raise DecodeError("unknown WAVE subformat GUID")
         tag = int.from_bytes(guid[:4], "little")
-        if ch_mask:
+        if is_amb:
+            if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+                raise DecodeError("unsupported ambisonic WAVE subformat")
+            layout = _AMB_LAYOUTS.get(n_channels)
+            if layout is None:
+                raise DecodeError("unsupported ambisonic channel count")
+            channels = Channels.custom_labels(tuple(layout))
+        elif ch_mask:
             channels = Channels.positioned(ch_mask)
         if valid_bits:
             coded_bits = valid_bits

@@ -207,3 +207,89 @@ class TestRf64:
         out, track = decode_all(data)
         assert track.num_frames == 2000
         np.testing.assert_array_equal(out, frames.T)
+
+
+def make_wav_extensible(frames, rate, guid_tag, guid_tail, ch_mask=0,
+                        valid_bits=0, bits=16, float_fmt=False):
+    """WAVE_FORMAT_EXTENSIBLE fmt chunk (wave/chunks.rs:225-340)."""
+    n, ch = frames.shape
+    if float_fmt:
+        payload = frames.astype("<f4").tobytes()
+        bits = 32
+    elif bits == 16:
+        payload = frames.astype("<i2").tobytes()
+    elif bits == 24:
+        b4 = frames.astype("<i4").tobytes()
+        payload = b"".join(b4[i:i + 3] for i in range(0, len(b4), 4))
+    block = ch * (bits // 8)
+    guid = guid_tag.to_bytes(4, "little") + guid_tail
+    fmt = struct.pack("<HHIIHH", 0xFFFE, ch, rate, rate * block, block, bits)
+    fmt += struct.pack("<HHI", 22, valid_bits, ch_mask) + guid
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+class TestWavExtensible:
+    """WAVE_FORMAT_EXTENSIBLE: GUID sub-format, channel mask, and the
+    Ambisonic B-format GUIDs (wave/chunks.rs:225-340, 740-810)."""
+
+    STD_TAIL = bytes([0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+                      0x00, 0x38, 0x9B, 0x71])
+    AMB_TAIL = bytes([0x21, 0x07, 0xD3, 0x11, 0x86, 0x44, 0xC8, 0xC1,
+                      0xCA, 0x00, 0x00, 0x00])
+
+    def test_pcm_with_channel_mask(self):
+        from symphonia_tpu.core.audio import Position
+
+        rng = np.random.default_rng(1)
+        frames = rng.integers(-1 << 15, 1 << 15, size=(500, 2), dtype=np.int32)
+        mask = int(Position.FRONT_LEFT | Position.LFE1)
+        data = make_wav_extensible(frames, 8000, 1, self.STD_TAIL,
+                                   ch_mask=mask)
+        out, track = decode_all(data)
+        assert track.codec_params.codec == "pcm_s16le"
+        assert track.codec_params.channels.mask == mask
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_ambisonic_bformat_pcm(self):
+        rng = np.random.default_rng(2)
+        frames = rng.integers(-1 << 15, 1 << 15, size=(256, 4), dtype=np.int32)
+        data = make_wav_extensible(frames, 8000, 1, self.AMB_TAIL)
+        out, track = decode_all(data)
+        ch = track.codec_params.channels
+        assert ch.custom == ("W", "X", "Y", "Z")
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_ambisonic_bformat_float(self):
+        rng = np.random.default_rng(3)
+        frames = rng.standard_normal((256, 2)).astype(np.float32)
+        data = make_wav_extensible(frames, 8000, 3, self.AMB_TAIL,
+                                   float_fmt=True)
+        out, track = decode_all(data)
+        assert track.codec_params.codec == "pcm_f32le"
+        assert track.codec_params.channels.custom == ("W", "Y")
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_unknown_guid_rejected(self):
+        from symphonia_tpu.core.errors import DecodeError, Unsupported
+
+        frames = np.zeros((16, 1), dtype=np.int32)
+        bad = bytes(reversed(self.STD_TAIL))
+        data = make_wav_extensible(frames, 8000, 1, bad)
+        with pytest.raises((DecodeError, Unsupported)):
+            decode_all(data)
+
+    def test_valid_bits_truncated_pcm(self):
+        # 24-bit container holding 20 valid bits: coded width surfaces.
+        rng = np.random.default_rng(4)
+        frames = (rng.integers(-1 << 19, 1 << 19, size=(64, 1)) << 4).astype(np.int32)
+        data = make_wav_extensible(frames, 8000, 1, self.STD_TAIL,
+                                   valid_bits=20, bits=24)
+        out, track = decode_all(data)
+        assert track.codec_params.bits_per_coded_sample == 20
+        # Samples are MSB-aligned in the 24-bit container; the decoder
+        # yields the 20-bit coded values.
+        np.testing.assert_array_equal(out, frames.T >> 4)
