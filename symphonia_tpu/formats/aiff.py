@@ -169,19 +169,53 @@ class AiffReader(FormatReader):
 
         c = ccodec
         container = ((bits + 7) // 8) * 8
-        if compression in (b"NONE", b"twos"):
+        if compression in (b"NONE", b"none", b"twos", b"TWOS"):
             codec = {8: c.CODEC_ID_PCM_S8, 16: c.CODEC_ID_PCM_S16BE,
                      24: c.CODEC_ID_PCM_S24BE, 32: c.CODEC_ID_PCM_S32BE}.get(container)
             if codec is None:
                 raise DecodeError(f"unsupported AIFF bit depth {bits}")
+            if compression in (b"twos", b"TWOS") and container != 16:
+                # twos is strictly 16-bit in the reference (chunks.rs:153).
+                raise DecodeError("AIFC twos requires 16-bit samples")
             block = n_ch * container // 8
             fpb = 1
             out_bits = container
-        elif compression == b"sowt":
+        elif compression in (b"sowt", b"SOWT"):
+            if container != 16:
+                raise DecodeError("AIFC sowt requires 16-bit samples")
             codec = c.CODEC_ID_PCM_S16LE
             block = n_ch * 2
             fpb = 1
             out_bits = 16
+        elif compression in (b"in24", b"IN24"):
+            if bits != 24:
+                raise DecodeError("AIFC in24 requires 24-bit samples")
+            codec = c.CODEC_ID_PCM_S24BE
+            block = n_ch * 3
+            fpb = 1
+            out_bits = 24
+        elif compression in (b"in32", b"IN32"):
+            if bits != 32:
+                raise DecodeError("AIFC in32 requires 32-bit samples")
+            codec = c.CODEC_ID_PCM_S32BE
+            block = n_ch * 4
+            fpb = 1
+            out_bits = 32
+        elif compression in (b"23ni", b"23NI"):
+            # 32-bit little-endian integer (chunks.rs:107-118).
+            if bits != 32:
+                raise DecodeError("AIFC 23ni requires 32-bit samples")
+            codec = c.CODEC_ID_PCM_S32LE
+            block = n_ch * 4
+            fpb = 1
+            out_bits = 32
+        elif compression in (b"raw ", b"RAW "):
+            if bits != 8:
+                raise DecodeError("AIFC raw requires 8-bit samples")
+            codec = c.CODEC_ID_PCM_U8
+            block = n_ch
+            fpb = 1
+            out_bits = 8
         elif compression in (b"fl32", b"FL32"):
             codec = c.CODEC_ID_PCM_F32BE
             block = n_ch * 4

@@ -387,3 +387,70 @@ class TestCafCompressedFormats:
                 refs.append(buf.planes().copy())
         ref = np.concatenate(refs, axis=1)
         np.testing.assert_array_equal(got, ref)
+
+
+class TestAifcMoreCompressions:
+    """AIFC in24/in32/23ni/raw compression types + case-insensitive ids
+    (aiff/chunks.rs:81-131,275-287)."""
+
+    def _aifc(self, payload, n, ch, bits, comp, rate=8000):
+        comm = struct.pack(">HIH", ch, n, bits) + pack_f80(rate)
+        comm += comp + b"\x00\x00"
+        chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+        ssnd = struct.pack(">II", 0, 0) + payload
+        chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        if len(ssnd) & 1:
+            chunks += b"\x00"
+        return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFC" + chunks
+
+    def test_23ni_le32(self):
+        rng = np.random.default_rng(5)
+        frames = rng.integers(-1 << 31, (1 << 31) - 1, size=(200, 2),
+                              dtype=np.int64).astype(np.int32)
+        data = self._aifc(frames.astype("<i4").tobytes(), 200, 2, 32, b"23ni")
+        out, track, _ = decode_all(data)
+        assert track.codec_params.codec == "pcm_s32le"
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_in24_be(self):
+        rng = np.random.default_rng(6)
+        frames = rng.integers(-1 << 23, 1 << 23, size=(100, 1)).astype(np.int32)
+        b4 = frames.astype(">i4").tobytes()
+        payload = b"".join(b4[i + 1:i + 4] for i in range(0, len(b4), 4))
+        data = self._aifc(payload, 100, 1, 24, b"IN24")
+        out, track, _ = decode_all(data)
+        assert track.codec_params.codec == "pcm_s24be"
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_in32_be(self):
+        rng = np.random.default_rng(7)
+        frames = rng.integers(-1 << 31, (1 << 31) - 1, size=(64, 1),
+                              dtype=np.int64).astype(np.int32)
+        data = self._aifc(frames.astype(">i4").tobytes(), 64, 1, 32, b"in32")
+        out, track, _ = decode_all(data)
+        assert track.codec_params.codec == "pcm_s32be"
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_raw_u8(self):
+        rng = np.random.default_rng(8)
+        frames = rng.integers(0, 256, size=(64, 1), dtype=np.int64)
+        data = self._aifc(frames.astype(np.uint8).tobytes(), 64, 1, 8, b"raw ")
+        out, track, _ = decode_all(data)
+        assert track.codec_params.codec == "pcm_u8"
+        np.testing.assert_array_equal(out, frames.T - 128)
+
+    def test_uppercase_sowt_and_width_validation(self):
+        from symphonia_tpu.core.errors import DecodeError, Unsupported
+
+        rng = np.random.default_rng(9)
+        frames = rng.integers(-1 << 15, 1 << 15, size=(50, 1)).astype(np.int32)
+        data = self._aifc(frames.astype("<i2").tobytes(), 50, 1, 16, b"SOWT")
+        out, track, _ = decode_all(data)
+        assert track.codec_params.codec == "pcm_s16le"
+        np.testing.assert_array_equal(out, frames.T)
+        # twos at a non-16-bit width is rejected (chunks.rs:153-157).
+        bad = self._aifc(frames.astype("<i4").tobytes(), 50, 1, 32, b"twos")
+        import pytest as _pytest
+
+        with _pytest.raises((DecodeError, Unsupported)):
+            decode_all(bad)
