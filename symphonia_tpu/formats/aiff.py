@@ -84,6 +84,7 @@ class AiffReader(FormatReader):
         self._data_start = None
         self._data_len = None
         rev = MetadataRevision()
+        mark_payload = comt_payload = None
 
         chunks = ChunksReader(mss, form_len - 4, big_endian=True)
         while True:
@@ -121,11 +122,20 @@ class AiffReader(FormatReader):
                 chunks.consume(ch.size)
                 chunks.align(ch)
                 rev.tags.append(RawTag(ch.id.decode(), text, _TEXT_CHUNKS[ch.id]))
+            elif ch.id in (b"MARK", b"COMT"):
+                payload = mss.read_bytes(ch.size)
+                chunks.consume(ch.size)
+                chunks.align(ch)
+                if ch.id == b"MARK":
+                    mark_payload = payload
+                else:
+                    comt_payload = payload
             else:
                 chunks.skip_chunk(ch)
 
         if self.fd is None or self._data_start is None:
             raise DecodeError("missing COMM or SSND chunk")
+        self._process_markers(mark_payload, comt_payload, rev)
         if rev.tags:
             self._metadata.push(rev)
 
@@ -155,6 +165,58 @@ class AiffReader(FormatReader):
             time_base=TimeBase(1, self.fd.sample_rate),
             num_frames=self._total_frames,
         )
+
+    def _process_markers(self, mark: Optional[bytes], comt: Optional[bytes],
+                         rev: MetadataRevision) -> None:
+        """MARK markers -> chapters; COMT comments attach to their marker's
+        chapter or become general tags (aiff/mod.rs:244-317,
+        aiff/chunks.rs:339-430). Malformed chunks are ignored."""
+        from ..core.meta import Chapter, ChapterGroup
+
+        chapters = []
+        index = {}  # marker id -> chapter position
+        rate = self.fd.sample_rate
+        if mark:
+            try:
+                n = int.from_bytes(mark[0:2], "big")
+                pos = 2
+                for _ in range(n):
+                    mid = int.from_bytes(mark[pos:pos + 2], "big", signed=True)
+                    ts = int.from_bytes(mark[pos + 2:pos + 6], "big")
+                    slen = mark[pos + 6]
+                    name = mark[pos + 7:pos + 7 + slen].decode("ascii",
+                                                               "replace")
+                    # Pascal string padded so length byte + text is even.
+                    pos += 7 + slen + (0 if (slen + 1) % 2 == 0 else 1)
+                    if mid > 0 and mid not in index:
+                        index[mid] = len(chapters)
+                    ch = Chapter(start_time=ts / rate, title=name or None)
+                    ch.tags.append(RawTag("NAME", name))
+                    chapters.append(ch)
+            except (IndexError, ValueError):
+                chapters, index = [], {}
+        if comt:
+            try:
+                n = int.from_bytes(comt[0:2], "big")
+                pos = 2
+                for _ in range(n):
+                    mid = int.from_bytes(comt[pos + 4:pos + 6], "big",
+                                         signed=True)
+                    tlen = int.from_bytes(comt[pos + 6:pos + 8], "big")
+                    text = comt[pos + 8:pos + 8 + tlen].decode("ascii",
+                                                               "replace")
+                    if len(comt) < pos + 8 + tlen:
+                        break
+                    pos += 8 + tlen
+                    tag = RawTag("COMMENT", text, "comment")
+                    if mid == 0:
+                        rev.tags.append(tag)
+                    elif mid in index:
+                        chapters[index[mid]].tags.append(tag)
+            except (IndexError, ValueError):
+                pass
+        if chapters:
+            self._chapters = ChapterGroup(items=chapters)
 
     def _parse_comm(self, payload: bytes, is_aifc: bool) -> None:
         if len(payload) < 18:

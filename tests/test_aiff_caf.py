@@ -454,3 +454,39 @@ class TestAifcMoreCompressions:
 
         with _pytest.raises((DecodeError, Unsupported)):
             decode_all(bad)
+
+
+class TestAiffMarkers:
+    """MARK -> chapters, COMT -> chapter/general comments
+    (aiff/mod.rs:244-317)."""
+
+    def _pascal(self, s: bytes) -> bytes:
+        out = bytes([len(s)]) + s
+        return out + (b"\x00" if len(out) % 2 else b"")
+
+    def test_markers_and_comments(self):
+        frames = np.zeros((100, 1), dtype=np.int32)
+        base = make_aiff(frames, rate=8000)
+        mark = struct.pack(">H", 2)
+        mark += struct.pack(">hI", 1, 4000) + self._pascal(b"Mid")
+        mark += struct.pack(">hI", 2, 8000) + self._pascal(b"End")
+        # Comment text is read exactly (chunks.rs:416-425), no padding.
+        comt = struct.pack(">H", 2)
+        comt += struct.pack(">IhH", 0, 1, 5) + b"hello"
+        comt += struct.pack(">IhH", 0, 0, 7) + b"general"
+        extra = b"MARK" + struct.pack(">I", len(mark)) + mark
+        extra += b"COMT" + struct.pack(">I", len(comt)) + comt
+        # Insert before SSND and fix the FORM size.
+        at = base.find(b"SSND")
+        data = bytearray(base[:at] + extra + base[at:])
+        struct.pack_into(">I", data, 4, len(data) - 8)
+        r = AiffReader(MediaSourceStream(bytes(data)))
+        grp = r.chapters()
+        assert grp is not None and len(grp.items) == 2
+        assert grp.items[0].title == "Mid"
+        assert grp.items[0].start_time == 0.5
+        assert grp.items[1].start_time == 1.0
+        # Comment with marker_id 1 attached to the first chapter.
+        assert any(t.value == "hello" for t in grp.items[0].tags)
+        rev = r.metadata().current()
+        assert rev is not None and any(t.value == "general" for t in rev.tags)
