@@ -964,3 +964,61 @@ class TestOggOpus:
             if a is None:
                 break
             assert (a.data, a.ts, a.dur) == (b.data, b.ts, b.dur)
+
+
+class TestOggFlac:
+    """FLAC-in-OGG mapper (mappings/flac.rs): id packet parse, header
+    absorption, frame durations from frame headers, decode parity with
+    the native FLAC container."""
+
+    def _stream(self, channels, rate, bps, block_size):
+        import sys
+        sys.path.insert(0, "tests") if "tests" not in sys.path[0] else None
+        from flac_builder import (build_streaminfo, encode_frame, md5_of)
+
+        n = len(channels[0])
+        md5 = md5_of(channels, bps)
+        si = build_streaminfo(block_size, rate, len(channels), bps, n, md5)
+        # Mapping id packet: 0x7F FLAC maj min nhdr 'fLaC' block hdr + SI.
+        idpkt = (b"\x7fFLAC\x01\x00" + (1).to_bytes(2, "big") + b"fLaC"
+                 + bytes([0x00]) + len(si).to_bytes(3, "big") + si)
+        # Vorbis-comment header packet (block type 4, last-header flag).
+        body = (4).to_bytes(4, "little") + b"test" + (0).to_bytes(4, "little")
+        vc = bytes([0x84]) + len(body).to_bytes(3, "big") + body
+        frames = []
+        for i, start in enumerate(range(0, n, block_size)):
+            chunk = [c[start:start + block_size] for c in channels]
+            frames.append(encode_frame(chunk, i, bps, "independent",
+                                       kind="fixed", order=2))
+        pages = [_ogg_page(9, 0, 0, [idpkt], header_type=0x02),
+                 _ogg_page(9, 1, 0, [vc])]
+        done = 0
+        for i, f in enumerate(frames):
+            done += min(block_size, n - done)
+            last = i == len(frames) - 1
+            pages.append(_ogg_page(9, 2 + i, done, [f],
+                                   header_type=0x04 if last else 0))
+        return b"".join(pages)
+
+    def test_flac_in_ogg_decodes_bit_exact(self):
+        import symphonia_tpu as sym
+        from flac_builder import random_walk
+
+        rate, bps, bsz = 22050, 16, 256
+        channels = random_walk(1024, bps, seed=11, ch=2)
+        data = self._stream(channels, rate, bps, bsz)
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        t = probed.format.default_track()
+        assert t.codec_params.codec == "flac"
+        assert t.codec_params.sample_rate == rate
+        assert t.num_frames == 1024
+        dec = sym.get_codecs().make_audio_decoder(t.codec_params)
+        outs = []
+        while True:
+            p = probed.format.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        got = np.concatenate(outs, axis=1)
+        expect = np.stack([c.astype(np.int32) for c in channels])
+        np.testing.assert_array_equal(got, expect)
