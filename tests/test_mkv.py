@@ -727,3 +727,58 @@ class TestDescribedOnlyCodecs:
                              rate=48000, ch=2)
             r = MkvReader(MediaSourceStream(data))
             assert r.tracks()[0].codec_params.codec == "ac3"
+
+
+class TestMkvVorbis:
+    """A_VORBIS with Xiph-laced CodecPrivate (lib.rs:76-97): the three
+    headers unpack and packets decode identically to the OGG container."""
+
+    def test_vorbis_track_parity_with_ogg(self):
+        import sys
+
+        if "tests" not in (sys.path[0] or ""):
+            sys.path.insert(0, "tests")
+        from vorbis_builder import build_stream
+
+        extra, pkts, _ = build_stream(8, seed=21)
+        # extra = ident + setup concatenated; rebuild the comment packet
+        # and Xiph-lace all three for CodecPrivate.
+        ident = extra[:30]
+        setup = extra[30:]
+        comment = (b"\x03vorbis" + (4).to_bytes(4, "little") + b"test"
+                   + (0).to_bytes(4, "little") + b"\x01")
+
+        def lace_size(n):
+            return bytes([255] * (n // 255) + [n % 255])
+
+        private = (bytes([2]) + lace_size(len(ident))
+                   + lace_size(len(comment)) + ident + comment + setup)
+        blocks = [(0, [simple_block(1, i % 120, [p])])
+                  for i, p in enumerate(pkts)]
+        data = build_mkv("A_VORBIS", private, blocks, rate=8000, ch=1)
+        r = MkvReader(MediaSourceStream(data))
+        t = r.tracks()[0]
+        assert t.codec_params.codec == "vorbis"
+        dec = sym.get_codecs().make_audio_decoder(t.codec_params)
+        outs = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            buf = dec.decode(p)
+            if len(buf):
+                outs.append(buf.planes().copy())
+        got = np.concatenate(outs, axis=1)
+        # Reference: the same packets through a directly-configured decoder.
+        from symphonia_tpu.core.codecs import AudioCodecParameters
+        from symphonia_tpu.core.packet import Packet as Pk
+
+        dec2 = sym.get_codecs().make_audio_decoder(AudioCodecParameters(
+            codec="vorbis", sample_rate=8000, extra_data=extra))
+        refs = []
+        for i, p in enumerate(pkts):
+            buf = dec2.decode(Pk(track_id=0, ts=i, dur=0, data=p))
+            if len(buf):
+                refs.append(buf.planes().copy())
+        ref = np.concatenate(refs, axis=1)
+        np.testing.assert_array_equal(got, ref)
