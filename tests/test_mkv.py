@@ -782,3 +782,42 @@ class TestMkvVorbis:
                 refs.append(buf.planes().copy())
         ref = np.concatenate(refs, axis=1)
         np.testing.assert_array_equal(got, ref)
+
+
+class TestMkvAlac:
+    """A_ALAC: CodecPrivate is the magic cookie (codecs.rs:268)."""
+
+    def test_alac_in_mkv_decodes_exact(self):
+        import sys
+
+        if "tests" not in (sys.path[0] or ""):
+            sys.path.insert(0, "tests")
+        from alac_builder import build_cookie, encode_frame_compressed
+        from test_alac import signal
+
+        frame_len = 256
+        ch = signal(frame_len * 3, 17)
+        cookie_dict = dict(frame_length=frame_len, bit_depth=16, pb=40,
+                           mb=10, kb=14)
+        frames = [
+            encode_frame_compressed(
+                [ch[0][i * frame_len:(i + 1) * frame_len]], cookie_dict,
+                order=2)
+            for i in range(3)
+        ]
+        cookie = build_cookie(frame_len, 16, 1, 44100)
+        blocks = [(0, [simple_block(1, i, [f])]) for i, f in enumerate(frames)]
+        data = build_mkv("A_ALAC", cookie, blocks, rate=44100, ch=1,
+                         bit_depth=16)
+        r = MkvReader(MediaSourceStream(data))
+        t = r.tracks()[0]
+        assert t.codec_params.codec == "alac"
+        dec = sym.get_codecs().make_audio_decoder(t.codec_params)
+        outs = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        got = np.concatenate(outs, axis=1)
+        np.testing.assert_array_equal(got[0], ch[0].astype(np.int32))

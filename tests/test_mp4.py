@@ -1085,3 +1085,47 @@ class TestStsdEntryVariants:
             else:
                 with pytest.raises(DecodeError):
                     IsoMp4Reader(MediaSourceStream(data))
+
+
+class TestMp4Alac:
+    """ALAC sample entry: the 'alac' config atom inside the stsd entry
+    carries the magic cookie (atoms/alac.rs)."""
+
+    def test_alac_in_mp4_decodes_exact(self):
+        import sys
+
+        if "tests" not in (sys.path[0] or ""):
+            sys.path.insert(0, "tests")
+        from alac_builder import build_cookie, encode_frame_compressed
+        from test_alac import signal
+
+        frame_len = 256
+        ch = signal(frame_len * 4, 13)
+        cookie_dict = dict(frame_length=frame_len, bit_depth=16, pb=40,
+                           mb=10, kb=14)
+        frames = [
+            encode_frame_compressed(
+                [ch[0][i * frame_len:(i + 1) * frame_len]], cookie_dict,
+                order=2)
+            for i in range(4)
+        ]
+        cookie = build_cookie(frame_len, 16, 1, 44100)
+        entry = atom(b"alac",
+                     b"\x00" * 6 + struct.pack(">H", 1)
+                     + b"\x00" * 8 + struct.pack(">HH", 1, 16)
+                     + b"\x00" * 4 + struct.pack(">I", 44100 << 16)
+                     + full_atom(b"alac", cookie))
+        data = build_m4a_custom_entry(frames, entry, rate=44100,
+                                      samples_per_frame=frame_len)
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        t = probed.format.default_track()
+        assert t.codec_params.codec == "alac"
+        dec = sym.get_codecs().make_audio_decoder(t.codec_params)
+        outs = []
+        while True:
+            p = probed.format.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        got = np.concatenate(outs, axis=1)
+        np.testing.assert_array_equal(got[0], ch[0].astype(np.int32))
