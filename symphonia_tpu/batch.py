@@ -674,7 +674,7 @@ def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:
 
     if codec == "flac" and isinstance(fmt, FlacReader):
         return FlacBatchDecoder(verify=verify).decode_bytes(data)
-    if codec == "mp3" and isinstance(fmt, MpaReader):
+    if codec in ("mp1", "mp2", "mp3") and isinstance(fmt, MpaReader):
         return Mp3BatchDecoder().decode_bytes(data)
     if codec == "vorbis" and isinstance(fmt, OggReader):
         return VorbisBatchDecoder().decode_bytes(data)

@@ -121,8 +121,15 @@ def _synthesize(samples: np.ndarray, n_frames: int, state: Layer12State, ch: int
         resp = polyphase_response_np(sb)
     out_len = 32 * n_frames
     out = resp[:out_len].copy()
-    out[:480] += state.synth_tail[ch][: min(480, out_len)]
-    state.synth_tail[ch] = resp[out_len:].copy()
+    k = min(480, out_len)
+    out[:k] += state.synth_tail[ch][:k]
+    new_tail = resp[out_len:].copy()
+    if out_len < 480:
+        # The 480-sample tail reaches past one Layer I frame (384 samples):
+        # carry the unconsumed remainder forward (synthesis.rs FIR state;
+        # without this, taps 12-15 frames out are dropped).
+        new_tail[: 480 - out_len] += state.synth_tail[ch][out_len:]
+    state.synth_tail[ch] = new_tail
     return out
 
 

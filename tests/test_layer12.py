@@ -325,20 +325,40 @@ class TestL12BatchPath:
             frames.append(frame)
         return b"".join(frames)
 
+    @staticmethod
+    def _decode_spying_device(data):
+        """batch.decode_bytes with an engagement assertion: the batched
+        device polyphase (l12_dense_batch_jax) must actually run — mp1/mp2
+        once silently fell through to the sequential loop, making the
+        batch-vs-sequential comparison vacuous."""
+        from symphonia_tpu import batch
+        from symphonia_tpu.ops import mp3_dense as MD
+
+        calls = []
+        real = MD.l12_dense_batch_jax
+        MD.l12_dense_batch_jax = lambda *a, **k: (
+            calls.append(1), real(*a, **k))[1]
+        try:
+            out = batch.decode_bytes(data)
+        finally:
+            MD.l12_dense_batch_jax = real
+        assert calls, "L12 device batch path was not engaged"
+        return out
+
     def test_l2_batch_matches_sequential(self):
-        from symphonia_tpu import batch, native
+        from symphonia_tpu import native
         from symphonia_tpu.batch import _fallback_decode
 
         if not native.available():
             pytest.skip("native library unavailable")
         data = self._l2_stream()
-        out = batch.decode_bytes(data)
+        out = self._decode_spying_device(data)
         ref = _fallback_decode(data, True)
         assert out.samples.shape == ref.samples.shape
         np.testing.assert_allclose(out.samples, ref.samples, atol=2e-5)
 
     def test_l1_batch_matches_sequential(self):
-        from symphonia_tpu import batch, native
+        from symphonia_tpu import native
         from symphonia_tpu.batch import _fallback_decode
 
         if not native.available():
@@ -355,7 +375,27 @@ class TestL12BatchPath:
             frame, _h = build_l1_frame(raws, allocs, sfi)
             frames.append(frame)
         data = b"".join(frames)
-        out = batch.decode_bytes(data)
+        out = self._decode_spying_device(data)
         ref = _fallback_decode(data, True)
         assert out.samples.shape == ref.samples.shape
         np.testing.assert_allclose(out.samples, ref.samples, atol=2e-5)
+
+    def test_l1_sequential_tail_carry_matches_oneshot(self):
+        """Layer I frames (384 samples) are shorter than the 480-sample
+        polyphase tail: chained per-frame synthesis must superpose the
+        carried remainder onto the frame after next (regression: the
+        remainder was dropped, a ~-40 dB error on every L1 stream)."""
+        from symphonia_tpu.codecs.mpa_layer12 import (Layer12State,
+                                                      _synthesize)
+        from symphonia_tpu.ops.mp3_dense import polyphase_response_np
+
+        rng = np.random.default_rng(0)
+        T, nfr = 12, 5
+        frames = [rng.standard_normal((32, T)).astype(np.float32)
+                  for _ in range(nfr)]
+        st = Layer12State()
+        chained = np.concatenate(
+            [_synthesize(f.reshape(-1), T, st, 0) for f in frames])
+        full = polyphase_response_np(
+            np.concatenate(frames, axis=1))[: 32 * T * nfr]
+        np.testing.assert_allclose(chained, full, atol=1e-4)
