@@ -28,6 +28,7 @@ from ..core.io.bits import BitReaderLtr
 from ..core.packet import Packet
 from ..ops.mp3_dense import GranuleDenseState, granule_dense_np
 from . import mpa_layer3 as l3
+from . import mpa_layer12 as l12
 from .mpa_common import LAYER1, LAYER2, LAYER3, MpaHeader, parse_header
 
 # Maximum bit-reservoir capacity in bytes (9-bit main_data_begin).
@@ -150,8 +151,6 @@ class MpaDecoder(AudioDecoder):
             if pcm is None:
                 pcm = decode_layer3_frame(header, frame, self._l3)
         else:
-            from . import mpa_layer12 as l12
-
             if self._l12_state is None:
                 self._l12_state = l12.Layer12State()
             pcm = l12.decode_frame(header, frame, self._l12_state)

@@ -52,7 +52,7 @@ _SFB_ROW = {44100: 0, 48000: 1, 32000: 2, 22050: 3, 24000: 4, 16000: 5,
             11025: 6, 12000: 7, 8000: 8}
 
 
-@dataclass
+@dataclass(frozen=True)
 class MpaHeader:
     version: int  # MPEG1/2/2.5
     layer: int  # 1..3
@@ -97,8 +97,27 @@ def samples_per_frame(version: int, layer: int) -> int:
     return 1152 if version == MPEG1 else 576
 
 
+_HDR_CACHE: dict = {}
+
+
 def parse_header(word: int) -> MpaHeader:
-    """Parse a 32-bit big-endian frame header word (header.rs:79+)."""
+    """Parse a 32-bit big-endian frame header word (header.rs:79+).
+
+    Memoized by the header word: a stream's frames differ only in the
+    padding bit, and the demuxer + decoder each parse every frame (the
+    parse was ~15% of the fused Layer II per-packet stage). MpaHeader is
+    frozen so cached instances are safe to share. Bounded so fuzzed
+    streams can't grow the cache without limit."""
+    h = _HDR_CACHE.get(word)
+    if h is not None:
+        return h
+    h = _parse_header(word)
+    if len(_HDR_CACHE) < 4096:
+        _HDR_CACHE[word] = h
+    return h
+
+
+def _parse_header(word: int) -> MpaHeader:
     if (word >> 21) & 0x7FF != 0x7FF:
         raise DecodeError("invalid sync word")
     version_bits = (word >> 19) & 0x3

@@ -102,11 +102,19 @@ def _find_sb_info(header: MpaHeader):
 
 class Layer12State:
     def __init__(self):
-        self.synth_tail = [np.zeros(480, np.float32) for _ in range(2)]
+        # One contiguous [2, 480] tail shared by the fused native path
+        # (sh_l12_stream_decode updates it in place) and the Python
+        # _synthesize fallback, so either path can pick up mid-stream.
+        self.synth_tails = np.zeros((2, 480), np.float32)
+        self.pcm_buf = np.zeros((2, 1152), np.float32)
+        self.stream = None  # None = undecided, False = fused path off
+        # (header, precomputed native-call args): parse_header memoizes by
+        # word, so identity is a valid key and the per-frame table/bound
+        # lookups amortize to one dict hit.
+        self._cfg = None
 
     def reset(self):
-        for t in self.synth_tail:
-            t[:] = 0
+        self.synth_tails[:] = 0
 
 
 def _synthesize(samples: np.ndarray, n_frames: int, state: Layer12State, ch: int) -> np.ndarray:
@@ -120,16 +128,17 @@ def _synthesize(samples: np.ndarray, n_frames: int, state: Layer12State, ch: int
     if resp is None:
         resp = polyphase_response_np(sb)
     out_len = 32 * n_frames
+    tail = state.synth_tails[ch]
     out = resp[:out_len].copy()
     k = min(480, out_len)
-    out[:k] += state.synth_tail[ch][:k]
+    out[:k] += tail[:k]
     new_tail = resp[out_len:].copy()
     if out_len < 480:
         # The 480-sample tail reaches past one Layer I frame (384 samples):
         # carry the unconsumed remainder forward (synthesis.rs FIR state;
         # without this, taps 12-15 frames out are dropped).
-        new_tail[: 480 - out_len] += state.synth_tail[ch][out_len:]
-    state.synth_tail[ch] = new_tail
+        new_tail[: 480 - out_len] += tail[out_len:]
+    tail[:] = new_tail
     return out
 
 
@@ -309,7 +318,58 @@ def decode_layer2(header: MpaHeader, frame: bytes, state: Layer12State) -> np.nd
     return out
 
 
+def _decode_native(header: MpaHeader, frame: bytes, state: Layer12State):
+    """Fused native per-packet path (native/mpa_layer12.cpp
+    sh_l12_stream_decode): bitstream stage + polyphase + carried tail in
+    one C++ call, the treatment sh_mp3_stream_decode gives Layer III.
+    Returns the frame PCM, or None to fall back to decode_layer1/2 (the
+    native side touches synth_tails only on success, so the fallback
+    picks up with identical state)."""
+    if state.stream is None:
+        import os
+
+        from .. import native
+
+        # SYMPHONIA_TPU_L12_STREAM=off forces the non-fused path
+        # (parity testing / A-B measurement).
+        if os.environ.get("SYMPHONIA_TPU_L12_STREAM") == "off":
+            state.stream = False
+        else:
+            state.stream = native.l12_stream_caller(
+                state.synth_tails, state.pcm_buf) or False
+    if not state.stream:
+        return None
+    if state._cfg is None:
+        state._cfg = {}
+    cfg = state._cfg.get(id(header))
+    if cfg is None or cfg[0] is not header:
+        from .. import native
+
+        pos = 4 + (2 if header.has_crc else 0)
+        n_ch = header.n_channels
+        if header.layer == LAYER1:
+            bound, sblimit, band_rows = (min(_intensity_bound(header), 32),
+                                         32, None)
+        else:
+            sblimit, band_rows = _find_sb_info(header)
+            bound = min(_intensity_bound(header), sblimit)
+        cfg = (header, 1 if header.layer == LAYER1 else 2, pos, n_ch, bound,
+               sblimit, native.l12_rows_ptr(band_rows),
+               native.l12_sf_ptr(tables()["layer12_scalefactors"]))
+        if len(state._cfg) < 64:  # headers vary by the padding bit only
+            state._cfg[id(header)] = cfg
+    _, layer, pos, n_ch, bound, sblimit, p_rows, p_sf = cfg
+    n = state.stream(layer, frame[pos:header.frame_size], n_ch, bound,
+                     sblimit, p_rows, p_sf)
+    if n <= 0:
+        return None
+    return state.pcm_buf[:n_ch, :n].copy()
+
+
 def decode_frame(header: MpaHeader, frame: bytes, state: Layer12State) -> np.ndarray:
+    pcm = _decode_native(header, frame, state)
+    if pcm is not None:
+        return pcm
     if header.layer == LAYER1:
         return decode_layer1(header, frame, state)
     return decode_layer2(header, frame, state)

@@ -249,7 +249,8 @@ class AudioBuffer:
     def from_array(
         arr: np.ndarray, spec: AudioSpec, bits_per_sample: Optional[int] = None
     ) -> "AudioBuffer":
-        arr = np.atleast_2d(np.asarray(arr))
+        if not (isinstance(arr, np.ndarray) and arr.ndim == 2):
+            arr = np.atleast_2d(np.asarray(arr))
         buf = AudioBuffer.__new__(AudioBuffer)
         buf.spec = spec
         buf.capacity = arr.shape[1]

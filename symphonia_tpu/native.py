@@ -217,6 +217,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sh_mpa_l2_extract.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, c_i32p, c_f64p, c_f32p]
+        lib.sh_l12_stream_decode.restype = ctypes.c_int32
+        lib.sh_l12_stream_decode.argtypes = [
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, c_i32p, c_f64p, c_f32p, c_f32p]
     except AttributeError:
         pass  # older .so without the L1/L2 stage
     try:
@@ -1256,12 +1260,7 @@ def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
     # single-slot caches of the converted copy + its ctypes pointer,
     # keyed by object identity WITH the source kept alive (a bare id()
     # key could alias a recycled address).
-    if _L12_SF_CACHE is not None and _L12_SF_CACHE[0] is sf_table:
-        p_sf = _L12_SF_CACHE[2]
-    else:
-        sf = np.ascontiguousarray(sf_table, dtype=np.float64)
-        _L12_SF_CACHE = (sf_table, sf, sf.ctypes.data_as(f64p))
-        p_sf = _L12_SF_CACHE[2]
+    p_sf = l12_sf_ptr(sf_table)
     # Pooled output (callers copy out via _synthesize before the next
     # call); zero-filled each call — uncoded regions rely on it.
     out, p_out = _pooled_ptr(("l12_out", layer == 1),
@@ -1285,3 +1284,62 @@ def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
                                   ctypes.c_int32(sblimit),
                                   p_rows, p_sf, p_out)
     return out if r == 0 else None
+
+
+def l12_sf_ptr(sf_table):
+    """Single-slot cache of the f64 scale-factor table pointer (identity
+    keyed with the source kept alive — see mpa_l12_extract)."""
+    global _L12_SF_CACHE
+    if _L12_SF_CACHE is None or _L12_SF_CACHE[0] is not sf_table:
+        sf = np.ascontiguousarray(sf_table, dtype=np.float64)
+        _L12_SF_CACHE = (sf_table, sf,
+                         sf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return _L12_SF_CACHE[2]
+
+
+def l12_rows_ptr(band_rows):
+    """Cached int32 pointer for a Layer II band-row table (identity keyed
+    with the source kept alive)."""
+    global _L12_ROWS_CACHE
+    if band_rows is None:
+        return None
+    if _L12_ROWS_CACHE is None or _L12_ROWS_CACHE[0] is not band_rows:
+        rows = np.zeros(32, dtype=np.int32)
+        rows[: len(band_rows)] = band_rows
+        _L12_ROWS_CACHE = (
+            band_rows, rows,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return _L12_ROWS_CACHE[2]
+
+
+def l12_stream_caller(synth_tails: np.ndarray, pcm_buf: np.ndarray):
+    """Fused per-packet Layer I/II decode (native/mpa_layer12.cpp
+    sh_l12_stream_decode): bitstream stage + 32-band polyphase + carried
+    480-sample synthesis tail in ONE call. Returns a callable bound to the
+    given state buffers (the per-frame FFI prep is hoisted here), or None
+    when the native library is unavailable.
+
+    The callable's signature is (layer, data, n_ch, bound, sblimit,
+    p_rows, p_sf) -> samples-per-channel, or <=0 on error. synth_tails
+    [2,480] f32 and pcm_buf [2,1152] f32 must stay alive and un-resized;
+    the tail updates in place only on success, so a non-positive return
+    lets the caller fall back to the Python path with state continuity
+    intact."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_l12_stream_decode"):
+        return None
+    if not _mp3_ensure_dense(lib):
+        return None
+    assert synth_tails.dtype == np.float32 and synth_tails.flags.c_contiguous
+    assert pcm_buf.dtype == np.float32 and pcm_buf.flags.c_contiguous
+    f32p = ctypes.POINTER(ctypes.c_float)
+    fn = lib.sh_l12_stream_decode
+    p_tail = synth_tails.ctypes.data_as(f32p)
+    p_pcm = pcm_buf.ctypes.data_as(f32p)
+
+    def call(layer, data, n_ch, bound, sblimit, p_rows, p_sf,
+             _fn=fn, _pt=p_tail, _pp=p_pcm, _keep=(synth_tails, pcm_buf)):
+        return _fn(layer, data, len(data), n_ch, bound, sblimit, p_rows,
+                   p_sf, _pt, _pp)
+
+    return call

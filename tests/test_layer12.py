@@ -121,43 +121,60 @@ class TestLayer1:
         assert np.abs(out.planes()).max() > 0
 
 
-def build_l2_frame(alloc_vals, sf0, samples_raw, grouping_cw=None):
-    """Layer 2 mono frame at 384kbps/44100 (sb_info row 1, sblimit 30).
+def build_l2_frame(alloc_vals, sf0, samples_raw, grouping_cw=None, n_ch=1,
+                   mpeg2=False):
+    """Layer 2 frame: MPEG1 384kbps/44100 (sb_info row 1, sblimit 30) or
+    MPEG2 160kbps/22050 (sb_info row 4, the 13818-3 LSF table).
 
-    alloc_vals[sb]: allocation index; scalefactors all scfsi=2 (one index
-    per subband); samples_raw[(sb, gr)] -> list of 3 raws or a grouped
+    alloc_vals[sb] (mono) or alloc_vals[ch][sb]: allocation index;
+    scalefactors all scfsi=2 (one index per subband); samples_raw keyed
+    (sb, gr) (mono) or (ch, sb, gr) -> list of 3 raws or a grouped
     codeword.
     """
     from symphonia_tpu.codecs.mpa_layer12 import QUANT_CLASS, SB_INFO, SB_QUANT_INFO
 
-    sblimit, rows = SB_INFO[1]
+    sblimit, rows = SB_INFO[4 if mpeg2 else 1]
+    if n_ch == 1:
+        alloc_vals = [alloc_vals]
+        sf0 = [sf0]
+        samples_raw = {(0, sb, gr): v for (sb, gr), v in samples_raw.items()}
     bw = BitWriter()
     for sb in range(sblimit):
         nbal = SB_QUANT_INFO[rows[sb]][0]
-        bw.write(alloc_vals[sb], nbal)
+        for ch in range(n_ch):
+            bw.write(alloc_vals[ch][sb], nbal)
     for sb in range(sblimit):
-        if alloc_vals[sb]:
-            bw.write(2, 2)  # scfsi = 2: one scalefactor for all
+        for ch in range(n_ch):
+            if alloc_vals[ch][sb]:
+                bw.write(2, 2)  # scfsi = 2: one scalefactor for all
     for sb in range(sblimit):
-        if alloc_vals[sb]:
-            bw.write(sf0[sb], 6)
+        for ch in range(n_ch):
+            if alloc_vals[ch][sb]:
+                bw.write(sf0[ch][sb], 6)
     for gr in range(12):
         for sb in range(sblimit):
-            ci = alloc_vals[sb]
-            if not ci:
-                continue
-            c, d, grouping, bits, nlevels = QUANT_CLASS[SB_QUANT_INFO[rows[sb]][1][ci]]
-            if grouping:
-                bw.write(samples_raw[(sb, gr)], bits)
-            else:
-                for r in samples_raw[(sb, gr)]:
-                    bw.write(r, bits)
+            for ch in range(n_ch):
+                ci = alloc_vals[ch][sb]
+                if not ci:
+                    continue
+                c, d, grouping, bits, nlevels = QUANT_CLASS[
+                    SB_QUANT_INFO[rows[sb]][1][ci]]
+                if grouping:
+                    bw.write(samples_raw[(ch, sb, gr)], bits)
+                else:
+                    for r in samples_raw[(ch, sb, gr)]:
+                        bw.write(r, bits)
     body = bw.pad_to_bytes()
-    hdr = bytes([0xFF, 0xFD, (14 << 4) | 0, 0xC0])
+    mode = 0xC0 if n_ch == 1 else 0x00
+    if mpeg2:
+        hdr = bytes([0xFF, 0xF5, (14 << 4) | 0, mode])
+    else:
+        hdr = bytes([0xFF, 0xFD, (14 << 4) | 0, mode])
     h = parse_header(int.from_bytes(hdr, "big"))
     assert h.layer == 2 and h.duration == 1152
+    assert h.n_channels == n_ch
     frame = hdr + body
-    assert len(frame) <= h.frame_size
+    assert len(frame) <= h.frame_size, (len(frame), h.frame_size)
     return frame + bytes(h.frame_size - len(frame)), h
 
 
@@ -214,56 +231,96 @@ class TestLayer2:
         np.testing.assert_allclose(out[0], expect, atol=1e-5)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _force_l12_path(fused: bool, extract: bool):
+    """Disable the fused per-packet path and/or the native extract stage
+    so decoders constructed inside the context take a specific path
+    (fused C++ / extract-C++ + Python synthesize / pure Python)."""
+    from symphonia_tpu import native as nat
+
+    orig_caller = nat.l12_stream_caller
+    orig_extract = nat.mpa_l12_extract
+    try:
+        if not fused:
+            nat.l12_stream_caller = lambda *a, **k: None
+        if not extract:
+            nat.mpa_l12_extract = lambda *a, **k: None
+        yield
+    finally:
+        nat.l12_stream_caller = orig_caller
+        nat.mpa_l12_extract = orig_extract
+
+
+def _rand_l2_frame(seed, n_ch=1, mpeg2=False):
+    from symphonia_tpu.codecs.mpa_layer12 import (QUANT_CLASS, SB_INFO,
+                                                  SB_QUANT_INFO)
+
+    rng = np.random.default_rng(seed)
+    sblimit, rows = SB_INFO[4 if mpeg2 else 1]
+    alloc_vals = [[0] * sblimit for _ in range(n_ch)]
+    sf0 = [[0] * sblimit for _ in range(n_ch)]
+    samples_raw = {}
+    # Stereo doubles the payload: restrict coded subbands so the frame
+    # fits the fixed 384/160 kbps frame size.
+    max_sb = sblimit if n_ch == 1 else 12
+    for sb in range(sblimit):
+        nbal, classes = SB_QUANT_INFO[rows[sb]]
+        for ch in range(n_ch):
+            if sb >= max_sb:
+                continue
+            alloc_vals[ch][sb] = int(rng.integers(0, 1 << nbal))
+            sf0[ch][sb] = int(rng.integers(0, 60))
+            if not alloc_vals[ch][sb]:
+                continue
+            _, _, grouping, bits, nlevels = QUANT_CLASS[
+                classes[alloc_vals[ch][sb]]]
+            for gr in range(12):
+                if grouping:
+                    samples_raw[(ch, sb, gr)] = int(
+                        rng.integers(0, nlevels ** 3))
+                else:
+                    samples_raw[(ch, sb, gr)] = [
+                        int(rng.integers(0, nlevels + 1)) for _ in range(3)]
+    if n_ch == 1:
+        alloc_vals, sf0 = alloc_vals[0], sf0[0]
+        samples_raw = {(sb, gr): v
+                       for (ch, sb, gr), v in samples_raw.items()}
+    return build_l2_frame(alloc_vals, sf0, samples_raw, n_ch=n_ch,
+                          mpeg2=mpeg2)
+
+
+def _decode_stream(frames, h, fused, extract):
+    """Decode a list of frames through MpaDecoder on a forced path."""
+    codec = "mp1" if h.layer == 1 else "mp2"
+    params = AudioCodecParameters(codec=codec, sample_rate=h.sample_rate,
+                                  channels=Channels.from_count(h.n_channels))
+    with _force_l12_path(fused, extract):
+        dec = MpaDecoder(params)
+        out = [np.asarray(dec.decode(
+            Packet(0, i * h.duration, h.duration, f)).planes()).copy()
+               for i, f in enumerate(frames)]
+    return np.concatenate(out, axis=1)
+
+
 class TestNativeL12Parity:
     """The native bitstream stage (native/mpa_layer12.cpp) must match the
-    Python loops bit-for-bit across quantization classes and scfsi modes."""
+    Python loops bit-for-bit across quantization classes and scfsi modes.
+    The fused per-packet path (sh_l12_stream_decode) is disabled here so
+    the extract-stage comparison is not vacuous."""
 
     def test_l2_matches_python(self):
         from symphonia_tpu import native as nat
-        from symphonia_tpu.codecs.mpa_layer12 import (QUANT_CLASS, SB_INFO,
-                                                      SB_QUANT_INFO)
 
         if not nat.available():
             pytest.skip("native library unavailable")
-        orig = nat.mpa_l12_extract
-        try:
-            for seed in range(6):
-                rng = np.random.default_rng(seed)
-                sblimit, rows = SB_INFO[1]
-                alloc_vals = [0] * sblimit
-                sf0 = [0] * sblimit
-                samples_raw = {}
-                for sb in range(sblimit):
-                    nbal, classes = SB_QUANT_INFO[rows[sb]]
-                    alloc_vals[sb] = int(rng.integers(0, 1 << nbal))
-                    sf0[sb] = int(rng.integers(0, 60))
-                    if not alloc_vals[sb]:
-                        continue
-                    _, _, grouping, bits, nlevels = QUANT_CLASS[
-                        SB_QUANT_INFO[rows[sb]][1][alloc_vals[sb]]]
-                    for gr in range(12):
-                        if grouping:
-                            samples_raw[(sb, gr)] = int(
-                                rng.integers(0, nlevels ** 3))
-                        else:
-                            samples_raw[(sb, gr)] = [
-                                int(rng.integers(0, nlevels + 1))
-                                for _ in range(3)]
-                frame, _h = build_l2_frame(alloc_vals, sf0, samples_raw)
-                params = AudioCodecParameters(
-                    codec="mp2", sample_rate=44100,
-                    channels=Channels.from_count(1))
-                dec = MpaDecoder(params)
-                fast = np.asarray(
-                    dec.decode(Packet(0, 0, 1152, frame)).planes()).copy()
-                nat.mpa_l12_extract = lambda *a, **k: None
-                dec2 = MpaDecoder(params)
-                slow = np.asarray(
-                    dec2.decode(Packet(0, 0, 1152, frame)).planes()).copy()
-                nat.mpa_l12_extract = orig
-                np.testing.assert_array_equal(fast, slow)
-        finally:
-            nat.mpa_l12_extract = orig
+        for seed in range(6):
+            frame, h = _rand_l2_frame(seed)
+            fast = _decode_stream([frame], h, fused=False, extract=True)
+            slow = _decode_stream([frame], h, fused=False, extract=False)
+            np.testing.assert_array_equal(fast, slow)
 
     def test_l1_matches_python(self):
         from symphonia_tpu import native as nat
@@ -276,21 +333,95 @@ class TestNativeL12Parity:
                   if allocs[0][sb] else 0 for _ in range(12)]
                  for sb in range(32)]]
         sfi = [[int(rng.integers(0, 60)) for _ in range(32)]]
-        frame, _h = build_l1_frame(raws, allocs, sfi)
-        params = AudioCodecParameters(codec="mp1", sample_rate=44100,
-                                      channels=Channels.from_count(1))
-        orig = nat.mpa_l12_extract
-        try:
-            dec = MpaDecoder(params)
-            fast = np.asarray(
-                dec.decode(Packet(0, 0, 384, frame)).planes()).copy()
-            nat.mpa_l12_extract = lambda *a, **k: None
-            dec2 = MpaDecoder(params)
-            slow = np.asarray(
-                dec2.decode(Packet(0, 0, 384, frame)).planes()).copy()
-        finally:
-            nat.mpa_l12_extract = orig
+        frame, h = build_l1_frame(raws, allocs, sfi)
+        fast = _decode_stream([frame], h, fused=False, extract=True)
+        slow = _decode_stream([frame], h, fused=False, extract=False)
         np.testing.assert_array_equal(fast, slow)
+
+
+class TestFusedL12Parity:
+    """The fused per-packet path (native/mpa_layer12.cpp
+    sh_l12_stream_decode: extract + polyphase + carried tail in one call)
+    must be bit-identical to the non-fused native path (extract-C++ +
+    _synthesize via sh_mp3_polyphase — same arithmetic, same order) across
+    layers, channel counts, and MPEG versions, including the carried
+    480-sample tail across frames."""
+
+    def _frames_l2(self, n, n_ch=1, mpeg2=False):
+        frames = []
+        for seed in range(n):
+            f, h = _rand_l2_frame(100 + seed, n_ch=n_ch, mpeg2=mpeg2)
+            frames.append(f)
+        return frames, h
+
+    def _check(self, frames, h):
+        fused = _decode_stream(frames, h, fused=True, extract=True)
+        semi = _decode_stream(frames, h, fused=False, extract=True)
+        np.testing.assert_array_equal(fused, semi)
+        # Pure Python differs only in polyphase summation order.
+        pure = _decode_stream(frames, h, fused=False, extract=False)
+        np.testing.assert_allclose(fused, pure, atol=2e-4)
+
+    def test_l2_mono_stream(self):
+        self._check(*self._frames_l2(4))
+
+    def test_l2_stereo_stream(self):
+        self._check(*self._frames_l2(4, n_ch=2))
+
+    def test_l2_mpeg2_stereo_stream(self):
+        self._check(*self._frames_l2(4, n_ch=2, mpeg2=True))
+
+    def test_l1_stereo_stream(self):
+        rng = np.random.default_rng(3)
+        frames = []
+        for _ in range(5):
+            allocs = [[int(rng.choice([0, 2, 4, 8, 15])) if sb < 12 else 0
+                       for sb in range(32)] for _ in range(2)]
+            raws = [[[int(rng.integers(0, 1 << allocs[ch][sb]))
+                      if allocs[ch][sb] else 0 for _ in range(12)]
+                     for sb in range(32)] for ch in range(2)]
+            sfi = [[int(rng.integers(0, 60)) for _ in range(32)]
+                   for _ in range(2)]
+            f, h = build_l1_frame(raws, allocs, sfi, n_ch=2)
+            frames.append(f)
+        self._check(frames, h)
+
+    def test_mid_stream_fallback_continuity(self):
+        """The Python fallback shares the fused path's tail state: forcing
+        frames through different paths mid-stream must still produce the
+        all-fused output bit-for-bit (the C++ touches synth_tails only on
+        success, and both paths run the same polyphase)."""
+        frames, h = self._frames_l2(5)
+        want = _decode_stream(frames, h, fused=True, extract=True)
+        params = AudioCodecParameters(codec="mp2", sample_rate=h.sample_rate,
+                                      channels=Channels.from_count(1))
+        dec = MpaDecoder(params)
+        out = []
+        for i, f in enumerate(frames):
+            if i == 2:  # force one frame down the Python path
+                dec._l12_state.stream = False
+            out.append(np.asarray(dec.decode(
+                Packet(0, i * h.duration, h.duration, f)).planes()).copy())
+            if i == 2:
+                dec._l12_state.stream = None  # re-probe the fused path
+        got = np.concatenate(out, axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_fused_path_engaged(self):
+        """Guard against silent fallback: after a decode, the state's
+        stream caller must be live (not False) and the config cache
+        populated — proves sh_l12_stream_decode actually ran."""
+        from symphonia_tpu import native as nat
+
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        frames, h = self._frames_l2(1)
+        params = AudioCodecParameters(codec="mp2", sample_rate=h.sample_rate,
+                                      channels=Channels.from_count(1))
+        dec = MpaDecoder(params)
+        dec.decode(Packet(0, 0, h.duration, frames[0]))
+        st = dec._l12_state
+        assert st.stream and st._cfg, "fused L12 path was not engaged"
 
 
 class TestL12BatchPath:

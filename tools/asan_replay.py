@@ -177,8 +177,17 @@ def replay_l12() -> int:
                     samples[(sb, gr)] = [int(rng.integers(0, nlevels))
                                          for _ in range(3)]
         l2_frames.append(build_l2_frame(alloc, sf0, samples)[0])
+    # Stereo + MPEG2-LSF coverage for the fused per-packet entry
+    # (sh_l12_stream_decode): the header-parameter matrix (n_ch x version)
+    # is where a stride bug once hid in the MP3 twin.
+    from test_layer12 import _rand_l2_frame
+
+    l2_stereo = [_rand_l2_frame(601 + i, n_ch=2)[0] for i in range(3)]
+    l2_mpeg2 = [_rand_l2_frame(604 + i, n_ch=2, mpeg2=True)[0]
+                for i in range(3)]
     n = 0
-    for fi, clean in enumerate((b"".join(l1_frames), b"".join(l2_frames))):
+    for fi, clean in enumerate((b"".join(l1_frames), b"".join(l2_frames),
+                                b"".join(l2_stereo), b"".join(l2_mpeg2))):
         for data in _variants(clean, seed=600 + fi):
             try:
                 reader = MpaReader(MediaSourceStream(data), FormatOptions())
