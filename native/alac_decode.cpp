@@ -52,6 +52,44 @@ inline uint32_t read_rice_code(Bits& br, int k, int bps) {
     return 0;
 }
 
+// Fast path: one refill bounds the worst case (9 prefix bits + a 32-bit
+// escape value = 41), then the prefix comes from one clz over the
+// left-aligned window instead of up to nine per-bit reads each paying a
+// refill check. Bit-exact with read_rice_code; falls back to it near the
+// end of the stream (where padding-zero semantics matter).
+inline uint32_t read_rice_fast(Bits& br, int k, int bps) {
+    if (br.cnt < 41) {
+        br.fill();
+        if (br.cnt < 41) return read_rice_code(br, k, bps);
+    }
+    uint64_t w = br.buf << (64 - br.cnt);
+    int ones = __builtin_clzll(~w | 1);
+    uint32_t ret;
+    int used;
+    if (ones > 8) {
+        ret = bps ? (uint32_t)((w << 9) >> (64 - bps)) : 0;
+        used = 9 + bps;
+    } else if (k > 1) {
+        used = ones + 1;
+        uint32_t value = ((uint32_t)ones << k) - ones;
+        uint32_t suffix = (uint32_t)((w << used) >> (64 - (k - 1)));
+        if (suffix > 0) {
+            uint32_t extra = (uint32_t)((w << (used + k - 1)) >> 63);
+            ret = value + (suffix << 1) + extra - 1;
+            used += k;
+        } else {
+            ret = value;
+            used += k - 1;
+        }
+    } else {
+        ret = k == 1 ? (uint32_t)ones : 0;
+        used = ones + 1;
+    }
+    br.cnt -= used;
+    br.buf &= (1ULL << br.cnt) - 1;
+    return ret;
+}
+
 inline int32_t rice_to_signed(uint32_t val) {
     return (int32_t)((val >> 1) ^ (uint32_t)(-(int32_t)(val & 1)));
 }
@@ -88,7 +126,7 @@ struct ElemChan {
             if (i < zero_run_end) { out[i] = 0; continue; }
             int k = lg3a(mb);
             uint32_t val =
-                read_rice_code(br, k < kb ? k : kb, bps) + sign_toggle;
+                read_rice_fast(br, k < kb ? k : kb, bps) + sign_toggle;
             out[i] = rice_to_signed(val);
             if (val > 0xFFFF)
                 mb = 0xFFFF;
@@ -99,12 +137,70 @@ struct ElemChan {
             if (mb < 128 && i + 1 < n) {
                 int zk = leading_zeros32(mb) - 24 + (int)((mb + 16) >> 6);
                 uint32_t zeros =
-                    read_rice_code(br, zk < kb ? zk : kb, 16);
+                    read_rice_fast(br, zk < kb ? zk : kb, 16);
                 if (zeros < 0xFFFF) sign_toggle = 1;
                 mb = 0;
                 int64_t zre = (int64_t)i + 1 + zeros;
                 zero_run_end = zre > n ? n : (int)zre;
             }
+        }
+    }
+
+    // The adaptive-predictor main loop, with the order as a compile-time
+    // constant where it matters: the per-sample coefficient updates force
+    // coeffs through memory in the generic form, while a fixed ORDER lets
+    // the compiler keep them in registers and fully unroll the dot +
+    // update loops (~2x on order-4/8 content; arithmetic is identical).
+    template <int ORDER>
+    void predict_main(int32_t* o, int n, int order_rt) {
+        const int order = ORDER > 0 ? ORDER : order_rt;
+        const int clip = 32 - bps;
+        const int shift_ = shift;
+        const int32_t round_add = (1 << shift_) >> 1;
+        int32_t c[ORDER > 0 ? ORDER : 32];
+        for (int j = 0; j < order; j++) c[j] = coeffs[j];
+        if (1 + order >= n) return;
+        // Sliding sample history h[0..order] = o[i-order-1 .. i-1]: with a
+        // fixed ORDER the compiler keeps it in registers, removing the
+        // order+1 reloads per sample the pointer walk paid.
+        int32_t h[(ORDER > 0 ? ORDER : 32) + 1];
+        for (int j = 0; j <= order; j++) h[j] = o[j];
+        for (int i = 1 + order; i < n; i++) {
+            int64_t res = o[i];
+            const int32_t past0 = h[0];
+            // Identical to the chained wrap32 form: addition mod 2^32 is
+            // associative, so unsigned accumulation frees the compiler to
+            // run the tap multiplies in parallel off the o[i-1] chain.
+            uint32_t accu = 0;
+            for (int j = 0; j < order; j++)
+                accu += (uint32_t)c[order - 1 - j] *
+                        ((uint32_t)h[1 + j] - (uint32_t)past0);
+            int32_t val = wrap32((int64_t)(int32_t)accu + round_add) >>
+                          shift_;
+            int32_t cur = clip_msbs(
+                (int64_t)wrap32((int64_t)res + past0 + val), clip);
+            o[i] = cur;
+            if (res != 0) {
+                if (res > 0) {
+                    for (int j = 0; j < order; j++) {
+                        int32_t d = past0 - h[1 + j];
+                        int sign = (d > 0) - (d < 0);
+                        c[order - 1 - j] -= sign;
+                        res -= (1 + j) * (((int64_t)sign * d) >> shift_);
+                        if (res <= 0) break;
+                    }
+                } else {
+                    for (int j = 0; j < order; j++) {
+                        int32_t d = past0 - h[1 + j];
+                        int sign = (d > 0) - (d < 0);
+                        c[order - 1 - j] += sign;
+                        res -= (1 + j) * (((int64_t)-sign * d) >> shift_);
+                        if (res >= 0) break;
+                    }
+                }
+            }
+            for (int j = 0; j < order; j++) h[j] = h[j + 1];
+            h[order] = cur;
         }
     }
 
@@ -118,41 +214,16 @@ struct ElemChan {
         int warm = 1 + order < n ? 1 + order : n;
         for (int i = 1; i < warm; i++)
             o[i] = clip_msbs((int64_t)o[i] + o[i - 1], clip);
-        int shift_ = shift;
-        int32_t round_add = (1 << shift_) >> 1;
-        for (int i = 1 + order; i < n; i++) {
-            int64_t res = o[i];
-            int32_t past0 = o[i - order - 1];
-            int32_t acc = 0;
-            int base = i - order;
-            for (int j = 0; j < order; j++)
-                acc = wrap32((int64_t)acc +
-                             wrap32((int64_t)coeffs[order - 1 - j] *
-                                    wrap32((int64_t)o[base + j] - past0)));
-            int32_t val = wrap32((int64_t)acc + round_add) >> shift_;
-            o[i] = clip_msbs((int64_t)wrap32((int64_t)res + past0 + val),
-                             clip);
-            if (res != 0) {
-                if (res > 0) {
-                    for (int j = 0; j < order; j++) {
-                        int32_t s = o[base + j];
-                        int32_t d = past0 - s;
-                        int sign = (d > 0) - (d < 0);
-                        coeffs[order - 1 - j] -= sign;
-                        res -= (1 + j) * (((int64_t)sign * d) >> shift_);
-                        if (res <= 0) break;
-                    }
-                } else {
-                    for (int j = 0; j < order; j++) {
-                        int32_t s = o[base + j];
-                        int32_t d = past0 - s;
-                        int sign = (d > 0) - (d < 0);
-                        coeffs[order - 1 - j] += sign;
-                        res -= (1 + j) * (((int64_t)-sign * d) >> shift_);
-                        if (res >= 0) break;
-                    }
-                }
-            }
+        switch (order) {
+            case 1: predict_main<1>(o, n, order); break;
+            case 2: predict_main<2>(o, n, order); break;
+            case 3: predict_main<3>(o, n, order); break;
+            case 4: predict_main<4>(o, n, order); break;
+            case 5: predict_main<5>(o, n, order); break;
+            case 6: predict_main<6>(o, n, order); break;
+            case 7: predict_main<7>(o, n, order); break;
+            case 8: predict_main<8>(o, n, order); break;
+            default: predict_main<0>(o, n, order); break;
         }
     }
 };

@@ -190,7 +190,7 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         lib.sh_alac_decode.restype = ctypes.c_int32
         lib.sh_alac_decode.argtypes = [
-            c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             c_i32p, c_i32p,
         ]
@@ -1186,20 +1186,25 @@ def alac_decode(data: bytes, cfg, chmap) -> "np.ndarray | None":
     lib = _load()
     if lib is None:
         return None
-    a = np.frombuffer(data, dtype=np.uint8)
-    out = np.zeros((cfg.num_channels, cfg.frame_length), dtype=np.int32)
-    cm = np.asarray(chmap, dtype=np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    # Pooled output + cached chmap pointer: callers receive a sliced copy,
+    # so the 32 KiB allocation/zeroing doesn't recur per packet. Zeroing
+    # still matters for channels a malformed element loop leaves untouched.
+    out, p_out = _pooled_ptr(("alac_out", cfg.num_channels,
+                              cfg.frame_length),
+                             (cfg.num_channels, cfg.frame_length),
+                             np.int32, i32p)
+    out.fill(0)
+    cm_key = ("alac_cm", tuple(chmap))
+    cm, p_cm = _pooled_ptr(cm_key, (len(chmap),), np.int32, i32p)
+    cm[:] = chmap
     n = lib.sh_alac_decode(
-        _u8ptr(a), len(a),
-        ctypes.c_int32(cfg.frame_length), ctypes.c_int32(cfg.bit_depth),
-        ctypes.c_int32(cfg.pb), ctypes.c_int32(cfg.mb),
-        ctypes.c_int32(cfg.kb), ctypes.c_int32(cfg.num_channels),
-        cm.ctypes.data_as(i32p), out.ctypes.data_as(i32p),
+        data, len(data), cfg.frame_length, cfg.bit_depth, cfg.pb, cfg.mb,
+        cfg.kb, cfg.num_channels, p_cm, p_out,
     )
     if n < 0:
         return None
-    return out[:, :n]
+    return out[:, :n].copy()
 
 
 def ima_decode_nibbles(nibbles, pred: int, idx: int):
