@@ -10,7 +10,7 @@ variants — here a string-key namespace), ``RawTag``/``RawValue``
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, List, Optional
+from typing import Any, Dict, List, Optional
 
 
 class StandardTagKey:
@@ -308,6 +308,10 @@ class MetadataRevision:
     tags: List[RawTag] = field(default_factory=list)
     visuals: List[Visual] = field(default_factory=list)
     vendor: Optional[str] = None
+    # Tags scoped to a single track by the container (e.g. Matroska tag
+    # Targets carrying TagTrackUID — format-mkv tags.rs / segment.rs
+    # PerTrackMetadataBuilder), keyed by the container's track UID.
+    track_tags: Dict[int, List[RawTag]] = field(default_factory=dict)
 
     def get(self, std_key: str) -> Optional[Any]:
         for t in self.tags:

@@ -66,6 +66,15 @@ ID_TAG = 0x7373
 ID_SIMPLE_TAG = 0x67C8
 ID_TAG_NAME = 0x45A3
 ID_TAG_STRING = 0x4487
+ID_TARGETS = 0x63C0
+ID_TARGET_TYPE_VALUE = 0x68CA
+ID_TARGET_TYPE = 0x63CA
+ID_TAG_TRACK_UID = 0x63C5
+ID_TAG_EDITION_UID = 0x63C9
+ID_TAG_CHAPTER_UID = 0x63C4
+ID_TAG_ATTACHMENT_UID = 0x63C6
+ID_TRACK_UID = 0x73C5
+ID_CHAPTER_UID = 0x73C4
 ID_LANGUAGE = 0x22B59C
 ID_TRACK_LANGUAGE = 0x22B59C  # TrackEntry Language (ISO 639-2)
 ID_TRACK_LANGUAGE_BCP47 = 0x22B59D  # overrides Language when present
@@ -171,6 +180,7 @@ def _float(buf, b, e) -> float:
 @dataclass
 class MkvTrack:
     number: int = 0
+    uid: int = 0  # TrackUID (tag Targets reference it)
     codec_id: str = ""
     codec_private: Optional[bytes] = None
     sample_rate: float = 8000.0
@@ -207,6 +217,8 @@ def _parse_track_entry(buf: bytes, b: int, e: int) -> Tuple["MkvTrack", int]:
     for eid3, b3, e3 in iter_elements(buf, b, e):
         if eid3 == ID_TRACK_NUMBER:
             t.number = _uint(buf, b3, e3)
+        elif eid3 == ID_TRACK_UID:
+            t.uid = _uint(buf, b3, e3)
         elif eid3 == ID_TRACK_TYPE:
             ttype = _uint(buf, b3, e3)
         elif eid3 == ID_DEFAULT_DURATION:
@@ -450,10 +462,12 @@ def _expand_blocks(
 
 
 def parse_mkv_chapters(buf, b, e):
-    """Chapters element -> ChapterGroup or None (demuxer.rs:583-590)."""
+    """Chapters element -> (ChapterGroup or None, ChapterUID -> Chapter
+    map for tag Targets routing) (demuxer.rs:583-590, segment.rs)."""
     from ..core.meta import Chapter, ChapterGroup
 
     group = ChapterGroup()
+    uid_map = {}
     for eid, b2, e2 in iter_elements(buf, b, e):
         if eid != ID_EDITION_ENTRY:
             continue
@@ -463,21 +477,25 @@ def parse_mkv_chapters(buf, b, e):
             start_ns = 0
             end_ns = None
             title = None
+            uid = 0
             for eid3, b4, e4 in iter_elements(buf, b3, e3):
                 if eid3 == ID_CHAPTER_TIME_START:
                     start_ns = _uint(buf, b4, e4)
                 elif eid3 == ID_CHAPTER_TIME_END:
                     end_ns = _uint(buf, b4, e4)
+                elif eid3 == ID_CHAPTER_UID:
+                    uid = _uint(buf, b4, e4)
                 elif eid3 == ID_CHAPTER_DISPLAY:
                     for eid4, b5, e5 in iter_elements(buf, b4, e4):
                         if eid4 == ID_CHAP_STRING:
                             title = buf[b5:e5].decode("utf-8", "replace")
-            group.items.append(
-                Chapter(start_time=start_ns / 1e9,
-                        end_time=end_ns / 1e9 if end_ns is not None else None,
-                        title=title)
-            )
-    return group if group.items else None
+            ch = Chapter(start_time=start_ns / 1e9,
+                         end_time=end_ns / 1e9 if end_ns is not None else None,
+                         title=title)
+            group.items.append(ch)
+            if uid:
+                uid_map[uid] = ch
+    return (group if group.items else None), uid_map
 
 
 def parse_mkv_attachments(buf, b, e):
@@ -504,25 +522,127 @@ def parse_mkv_attachments(buf, b, e):
     return out
 
 
-def parse_mkv_tags(buf, b, e, rev: MetadataRevision) -> None:
-    """Tags element -> RawTags appended to ``rev`` (tags.rs; name map in
-    metadata/std_tag.py MKV_MAP)."""
-    from ..metadata.std_tag import MKV_MAP, map_raw
+def _parse_simple_tag(buf, b, e, depth=0):
+    """One SimpleTag element -> (name, value, nested sub-tags)."""
+    name = val = None
+    subs = []
+    for eid, b2, e2 in iter_elements(buf, b, e):
+        if eid == ID_TAG_NAME:
+            name = buf[b2:e2].decode("utf-8", "replace")
+        elif eid == ID_TAG_STRING:
+            val = buf[b2:e2].decode("utf-8", "replace")
+        elif eid == ID_SIMPLE_TAG and depth < 4:  # nesting DoS bound
+            subs.append(_parse_simple_tag(buf, b2, e2, depth + 1))
+    return name, val, subs
 
+
+def parse_mkv_tags(buf, b, e, rev: MetadataRevision, is_video=False,
+                   track_uid_map=None, chapter_uid_map=None) -> None:
+    """Tags element -> RawTags appended to ``rev`` with target scoping.
+
+    Mirrors format-mkv tags.rs:16-177 + segment.rs TargetsElement /
+    into_metadata: every Tag element's Targets assigns its SimpleTags a
+    target level (TargetTypeValue, default 50), an optional explicit type
+    name, and optional track/edition/chapter/attachment UID lists (UID 0
+    = all of that kind). Raw keys carry the effective target name as a
+    '<NAME>@' prefix; the level-aware standard mapping lives in
+    metadata/std_tag.py map_mkv_tag. Tag elements are processed in
+    ascending target-level order so a TOTAL_PARTS tag can resolve against
+    the next-lower level's target name (tags.rs:347-402).
+
+    Scoping: track-UID-targeted tags land in ``rev.track_tags`` keyed by
+    the reader's track id (``track_uid_map``: TrackUID -> track number;
+    the reference keys its per-track metadata by UID, but the repo's
+    public surface identifies tracks by number). Chapter-UID-targeted
+    tags attach to the matching Chapter's tag list; edition/attachment
+    targets with unknown UIDs are dropped, as the reference drops tags
+    for UIDs it never saw."""
+    from ..metadata.std_tag import map_mkv_tag, mkv_target_name
+
+    track_uid_map = track_uid_map or {}
+    entries = []
     for eid, b2, e2 in iter_elements(buf, b, e):
         if eid != ID_TAG:
             continue
+        level = tname = None
+        uids = {"track": [], "edition": [], "chapter": [], "attachment": []}
+        simple = []
         for eid2, b3, e3 in iter_elements(buf, b2, e2):
-            if eid2 != ID_SIMPLE_TAG:
-                continue
-            name = val = None
-            for eid3, b4, e4 in iter_elements(buf, b3, e3):
-                if eid3 == ID_TAG_NAME:
-                    name = buf[b4:e4].decode("utf-8", "replace")
-                elif eid3 == ID_TAG_STRING:
-                    val = buf[b4:e4].decode("utf-8", "replace")
-            if name and val is not None:
-                rev.tags.extend(map_raw(name, val, MKV_MAP))
+            if eid2 == ID_SIMPLE_TAG:
+                st = _parse_simple_tag(buf, b3, e3)
+                if st[0]:
+                    simple.append(st)
+            elif eid2 == ID_TARGETS:
+                level = 50  # TargetTypeValue schema default
+                for eid3, b4, e4 in iter_elements(buf, b3, e3):
+                    if eid3 == ID_TARGET_TYPE_VALUE:
+                        level = _uint(buf, b4, e4)
+                    elif eid3 == ID_TARGET_TYPE:
+                        tname = buf[b4:e4].decode("utf-8", "replace") or None
+                    elif eid3 == ID_TAG_TRACK_UID:
+                        uids["track"].append(_uint(buf, b4, e4))
+                    elif eid3 == ID_TAG_EDITION_UID:
+                        uids["edition"].append(_uint(buf, b4, e4))
+                    elif eid3 == ID_TAG_CHAPTER_UID:
+                        uids["chapter"].append(_uint(buf, b4, e4))
+                    elif eid3 == ID_TAG_ATTACHMENT_UID:
+                        uids["attachment"].append(_uint(buf, b4, e4))
+        entries.append((level, tname, uids, simple))
+    # Ascending target level, untargeted last; Python's sort is stable so
+    # same-level elements keep file order (into_metadata's sort).
+    entries.sort(key=lambda t: t[0] if t[0] is not None else 1 << 62)
+
+    def emit(simple, label, lower, out_list):
+        prefix = label + "@" if label else ""
+        for name, val, subs in simple:
+            nu = name.upper()
+            if nu in ("ORIGINAL", "SAMPLE"):
+                # Parent tags: flatten to <TARGET>@ORIGINAL/<SUB>.
+                for sn, sv, _ in subs:
+                    if sn and sv is not None:
+                        key = nu + "/" + sn
+                        out_list.extend(map_mkv_tag(prefix + key, key, sv,
+                                                    label, lower))
+            elif nu == "COUNTRY":
+                for sn, sv, _ in subs:
+                    if sn and sv is not None:
+                        out_list.extend(map_mkv_tag(prefix + sn, sn, sv,
+                                                    label, lower))
+            else:
+                if val is not None:
+                    out_list.extend(map_mkv_tag(prefix + name, name, val,
+                                                label, lower))
+                for sn, sv, _ in subs:
+                    if sn and sn.upper() == "SORT_WITH" and sv is not None:
+                        key = name + "/SORT_WITH"
+                        out_list.extend(map_mkv_tag(prefix + key, key, sv,
+                                                    label, lower))
+
+    lower_media = None
+    lower_track = {}
+    for level, tname, uids, simple in entries:
+        if level is None:
+            label = ""
+        else:
+            label = (tname or mkv_target_name(level, is_video)
+                     or "#%d" % level)
+        if level is not None and any(uids.values()):
+            tuids = (list(track_uid_map) if 0 in uids["track"]
+                     else [u for u in uids["track"] if u in track_uid_map])
+            for u in tuids:
+                tid = track_uid_map[u]
+                lst = rev.track_tags.setdefault(tid, [])
+                emit(simple, label, lower_track.get(u), lst)
+                lower_track[u] = label
+            if chapter_uid_map:
+                cuids = (list(chapter_uid_map) if 0 in uids["chapter"]
+                         else [u for u in uids["chapter"]
+                               if u in chapter_uid_map])
+                for u in cuids:
+                    emit(simple, label, None, chapter_uid_map[u].tags)
+        else:
+            emit(simple, label, lower_media, rev.tags)
+            lower_media = label if level is not None else None
 
 
 class MkvReader(FormatReader):
@@ -563,6 +683,8 @@ class MkvReader(FormatReader):
         self._cues: List[Tuple[int, int]] = []  # (time_ticks, cluster_pos)
         self._segment_start = segment[0]
         rev = MetadataRevision()
+        tags_spans: List[Tuple[int, int]] = []
+        chapter_uids: Dict[int, object] = {}
 
         # Manual segment walk: unknown-size CLUSTERS (live captures saved to
         # disk) end at the next top-level element, which iter_elements can't
@@ -655,9 +777,11 @@ class MkvReader(FormatReader):
             elif eid == ID_CUES:
                 self._parse_cues(buf, b, e)
             elif eid == ID_TAGS:
-                parse_mkv_tags(buf, b, e, rev)
+                # Defer: tag Targets reference track/chapter UIDs that may
+                # be declared after this element.
+                tags_spans.append((b, e))
             elif eid == ID_CHAPTERS:
-                group = parse_mkv_chapters(buf, b, e)
+                group, chapter_uids = parse_mkv_chapters(buf, b, e)
                 if group:
                     self._chapters = group
             elif eid == ID_ATTACHMENTS:
@@ -667,7 +791,17 @@ class MkvReader(FormatReader):
 
         if not self._mkv_tracks:
             raise Unsupported("no supported audio tracks in Matroska")
-        if rev.tags:
+        from ..core.video import VideoCodecParameters as _VCP
+
+        is_video = any(isinstance(tr.codec_params, _VCP)
+                       for tr in self._other_tracks)
+        track_uid_map = {t.uid: no for no, t in self._mkv_tracks.items()
+                         if t.uid}
+        for tb, te in tags_spans:
+            parse_mkv_tags(buf, tb, te, rev, is_video=is_video,
+                           track_uid_map=track_uid_map,
+                           chapter_uid_map=chapter_uids)
+        if rev.tags or rev.track_tags:
             self._metadata.push(rev)
 
         self._timescale_ns = timescale_ns
@@ -802,6 +936,8 @@ class MkvStreamReader(FormatReader):
         self._cues: List[Tuple[int, int]] = []
         cues_pos: Optional[int] = None
         self._first_cluster_pos: Optional[int] = None
+        self._chapter_uids: Dict[int, object] = {}
+        header_tag_bodies: List[bytes] = []
 
         # Header phase: walk top-level children until the first cluster.
         while True:
@@ -843,8 +979,31 @@ class MkvStreamReader(FormatReader):
                         cues_pos = self._segment_start + spos
             elif eid == ID_CUES:
                 self._parse_cues_body(body)
+            elif eid == ID_TAGS:
+                # Defer past the header walk: Targets reference track /
+                # chapter UIDs that may be declared later in the header.
+                header_tag_bodies.append(body)
+            elif eid == ID_CHAPTERS:
+                group, self._chapter_uids = parse_mkv_chapters(
+                    body, 0, len(body))
+                if group:
+                    self._chapters = group
+            elif eid == ID_ATTACHMENTS:
+                att = parse_mkv_attachments(body, 0, len(body))
+                if att:
+                    self._attachments = att
         if not self._mkv_tracks:
             raise Unsupported("no supported audio tracks in Matroska")
+        if header_tag_bodies:
+            rev = MetadataRevision()
+            uid_map = {t.uid: no for no, t in self._mkv_tracks.items()
+                       if t.uid}
+            for body in header_tag_bodies:
+                parse_mkv_tags(body, 0, len(body), rev,
+                               track_uid_map=uid_map,
+                               chapter_uid_map=self._chapter_uids)
+            if rev.tags or rev.track_tags:
+                self._metadata.push(rev)
 
         # Load Cues from the SeekHead pointer (seekable sources only).
         if cues_pos is not None and not self._cues and mss.is_seekable():
@@ -1012,11 +1171,16 @@ class MkvStreamReader(FormatReader):
                 body = self.mss.read_bytes(size)
                 if eid == ID_TAGS:
                     rev = MetadataRevision()
-                    parse_mkv_tags(body, 0, len(body), rev)
-                    if rev.tags:
+                    parse_mkv_tags(
+                        body, 0, len(body), rev,
+                        track_uid_map={t.uid: no for no, t in
+                                       self._mkv_tracks.items() if t.uid},
+                        chapter_uid_map=getattr(self, "_chapter_uids", None))
+                    if rev.tags or rev.track_tags:
                         self._metadata.push(rev)
                 elif eid == ID_CHAPTERS:
-                    group = parse_mkv_chapters(body, 0, len(body))
+                    group, self._chapter_uids = parse_mkv_chapters(
+                        body, 0, len(body))
                     if group:
                         self._chapters = group
                 else:

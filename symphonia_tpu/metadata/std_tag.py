@@ -538,6 +538,139 @@ MKV_MAP.update({
     "tuning": K.TUNING,
 })
 
+# -- Matroska tag Targets (format-mkv tags.rs:16-177, 328-507) -------------
+#
+# A Tags element's Targets assigns every SimpleTag a target level
+# (10..70) and optionally an explicit target type name; the same tag name
+# means different things at different levels (a level-50 TITLE is the
+# album title, a level-30 TITLE the track title). Raw keys carry the
+# target as a '<NAME>@' prefix (tags.rs get_target_path); the standard
+# mapping switches on it.
+
+# Default target type name by (level, is_video) — tags.rs:328-345.
+_MKV_TARGET_AUDIO = {70: "COLLECTION", 60: "EDITION", 50: "ALBUM",
+                     40: "PART", 30: "TRACK", 20: "SUBTRACK"}
+_MKV_TARGET_VIDEO = {70: "COLLECTION", 60: "VOLUME", 50: "MOVIE",
+                     40: "PART", 30: "CHAPTER", 20: "SCENE", 10: "SHOT"}
+
+
+def mkv_target_name(value: int, is_video: bool) -> "Optional[str]":
+    """Default target type name for a bare TargetTypeValue."""
+    return (_MKV_TARGET_VIDEO if is_video else _MKV_TARGET_AUDIO).get(value)
+
+
+# Full-path keys (target + tag) with fixed meanings — tags.rs:150-172.
+_MKV_PATH_MAP = {
+    "ALBUM@ARTIST": K.ALBUM_ARTIST,
+    "ALBUM@ARTIST/SORT_WITH": K.SORT_ALBUM_ARTIST,
+    # ReplayGain values stay strings ("-6.5 dB"), like the reference's
+    # StandardTag::ReplayGain*(value) and the Vorbis-comment map.
+    "ALBUM@REPLAYGAIN_GAIN": K.REPLAYGAIN_ALBUM_GAIN,
+    "ALBUM@REPLAYGAIN_PEAK": K.REPLAYGAIN_ALBUM_PEAK,
+    "TRACK@REPLAYGAIN_GAIN": K.REPLAYGAIN_TRACK_GAIN,
+    "SONG@REPLAYGAIN_GAIN": K.REPLAYGAIN_TRACK_GAIN,
+    "TRACK@REPLAYGAIN_PEAK": K.REPLAYGAIN_TRACK_PEAK,
+    "SONG@REPLAYGAIN_PEAK": K.REPLAYGAIN_TRACK_PEAK,
+}
+
+# TITLE / TITLE/SORT_WITH / ORIGINAL/TITLE by target name (tags.rs:438-505).
+_MKV_TITLE_MAP = {
+    "COLLECTION": (K.COLLECTION_TITLE, K.SORT_COLLECTION_TITLE, None),
+    "EDITION": (K.EDITION_TITLE, K.SORT_EDITION_TITLE, None),
+    "VOLUME": (K.VOLUME_TITLE, K.SORT_VOLUME_TITLE, None),
+    "OPUS": (K.OPUS, None, None),
+    "SEASON": (K.TV_SEASON_TITLE, K.SORT_TV_SEASON_TITLE, None),
+    "ALBUM": (K.ALBUM, K.SORT_ALBUM, K.ORIGINAL_ALBUM),
+    "MOVIE": (K.MOVIE_TITLE, K.SORT_MOVIE_TITLE, None),
+    "EPISODE": (K.TV_EPISODE_TITLE, K.SORT_TV_EPISODE_TITLE, None),
+    "PART": (K.PART_TITLE, K.SORT_PART_TITLE, None),
+    "TRACK": (K.TRACK_TITLE, K.SORT_TRACK_TITLE, None),
+    "SONG": (K.TRACK_TITLE, K.SORT_TRACK_TITLE, None),
+    "CHAPTER": (K.CHAPTER_TITLE, None, None),
+    "MOVEMENT": (K.MOVEMENT_NAME, K.MOVEMENT_NAME, K.MOVEMENT_NAME),
+}
+
+_MKV_SUBTITLE_MAP = {"PART": K.DISC_SUBTITLE, "SESSION": K.DISC_SUBTITLE,
+                     "TRACK": K.TRACK_SUBTITLE}
+
+# PART_NUMBER counts items of the tag's own target (tags.rs:404-427).
+_MKV_PART_NUMBER_MAP = {
+    "VOLUME": K.VOLUME_NUMBER, "OPUS": K.OPUS_NUMBER,
+    "SEASON": K.TV_SEASON_NUMBER, "EPISODE": K.TV_EPISODE_NUMBER,
+    "PART": K.DISC_NUMBER, "SESSION": K.DISC_NUMBER,
+    "TRACK": K.TRACK_NUMBER, "SONG": K.TRACK_NUMBER,
+    "MOVEMENT": K.MOVEMENT_NUMBER,
+}
+
+# TOTAL_PARTS counts items of the NEXT LOWER target level, so it maps via
+# the previous (lower) target's name (tags.rs:347-402).
+_MKV_TOTAL_PARTS_MAP = {
+    "VOLUME": K.VOLUME_TOTAL, "SEASON": K.TV_SEASON_TOTAL,
+    "EPISODE": K.TV_EPISODE_TOTAL,
+    "PART": K.DISC_TOTAL, "SESSION": K.DISC_TOTAL,
+    "TRACK": K.TRACK_TOTAL, "SONG": K.TRACK_TOTAL,
+    "MOVEMENT": K.MOVEMENT_TOTAL,
+}
+
+_MKV_ORIGINAL_MAP = {
+    "ORIGINAL/ARTIST": K.ORIGINAL_ARTIST,
+    "ORIGINAL/LYRICIST": K.ORIGINAL_LYRICIST,
+    "ORIGINAL/WRITTEN_BY": K.ORIGINAL_WRITER,
+}
+
+_MKV_SORT_MAP = {
+    "ARTIST/SORT_WITH": K.SORT_ARTIST,
+    "COMPOSER/SORT_WITH": K.SORT_COMPOSER,
+}
+
+
+def map_mkv_tag(path: str, tag: str, value: Any, target_name: str,
+                lower_name: "Optional[str]") -> List[RawTag]:
+    """Map one target-scoped Matroska tag to 1-2 RawTags.
+
+    ``path`` is the full raw key ('<TARGET>@<TAG>' or bare), ``tag`` the
+    tag name without the target prefix, ``target_name`` the effective
+    target type name ('' when untargeted) and ``lower_name`` the target
+    name of the previously processed (lower-level) tag element in the
+    same scope — TOTAL_PARTS counts the items of that lower level."""
+    ent = _MKV_PATH_MAP.get(path)
+    tag_u = tag.upper()
+    if ent is None:
+        if tag_u == "TITLE" or tag_u == "ORIGINAL/TITLE":
+            t = _MKV_TITLE_MAP.get(target_name)
+            ent = (t[0] if tag_u == "TITLE" else t[2]) if t else None
+        elif tag_u == "TITLE/SORT_WITH":
+            t = _MKV_TITLE_MAP.get(target_name)
+            ent = t[1] if t else None
+        elif tag_u == "SUBTITLE":
+            ent = _MKV_SUBTITLE_MAP.get(target_name)
+        elif tag_u == "PART_NUMBER":
+            k = _MKV_PART_NUMBER_MAP.get(target_name)
+            ent = ("int", k) if k else None
+        elif tag_u == "TOTAL_PARTS":
+            k = _MKV_TOTAL_PARTS_MAP.get(lower_name or "")
+            ent = ("int", k) if k else None
+        elif tag_u in _MKV_ORIGINAL_MAP:
+            ent = _MKV_ORIGINAL_MAP[tag_u]
+        elif tag_u in _MKV_SORT_MAP:
+            ent = _MKV_SORT_MAP[tag_u]
+    if ent is None:
+        # Level-sensitive names under an *unknown* target stay unmapped
+        # (tags.rs returns None there); with no target at all the legacy
+        # flat map applies, so untargeted files keep working.
+        if target_name and tag_u in ("TITLE", "SUBTITLE", "PART_NUMBER",
+                                     "TOTAL_PARTS", "TITLE/SORT_WITH"):
+            return [RawTag(path, value)]
+        out = map_raw(tag, value, MKV_MAP)
+        for t in out:
+            t.key = path
+        return out
+    out = map_raw(tag, value, {tag.lower(): ent})
+    for t in out:
+        t.key = path
+    return out
+
+
 # Freeform '----' atom names (utils/itunes.rs:1-89), keyed by the mean:name
 # tail lowercased.
 ITUNES_FREEFORM_MAP = {

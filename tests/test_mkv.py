@@ -88,7 +88,7 @@ def build_mkv(codec_id: str, private: bytes, blocks, rate=44100, ch=1,
     return ebml_hdr + segment
 
 
-def build_mkv_with_video(audio_blocks) -> bytes:
+def build_mkv_with_video(audio_blocks, extra_segment=b"") -> bytes:
     """A two-track Matroska: PCM audio (track 1) + a VP9 video track
     description (track 2, no blocks needed for the description surface)."""
     ebml_hdr = elem(0x1A45DFA3,
@@ -112,7 +112,7 @@ def build_mkv_with_video(audio_blocks) -> bytes:
         for blk in cluster_blocks:
             body += blk
         clusters += elem(0x1F43B675, body)
-    segment = elem(0x18538067, info + tracks + clusters)
+    segment = elem(0x18538067, info + tracks + clusters + extra_segment)
     return ebml_hdr + segment
 
 
@@ -349,6 +349,215 @@ class TestChaptersAttachments:
         assert atts[0].name == "cover.png"
         assert atts[0].media_type == "image/png"
         assert atts[0].data == img
+
+
+def targets_elem(level=None, name=None, track_uids=(), chapter_uids=()):
+    body = b""
+    if level is not None:
+        body += uint_elem(0x68CA, level)
+    if name:
+        body += elem(0x63CA, name.encode())
+    for u in track_uids:
+        body += uint_elem(0x63C5, u)
+    for u in chapter_uids:
+        body += uint_elem(0x63C4, u)
+    return elem(0x63C0, body)
+
+
+def simple_tag(name, value=None, subs=b""):
+    body = elem(0x45A3, name.encode())
+    if value is not None:
+        body += elem(0x4487, value.encode())
+    return elem(0x67C8, body + subs)
+
+
+def tag_elem(simple_tags, targets=b""):
+    return elem(0x7373, targets + b"".join(simple_tags))
+
+
+def tags_elem(*tag_elems):
+    return elem(0x1254C367, b"".join(tag_elems))
+
+
+class TestTagTargets:
+    """Matroska tag Targets semantics (format-mkv tags.rs:16-177,
+    segment.rs TargetsElement/into_metadata): level-aware raw keys and
+    standard mapping, TOTAL_PARTS lower-level resolution, per-track and
+    per-chapter UID scoping."""
+
+    def _reader(self, tags, track_extra=b"", extra=b""):
+        data = build_mkv(
+            "A_PCM/INT/LIT", b"",
+            [(0, [simple_block(1, 0, [b"\x00\x00"])])], bit_depth=16,
+            track_extra=track_extra, extra_segment=extra + tags)
+        return MkvReader(MediaSourceStream(data))
+
+    def test_level_aware_title(self):
+        tags = tags_elem(
+            tag_elem([simple_tag("TITLE", "The Track")], targets_elem(30)),
+            tag_elem([simple_tag("TITLE", "The Album"),
+                      simple_tag("ARTIST", "Album Artist")],
+                     targets_elem(50)),
+            tag_elem([simple_tag("TITLE", "The Collection")],
+                     targets_elem(70)),
+        )
+        rev = self._reader(tags).metadata().current()
+        assert rev.get("track_title") == "The Track"
+        assert rev.get("album") == "The Album"
+        assert rev.get("album_artist") == "Album Artist"
+        assert rev.get("collection_title") == "The Collection"
+        keys = {t.key for t in rev.tags}
+        assert {"TRACK@TITLE", "ALBUM@TITLE", "ALBUM@ARTIST",
+                "COLLECTION@TITLE"} <= keys
+
+    def test_flat_tags_unchanged(self):
+        tags = tags_elem(tag_elem([simple_tag("TITLE", "Song"),
+                                   simple_tag("ARTIST", "Someone")]))
+        rev = self._reader(tags).metadata().current()
+        assert rev.get("track_title") == "Song"
+        assert rev.get("artist") == "Someone"
+        assert {t.key for t in rev.tags} == {"TITLE", "ARTIST"}
+
+    def test_explicit_target_name_and_unknown_level(self):
+        tags = tags_elem(
+            tag_elem([simple_tag("TITLE", "Aida")],
+                     targets_elem(50, name="OPERA")),
+            tag_elem([simple_tag("TITLE", "x")], targets_elem(45)),
+        )
+        rev = self._reader(tags).metadata().current()
+        # OPERA has no title mapping; unknown level 45 renders as #45.
+        keys = {t.key: t for t in rev.tags}
+        assert "OPERA@TITLE" in keys and keys["OPERA@TITLE"].std_key is None
+        assert "#45@TITLE" in keys and keys["#45@TITLE"].std_key is None
+
+    def test_total_parts_uses_lower_level(self):
+        # Level-50 TOTAL_PARTS counts the level-30 items (tracks), and
+        # level-30 PART_NUMBER is the track number.
+        tags = tags_elem(
+            tag_elem([simple_tag("TOTAL_PARTS", "12")], targets_elem(50)),
+            tag_elem([simple_tag("PART_NUMBER", "3")], targets_elem(30)),
+        )
+        rev = self._reader(tags).metadata().current()
+        assert rev.get("track_total") == 12
+        assert rev.get("track_number") == 3
+        # Without any lower level processed first, TOTAL_PARTS at the
+        # lowest level has no referent.
+        tags2 = tags_elem(
+            tag_elem([simple_tag("TOTAL_PARTS", "12")], targets_elem(30)))
+        rev2 = self._reader(tags2).metadata().current()
+        assert rev2.get("track_total") is None
+
+    def test_replaygain_and_disc_numbers(self):
+        tags = tags_elem(
+            tag_elem([simple_tag("REPLAYGAIN_GAIN", "-6.5 dB")],
+                     targets_elem(50)),
+            tag_elem([simple_tag("PART_NUMBER", "2")], targets_elem(40)),
+            tag_elem([simple_tag("REPLAYGAIN_GAIN", "-3.25 dB")],
+                     targets_elem(30)),
+        )
+        rev = self._reader(tags).metadata().current()
+        assert rev.get("replaygain_album_gain") is not None
+        assert rev.get("replaygain_track_gain") is not None
+        assert rev.get("disc_number") == 2
+
+    def test_original_and_sort_with_nesting(self):
+        sort_sub = simple_tag("SORT_WITH", "Album, The")
+        original = simple_tag(
+            "ORIGINAL", None,
+            subs=simple_tag("TITLE", "Originaltitel"))
+        tags = tags_elem(
+            tag_elem([simple_tag("TITLE", "The Album", subs=sort_sub),
+                      original],
+                     targets_elem(50)))
+        rev = self._reader(tags).metadata().current()
+        assert rev.get("album") == "The Album"
+        assert rev.get("sort_album") == "Album, The"
+        assert rev.get("original_album") == "Originaltitel"
+        keys = {t.key for t in rev.tags}
+        assert "ALBUM@TITLE/SORT_WITH" in keys
+        assert "ALBUM@ORIGINAL/TITLE" in keys
+
+    def test_track_uid_scoping(self):
+        track_extra = uint_elem(0x73C5, 777)  # TrackUID
+        tags = tags_elem(
+            tag_elem([simple_tag("TITLE", "Per-Track")],
+                     targets_elem(30, track_uids=[777])),
+            tag_elem([simple_tag("TITLE", "Unknown-Track")],
+                     targets_elem(30, track_uids=[999])),
+            tag_elem([simple_tag("ARTIST", "Media-Wide")],
+                     targets_elem(30)),
+        )
+        rev = self._reader(tags, track_extra=track_extra).metadata().current()
+        # UID-targeted tags are scoped to the track (keyed by track id),
+        # not mixed into the media tags; unknown UIDs are dropped.
+        assert rev.get("track_title") is None
+        per = rev.track_tags.get(1)
+        assert per is not None
+        assert any(t.std_key == "track_title" and t.value == "Per-Track"
+                   for t in per)
+        assert not any(t.value == "Unknown-Track"
+                       for lst in rev.track_tags.values() for t in lst)
+        assert rev.get("artist") == "Media-Wide"
+
+    def test_track_uid_zero_targets_all(self):
+        track_extra = uint_elem(0x73C5, 777)
+        tags = tags_elem(
+            tag_elem([simple_tag("TITLE", "All-Tracks")],
+                     targets_elem(30, track_uids=[0])))
+        rev = self._reader(tags, track_extra=track_extra).metadata().current()
+        per = rev.track_tags.get(1)
+        assert per and per[0].value == "All-Tracks"
+
+    def test_chapter_uid_scoping(self):
+        atom = (uint_elem(0x91, 0) + uint_elem(0x73C4, 55)
+                + elem(0x80, elem(0x85, b"Intro")))
+        chapters = elem(0x1043A770, elem(0x45B9, elem(0xB6, atom)))
+        tags = tags_elem(
+            tag_elem([simple_tag("COMMENT", "chapter note")],
+                     targets_elem(30, chapter_uids=[55])))
+        r = self._reader(tags, extra=chapters)
+        ch = r.chapters().items[0]
+        assert any(t.value == "chapter note" for t in ch.tags)
+        rev = r.metadata().current()
+        assert rev is None or rev.get("comment") != "chapter note"
+
+    def test_video_default_target_names(self):
+        # With a video track present, a bare level-50 target defaults to
+        # MOVIE (tags.rs default_target_name is_video=true), so TITLE maps
+        # to the movie title; audio-only media maps the same tag to ALBUM.
+        tags = tags_elem(
+            tag_elem([simple_tag("TITLE", "Feature")], targets_elem(50)))
+        audio_blocks = [(0, [simple_block(1, 0, [b"\x00\x00"])])]
+        r = MkvReader(MediaSourceStream(
+            build_mkv_with_video(audio_blocks, extra_segment=tags)))
+        rev = r.metadata().current()
+        assert rev.get("movie_title") == "Feature"
+        assert any(t.key == "MOVIE@TITLE" for t in rev.tags)
+        r2 = MkvReader(MediaSourceStream(build_mkv(
+            "A_PCM/INT/LIT", b"", audio_blocks, bit_depth=16,
+            extra_segment=tags)))
+        assert r2.metadata().current().get("album") == "Feature"
+
+    def test_stream_reader_targets(self):
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+
+        track_extra = uint_elem(0x73C5, 42)
+        tags = tags_elem(
+            tag_elem([simple_tag("TITLE", "Strm Album")], targets_elem(50)),
+            tag_elem([simple_tag("TITLE", "Strm Track")],
+                     targets_elem(30, track_uids=[42])),
+        )
+        data = build_mkv(
+            "A_PCM/INT/LIT", b"",
+            [(0, [simple_block(1, 0, [b"\x00\x00"])])], bit_depth=16,
+            track_extra=track_extra, extra_segment=tags)
+        r = MkvStreamReader(MediaSourceStream(data))
+        while r.next_packet() is not None:
+            pass
+        rev = r.metadata().current()
+        assert rev.get("album") == "Strm Album"
+        per = rev.track_tags.get(1)
+        assert per and any(t.value == "Strm Track" for t in per)
 
 
 def build_mkv_cued(codec_id: str, private: bytes, clusters, rate=44100,
