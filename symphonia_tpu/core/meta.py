@@ -241,11 +241,14 @@ class StandardTagKey:
 @dataclass
 class RawTag:
     """An unmapped container tag (meta.rs:508): raw key + value, with the
-    mapped standard key when known."""
+    mapped standard key when known. ``sub_fields`` carries auxiliary
+    per-tag qualifiers (meta.rs RawTagSubField), e.g. an ID3v2.3/2.4
+    frame's group id or encryption method id."""
 
     key: str
     value: Any
     std_key: Optional[str] = None
+    sub_fields: Optional[Dict[str, Any]] = None
 
 
 @dataclass

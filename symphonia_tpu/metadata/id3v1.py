@@ -40,6 +40,26 @@ GENRES = [
     "Folklore", "Ballad", "Power Ballad", "Rhythmic Soul", "Freestyle",
     "Duet", "Punk Rock", "Drum Solo", "A Cappella", "Euro-House",
     "Dance Hall",
+    # 126-147: Winamp extensions (utils/id3v1.rs).
+    "Goa", "Drum & Bass", "Club-House", "Hardcore Techno", "Terror",
+    "Indie", "BritPop",
+    # Genre 133's original name was an offensive term; Winamp 5.63+
+    # renamed it (the reference follows suit).
+    "Afro-Punk",
+    "Polsk Punk", "Beat", "Christian Gangsta Rap", "Heavy Metal",
+    "Black Metal", "Crossover", "Contemporary Christian",
+    "Christian rock", "Merengue", "Salsa", "Thrash Metal", "Anime",
+    "Jpop", "Synthpop",
+    # 148-191: Winamp 5 extensions.
+    "Abstract", "Art Rock", "Baroque", "Bhangra", "Big beat",
+    "Breakbeat", "Chillout", "Downtempo", "Dub", "EBM", "Eclectic",
+    "Electro", "Electroclash", "Emo", "Experimental", "Garage",
+    "Global", "IDM", "Illbient", "Industro-Goth", "Jam Band",
+    "Krautrock", "Leftfield", "Lounge", "Math Rock", "New Romantic",
+    "Nu-Breakz", "Post-Punk", "Post-Rock", "Psytrance", "Shoegaze",
+    "Space Rock", "Trop Rock", "World Music", "Neoclassical",
+    "Audiobook", "Audio theatre", "Neue Deutsche Welle", "Podcast",
+    "Indie-Rock", "G-Funk", "Dubstep", "Garage Rock", "Psybient",
 ]
 
 

@@ -154,16 +154,92 @@ class Id3v2Reader(MetadataReader):
                     fsize = struct.unpack(">I", body[pos + 4 : pos + 8])[0]
                 fflags = struct.unpack(">H", body[pos + 8 : pos + 10])[0]
                 pos += 10
+            if fsize > len(body) - pos:
+                # Oversized declared frame: a framing error (frames.rs
+                # read_boxed_slice_exact failure). Stop rather than slice
+                # short and keep parsing from a desynced offset.
+                break
             payload = body[pos : pos + fsize]
             pos += fsize
-            if major == 4 and fflags & 0x2:  # per-frame unsync
-                payload = unsynchronise(payload)
+            # v2.3/v2.4 frame-flag machinery (frames.rs:511-560 / :594-718):
+            # compressed/encrypted/grouped/data-length-indicator fields
+            # precede the body; compressed frames are skipped (no DEFLATE,
+            # like the reference), encrypted frames surface as binary tags,
+            # and group/encryption ids become tag sub-fields.
+            group_id = enc_id = None
+            encrypted = False
+            if major == 3 and fflags:
+                if fflags & 0x1F1F:
+                    break  # unused flag bits set: framing error
+                comp = fflags & 0x80
+                encrypted = bool(fflags & 0x40)
+                grouped = fflags & 0x20
+                need = ((4 if comp else 0) + (1 if encrypted else 0)
+                        + (1 if grouped else 0))
+                if fsize < need:
+                    break  # frame too small for its extended header
+                off = 4 if comp else 0  # decompressed size (unused)
+                if encrypted:
+                    enc_id = payload[off]
+                    off += 1
+                if grouped:
+                    group_id = payload[off]
+                    off += 1
+                payload = payload[off:]
+                if comp:
+                    continue  # skip-with-warning semantics
+            elif major == 4 and fflags:
+                if fflags & 0x8FB0:
+                    break  # unused flag bits set: framing error
+                grouped = fflags & 0x40
+                comp = fflags & 0x08
+                encrypted = bool(fflags & 0x04)
+                frame_unsync = fflags & 0x02
+                has_dli = fflags & 0x01
+                if comp and not has_dli:
+                    break  # compressed frames require a DLI
+                need = ((1 if grouped else 0) + (1 if encrypted else 0)
+                        + (4 if has_dli else 0))
+                if fsize < need:
+                    break
+                off = 0
+                if grouped:
+                    group_id = payload[off]
+                    off += 1
+                if encrypted:
+                    enc_id = payload[off]
+                    off += 1
+                if has_dli:
+                    off += 4  # original size (unused)
+                payload = payload[off:]
+                if comp:
+                    continue
+                if frame_unsync:
+                    # Per-frame unsync applies to the body only, after the
+                    # extended flag fields.
+                    payload = unsynchronise(payload)
+            n_tags = len(rev.tags)
             try:
-                self._parse_frame(
-                    fid.decode("latin-1"), payload, major, rev
-                )
+                if encrypted:
+                    # Encryption is vendor-specific: surface the frame as
+                    # an opaque binary tag (frames.rs null_frame_reader).
+                    if payload:
+                        rev.tags.append(RawTag(fid.decode("latin-1"),
+                                               payload))
+                else:
+                    self._parse_frame(
+                        fid.decode("latin-1"), payload, major, rev
+                    )
             except (DecodeError, IndexError, struct.error, UnicodeError):
                 continue
+            if group_id is not None or enc_id is not None:
+                for t in rev.tags[n_tags:]:
+                    sf = dict(t.sub_fields or {})
+                    if group_id is not None:
+                        sf["group_id"] = group_id
+                    if enc_id is not None:
+                        sf["encryption_method_id"] = enc_id
+                    t.sub_fields = sf
         return rev
 
     def _parse_frame(self, fid: str, payload: bytes, major: int, rev: MetadataRevision) -> None:

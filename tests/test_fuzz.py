@@ -74,6 +74,21 @@ def corpus():
         rate=8000, ch=1, bit_depth=16)))
     out.append(("adpcm", make_adpcm_wav(bytes(600), 0x11, 256, 505, 1000)))
     out.append(("ogg", open(HOUSE_OGG, "rb").read()))
+
+    # Flagged ID3v2 frames (grouped/encrypted/compressed/DLI) leading an
+    # MP3: the v2.3/v2.4 frame-flag machinery under mutation.
+    from test_metadata import build_id3v2, text_frame
+    import struct as _s
+
+    flagged = build_id3v2(
+        [("TIT2", bytes([7]) + text_frame("G"), 0x0020),
+         ("TPE1", bytes([9]) + b"enc", 0x0040),
+         ("TALB", _s.pack(">I", 64) + b"\x78\x9czz", 0x0080)], major=3)
+    flagged4 = build_id3v2(
+        [("TIT2", bytes([5, 2]) + b"xy", 0x0044),
+         ("TALB", b"\x00\x00\x00\x04" + text_frame("D"), 0x0001)], major=4)
+    out.append(("id3_flags",
+                flagged + flagged4 + build_mpeg1_l3_stream(2, n_ch=1)))
     return out
 
 

@@ -21,12 +21,14 @@ def syncsafe(n: int) -> bytes:
 
 def build_id3v2(frames, major=4, unsync=False) -> bytes:
     body = b""
-    for fid, payload in frames:
+    for entry in frames:
+        fid, payload = entry[0], entry[1]
+        fflags = entry[2] if len(entry) > 2 else 0
         if major == 2:
             body += fid.encode() + len(payload).to_bytes(3, "big") + payload
         else:
             size = syncsafe(len(payload)) if major == 4 else struct.pack(">I", len(payload))
-            body += fid.encode() + size + struct.pack(">H", 0) + payload
+            body += fid.encode() + size + struct.pack(">H", fflags) + payload
     flags = 0x80 if unsync else 0
     if unsync:
         body = body.replace(b"\xff", b"\xff\x00")
@@ -96,6 +98,105 @@ class TestId3v2:
         rev = Id3v2Reader().read_all(BufReader(tag))
         assert rev.get("track_title") is None or True  # no crash = pass
         assert any(t.key == "TIT2" for t in rev.tags)
+
+
+class TestId3v2FrameFlags:
+    """ID3v2.3/2.4 per-frame flag machinery (frames.rs:511-560, :594-718):
+    compressed frames skip cleanly, encrypted frames surface as opaque
+    binary tags, group/encryption ids become sub-fields, the v2.4
+    data-length indicator is stripped, and framing errors (oversized
+    declared sizes, set unused bits, too-small frames) stop the walk
+    instead of desyncing it."""
+
+    def test_v23_grouped(self):
+        payload = bytes([0x07]) + text_frame("Grouped Title")
+        tag = build_id3v2([("TIT2", payload, 0x0020),
+                           ("TPE1", text_frame("Artist"))], major=3)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert rev.get("track_title") == "Grouped Title"
+        t = next(t for t in rev.tags if t.key == "TIT2")
+        assert t.sub_fields == {"group_id": 7}
+        assert rev.get("artist") == "Artist"
+
+    def test_v23_compressed_skipped(self):
+        # 4-byte decompressed size + (zlib) data; no DEFLATE support, so
+        # the frame is skipped and the next one still parses.
+        payload = struct.pack(">I", 100) + b"\x78\x9c junk"
+        tag = build_id3v2([("TIT2", payload, 0x0080),
+                           ("TPE1", text_frame("Still Here"))], major=3)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert rev.get("track_title") is None
+        assert rev.get("artist") == "Still Here"
+
+    def test_v23_encrypted_binary(self):
+        payload = bytes([0x42]) + b"\x01\x02\x03cipher"
+        tag = build_id3v2([("TIT2", payload, 0x0040)], major=3)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        t = next(t for t in rev.tags if t.key == "TIT2")
+        assert t.value == b"\x01\x02\x03cipher"
+        assert t.std_key is None
+        assert t.sub_fields == {"encryption_method_id": 0x42}
+
+    def test_v23_unused_bits_stop(self):
+        tag = build_id3v2([("TIT2", text_frame("X"), 0x0101),
+                           ("TPE1", text_frame("After"))], major=3)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert not rev.tags  # framing error: nothing after is trusted
+
+    def test_v24_dli_stripped(self):
+        payload = syncsafe(9) + text_frame("With DLI")
+        tag = build_id3v2([("TIT2", payload, 0x0001)], major=4)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert rev.get("track_title") == "With DLI"
+
+    def test_v24_grouped_encrypted_subfields(self):
+        payload = bytes([0x09, 0x13]) + b"opaque"
+        tag = build_id3v2([("TXXX", payload, 0x0044)], major=4)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        t = rev.tags[0]
+        assert t.value == b"opaque"
+        assert t.sub_fields == {"group_id": 9, "encryption_method_id": 0x13}
+
+    def test_v24_frame_unsync_after_ext_fields(self):
+        # Group byte + unsynchronised body: unsync must apply to the body
+        # only, after the group id is stripped.
+        body = text_frame("Sync\xff", enc=0).replace(b"\xff", b"\xff\x00")
+        payload = bytes([0x05]) + body
+        tag = build_id3v2([("TIT2", payload, 0x0042)], major=4)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert rev.get("track_title") == "Sync\xff"
+        assert rev.tags[0].sub_fields == {"group_id": 5}
+
+    def test_v24_compressed_without_dli_stops(self):
+        tag = build_id3v2([("TIT2", text_frame("X"), 0x0008)], major=4)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert not rev.tags
+
+    def test_oversized_frame_size_stops(self):
+        # A declared size larger than the remaining tag must stop the walk
+        # (previously it sliced short and kept parsing desynced bytes).
+        fbody = text_frame("Ok", enc=0)
+        good = b"TPE1" + syncsafe(len(fbody)) + struct.pack(">H", 0) + fbody
+        bad = b"TIT2" + syncsafe(1 << 20) + struct.pack(">H", 0) + b"\x03xx"
+        body = good + bad + good
+        tag = b"ID3" + bytes([4, 0, 0]) + syncsafe(len(body)) + body
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert rev.get("artist") == "Ok"
+        assert len([t for t in rev.tags if t.key == "TPE1"]) == 1
+
+    def test_frame_too_small_for_ext_header_stops(self):
+        # Grouped flag set but a zero-byte frame: too small for the group
+        # id field.
+        tag = build_id3v2([("TIT2", b"", 0x0020)], major=3)
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert not rev.tags
+
+    def test_extended_genres(self):
+        tag = build_id3v2([("TCON", text_frame("(131)"))])
+        rev = Id3v2Reader().read_all(BufReader(tag))
+        assert rev.get("genre") == "Indie"
+        rev = Id3v1Reader().read_all(BufReader(build_id3v1(genre=189)))
+        assert rev.get("genre") == "Dubstep"
 
 
 def build_id3v1(title="T", artist="A", album="L", year="2020", comment="C",
