@@ -18,6 +18,28 @@ import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_DISABLED = False
+
+
+def disabled():
+    """Context manager that disables every native fast path (each wrapper's
+    _load() returns None), forcing the pure-Python oracle paths. Used by
+    tools/check.py --ref cross as the independent second implementation.
+    Decoders constructed inside the context stay on the Python path for
+    their lifetime (they cache the fast-path decision at first decode)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _DISABLED
+        old = _DISABLED
+        _DISABLED = True
+        try:
+            yield
+        finally:
+            _DISABLED = old
+
+    return _cm()
 
 _ROOT = Path(__file__).resolve().parent.parent
 _SRCS = [_ROOT / "native" / "symphonia_host.cpp",
@@ -49,6 +71,8 @@ def _build() -> bool:
 
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
+    if _DISABLED:
+        return None
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True

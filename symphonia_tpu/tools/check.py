@@ -123,37 +123,65 @@ def run_check(path: str, tolerance: float = 1e-5, gapless: bool = False,
     if ref_name in ("auto", "sdl") and sdl_ok:
         ref = sdl_decode(path, track.codec_params.sample_rate,
                          track.codec_params.channels.count)
-        n = min(ours.shape[1], ref.shape[1])
-        clipped = np.clip(ours[:, :n], -1.0, 32767.0 / 32768.0)
-        delta = np.abs(clipped - ref[:, :n])
-        tol = tolerance + S16_LSB  # reference output is s16-quantized
-        result = TestResult(
-            n_samples=int(delta.size),
-            n_failed_samples=int((delta > tol).sum()),
-            abs_max_delta=float(delta.max()) if delta.size else 0.0,
-        )
-        # Per-packet accounting (main.rs:228-340): a packet fails when any
-        # of its samples exceeds the tolerance.
-        for start, length in spans:
-            if start >= n:
-                break
-            d = delta[:, start : min(start + length, n)]
-            result.n_packets += 1
-            if d.size and float(d.max()) > tol:
-                result.n_failed_packets += 1
-                if samples and not quiet:
-                    bad = np.argwhere(d > tol)
-                    for ch, off in bad[:20]:
-                        print(f"    packet@{start}: ch{ch} frame "
-                              f"{start + int(off)} delta "
-                              f"{float(d[ch, off]):.3e}")
-                if first_fail:
-                    break
-        result.print_report(quiet)
-        return 0 if result.n_failed_packets == 0 else 2
+        # Reference output is s16-quantized and clips at full scale.
+        clipped = np.clip(ours, -1.0, 32767.0 / 32768.0)
+        return _compare(clipped, ref, spans, tolerance + S16_LSB, spans,
+                        quiet, samples, first_fail)
+
+    if ref_name == "cross" or ref_name == "auto":
+        # Cross-implementation check (no external binary oracle exists for
+        # AAC/ALAC/OGG-FLAC in this environment, main.rs:69-118 spawns
+        # ffmpeg there): decode a second time with every native fast path
+        # disabled, so the pure-Python oracle decoders are the independent
+        # reference implementation.
+        from symphonia_tpu import native
+
+        if not quiet:
+            print("  cross check: native fast paths vs Python oracle path")
+        with native.disabled():
+            ref, _, _, ref_spans = our_decode(data, gapless, keep_going)
+        return _compare(ours, ref, spans, tolerance, ref_spans, quiet,
+                        samples, first_fail)
 
     print(f"  no external reference decoder for codec '{codec}'")
     return 1
+
+
+def _compare(ours: np.ndarray, ref: np.ndarray, spans, tol: float,
+             ref_spans, quiet: bool, samples: bool,
+             first_fail: bool) -> int:
+    if ours.shape[0] != ref.shape[0]:
+        print(f"  channel count mismatch: {ours.shape[0]} vs {ref.shape[0]}")
+        return 2
+    n = min(ours.shape[1], ref.shape[1])
+    delta = np.abs(ours[:, :n] - ref[:, :n])
+    result = TestResult(
+        n_samples=int(delta.size),
+        n_failed_samples=int((delta > tol).sum()),
+        abs_max_delta=float(delta.max()) if delta.size else 0.0,
+    )
+    # Per-packet accounting (main.rs:228-340): a packet fails when any of
+    # its samples exceeds the tolerance.
+    for start, length in spans:
+        if start >= n:
+            break
+        d = delta[:, start : min(start + length, n)]
+        result.n_packets += 1
+        if d.size and float(d.max()) > tol:
+            result.n_failed_packets += 1
+            if samples and not quiet:
+                bad = np.argwhere(d > tol)
+                for ch, off in bad[:20]:
+                    print(f"    packet@{start}: ch{ch} frame "
+                          f"{start + int(off)} delta "
+                          f"{float(d[ch, off]):.3e}")
+            if first_fail:
+                break
+    if ours.shape[1] != ref.shape[1]:
+        print(f"  length mismatch: {ours.shape[1]} vs {ref.shape[1]} frames")
+        result.n_failed_packets += 1
+    result.print_report(quiet)
+    return 0 if result.n_failed_packets == 0 else 2
 
 
 def main(argv=None) -> int:
@@ -163,8 +191,13 @@ def main(argv=None) -> int:
     ap.add_argument("--gapless", action="store_true")
     ap.add_argument("--no-gapless", action="store_true",
                     help="disable gapless decoding (reference default here)")
-    ap.add_argument("--ref", choices=["auto", "sdl", "md5"], default="auto",
-                    help="reference oracle (main.rs:410 --ref analog)")
+    ap.add_argument("--ref", choices=["auto", "sdl", "md5", "cross"],
+                    default="auto",
+                    help="reference oracle (main.rs:410 --ref analog); "
+                         "'cross' compares the native fast paths against "
+                         "the in-tree Python oracle decoders (for codecs "
+                         "with no external binary oracle: AAC, ALAC, "
+                         "OGG-FLAC)")
     ap.add_argument("--samples", action="store_true",
                     help="print failures per sample (main.rs:384)")
     ap.add_argument("-f", "--first-fail", action="store_true",
