@@ -202,7 +202,7 @@ def _read_codebook(br: BitReaderRtl, skim: bool = False) -> VorbisCodebook:
             cur_len += 1
 
     try:
-        cb = Codebook.from_lengths_canonical(lengths.tolist())
+        cb = Codebook.from_lengths_canonical(lengths)
     except ValueError as e:
         raise DecodeError(f"bad codebook: {e}") from e
 

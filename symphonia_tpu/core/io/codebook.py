@@ -68,8 +68,6 @@ class Codebook:
         symphonia-codec-vorbis/src/codebook.rs synthesis: shortest codes
         first, each next codeword is the lowest available branch.
         """
-        if values is None:
-            values = list(range(len(lengths)))
         # Native fast path: the identical loop in C++ (sh_codebook_assign;
         # ~40 codebooks per Vorbis setup make this construction-time hot).
         # Any failure falls through to the Python loop below.
@@ -91,9 +89,13 @@ class Codebook:
             mask = lens_n > 0
             if not mask.any():
                 return Codebook.from_codes([], [], [])
-            vals_n = np.asarray(values, np.int64)[mask]
+            vals_n = (np.arange(len(lens_n), dtype=np.int64)[mask]
+                      if values is None
+                      else np.asarray(values, np.int64)[mask])
             return Codebook.from_codes(
                 codes_n[mask].astype(np.int64), lens_n[mask], vals_n)
+        if values is None:
+            values = list(range(len(lengths)))
         # Left-aligned branch-splitting assignment (the classic canonical
         # Huffman construction; equivalent to the reference's synthesis in
         # symphonia-codec-vorbis/src/codebook.rs). ``available[l]`` holds a

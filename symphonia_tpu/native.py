@@ -984,12 +984,11 @@ def _vorbis_serialize(ident, setup) -> Optional[bytes]:
     out = bytearray()
 
     def i32(*vals):
-        for v in vals:
-            out.extend(struct.pack("<i", int(v)))
+        out.extend(struct.pack("<%di" % len(vals), *(int(v) for v in vals)))
 
     def ivec(vals):
-        i32(len(vals))
-        i32(*vals)
+        out.extend(struct.pack("<i", len(vals)))
+        out.extend(np.asarray(vals, dtype="<i4").tobytes())
 
     i32(0x56535450, 1)
     i32(ident.n_channels, ident.sample_rate, 1 << ident.bs0_exp,
