@@ -21,6 +21,28 @@
 
 #include "entropy_common.h"  // Dct4Plan (shared with the AAC PCM path)
 
+// Cycle-level profiling, compile-gated like aac_entropy.cpp's
+// (-DSH_VORBIS_PROF). Slots:
+//   0 total decode   1 floor_read      2 residue_core  3 decode_partition
+//   4 coupling       5 floor synth+dot
+//   6 # residue codewords  7 # classbook codewords  8 # VQ float adds
+//   9 # packets           10 # floor1 posts decoded
+#ifdef SH_VORBIS_PROF
+#include <x86intrin.h>
+namespace {
+uint64_t g_vprof[16];
+}
+extern "C" const uint64_t* sh_vorbis_prof() { return g_vprof; }
+extern "C" void sh_vorbis_prof_reset() { memset(g_vprof, 0, sizeof(g_vprof)); }
+#define VPROF_START(x) uint64_t _t_##x = __rdtsc()
+#define VPROF_STOP(x, i) g_vprof[i] += __rdtsc() - _t_##x
+#define VPROF_COUNT(i, n) g_vprof[i] += (uint64_t)(n)
+#else
+#define VPROF_START(x)
+#define VPROF_STOP(x, i)
+#define VPROF_COUNT(i, n)
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -39,6 +61,19 @@ struct BitsRtl {
         : data(d), len(n), pos(0), buf(0), cnt(0), error(false) {}
 
     inline void fill() {
+        // Bulk path: one 8-byte load inserts every whole byte that fits
+        // (take <= 7 so the mask shift stays < 64). Invariant: bits >= cnt
+        // of buf are zero (peek zero-pads at EOS through this).
+        if (pos + 8 <= len) {
+            uint64_t w;
+            memcpy(&w, data + pos, 8);
+            int take = (63 - cnt) >> 3;
+            w &= (1ULL << (take * 8)) - 1;
+            buf |= w << cnt;
+            pos += take;
+            cnt += take * 8;
+            return;
+        }
         while (cnt <= 56 && pos < len) {
             buf |= (uint64_t)data[pos++] << cnt;
             cnt += 8;
@@ -126,16 +161,39 @@ struct LutRtl {
     }
 
     inline int decode(BitsRtl& bs, bool* err) const {
-        uint32_t idx = bs.peek(kRootBitsR);
+        // One conditional refill covers root probe + subtable probe +
+        // consume (max codeword 32 bits); buf's zero-pad invariant makes
+        // the raw probes equal to peek() at EOS.
+        if (bs.cnt < 32) bs.fill();
+        uint32_t idx = (uint32_t)bs.buf & ((1u << kRootBitsR) - 1);
         int32_t e = root[idx];
-        if (e >= 0) { bs.consume(e >> 20); return e & 0xFFFFF; }
-        if (e == kInvalid) { *err = true; return 0; }
-        const Sub& s = subs[-e - 1];
-        uint32_t idx2 = bs.peek(kRootBitsR + s.bits) >> kRootBitsR;
-        int32_t e2 = s.e[idx2];
-        if (e2 < 0) { *err = true; return 0; }
-        bs.consume(e2 >> 20);
-        return e2 & 0xFFFFF;
+        int l;
+        int32_t val;
+        if (e >= 0) {
+            l = e >> 20;
+            val = e & 0xFFFFF;
+        } else if (e == kInvalid) {
+            *err = true;
+            return 0;
+        } else {
+            const Sub& s = subs[-e - 1];
+            uint32_t idx2 =
+                (uint32_t)((bs.buf >> kRootBitsR) & ((1ULL << s.bits) - 1));
+            int32_t e2 = s.e[idx2];
+            if (e2 < 0) { *err = true; return 0; }
+            l = e2 >> 20;
+            val = e2 & 0xFFFFF;
+        }
+        if (l > bs.cnt) {  // matched into EOS zero-pad
+            *err = true;
+            bs.error = true;
+            bs.buf = 0;
+            bs.cnt = 0;
+            return 0;
+        }
+        bs.buf >>= l;
+        bs.cnt -= l;
+        return val;
     }
 };
 
@@ -444,6 +502,7 @@ static bool floor0_synth(int64_t amplitude, const std::vector<double>& tc,
 
 static void decode_partition(BitsRtl& br, const Residue& R, Cb& cb, float* v,
                              int offset, bool* err) {
+    VPROF_START(dp);
     int dims = cb.dims;
     int psize = R.partition_size;
     if (dims <= 0) { *err = true; return; }
@@ -455,22 +514,59 @@ static void decode_partition(BitsRtl& br, const Residue& R, Cb& cb, float* v,
             const float* vec = &cb.vq[(size_t)entry * dims];
             for (int d = 0; d < dims; d++) v[offset + i + d * step] += vec[d];
         }
+        VPROF_COUNT(6, step);
+        VPROF_COUNT(8, (uint64_t)step * dims);
     } else {
-        int i = 0;
-        while (i < psize) {
+        // Only the last codeword can be partial; split it off so the hot
+        // loop adds unconditionally with the dims known small.
+        int n_full = psize / dims;
+        int rem = psize - n_full * dims;
+        float* dst = v + offset;
+        const float* vq = cb.vq.data();
+        if (dims == 2) {
+            for (int i = 0; i < n_full; i++) {
+                int entry = cb.lut.decode(br, err);
+                if (*err || br.error) return;
+                const float* vec = vq + (size_t)entry * 2;
+                dst[0] += vec[0];
+                dst[1] += vec[1];
+                dst += 2;
+            }
+        } else if (dims == 4) {
+            for (int i = 0; i < n_full; i++) {
+                int entry = cb.lut.decode(br, err);
+                if (*err || br.error) return;
+                const float* vec = vq + (size_t)entry * 4;
+                dst[0] += vec[0];
+                dst[1] += vec[1];
+                dst[2] += vec[2];
+                dst[3] += vec[3];
+                dst += 4;
+            }
+        } else {
+            for (int i = 0; i < n_full; i++) {
+                int entry = cb.lut.decode(br, err);
+                if (*err || br.error) return;
+                const float* vec = vq + (size_t)entry * dims;
+                for (int d = 0; d < dims; d++) dst[d] += vec[d];
+                dst += dims;
+            }
+        }
+        if (rem) {
             int entry = cb.lut.decode(br, err);
             if (*err || br.error) return;
-            const float* vec = &cb.vq[(size_t)entry * dims];
-            int take = psize - i < dims ? psize - i : dims;
-            for (int d = 0; d < take; d++) v[offset + i + d] += vec[d];
-            i += dims;
+            const float* vec = vq + (size_t)entry * dims;
+            for (int d = 0; d < rem; d++) dst[d] += vec[d];
         }
+        VPROF_COUNT(6, n_full + (rem ? 1 : 0));
+        VPROF_COUNT(8, (uint64_t)n_full * dims + rem);
     }
+    VPROF_STOP(dp, 3);
 }
 
-static void residue_core(BitsRtl& br, Ctx& C, const Residue& R,
-                         float** vectors, const uint8_t* do_not_decode,
-                         int n_ch, int n) {
+static void residue_core_inner(BitsRtl& br, Ctx& C, const Residue& R,
+                               float** vectors, const uint8_t* do_not_decode,
+                               int n_ch, int n) {
     int begin = R.begin < n ? R.begin : n;
     int end = R.end < n ? R.end : n;
     int n_to_read = end - begin;
@@ -493,6 +589,7 @@ static void residue_core(BitsRtl& br, Ctx& C, const Residue& R,
                     if (do_not_decode[j]) continue;
                     int64_t temp = classbook.lut.decode(br, &err);
                     if (err || br.error) return;
+                    VPROF_COUNT(7, 1);
                     for (int i = cw - 1; i >= 0; i--) {
                         classes[(size_t)j * (parts + cw) + pc + i] =
                             temp % R.classifications;
@@ -517,6 +614,14 @@ static void residue_core(BitsRtl& br, Ctx& C, const Residue& R,
             }
         }
     }
+}
+
+static void residue_core(BitsRtl& br, Ctx& C, const Residue& R,
+                         float** vectors, const uint8_t* do_not_decode,
+                         int n_ch, int n) {
+    VPROF_START(rc);
+    residue_core_inner(br, C, R, vectors, do_not_decode, n_ch, n);
+    VPROF_STOP(rc, 2);
 }
 
 }  // namespace
@@ -647,6 +752,7 @@ int32_t sh_vorbis_decode(
         f0_coeffs.resize(n_ch);
     }
 
+    VPROF_START(tot);
     for (int32_t p = 0; p < n_pkts; p++) {
         status[p] = 0;
         flags[p] = 0;
@@ -669,6 +775,8 @@ int32_t sh_vorbis_decode(
         if (block_flag) { br.read(1); br.read(1); }
 
         // Floor decode per channel.
+        VPROF_COUNT(9, 1);
+        VPROF_START(fr);
         for (int ch = 0; ch < n_ch; ch++) {
             Floor& fl = C.floors[M.submap_floor[M.mux[ch]]];
             if (fl.kind == 1)
@@ -676,6 +784,7 @@ int32_t sh_vorbis_decode(
             else
                 f1_used[ch] = floor0_read(br, C, fl.f0, &f0_amp[ch], f0_coeffs[ch]);
         }
+        VPROF_STOP(fr, 1);
         for (int ch = 0; ch < n_ch; ch++) dnd[ch] = !f1_used[ch];
         for (auto& cs : M.coupling_steps) {
             if (!(dnd[cs.first] && dnd[cs.second])) {
@@ -721,6 +830,7 @@ int32_t sh_vorbis_decode(
         }
 
         // Inverse coupling, reverse step order (spec §4.3.4).
+        VPROF_START(cp);
         for (auto it = M.coupling_steps.rbegin(); it != M.coupling_steps.rend();
              ++it) {
             float* m = residues + (size_t)it->first * n2max;
@@ -738,8 +848,10 @@ int32_t sh_vorbis_decode(
                 a[k] = na;
             }
         }
+        VPROF_STOP(cp, 4);
 
         // Floor synthesis + dot product.
+        VPROF_START(fs);
         for (int ch = 0; ch < n_ch; ch++) {
             if (!f1_used[ch]) continue;
             Floor& fl = C.floors[M.submap_floor[M.mux[ch]]];
@@ -754,7 +866,9 @@ int32_t sh_vorbis_decode(
             const float* rsd = residues + (size_t)ch * n2max;
             for (int k = 0; k < n2; k++) dst[k] = floor_curve[k] * rsd[k];
         }
+        VPROF_STOP(fs, 5);
     }
+    VPROF_STOP(tot, 0);
     return 0;
 }
 
