@@ -14,9 +14,11 @@
 // Vorbis packs bits LSB-first; codewords are still matched MSB-of-codeword
 // first, so the LUT is built over bit-reversed codeword prefixes.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 #include "entropy_common.h"  // Dct4Plan (shared with the AAC PCM path)
@@ -626,7 +628,401 @@ static void residue_core(BitsRtl& br, Ctx& C, const Residue& R,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Native setup-header parser (vorbis_setup.py read_ident_header /
+// read_setup_header; spec §4.2). sh_vorbis_open_hdrs parses the raw ident
+// + setup packets directly — construction avoids the Python parse and the
+// serialize round-trip entirely. Contract: the native parser may be
+// STRICTER than the Python one (any nullptr return falls back to the
+// Python parse, which then accepts or raises the precise DecodeError),
+// but it must never accept a stream the Python parser rejects, and every
+// accepted stream must produce identical structures. VQ table math runs
+// in double with FMA contraction disabled so the tables are bit-identical
+// to numpy's separately-rounded mults*delta+min (+cumsum) pipeline.
+// ---------------------------------------------------------------------------
+
+extern "C" int32_t sh_codebook_assign(const int32_t* lengths, int64_t n,
+                                      uint32_t* codes);
+
+namespace {
+
+float g_inverse_db[256];
+bool g_tables_set = false;
+
+inline double f32_unpack(uint32_t x) {
+    double m = (double)(x & 0x1FFFFF);
+    int e = (int)((x & 0x7FE00000) >> 21);
+    if (x & 0x80000000) m = -m;
+    return ldexp(m, e - 788);
+}
+
+// base^d <= lim, overflow-safe.
+inline bool pow_le(int64_t base, int d, int64_t lim) {
+    __int128 r = 1;
+    for (int i = 0; i < d; i++) {
+        r *= base;
+        if (r > lim) return false;
+    }
+    return true;
+}
+
+// Largest v with v^dims <= entries (spec §9.2.3; the float seed can be
+// off by one either way, the loops pin the unique fixed point).
+inline int64_t lookup1_vals(int64_t entries, int dims) {
+    int64_t v = (int64_t)pow((double)entries, 1.0 / dims);
+    while (pow_le(v + 1, dims, entries)) v++;
+    while (v > 0 && !pow_le(v, dims, entries)) v--;
+    return v;
+}
+
+// numpy pipeline twin: t = m*delta (round), + min (round); cumsum in
+// double; each element cast to f32. fp-contract=off keeps the two
+// roundings (g++ otherwise fuses a*b+c into one-rounding FMA).
+__attribute__((optimize("fp-contract=off")))
+static void build_vq(Cb& cb, int64_t entries, int dims, int lookup,
+                     int64_t lv, const std::vector<double>& mults,
+                     double minv, double delta, int seq) {
+    cb.vq_entries = (int)entries;
+    cb.vq.assign((size_t)entries * dims, 0.0f);
+    for (int64_t e = 0; e < entries; e++) {
+        float* out = &cb.vq[(size_t)e * dims];
+        double acc = 0.0;
+        int64_t q = e;
+        for (int d = 0; d < dims; d++) {
+            double m;
+            if (lookup == 1) {
+                int64_t idx = lv ? q % lv : 0;
+                q = lv ? q / lv : 0;
+                m = mults[idx];
+            } else {
+                m = mults[(size_t)e * dims + d];
+            }
+            double t = m * delta;
+            double v = t + minv;
+            if (seq) {
+                acc = acc + v;
+                out[d] = (float)acc;
+            } else {
+                out[d] = (float)v;
+            }
+        }
+    }
+}
+
+static bool parse_codebook(BitsRtl& br, Cb& cb, std::vector<int32_t>& lens,
+                           std::vector<uint32_t>& codes,
+                           std::vector<int32_t>& vals,
+                           std::vector<double>& mults) {
+    if (br.read(24) != 0x564342) return false;
+    int dims = (int)br.read(16);
+    int64_t entries = br.read(24);
+    if (br.error) return false;
+    // Bounds mirrored from vorbis_setup.py (reference codebook.rs:232).
+    if (dims == 0 || dims > 32 || entries > 128 * 1024) return false;
+    lens.assign(entries, 0);
+    int ordered = (int)br.read(1);
+    if (!ordered) {
+        int sparse = (int)br.read(1);
+        if (sparse) {
+            for (int64_t i = 0; i < entries; i++) {
+                if (br.error) return false;
+                if (br.read(1)) lens[i] = (int32_t)br.read(5) + 1;
+            }
+        } else {
+            if ((int64_t)entries * 5 > br.bits_left()) return false;
+            for (int64_t i = 0; i < entries; i++)
+                lens[i] = (int32_t)br.read(5) + 1;
+        }
+    } else {
+        int64_t cur = 0;
+        int32_t cur_len = (int32_t)br.read(5) + 1;
+        while (cur < entries) {
+            if (br.error) return false;
+            int64_t num = br.read(ilog((uint32_t)(entries - cur)));
+            if (cur + num > entries) return false;
+            for (int64_t i = 0; i < num; i++) lens[cur + i] = cur_len;
+            cur += num;
+            cur_len += 1;
+        }
+    }
+    if (br.error) return false;
+    codes.assign(entries, 0);
+    if (sh_codebook_assign(lens.data(), entries, codes.data()) != 0)
+        return false;
+    vals.resize(entries);
+    for (int64_t i = 0; i < entries; i++) vals[i] = (int32_t)i;
+    cb.dims = dims;
+    cb.lut.build(codes.data(), lens.data(), vals.data(), (int)entries);
+    cb.vq.clear();
+    cb.vq_entries = 0;
+    int lookup = (int)br.read(4);
+    if (lookup == 1 || lookup == 2) {
+        double minv = f32_unpack(br.read(32));
+        double delta = f32_unpack(br.read(32));
+        int value_bits = (int)br.read(4) + 1;
+        int seq = (int)br.read(1);
+        if (br.error) return false;
+        int64_t lv = 0, count;
+        if (lookup == 1) {
+            lv = lookup1_vals(entries, dims);
+            count = lv;
+        } else {
+            count = entries * dims;
+        }
+        if (count * value_bits > br.bits_left()) return false;
+        mults.resize(count);
+        for (int64_t i = 0; i < count; i++)
+            mults[i] = (double)br.read(value_bits);
+        if (br.error) return false;
+        build_vq(cb, entries, dims, lookup, lv, mults, minv, delta, seq);
+    } else if (lookup != 0) {
+        return false;
+    }
+    return !br.error;
+}
+
+static bool parse_floor(BitsRtl& br, Floor& fl, int n_books) {
+    int ftype = (int)br.read(16);
+    if (br.error) return false;
+    if (ftype == 0) {
+        fl.kind = 0;
+        Floor0& f = fl.f0;
+        f.order = (int)br.read(8);
+        f.rate = (int)br.read(16);
+        f.bark_map_size = (int)br.read(16);
+        f.amplitude_bits = (int)br.read(6);
+        f.amplitude_offset = (double)br.read(8);
+        int num_books = (int)br.read(4) + 1;
+        f.books.resize(num_books);
+        for (auto& b : f.books) b = (int32_t)br.read(8);
+        if (br.error) return false;
+        for (auto b : f.books)
+            if (b >= n_books) return false;
+        if (f.order < 1) return false;
+        f.bark_n2 = -1;
+        return true;
+    }
+    if (ftype != 1) return false;
+    fl.kind = 1;
+    Floor1& f = fl.f1;
+    int partitions = (int)br.read(5);
+    f.partition_class_list.resize(partitions);
+    int max_class = -1;
+    for (auto& c : f.partition_class_list) {
+        c = (int32_t)br.read(4);
+        if (c > max_class) max_class = c;
+    }
+    f.class_dims.clear();
+    f.class_subclass_bits.clear();
+    f.class_masterbooks.clear();
+    f.subclass_books.clear();
+    for (int k = 0; k <= max_class; k++) {
+        int d = (int)br.read(3) + 1;
+        int s = (int)br.read(2);
+        int mb = s ? (int)br.read(8) : -1;
+        if (br.error) return false;
+        if (mb >= n_books) return false;
+        std::vector<int32_t> bl(1 << s);
+        for (auto& b : bl) {
+            b = (int32_t)br.read(8) - 1;
+            if (b >= n_books) return false;
+        }
+        if (br.error) return false;
+        f.class_dims.push_back(d);
+        f.class_subclass_bits.push_back(s);
+        f.class_masterbooks.push_back(mb);
+        f.subclass_books.push_back(std::move(bl));
+    }
+    f.multiplier = (int)br.read(2) + 1;
+    int rangebits = (int)br.read(4);
+    f.x_list.clear();
+    f.x_list.push_back(0);
+    f.x_list.push_back(1 << rangebits);
+    for (int p = 0; p < partitions; p++)
+        for (int j = 0; j < f.class_dims[f.partition_class_list[p]]; j++)
+            f.x_list.push_back((int32_t)br.read(rangebits));
+    if (br.error) return false;
+    int n = (int)f.x_list.size();
+    if (n > 65) return false;
+    for (int i = 0; i < n; i++)
+        for (int j = i + 1; j < n; j++)
+            if (f.x_list[i] == f.x_list[j]) return false;
+    f.sort_order.resize(n);
+    for (int i = 0; i < n; i++) f.sort_order[i] = i;
+    std::sort(f.sort_order.begin(), f.sort_order.end(),
+              [&](int32_t a, int32_t b) { return f.x_list[a] < f.x_list[b]; });
+    f.low_neighbors.clear();
+    f.high_neighbors.clear();
+    for (int i = 0; i < n; i++) {
+        int low = 0, high = 1;
+        if (i >= 2) {
+            int64_t lx = -1, hx = 1 << 30;
+            for (int j = 0; j < i; j++) {
+                if (f.x_list[j] > lx && f.x_list[j] < f.x_list[i]) {
+                    lx = f.x_list[j];
+                    low = j;
+                }
+                if (f.x_list[j] < hx && f.x_list[j] > f.x_list[i]) {
+                    hx = f.x_list[j];
+                    high = j;
+                }
+            }
+        }
+        f.low_neighbors.push_back(low);
+        f.high_neighbors.push_back(high);
+    }
+    return true;
+}
+
+static bool parse_residue(BitsRtl& br, Residue& R, int n_books) {
+    R.kind = (int)br.read(16);
+    if (br.error || R.kind > 2) return false;
+    R.begin = (int)br.read(24);
+    R.end = (int)br.read(24);
+    R.partition_size = (int)br.read(24) + 1;
+    R.classifications = (int)br.read(6) + 1;
+    R.classbook = (int)br.read(8);
+    if (br.error || R.classbook >= n_books) return false;
+    int cascade[64];
+    for (int c = 0; c < R.classifications; c++) {
+        int low = (int)br.read(3);
+        int high = br.read(1) ? (int)br.read(5) : 0;
+        cascade[c] = (high << 3) | low;
+    }
+    if (br.error) return false;
+    R.books.assign(R.classifications, std::vector<int32_t>(8, -1));
+    for (int c = 0; c < R.classifications; c++)
+        for (int p = 0; p < 8; p++)
+            if (cascade[c] & (1 << p)) {
+                int b = (int)br.read(8);
+                if (br.error || b >= n_books) return false;
+                R.books[c][p] = b;
+            }
+    return true;
+}
+
+static bool parse_mapping(BitsRtl& br, Mapping& M, int n_ch, int n_floors,
+                          int n_res) {
+    if (br.read(16) != 0 || br.error) return false;
+    int submaps = br.read(1) ? (int)br.read(4) + 1 : 1;
+    M.coupling_steps.clear();
+    if (br.read(1)) {
+        int steps = (int)br.read(8) + 1;
+        int bits = ilog((uint32_t)(n_ch - 1));
+        for (int s = 0; s < steps; s++) {
+            int mag = (int)br.read(bits);
+            int ang = (int)br.read(bits);
+            if (br.error) return false;
+            if (mag == ang || mag >= n_ch || ang >= n_ch) return false;
+            M.coupling_steps.push_back({mag, ang});
+        }
+    }
+    if (br.read(2) != 0 || br.error) return false;
+    M.mux.assign(n_ch, 0);
+    if (submaps > 1) {
+        for (auto& m : M.mux) {
+            m = (int32_t)br.read(4);
+            if (m >= submaps) return false;
+        }
+    }
+    M.submap_floor.clear();
+    M.submap_residue.clear();
+    for (int s = 0; s < submaps; s++) {
+        br.read(8);  // unused time config
+        int fl = (int)br.read(8);
+        int rs = (int)br.read(8);
+        if (br.error) return false;
+        if (fl >= n_floors || rs >= n_res) return false;
+        M.submap_floor.push_back(fl);
+        M.submap_residue.push_back(rs);
+    }
+    return true;
+}
+
+}  // namespace
+
 extern "C" {
+
+// Register spec tables computed on the Python side (byte-identical with
+// the oracle's): the 256-entry floor1 inverse dB table.
+void sh_vorbis_set_tables(const float* inverse_db) {
+    memcpy(g_inverse_db, inverse_db, sizeof(g_inverse_db));
+    g_tables_set = true;
+}
+
+// Parse raw ident + setup header packets into a decode context. Returns
+// nullptr on ANY validation failure or unsupported shape — the caller
+// falls back to the Python parse path (vorbis_setup.py), which raises
+// the precise error or serializes via sh_vorbis_open.
+void* sh_vorbis_open_hdrs(const uint8_t* id_data, int64_t id_len,
+                          const uint8_t* su_data, int64_t su_len) {
+    if (!g_tables_set) return nullptr;
+    if (id_len < 30 || id_data[0] != 1 || memcmp(id_data + 1, "vorbis", 6))
+        return nullptr;
+    BitsRtl ib(id_data + 7, id_len - 7);
+    if (ib.read(32) != 0) return nullptr;  // version
+    int n_ch = (int)ib.read(8);
+    uint32_t rate = ib.read(32);
+    ib.read(32);  // bitrate_maximum
+    ib.read(32);  // bitrate_nominal
+    ib.read(32);  // bitrate_minimum
+    int bs0e = (int)ib.read(4);
+    int bs1e = (int)ib.read(4);
+    if (!(6 <= bs0e && bs0e <= 13 && bs0e <= bs1e && bs1e <= 13))
+        return nullptr;
+    if (n_ch == 0 || rate == 0 || !ib.read(1) || ib.error) return nullptr;
+    // The decode submap walk uses a chans[64] scratch; larger channel
+    // counts take the Python path.
+    if (n_ch > 64) return nullptr;
+
+    if (su_len < 7 || su_data[0] != 5 || memcmp(su_data + 1, "vorbis", 6))
+        return nullptr;
+    std::unique_ptr<Ctx> C(new Ctx());
+    C->n_channels = n_ch;
+    C->sample_rate = (int)rate;
+    C->bs0 = 1 << bs0e;
+    C->bs1 = 1 << bs1e;
+    memcpy(C->inverse_db, g_inverse_db, sizeof(C->inverse_db));
+
+    BitsRtl br(su_data + 7, su_len - 7);
+    int n_books = (int)br.read(8) + 1;
+    if (br.error) return nullptr;
+    C->codebooks.resize(n_books);
+    std::vector<int32_t> lens, vals;
+    std::vector<uint32_t> codes;
+    std::vector<double> mults;
+    for (auto& cb : C->codebooks)
+        if (!parse_codebook(br, cb, lens, codes, vals, mults)) return nullptr;
+    int n_time = (int)br.read(6) + 1;
+    for (int i = 0; i < n_time; i++)
+        if (br.read(16) != 0 || br.error) return nullptr;
+    int n_floors = (int)br.read(6) + 1;
+    if (br.error) return nullptr;
+    C->floors.resize(n_floors);
+    for (auto& fl : C->floors)
+        if (!parse_floor(br, fl, n_books)) return nullptr;
+    int n_res = (int)br.read(6) + 1;
+    if (br.error) return nullptr;
+    C->residues.resize(n_res);
+    for (auto& R : C->residues)
+        if (!parse_residue(br, R, n_books)) return nullptr;
+    int n_maps = (int)br.read(6) + 1;
+    if (br.error) return nullptr;
+    C->mappings.resize(n_maps);
+    for (auto& M : C->mappings)
+        if (!parse_mapping(br, M, n_ch, n_floors, n_res)) return nullptr;
+    int n_modes = (int)br.read(6) + 1;
+    if (br.error) return nullptr;
+    for (int i = 0; i < n_modes; i++) {
+        int bf = (int)br.read(1);
+        if (br.read(16) != 0 || br.read(16) != 0) return nullptr;
+        int mp = (int)br.read(8);
+        if (br.error || mp >= n_maps) return nullptr;
+        C->modes.push_back({bf, mp});
+    }
+    if (!br.read(1) || br.error) return nullptr;  // framing bit
+    return C.release();
+}
 
 void* sh_vorbis_open(const uint8_t* blob, int64_t blob_len) {
     Reader r{blob, blob + blob_len};
@@ -637,6 +1033,9 @@ void* sh_vorbis_open(const uint8_t* blob, int64_t blob_len) {
     C->sample_rate = r.i32();
     C->bs0 = r.i32();
     C->bs1 = r.i32();
+    // The decode submap walk uses a chans[64] scratch; refuse larger
+    // channel counts (callers fall back to the Python decode path).
+    if (C->n_channels > 64) { delete C; return nullptr; }
     for (int i = 0; i < 256; i++) C->inverse_db[i] = r.f32();
     int n_cb = r.i32();
     C->codebooks.resize(r.ok && n_cb >= 0 ? n_cb : 0);
@@ -719,6 +1118,15 @@ void* sh_vorbis_open(const uint8_t* blob, int64_t blob_len) {
 }
 
 void sh_vorbis_close(void* ctx) { delete (Ctx*)ctx; }
+
+// Mode block flags (for the OGG mapper's packet-duration table). Fills
+// up to 64 entries; returns the mode count.
+int32_t sh_vorbis_mode_flags(void* ctx, int32_t* flags) {
+    Ctx& C = *(Ctx*)ctx;
+    int n = (int)C.modes.size();
+    for (int i = 0; i < n && i < 64; i++) flags[i] = C.modes[i].first;
+    return n;
+}
 
 // Decode n_pkts audio packets into spectra [n_pkts, n_ch, bs1/2] (each
 // packet's first n2 bins are valid; the rest stay zero). flags[p] gets the

@@ -499,7 +499,8 @@ class VorbisDecoder(AudioDecoder):
             raise DecodeError("vorbis requires extra data headers")
         ident_data, setup_data = self._split_headers(params.extra_data)
         self.ident = read_ident_header(ident_data)
-        self.setup = read_setup_header(setup_data, self.ident)
+        self._raw_headers = (ident_data, setup_data)
+        self._setup: Optional[Setup] = None  # lazily parsed (see .setup)
         self.bs0 = 1 << self.ident.bs0_exp
         self.bs1 = 1 << self.ident.bs1_exp
         self.dsp = VorbisDsp(self.ident.n_channels, self.bs0, self.bs1)
@@ -508,11 +509,27 @@ class VorbisDecoder(AudioDecoder):
         # its codebooks in Decoder::try_new): module import, dlopen, and
         # codebook synthesis land here instead of inside the first (timed)
         # decode call. On any failure it stays None and decode() retries
-        # lazily with identical semantics.
+        # lazily with identical semantics. The native open parses the raw
+        # setup header itself; the Python parse then only runs on the
+        # oracle/fallback paths — but when no native context engaged, run
+        # it NOW so malformed setups raise at construction exactly as
+        # before (the native parser rejects every stream the Python one
+        # does, so a successful native open implies a parseable setup).
         self._open_native()
+        if not self._native:
+            _ = self.setup
         self.spec = AudioSpec(
             self.ident.sample_rate, Channels.from_count(self.ident.n_channels)
         )
+
+    @property
+    def setup(self) -> Setup:
+        """Parsed setup header (lazy: the native per-packet path parses
+        the raw header in C++; only the Python oracle/fallback paths and
+        the serialize blob need these structures)."""
+        if self._setup is None:
+            self._setup = read_setup_header(self._raw_headers[1], self.ident)
+        return self._setup
 
     def _open_native(self) -> None:
         """Set ``_native`` to a context, or False (disabled/unavailable);

@@ -162,6 +162,14 @@ def _read_codebook(br: BitReaderRtl, skim: bool = False) -> VorbisCodebook:
         raise DecodeError("codebook sync lost")
     dims = br.read_bits(16)
     entries = br.read_bits(24)
+    # Reference bounds (codebook.rs:232-245): dims 0 would divide by zero
+    # in lookup1_values; the size caps bound in-memory VQ tables.
+    if dims == 0:
+        raise DecodeError("codebook dimension cannot be 0")
+    if dims > 32:
+        raise DecodeError("codebook dimension too large")
+    if entries > 128 * 1024:
+        raise DecodeError("codebook entries too large")
     ordered = br.read_bits(1)
     if skim and not ordered:
         if br.read_bits(1):  # sparse: per-entry presence flags

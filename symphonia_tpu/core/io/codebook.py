@@ -94,6 +94,10 @@ class Codebook:
                       else np.asarray(values, np.int64)[mask])
             return Codebook.from_codes(
                 codes_n[mask].astype(np.int64), lens_n[mask], vals_n)
+        # Python ints only below: numpy int32 lengths would drag the >>
+        # arithmetic into int32 and overflow on left-aligned codes.
+        if isinstance(lengths, np.ndarray):
+            lengths = lengths.tolist()
         if values is None:
             values = list(range(len(lengths)))
         # Left-aligned branch-splitting assignment (the classic canonical

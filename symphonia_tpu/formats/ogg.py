@@ -154,27 +154,42 @@ class VorbisMapper(Mapper):
                 pass  # malformed comment header: skip the metadata
             return True
         if packet[:7] == b"\x05vorbis":
-            from ..codecs.vorbis_setup import read_setup_header
-
             self._setup = packet
             # Skim: the mapper only needs the mode list for packet
-            # durations; the decoder re-parses codebooks fully.
-            setup = read_setup_header(packet, self.ident, skim=True)
-            self._mode_flags = [m.block_flag for m in setup.modes]
+            # durations; the decoder re-parses codebooks fully. Native
+            # fast path first (strictly stricter parser — a reject falls
+            # back to the authoritative Python walk).
+            flags = None
+            try:
+                from .. import native as _native
+
+                flags = _native.vorbis_skim_modes(self._id, packet)
+            except Exception:
+                flags = None
+            if flags is None:
+                from ..codecs.vorbis_setup import read_setup_header
+
+                setup = read_setup_header(packet, self.ident, skim=True)
+                flags = [m.block_flag for m in setup.modes]
+            self._mode_flags = flags
+            # Precomputed packet_dur fields (this runs per packet during
+            # the bulk reader's physical-stream walk).
+            from ..codecs.vorbis_setup import ilog
+
+            self._dur_bits = ilog(len(flags) - 1)
+            self._dur_mask = (1 << self._dur_bits) - 1
+            bs0, bs1 = 1 << self.ident.bs0_exp, 1 << self.ident.bs1_exp
+            self._bs_table = [bs1 if f else bs0 for f in flags]
             return False  # headers complete
         return True
 
     def packet_dur(self, packet: bytes) -> int:
         if not packet or packet[0] & 1 or self._mode_flags is None:
             return 0
-        from ..codecs.vorbis_setup import ilog
-
-        n_modes = len(self._mode_flags)
-        bits = ilog(n_modes - 1)
-        mode = (packet[0] >> 1) & ((1 << bits) - 1) if bits else 0
-        if mode >= n_modes:
+        mode = (packet[0] >> 1) & self._dur_mask
+        if mode >= len(self._bs_table):
             return 0
-        bs = (1 << self.ident.bs1_exp) if self._mode_flags[mode] else (1 << self.ident.bs0_exp)
+        bs = self._bs_table[mode]
         if self._prev_bs is None:
             dur = 0
         else:

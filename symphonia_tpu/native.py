@@ -212,6 +212,17 @@ def _load() -> Optional[ctypes.CDLL]:
     except AttributeError:
         pass  # older .so without the vorbis synthesis stage
     try:
+        lib.sh_vorbis_set_tables.restype = None
+        lib.sh_vorbis_set_tables.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.sh_vorbis_open_hdrs.restype = ctypes.c_void_p
+        lib.sh_vorbis_open_hdrs.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.sh_vorbis_mode_flags.restype = ctypes.c_int32
+        lib.sh_vorbis_mode_flags.argtypes = [ctypes.c_void_p, c_i32p]
+    except AttributeError:
+        pass  # older .so without the native setup parser
+    try:
         lib.sh_alac_decode.restype = ctypes.c_int32
         lib.sh_alac_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -1096,16 +1107,72 @@ class VorbisStream:
             self._ctx = None
 
 
+_VORBIS_TABLES_SET = False
+
+
+def _vorbis_register_tables(lib) -> None:
+    """One-time registration of the floor1 inverse dB table (the native
+    setup parser needs it; registering the Python-side array keeps the
+    native floor curves byte-identical to the oracle's)."""
+    global _VORBIS_TABLES_SET
+    if _VORBIS_TABLES_SET:
+        return
+    from .codecs.vorbis import floor1_inverse_db_table
+
+    db = np.ascontiguousarray(floor1_inverse_db_table(), dtype=np.float32)
+    lib.sh_vorbis_set_tables(db.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_float)))
+    _VORBIS_TABLES_SET = True
+
+
+def vorbis_skim_modes(ident_data: bytes, setup_data: bytes):
+    """Mode block-flag list for the OGG mapper's packet-duration table,
+    parsed natively, or None (caller falls back to the Python skim).
+    Uses the full native parser, which is strictly STRICTER than the
+    Python skim — so a native accept always agrees with the Python walk,
+    and every reject lands on the fallback for the authoritative answer."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sh_vorbis_open_hdrs"):
+        return None
+    _vorbis_register_tables(lib)
+    ctx = lib.sh_vorbis_open_hdrs(bytes(ident_data), len(ident_data),
+                                  bytes(setup_data), len(setup_data))
+    if not ctx:
+        return None
+    try:
+        flags = np.zeros(64, np.int32)
+        n = lib.sh_vorbis_mode_flags(
+            ctx, flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return [bool(f) for f in flags[:n]]
+    finally:
+        lib.sh_vorbis_close(ctx)
+
+
 def vorbis_stream_open(dec):
-    """Open a persistent native context for a VorbisDecoder, or None."""
+    """Open a persistent native context for a VorbisDecoder, or None.
+
+    Fast path: sh_vorbis_open_hdrs parses the raw ident+setup header
+    packets in C++ (no Python setup parse, no serialize round-trip). Any
+    native parse failure falls back to the serialize path, which touches
+    ``dec.setup`` and thereby runs the Python parser (raising the precise
+    DecodeError for malformed setups).
+    """
     lib = _load()
     if lib is None or not hasattr(lib, "sh_vorbis_open"):
         return None
-    blob = _vorbis_serialize(dec.ident, dec.setup)
-    if blob is None:
-        return None
-    b = np.frombuffer(blob, dtype=np.uint8)
-    ctx = lib.sh_vorbis_open(_u8ptr(b), len(b))
+    ctx = None
+    raw = getattr(dec, "_raw_headers", None)
+    if raw is not None and hasattr(lib, "sh_vorbis_open_hdrs"):
+        _vorbis_register_tables(lib)
+        ident_data, setup_data = raw
+        ctx = lib.sh_vorbis_open_hdrs(bytes(ident_data), len(ident_data),
+                                      bytes(setup_data), len(setup_data))
+    if not ctx:
+        blob = _vorbis_serialize(dec.ident, dec.setup)
+        if blob is None:
+            return None
+        b = np.frombuffer(blob, dtype=np.uint8)
+        ctx = lib.sh_vorbis_open(_u8ptr(b), len(b))
     if not ctx:
         return None
     return VorbisStream(lib, ctx, dec.ident.n_channels,

@@ -493,6 +493,196 @@ class TestSynthAllParity:
             prev = flag
 
 
+class TestNativeSetupParser:
+    """sh_vorbis_open_hdrs (native/vorbis_entropy.cpp) parses the raw
+    ident+setup packets in C++. Contract: never accept a setup the Python
+    parser rejects, and every accepted stream must decode bit-identically
+    to a context built from the Python-parsed + serialized structures."""
+
+    @staticmethod
+    def _ctx_pair(params):
+        """(raw-header stream, serialize-path stream) for the same codec
+        params, or (None, None) when the native lib is unavailable."""
+        from symphonia_tpu import native
+        from symphonia_tpu.codecs.vorbis import VorbisDecoder
+        dec1 = VorbisDecoder(params)
+        if not dec1._native:
+            return None, None
+        dec2 = VorbisDecoder(params)
+        _ = dec2.setup  # force the Python parse
+        dec2._raw_headers = None  # then deny the native parser
+        s2 = native.vorbis_stream_open(dec2)
+        return dec1._native, s2
+
+    def _assert_parity(self, params, pkts):
+        import numpy as np
+        from symphonia_tpu import native
+        s1, s2 = self._ctx_pair(params)
+        if s1 is None:
+            pytest.skip("native lib unavailable")
+        assert s2 is not None
+        for p in pkts:
+            r1 = native.vorbis_stream_decode(s1, p)
+            r2 = native.vorbis_stream_decode(s2, p)
+            assert (r1 is None) == (r2 is None)
+            if r1 is not None:
+                assert np.array_equal(r1[0], r2[0])
+                assert r1[1] == r2[1]
+
+    def test_house_parity(self):
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.formats.ogg import OggReader
+        rdr = OggReader(MediaSourceStream(open(HOUSE_OGG, "rb").read()))
+        params = rdr.tracks()[0].codec_params
+        pkts = []
+        while True:
+            p = rdr.next_packet()
+            if p is None:
+                break
+            pkts.append(bytes(p.data))
+        assert pkts
+        self._assert_parity(params, pkts)
+
+    def test_stereo_builder_parity(self):
+        """Coupling + residue 2 + two block sizes + floor0 (VQ cumsum)."""
+        import vorbis_builder as vb
+        from symphonia_tpu.core.audio import Channels
+        from symphonia_tpu.core.codecs import AudioCodecParameters
+        extra, pkts, _ = vb.build_stream_stereo(24, seed=11)
+        params = AudioCodecParameters(
+            codec="vorbis", sample_rate=vb.RATE,
+            channels=Channels.from_count(2), extra_data=extra)
+        self._assert_parity(params, pkts)
+
+    def test_lazy_setup_not_parsed_on_native_path(self):
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.formats.ogg import OggReader
+        from symphonia_tpu.codecs.vorbis import VorbisDecoder
+        rdr = OggReader(MediaSourceStream(open(HOUSE_OGG, "rb").read()))
+        dec = VorbisDecoder(rdr.tracks()[0].codec_params)
+        if not dec._native:
+            pytest.skip("native lib unavailable")
+        assert dec._setup is None
+        # ... and the property still parses on demand for oracle paths.
+        assert len(dec.setup.codebooks) > 0
+        assert dec._setup is not None
+
+    def test_mutated_setups_accept_subset(self):
+        """Property sweep: mutate the real setup packet; whenever the
+        native parser accepts, the Python parser must accept too AND a
+        few decoded packets must match the serialize-path context
+        bit-for-bit (identical parsed structures)."""
+        import numpy as np
+        from symphonia_tpu import native
+        from symphonia_tpu.codecs.vorbis_setup import (read_ident_header,
+                                                       read_setup_header)
+        from symphonia_tpu.core.errors import DecodeError, EndOfStream
+        from symphonia_tpu.core.io import MediaSourceStream
+        from symphonia_tpu.formats.ogg import OggReader
+
+        lib = native._load()
+        if lib is None or not hasattr(lib, "sh_vorbis_open_hdrs"):
+            pytest.skip("native lib unavailable")
+        native._vorbis_register_tables(lib)
+        rdr = OggReader(MediaSourceStream(open(HOUSE_OGG, "rb").read()))
+        dec_params = rdr.tracks()[0].codec_params
+        pkts = []
+        while len(pkts) < 12:
+            p = rdr.next_packet()
+            if p is None:
+                break
+            pkts.append(bytes(p.data))
+        from symphonia_tpu.codecs.vorbis import VorbisDecoder
+        probe = VorbisDecoder(dec_params)
+        ident_data, setup_data = probe._raw_headers
+        ident = read_ident_header(ident_data)
+
+        rng = np.random.default_rng(777)
+        accepted = rejected = 0
+        for _ in range(400):
+            mut = bytearray(setup_data)
+            for _ in range(int(rng.integers(1, 4))):
+                mut[int(rng.integers(7, len(mut)))] = int(rng.integers(256))
+            mut = bytes(mut)
+            ctx = lib.sh_vorbis_open_hdrs(ident_data, len(ident_data),
+                                          mut, len(mut))
+            if not ctx:
+                rejected += 1
+                continue
+            accepted += 1
+            try:
+                try:
+                    setup = read_setup_header(mut, ident)
+                except (DecodeError, EndOfStream) as e:
+                    pytest.fail(f"native accepted, python rejected: {e}")
+                blob = native._vorbis_serialize(ident, setup)
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                ctx2 = lib.sh_vorbis_open(native._u8ptr(b), len(b))
+                assert ctx2, "serialize-path open failed on accepted mutant"
+                try:
+                    n_ch = ident.n_channels
+                    n2max = (1 << ident.bs1_exp) // 2
+                    spec = np.empty((1, n_ch, n2max), np.float32)
+                    spec2 = np.empty((1, n_ch, n2max), np.float32)
+                    offs = np.zeros(1, np.int64)
+                    import ctypes as ct
+                    i64p = ct.POINTER(ct.c_int64)
+                    i32p = ct.POINTER(ct.c_int32)
+                    f32p = ct.POINTER(ct.c_float)
+                    flags = np.empty(1, np.int32)
+                    status = np.empty(1, np.int32)
+                    for p in pkts:
+                        sizes = np.array([len(p)], np.int64)
+                        for c, s in ((ctx, spec), (ctx2, spec2)):
+                            lib.sh_vorbis_decode(
+                                c, p, len(p),
+                                offs.ctypes.data_as(i64p),
+                                sizes.ctypes.data_as(i64p), 1,
+                                s.ctypes.data_as(f32p),
+                                flags.ctypes.data_as(i32p),
+                                status.ctypes.data_as(i32p))
+                        assert np.array_equal(spec, spec2)
+                finally:
+                    lib.sh_vorbis_close(ctx2)
+            finally:
+                lib.sh_vorbis_close(ctx)
+        # The sweep must exercise both outcomes to mean anything.
+        assert rejected > 0 and accepted > 0, (accepted, rejected)
+
+
+class TestCodebookBounds:
+    """Reference codebook.rs:232-245 bounds: dims 0 (would divide by zero
+    in lookup1_values), dims > 32, entries > 128k are all DecodeErrors."""
+
+    @staticmethod
+    def _setup_with_codebook(dims, entries):
+        from vorbis_builder import BitWriterLsb
+        bw = BitWriterLsb()
+        bw.write(0, 8)             # 1 codebook
+        bw.write(0x564342, 24)
+        bw.write(dims, 16)
+        bw.write(entries, 24)
+        bw.write(0, 1)             # not ordered
+        bw.write(0, 1)             # not sparse
+        for _ in range(min(entries, 4)):
+            bw.write(0, 5)         # lengths (never reached on reject)
+        return b"\x05vorbis" + bw.to_bytes()
+
+    def test_rejected(self):
+        import pytest
+        from symphonia_tpu.codecs.vorbis_setup import (IdentHeader,
+                                                       read_setup_header)
+        from symphonia_tpu.core.errors import DecodeError
+        ident = IdentHeader(1, 44100, 8, 8)
+        for dims, entries in [(0, 4), (33, 4), (2, 128 * 1024 + 1)]:
+            with pytest.raises(DecodeError):
+                read_setup_header(self._setup_with_codebook(dims, entries),
+                                  ident)
+            with pytest.raises(DecodeError):
+                read_setup_header(self._setup_with_codebook(dims, entries),
+                                  ident, skim=True)
+
+
 class TestSetupSkim:
     """The skim parse must walk the exact same bit layout as the full
     parse: identical floors/residues/mappings/modes on real setups."""
