@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from enum import Enum
+from functools import cached_property
 from typing import Optional, Tuple, Union
 
 import numpy as np
@@ -147,8 +148,9 @@ class Channels:
             return Channels(mask=layouts[n])
         return Channels(discrete=n)
 
-    @property
+    @cached_property
     def count(self) -> int:
+        # cached: per-packet decode paths read num_channels per call.
         if self.ambisonic_order is not None:
             return (1 + self.ambisonic_order) ** 2
         if self.custom is not None:

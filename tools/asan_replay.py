@@ -302,6 +302,28 @@ def replay_vorbis() -> int:
                 n += 1
         except _ERRS:
             pass
+    # Hammer the native setup parser (sh_vorbis_open_hdrs) with directly
+    # mutated setup packets — whole-file mutation rarely survives the OGG
+    # page layer, so the parser needs its own loop.
+    lib = native._load()
+    if lib is not None and hasattr(lib, "sh_vorbis_open_hdrs"):
+        native._vorbis_register_tables(lib)
+        reader = OggReader(MediaSourceStream(clean))
+        dec = VorbisDecoder(reader.default_track().codec_params)
+        ident_data, setup_data = dec._raw_headers
+        rng = np.random.default_rng(401)
+        for _ in range(600):
+            mut = bytearray(setup_data)
+            k = int(rng.integers(1, 8))
+            for _ in range(k):
+                mut[int(rng.integers(0, len(mut)))] = int(rng.integers(256))
+            if rng.integers(4) == 0:
+                mut = mut[: int(rng.integers(1, len(mut)))]
+            ctx = lib.sh_vorbis_open_hdrs(bytes(ident_data), len(ident_data),
+                                          bytes(mut), len(mut))
+            if ctx:
+                lib.sh_vorbis_close(ctx)
+            n += 1
     return n
 
 
