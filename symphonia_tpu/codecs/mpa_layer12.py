@@ -80,9 +80,9 @@ SB_INFO = [
     (12, [5, 5, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2]),
     (30, [4, 4, 4, 4, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]),
 ]
-# Row 0 (table 3-B.2a) applies to 27 sub-bands but rows written above for
-# row 1 (3-B.2b) include the zero-padding; extend row 0 similarly.
-SB_INFO[0] = (27, SB_INFO[0][1] + [0] * 0)
+# Row 0 (table 3-B.2a) covers 27 sub-bands: bands 23-26 use class row 0,
+# exactly as 3-B.2b's trailing bands do (reference layer2/mod.rs:81-87).
+SB_INFO[0] = (27, SB_INFO[0][1] + [0] * 4)
 
 
 def _find_sb_info(header: MpaHeader):

@@ -1000,6 +1000,7 @@ class MkvStreamReader(FormatReader):
                        if t.uid}
             for body in header_tag_bodies:
                 parse_mkv_tags(body, 0, len(body), rev,
+                               is_video=self._has_video_tracks(),
                                track_uid_map=uid_map,
                                chapter_uid_map=self._chapter_uids)
             if rev.tags or rev.track_tags:
@@ -1026,6 +1027,14 @@ class MkvStreamReader(FormatReader):
         ]
 
     # -- EBML over MSS -------------------------------------------------------
+
+    def _has_video_tracks(self) -> bool:
+        """Video-target name table applies (tags.rs:328-507) — same
+        computation the bulk reader does over its other-tracks list."""
+        from ..core.video import VideoCodecParameters as _VCP
+
+        return any(isinstance(tr.codec_params, _VCP)
+                   for tr in self._other_tracks)
 
     def _read_vint_header(self):
         """Read a size vint from the MSS; returns (value|_UNKNOWN_SIZE, n)."""
@@ -1173,6 +1182,7 @@ class MkvStreamReader(FormatReader):
                     rev = MetadataRevision()
                     parse_mkv_tags(
                         body, 0, len(body), rev,
+                        is_video=self._has_video_tracks(),
                         track_uid_map={t.uid: no for no, t in
                                        self._mkv_tracks.items() if t.uid},
                         chapter_uid_map=getattr(self, "_chapter_uids", None))

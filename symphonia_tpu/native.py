@@ -1348,9 +1348,7 @@ def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
     lib = _load()
     if lib is None or not hasattr(lib, "sh_mpa_l1_extract"):
         return None
-    f64p = ctypes.POINTER(ctypes.c_double)
     f32p = ctypes.POINTER(ctypes.c_float)
-    i32p = ctypes.POINTER(ctypes.c_int32)
     # The scale-factor / band-row tables are identical every packet:
     # single-slot caches of the converted copy + its ctypes pointer,
     # keyed by object identity WITH the source kept alive (a bare id()
@@ -1366,14 +1364,7 @@ def mpa_l12_extract(layer: int, data: bytes, n_ch: int, bound: int,
         r = lib.sh_mpa_l1_extract(data, len(data), ctypes.c_int32(n_ch),
                                   ctypes.c_int32(bound), p_sf, p_out)
     else:
-        global _L12_ROWS_CACHE
-        if _L12_ROWS_CACHE is not None and _L12_ROWS_CACHE[0] is band_rows:
-            p_rows = _L12_ROWS_CACHE[2]
-        else:
-            rows = np.zeros(32, dtype=np.int32)
-            rows[: len(band_rows)] = band_rows
-            _L12_ROWS_CACHE = (band_rows, rows, rows.ctypes.data_as(i32p))
-            p_rows = _L12_ROWS_CACHE[2]
+        p_rows = l12_rows_ptr(band_rows)
         r = lib.sh_mpa_l2_extract(data, len(data), ctypes.c_int32(n_ch),
                                   ctypes.c_int32(bound),
                                   ctypes.c_int32(sblimit),

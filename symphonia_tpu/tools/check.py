@@ -125,7 +125,8 @@ def run_check(path: str, tolerance: float = 1e-5, gapless: bool = False,
                          track.codec_params.channels.count)
         # Reference output is s16-quantized and clips at full scale.
         clipped = np.clip(ours, -1.0, 32767.0 / 32768.0)
-        return _compare(clipped, ref, spans, tolerance + S16_LSB, spans,
+        # No independent span table: SDL's decode has no packet structure.
+        return _compare(clipped, ref, spans, tolerance + S16_LSB, None,
                         quiet, samples, first_fail)
 
     if ref_name == "cross" or ref_name == "auto":
@@ -179,6 +180,14 @@ def _compare(ours: np.ndarray, ref: np.ndarray, spans, tol: float,
                 break
     if ours.shape[1] != ref.shape[1]:
         print(f"  length mismatch: {ours.shape[1]} vs {ref.shape[1]} frames")
+        result.n_failed_packets += 1
+    # Span-table divergence (cross mode): the two implementations decoded
+    # a different packet structure (e.g. one path dropped a packet the
+    # other decoded) — a conformance failure even if the overlapping
+    # samples agree.
+    if ref_spans is not None and list(spans) != list(ref_spans):
+        print(f"  packet-span divergence: {len(spans)} vs "
+              f"{len(ref_spans)} decoded spans")
         result.n_failed_packets += 1
     result.print_report(quiet)
     return 0 if result.n_failed_packets == 0 else 2

@@ -122,9 +122,11 @@ class TestLayer1:
 
 
 def build_l2_frame(alloc_vals, sf0, samples_raw, grouping_cw=None, n_ch=1,
-                   mpeg2=False):
-    """Layer 2 frame: MPEG1 384kbps/44100 (sb_info row 1, sblimit 30) or
-    MPEG2 160kbps/22050 (sb_info row 4, the 13818-3 LSF table).
+                   mpeg2=False, sb_row=None):
+    """Layer 2 frame: MPEG1 384kbps/44100 (sb_info row 1, sblimit 30),
+    MPEG2 160kbps/22050 (sb_info row 4, the 13818-3 LSF table), or
+    sb_row=0: MPEG1 128kbps (table 3-B.2a, sblimit 27 — the 56-80 kbps
+    per-channel class).
 
     alloc_vals[sb] (mono) or alloc_vals[ch][sb]: allocation index;
     scalefactors all scfsi=2 (one index per subband); samples_raw keyed
@@ -133,7 +135,9 @@ def build_l2_frame(alloc_vals, sf0, samples_raw, grouping_cw=None, n_ch=1,
     """
     from symphonia_tpu.codecs.mpa_layer12 import QUANT_CLASS, SB_INFO, SB_QUANT_INFO
 
-    sblimit, rows = SB_INFO[4 if mpeg2 else 1]
+    if sb_row is None:
+        sb_row = 4 if mpeg2 else 1
+    sblimit, rows = SB_INFO[sb_row]
     if n_ch == 1:
         alloc_vals = [alloc_vals]
         sf0 = [sf0]
@@ -168,6 +172,12 @@ def build_l2_frame(alloc_vals, sf0, samples_raw, grouping_cw=None, n_ch=1,
     mode = 0xC0 if n_ch == 1 else 0x00
     if mpeg2:
         hdr = bytes([0xFF, 0xF5, (14 << 4) | 0, mode])
+    elif sb_row == 0:
+        # 128 kbps (index 8): 64 kbps/ch stereo or 128 kbps mono — both
+        # land in _find_sb_info's 48k<per_ch<=80k (stereo) / >80k @44.1k
+        # ... so use 64 kbps mono (index 4) for mono callers.
+        bidx = 8 if n_ch == 2 else 4
+        hdr = bytes([0xFF, 0xFD, (bidx << 4) | 0, mode])
     else:
         hdr = bytes([0xFF, 0xFD, (14 << 4) | 0, mode])
     h = parse_header(int.from_bytes(hdr, "big"))
@@ -229,6 +239,47 @@ class TestLayer2:
                     sub[sb, 3 * gr + i] = float(sf_table[sf0[sb]]) * c * (s + d)
         expect, _ = direct_synthesis(sub)
         np.testing.assert_allclose(out[0], expect, atol=1e-5)
+
+    def test_sb_info_row0_high_bands_all_paths(self):
+        """Table 3-B.2a (sblimit 27, 56-80 kbps/ch): bands 23-26 use class
+        row 0. A truncated SB_INFO row 0 crashed the Python path with a
+        raw IndexError on ANY such stream while the fused native path
+        decoded via its zero-padded rows array — regression for both the
+        crash and the Python/native parity."""
+        from symphonia_tpu.codecs.mpa_layer12 import QUANT_CLASS, SB_INFO, SB_QUANT_INFO
+
+        rng = np.random.default_rng(9)
+        sblimit, rows = SB_INFO[0]
+        assert sblimit == 27 and len(rows) == 27
+        alloc_vals = [0] * sblimit
+        sf0 = [0] * sblimit
+        samples_raw = {}
+        for sb in [0, 11, 23, 24, 25, 26]:
+            nbal, classes = SB_QUANT_INFO[rows[sb]]
+            # Small classes only: the 64 kbps frame is 208 bytes.
+            alloc_vals[sb] = int(rng.integers(1, min(3, 1 << nbal)))
+            sf0[sb] = int(rng.integers(0, 40))
+            c, d, grouping, bits, nlevels = QUANT_CLASS[classes[alloc_vals[sb]]]
+            for gr in range(12):
+                if grouping:
+                    samples_raw[(sb, gr)] = int(rng.integers(0, nlevels**3))
+                else:
+                    samples_raw[(sb, gr)] = [
+                        int(rng.integers(0, nlevels + 1)) for _ in range(3)]
+        frame, h = build_l2_frame(alloc_vals, sf0, samples_raw, sb_row=0)
+        assert h.bitrate // h.n_channels == 64000
+
+        params = AudioCodecParameters(codec="mp2", sample_rate=h.sample_rate,
+                                      channels=Channels.from_count(1))
+        outs = {}
+        for fused, extract in [(True, True), (False, True), (False, False)]:
+            with _force_l12_path(fused, extract):
+                dec = MpaDecoder(params)
+                outs[(fused, extract)] = np.asarray(
+                    dec.decode(Packet(0, 0, 1152, frame)).planes()).copy()
+        np.testing.assert_array_equal(outs[(True, True)], outs[(False, True)])
+        np.testing.assert_array_equal(outs[(False, True)], outs[(False, False)])
+        assert np.abs(outs[(True, True)]).max() > 0  # bands actually decoded
 
 
 import contextlib

@@ -447,6 +447,30 @@ class TestTagTargets:
         rev2 = self._reader(tags2).metadata().current()
         assert rev2.get("track_total") is None
 
+    def test_video_target_names_match_across_readers(self):
+        """A video-bearing MKV resolves bare TargetTypeValues through the
+        VIDEO name table (tags.rs:328-507) in BOTH readers: level 50 maps
+        to MOVIE, not ALBUM (regression: the streaming reader used the
+        audio table)."""
+        from symphonia_tpu.formats.mkv import MkvReader, MkvStreamReader
+
+        tags = tags_elem(
+            tag_elem([simple_tag("TITLE", "The Movie")], targets_elem(50)))
+        data = build_mkv_with_video(
+            [(0, [simple_block(1, 0, [b"\x00\x00"])])], extra_segment=tags)
+        for reader in (MkvReader(MediaSourceStream(data)),
+                       MkvStreamReader(MediaSourceStream(data))):
+            revs = reader.metadata()
+            rev = revs.current()
+            if rev is None or not rev.tags:
+                # streaming reader surfaces trailing metadata after the
+                # packet walk
+                while reader.next_packet() is not None:
+                    pass
+                rev = reader.metadata().current()
+            keys = {t.key for t in rev.tags}
+            assert "MOVIE@TITLE" in keys, (type(reader).__name__, keys)
+
     def test_replaygain_and_disc_numbers(self):
         tags = tags_elem(
             tag_elem([simple_tag("REPLAYGAIN_GAIN", "-6.5 dB")],
