@@ -33,6 +33,7 @@ from ..core.errors import DecodeError, Unsupported
 from ..core.io.bits import BitReaderLtr
 from ..core.io.codebook import Codebook
 from ..ops.imdct_host import have_fast_imdct, imdct_dct4
+from .. import native as _native_mod
 
 MAX_WINDOWS = 8
 MAX_SFBS = 64
@@ -865,15 +866,13 @@ class AacDecoder(AudioDecoder):
         Returns the frame PCM or None; on any native failure the decoder
         permanently falls back to the Python oracle mid-stream (the OLA
         delay is shared, the window-shape chain is seeded once)."""
-        from .. import native
-
         if self._native is None:
             import os
 
             if os.environ.get("SYMPHONIA_TPU_AAC_STREAM") == "off":
                 self._native = False
             else:
-                self._native = native.aac_stream_open(
+                self._native = _native_mod.aac_stream_open(
                     self.rate_idx, self.bands_long, self.bands_short,
                     self.spec.num_channels) or False
         if not self._native:
@@ -886,7 +885,7 @@ class AacDecoder(AudioDecoder):
             # below remains state-continuous. PCM parity vs the oracle is
             # ~1 ulp of the frame's peak (C++ DCT-IV in double vs
             # pocketfft f32) — see TestAacNativePcmPath.
-            got = native.aac_stream_decode_pcm(
+            got = _native_mod.aac_stream_decode_pcm(
                 self._native, bytes(data), self._delay)
             if got is not None:
                 pcm, shapes = got
@@ -895,7 +894,7 @@ class AacDecoder(AudioDecoder):
             self._native = False
             self._seed_shapes = self._last_shape.copy()
             return None
-        ext = native.aac_stream_decode(self._native, bytes(data))
+        ext = _native_mod.aac_stream_decode(self._native, bytes(data))
         if ext is None or int(ext["nch"][0]) != n_ch:
             # Switch to the Python path for good: seed its window-shape
             # chain from the last native frame (the PNS LCG state cannot
@@ -904,7 +903,7 @@ class AacDecoder(AudioDecoder):
             self._native = False
             self._seed_shapes = self._last_shape.copy()
             return None
-        coeffs = native.aac_dequant_host(ext, self.bands_long)[0]
+        coeffs = _native_mod.aac_dequant_host(ext, self.bands_long)[0]
         out = np.empty((n_ch, 1024), np.float32)
         # Group channels sharing window params -> one vectorized synth
         # (common_window streams hit a single group).

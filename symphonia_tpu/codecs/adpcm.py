@@ -28,6 +28,7 @@ from ..core.codecs import (
 )
 from ..core.errors import DecodeError
 from ..core.packet import Packet
+from .. import native as _native_mod
 
 IMA_STEP_TABLE = np.array([
     7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
@@ -59,9 +60,7 @@ def ima_decode_nibbles(nibbles: np.ndarray, predictor: int, step_index: int) -> 
     The recurrence is state-serial (step-index adaptation), so the hot
     loop runs natively when available (native/adpcm_loops.cpp, bit-exact;
     headers are validated by the callers before this point)."""
-    from .. import native as _native
-
-    fast = _native.ima_decode_nibbles(nibbles, predictor,
+    fast = _native_mod.ima_decode_nibbles(nibbles, predictor,
                                       int(np.clip(step_index, 0, 88)))
     if fast is not None:
         return fast
@@ -181,9 +180,7 @@ def decode_ms_block(block: bytes, n_ch: int) -> np.ndarray:
     # Nibbles alternate across channels sample-by-sample.
     n_samples = (frames - 2) * n_ch
     nibbles = nibbles[:n_samples]
-    from .. import native as _native
-
-    if _native.ms_decode_nibbles(nibbles, c1, c2, delta, s1, s2, out):
+    if _native_mod.ms_decode_nibbles(nibbles, c1, c2, delta, s1, s2, out):
         return out
     for i, nib in enumerate(nibbles):
         c = i % n_ch

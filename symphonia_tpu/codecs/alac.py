@@ -27,6 +27,7 @@ from ..core.codecs import (
 from ..core.errors import DecodeError, EndOfStream
 from ..core.io.bits import BitReaderLtr
 from ..core.packet import Packet
+from .. import native as _native_mod
 
 
 def _wrap32(x: int) -> int:
@@ -236,9 +237,7 @@ class AlacDecoder(AudioDecoder):
         # coefficient updates, so it stays scalar host code; C++ restores
         # reference-parity throughput. Any error status falls back to this
         # Python decoder so malformed-input behavior is identical.
-        from .. import native as _native
-
-        pcm_native = _native.alac_decode(
+        pcm_native = _native_mod.alac_decode(
             bytes(packet.data), cfg, _CHANNEL_MAPS[cfg.num_channels])
         if pcm_native is not None:
             buf = AudioBuffer.from_array(

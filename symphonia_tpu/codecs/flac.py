@@ -44,6 +44,7 @@ from ..core.codecs import (
 from ..core.errors import DecodeError
 from ..core.io.bits import BitReaderLtr
 from ..core.packet import Packet
+from .. import native as _native_mod
 
 # Subframe types
 SF_CONSTANT = "constant"
@@ -363,9 +364,7 @@ class FlacDecoder(AudioDecoder):
         # exception types) is identical.
         pcm = bps = None
         if self._use_native:
-            from .. import native
-
-            got = native.flac_decode_frame(
+            got = _native_mod.flac_decode_frame(
                 bytes(packet.data), self.stream_info,
                 verify_crc=self.options.verify)
             if got is not None:

@@ -30,6 +30,7 @@ from ..ops.mp3_dense import GranuleDenseState, granule_dense_np
 from . import mpa_layer3 as l3
 from . import mpa_layer12 as l12
 from .mpa_common import LAYER1, LAYER2, LAYER3, MpaHeader, parse_header
+from .. import native as _native_mod
 
 # Maximum bit-reservoir capacity in bytes (9-bit main_data_begin).
 RESERVOIR_MAX = 511
@@ -169,8 +170,6 @@ class MpaDecoder(AudioDecoder):
         decode_layer3_frame's exact semantics), so either can pick up
         mid-stream.
         """
-        from .. import native
-
         st = self._l3
         if st.stream is None:
             import os
@@ -180,7 +179,7 @@ class MpaDecoder(AudioDecoder):
             if os.environ.get("SYMPHONIA_TPU_MP3_STREAM") == "off":
                 st.stream = False
             else:
-                st.stream = native.mp3_stream_open() or False
+                st.stream = _native_mod.mp3_stream_open() or False
         if not st.stream:
             return None
         md_off = 4 + (2 if header.has_crc else 0) + header.side_info_len()
@@ -192,7 +191,7 @@ class MpaDecoder(AudioDecoder):
             st.stream.reset()
             return None
         fb = bytes(frame[: header.frame_size])
-        n = native.mp3_stream_decode(
+        n = _native_mod.mp3_stream_decode(
             st.stream, fb, st.hybrid_tails, st.synth_tails, st.pcm_buf)
         if n <= 0:
             return None

@@ -18,6 +18,7 @@ from ..core.errors import DecodeError
 from ..core.io.bits import BitReaderLtr
 from ..ops.mp3_dense import polyphase_response_np
 from .mpa_common import LAYER1, MODE_JOINT, MpaHeader, tables
+from .. import native as _native_mod
 
 
 @lru_cache(maxsize=None)
@@ -122,9 +123,7 @@ def _synthesize(samples: np.ndarray, n_frames: int, state: Layer12State, ch: int
     sb = samples.reshape(32, n_frames)
     # Native polyphase (native/mp3_dense.cpp sh_mp3_polyphase) when
     # available; numpy oracle otherwise.
-    from .. import native
-
-    resp = native.mp3_polyphase(sb.T)  # wrapper copies into its pool
+    resp = _native_mod.mp3_polyphase(sb.T)  # wrapper copies into its pool
     if resp is None:
         resp = polyphase_response_np(sb)
     out_len = 32 * n_frames
@@ -328,14 +327,12 @@ def _decode_native(header: MpaHeader, frame: bytes, state: Layer12State):
     if state.stream is None:
         import os
 
-        from .. import native
-
         # SYMPHONIA_TPU_L12_STREAM=off forces the non-fused path
         # (parity testing / A-B measurement).
         if os.environ.get("SYMPHONIA_TPU_L12_STREAM") == "off":
             state.stream = False
         else:
-            state.stream = native.l12_stream_caller(
+            state.stream = _native_mod.l12_stream_caller(
                 state.synth_tails, state.pcm_buf) or False
     if not state.stream:
         return None
@@ -343,8 +340,6 @@ def _decode_native(header: MpaHeader, frame: bytes, state: Layer12State):
         state._cfg = {}
     cfg = state._cfg.get(id(header))
     if cfg is None or cfg[0] is not header:
-        from .. import native
-
         pos = 4 + (2 if header.has_crc else 0)
         n_ch = header.n_channels
         if header.layer == LAYER1:
@@ -354,8 +349,8 @@ def _decode_native(header: MpaHeader, frame: bytes, state: Layer12State):
             sblimit, band_rows = _find_sb_info(header)
             bound = min(_intensity_bound(header), sblimit)
         cfg = (header, 1 if header.layer == LAYER1 else 2, pos, n_ch, bound,
-               sblimit, native.l12_rows_ptr(band_rows),
-               native.l12_sf_ptr(tables()["layer12_scalefactors"]))
+               sblimit, _native_mod.l12_rows_ptr(band_rows),
+               _native_mod.l12_sf_ptr(tables()["layer12_scalefactors"]))
         if len(state._cfg) < 64:  # headers vary by the padding bit only
             state._cfg[id(header)] = cfg
     _, layer, pos, n_ch, bound, sblimit, p_rows, p_sf = cfg

@@ -29,6 +29,7 @@ from ..core.errors import DecodeError, EndOfStream
 from ..core.io.bits import BitReaderRtl
 from ..core.packet import Packet
 from ..ops.imdct_host import have_fast_imdct, imdct_dct4
+from .. import native as _native_mod
 from .vorbis_setup import (
     Floor0Config,
     Floor1Config,
@@ -713,9 +714,7 @@ class VorbisDecoder(AudioDecoder):
             and packet.data
             and self.dsp.prev_block_flag is None
         ):
-            from .. import native as _native
-
-            got = _native.vorbis_stream_decode_pcm(
+            got = _native_mod.vorbis_stream_decode_pcm(
                 self._native, bytes(packet.data)
             )
             if got is not None:
