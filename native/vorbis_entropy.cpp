@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <memory>
+#include <unordered_map>
 #include <vector>
 
 #include "entropy_common.h"  // Dct4Plan (shared with the AAC PCM path)
@@ -112,6 +113,10 @@ inline int ilog(uint32_t x) {
 // ---------------------------------------------------------------------------
 
 constexpr int kRootBitsR = 10;
+// Total subtable-entry cap per codebook (4M entries = 16 MB). Legitimate
+// encoder books with per-prefix sizing use a few thousand entries; only
+// crafted Kraft-packed deep trees approach this.
+constexpr size_t kMaxSubEntries = (size_t)4 << 20;
 
 struct LutRtl {
     std::vector<int32_t> root;   // >=0: value | len<<20; else ~subtable
@@ -126,13 +131,34 @@ struct LutRtl {
         return r;
     }
 
-    void build(const uint32_t* codes, const int32_t* lens,
+    // Builds the two-level LUT; returns false when the table would exceed
+    // the subtable memory cap (a Kraft-valid hostile codebook can pack
+    // thousands of deep prefixes — callers treat false as a parse failure
+    // and fall back to the bounded Python multi-level LUT / tree walk).
+    bool build(const uint32_t* codes, const int32_t* lens,
                const int32_t* values, int n) {
         root.assign(1 << kRootBitsR, kInvalid);
         subs.clear();
         max_len = 0;
         for (int i = 0; i < n; i++) if (lens[i] > max_len) max_len = lens[i];
-        int sub_bits = max_len > kRootBitsR ? max_len - kRootBitsR : 0;
+        if (max_len > 32) return false;
+        // Pass 1: each subtable is sized by the longest codeword under its
+        // own 10-bit prefix (not the global max), and the total subtable
+        // memory is capped — real encoder books stay well under it.
+        std::unordered_map<uint32_t, int> local_max;
+        if (max_len > kRootBitsR) {
+            for (int i = 0; i < n; i++) {
+                int l = lens[i];
+                if (l <= kRootBitsR) continue;
+                uint32_t pat = revbits(codes[i], l);
+                uint32_t pre = pat & ((1u << kRootBitsR) - 1);
+                int& m = local_max[pre];
+                if (l - kRootBitsR > m) m = l - kRootBitsR;
+            }
+            size_t total = 0;
+            for (auto& kv : local_max) total += (size_t)1 << kv.second;
+            if (total > kMaxSubEntries) return false;
+        }
         for (int i = 0; i < n; i++) {
             int l = lens[i];
             if (l == 0) continue;
@@ -148,6 +174,7 @@ struct LutRtl {
                 if (root[pre] < 0 && root[pre] != kInvalid) {
                     sub_idx = -root[pre] - 1;
                 } else {
+                    int sub_bits = local_max[pre];
                     sub_idx = (int)subs.size();
                     subs.push_back(Sub{sub_bits,
                                        std::vector<int32_t>((size_t)1 << sub_bits, kInvalid)});
@@ -156,10 +183,11 @@ struct LutRtl {
                 Sub& s = subs[sub_idx];
                 int rem = l - kRootBitsR;
                 uint32_t rem_pat = pat >> kRootBitsR;
-                for (uint32_t k = 0; k < (1u << (sub_bits - rem)); k++)
+                for (uint32_t k = 0; k < (1u << (s.bits - rem)); k++)
                     s.e[(k << rem) | rem_pat] = values[i] | (l << 20);
             }
         }
+        return true;
     }
 
     inline int decode(BitsRtl& bs, bool* err) const {
@@ -752,7 +780,8 @@ static bool parse_codebook(BitsRtl& br, Cb& cb, std::vector<int32_t>& lens,
     vals.resize(entries);
     for (int64_t i = 0; i < entries; i++) vals[i] = (int32_t)i;
     cb.dims = dims;
-    cb.lut.build(codes.data(), lens.data(), vals.data(), (int)entries);
+    if (!cb.lut.build(codes.data(), lens.data(), vals.data(), (int)entries))
+        return false;
     cb.vq.clear();
     cb.vq_entries = 0;
     int lookup = (int)br.read(4);
@@ -974,6 +1003,10 @@ void* sh_vorbis_open_hdrs(const uint8_t* id_data, int64_t id_len,
     // The decode submap walk uses a chans[64] scratch; larger channel
     // counts take the Python path.
     if (n_ch > 64) return nullptr;
+    // Rates >= 2^31 would go negative through the int context field and
+    // skew the floor0 bark map; the Python path (whose serializer packs
+    // '<i' and errors) keeps the exact oracle behavior for such streams.
+    if (rate > 0x7FFFFFFFu) return nullptr;
 
     if (su_len < 7 || su_data[0] != 5 || memcmp(su_data + 1, "vorbis", 6))
         return nullptr;
@@ -1050,7 +1083,10 @@ void* sh_vorbis_open(const uint8_t* blob, int64_t blob_len) {
             vals[i] = r.i32();
         }
         if (!r.ok) { delete C; return nullptr; }
-        cb.lut.build(codes.data(), lens.data(), vals.data(), n);
+        if (!cb.lut.build(codes.data(), lens.data(), vals.data(), n)) {
+            delete C;
+            return nullptr;
+        }
         cb.vq_entries = r.i32();
         if (cb.vq_entries > 0) {
             cb.vq.resize((size_t)cb.vq_entries * cb.dims);

@@ -645,6 +645,20 @@ def parse_mkv_tags(buf, b, e, rev: MetadataRevision, is_video=False,
             lower_media = label if level is not None else None
 
 
+def mkv_tag_scope(mkv_tracks, other_tracks):
+    """``(is_video, track_uid_map)`` for :func:`parse_mkv_tags`.
+
+    tags.rs:328-507 keys its target-level name table off whether the
+    segment carries video, and scopes TrackUID-targeted tags to tracks.
+    Both readers must compute these identically (a past bug had the stream
+    reader resolving video-MKV targets with the audio name table)."""
+    from ..core.video import VideoCodecParameters as _VCP
+
+    is_video = any(isinstance(tr.codec_params, _VCP) for tr in other_tracks)
+    uid_map = {t.uid: no for no, t in mkv_tracks.items() if t.uid}
+    return is_video, uid_map
+
+
 class MkvReader(FormatReader):
     """Matroska format reader (mkv demuxer.rs:52)."""
 
@@ -791,12 +805,8 @@ class MkvReader(FormatReader):
 
         if not self._mkv_tracks:
             raise Unsupported("no supported audio tracks in Matroska")
-        from ..core.video import VideoCodecParameters as _VCP
-
-        is_video = any(isinstance(tr.codec_params, _VCP)
-                       for tr in self._other_tracks)
-        track_uid_map = {t.uid: no for no, t in self._mkv_tracks.items()
-                         if t.uid}
+        is_video, track_uid_map = mkv_tag_scope(self._mkv_tracks,
+                                                self._other_tracks)
         for tb, te in tags_spans:
             parse_mkv_tags(buf, tb, te, rev, is_video=is_video,
                            track_uid_map=track_uid_map,
@@ -996,11 +1006,11 @@ class MkvStreamReader(FormatReader):
             raise Unsupported("no supported audio tracks in Matroska")
         if header_tag_bodies:
             rev = MetadataRevision()
-            uid_map = {t.uid: no for no, t in self._mkv_tracks.items()
-                       if t.uid}
+            is_video, uid_map = mkv_tag_scope(self._mkv_tracks,
+                                              self._other_tracks)
             for body in header_tag_bodies:
                 parse_mkv_tags(body, 0, len(body), rev,
-                               is_video=self._has_video_tracks(),
+                               is_video=is_video,
                                track_uid_map=uid_map,
                                chapter_uid_map=self._chapter_uids)
             if rev.tags or rev.track_tags:
@@ -1027,14 +1037,6 @@ class MkvStreamReader(FormatReader):
         ]
 
     # -- EBML over MSS -------------------------------------------------------
-
-    def _has_video_tracks(self) -> bool:
-        """Video-target name table applies (tags.rs:328-507) — same
-        computation the bulk reader does over its other-tracks list."""
-        from ..core.video import VideoCodecParameters as _VCP
-
-        return any(isinstance(tr.codec_params, _VCP)
-                   for tr in self._other_tracks)
 
     def _read_vint_header(self):
         """Read a size vint from the MSS; returns (value|_UNKNOWN_SIZE, n)."""
@@ -1180,11 +1182,11 @@ class MkvStreamReader(FormatReader):
                 body = self.mss.read_bytes(size)
                 if eid == ID_TAGS:
                     rev = MetadataRevision()
+                    is_video, uid_map = mkv_tag_scope(self._mkv_tracks,
+                                                      self._other_tracks)
                     parse_mkv_tags(
                         body, 0, len(body), rev,
-                        is_video=self._has_video_tracks(),
-                        track_uid_map={t.uid: no for no, t in
-                                       self._mkv_tracks.items() if t.uid},
+                        is_video=is_video, track_uid_map=uid_map,
                         chapter_uid_map=getattr(self, "_chapter_uids", None))
                     if rev.tags or rev.track_tags:
                         self._metadata.push(rev)

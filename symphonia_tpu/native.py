@@ -8,6 +8,7 @@ framework works without a toolchain.
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import os
 import subprocess
@@ -21,25 +22,20 @@ _TRIED = False
 _DISABLED = False
 
 
+@contextlib.contextmanager
 def disabled():
     """Context manager that disables every native fast path (each wrapper's
     _load() returns None), forcing the pure-Python oracle paths. Used by
     tools/check.py --ref cross as the independent second implementation.
     Decoders constructed inside the context stay on the Python path for
     their lifetime (they cache the fast-path decision at first decode)."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def _cm():
-        global _DISABLED
-        old = _DISABLED
-        _DISABLED = True
-        try:
-            yield
-        finally:
-            _DISABLED = old
-
-    return _cm()
+    global _DISABLED
+    old = _DISABLED
+    _DISABLED = True
+    try:
+        yield
+    finally:
+        _DISABLED = old
 
 _ROOT = Path(__file__).resolve().parent.parent
 _SRCS = [_ROOT / "native" / "symphonia_host.cpp",

@@ -38,7 +38,10 @@ class TestResult:
     abs_max_delta: float = 0.0
 
     def print_report(self, quiet: bool = False) -> None:
-        ok = self.n_failed_samples == 0
+        # A packet-level divergence (length mismatch, packet-span skew)
+        # fails the run even when every overlapping sample agreed — keep
+        # the printed verdict consistent with run_check's exit code.
+        ok = self.n_failed_samples == 0 and self.n_failed_packets == 0
         if not quiet:
             print(f"  packets compared: {self.n_packets}")
             print(f"  failed packets:   {self.n_failed_packets}")
@@ -190,7 +193,8 @@ def _compare(ours: np.ndarray, ref: np.ndarray, spans, tol: float,
               f"{len(ref_spans)} decoded spans")
         result.n_failed_packets += 1
     result.print_report(quiet)
-    return 0 if result.n_failed_packets == 0 else 2
+    ok = result.n_failed_samples == 0 and result.n_failed_packets == 0
+    return 0 if ok else 2
 
 
 def main(argv=None) -> int:

@@ -650,6 +650,55 @@ class TestNativeSetupParser:
         assert rejected > 0 and accepted > 0, (accepted, rejected)
 
 
+class TestDeepCodebookLutBound:
+    """A Kraft-exact codebook can pack ~1024 deep 10-bit prefixes, each
+    carrying a 32-bit codeword chain: the native two-level LUT would need
+    ~16 GiB of subtables (per-prefix sizing alone doesn't save it). The
+    builder caps total subtable entries and fails the parse, so hostile
+    setups fall back to the bounded Python multi-level LUT / tree walk.
+    Regression for an OOM reachable at OGG probe time via the native
+    setup skim."""
+
+    @staticmethod
+    def _hostile_setup() -> bytes:
+        from vorbis_builder import BitWriterLsb
+        # Per 10-bit prefix: one len-11 code (first half) + a full binary
+        # chain 12..32 plus a second len-32 (second half) = 2^-10 exactly.
+        group = [11] + list(range(12, 33)) + [32]
+        lens = group * 1024                      # Kraft sums to exactly 1
+        bw = BitWriterLsb()
+        bw.write(0, 8)                           # 1 codebook
+        bw.write(0x564342, 24)
+        bw.write(1, 16)                          # dims
+        bw.write(len(lens), 24)                  # 23552 entries (< 128k)
+        bw.write(0, 1)                           # not ordered
+        bw.write(0, 1)                           # not sparse
+        for ln in lens:
+            bw.write(ln - 1, 5)
+        bw.write(0, 4)                           # lookup 0
+        return b"\x05vorbis" + bw.to_bytes()
+
+    def test_native_open_rejects_bounded(self):
+        import resource
+
+        from symphonia_tpu import native
+        from vorbis_builder import build_ident_header
+
+        lib = native._load()
+        if lib is None or not hasattr(lib, "sh_vorbis_open_hdrs"):
+            pytest.skip("native lib unavailable")
+        native._vorbis_register_tables(lib)
+        ident = build_ident_header()
+        setup = self._hostile_setup()
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        ctx = lib.sh_vorbis_open_hdrs(ident, len(ident), setup, len(setup))
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert not ctx
+        # ru_maxrss is KiB on Linux; the pre-fix allocation was >= 68 MB
+        # for a much smaller probe book (16 GiB for this one).
+        assert rss1 - rss0 < 64 * 1024, (rss0, rss1)
+
+
 class TestCodebookBounds:
     """Reference codebook.rs:232-245 bounds: dims 0 (would divide by zero
     in lookup1_values), dims > 32, entries > 128k are all DecodeErrors."""
