@@ -178,9 +178,17 @@ def build_l2_frame(alloc_vals, sf0, samples_raw, grouping_cw=None, n_ch=1,
         # ... so use 64 kbps mono (index 4) for mono callers.
         bidx = 8 if n_ch == 2 else 4
         hdr = bytes([0xFF, 0xFD, (bidx << 4) | 0, mode])
+    elif sb_row in (2, 3):
+        # <=48 kbps/ch classes (tables 3-B.2c/d): 48 kbps mono (index 2)
+        # or 96 kbps stereo (index 6); sb_row 3 is the 32 kHz variant.
+        bidx = 6 if n_ch == 2 else 2
+        rate_bits = 2 if sb_row == 3 else 0
+        hdr = bytes([0xFF, 0xFD, (bidx << 4) | (rate_bits << 2), mode])
     else:
         hdr = bytes([0xFF, 0xFD, (14 << 4) | 0, mode])
     h = parse_header(int.from_bytes(hdr, "big"))
+    from symphonia_tpu.codecs.mpa_layer12 import _find_sb_info
+    assert _find_sb_info(h)[0] == sblimit, "header does not select sb_row"
     assert h.layer == 2 and h.duration == 1152
     assert h.n_channels == n_ch
     frame = hdr + body
@@ -305,24 +313,35 @@ def _force_l12_path(fused: bool, extract: bool):
         nat.mpa_l12_extract = orig_extract
 
 
-def _rand_l2_frame(seed, n_ch=1, mpeg2=False):
+def _rand_l2_frame(seed, n_ch=1, mpeg2=False, sb_row=None):
     from symphonia_tpu.codecs.mpa_layer12 import (QUANT_CLASS, SB_INFO,
                                                   SB_QUANT_INFO)
 
     rng = np.random.default_rng(seed)
-    sblimit, rows = SB_INFO[4 if mpeg2 else 1]
+    if sb_row is None:
+        sb_row = 4 if mpeg2 else 1
+    sblimit, rows = SB_INFO[sb_row]
     alloc_vals = [[0] * sblimit for _ in range(n_ch)]
     sf0 = [[0] * sblimit for _ in range(n_ch)]
     samples_raw = {}
     # Stereo doubles the payload: restrict coded subbands so the frame
-    # fits the fixed 384/160 kbps frame size.
-    max_sb = sblimit if n_ch == 1 else 12
+    # fits the fixed frame size. The low-bitrate rows (0: 64 kbps/ch,
+    # 2/3: <=48 kbps/ch) carry 2-5x smaller frames — code only a few
+    # bands (spread across the full range so high-band nbal fields are
+    # exercised) with small quant classes.
+    small = sb_row in (0, 2, 3)
+    if small:
+        coded = set(int(s) for s in
+                    rng.choice(sblimit, size=min(4, sblimit), replace=False))
+    else:
+        coded = set(range(sblimit if n_ch == 1 else 12))
     for sb in range(sblimit):
         nbal, classes = SB_QUANT_INFO[rows[sb]]
         for ch in range(n_ch):
-            if sb >= max_sb:
+            if sb not in coded or nbal == 0:
                 continue
-            alloc_vals[ch][sb] = int(rng.integers(0, 1 << nbal))
+            hi = min(4, 1 << nbal) if small else (1 << nbal)
+            alloc_vals[ch][sb] = int(rng.integers(0, hi))
             sf0[ch][sb] = int(rng.integers(0, 60))
             if not alloc_vals[ch][sb]:
                 continue
@@ -340,7 +359,7 @@ def _rand_l2_frame(seed, n_ch=1, mpeg2=False):
         samples_raw = {(sb, gr): v
                        for (ch, sb, gr), v in samples_raw.items()}
     return build_l2_frame(alloc_vals, sf0, samples_raw, n_ch=n_ch,
-                          mpeg2=mpeg2)
+                          mpeg2=mpeg2, sb_row=sb_row)
 
 
 def _decode_stream(frames, h, fused, extract):
@@ -415,6 +434,21 @@ class TestFusedL12Parity:
 
     def test_l2_mono_stream(self):
         self._check(*self._frames_l2(4))
+
+    @pytest.mark.parametrize("n_ch", [1, 2])
+    @pytest.mark.parametrize("sb_row", [0, 1, 2, 3])
+    def test_l2_sb_row_matrix(self, sb_row, n_ch):
+        """Every MPEG-1 bit-allocation table row x channel count through
+        all three decode paths. Rows 2/3 (<=48 kbps/ch, tables 3-B.2c/d)
+        previously had zero coverage — the same class of gap where the
+        row-0 truncation bug lived (a table row no fixture selected)."""
+        frames = []
+        h = None
+        for seed in range(4):
+            f, h = _rand_l2_frame(200 + 10 * sb_row + seed, n_ch=n_ch,
+                                  sb_row=sb_row)
+            frames.append(f)
+        self._check(frames, h)
 
     def test_l2_stereo_stream(self):
         self._check(*self._frames_l2(4, n_ch=2))
