@@ -348,6 +348,8 @@ class FlacReader(FormatReader):
             raise SeekError("no seek target")
         # Sample-accurate: binary search the frame table (demuxer.rs:249-394
         # does SeekTable + bisection; the full table subsumes both).
+        if len(self._frame_ts) == 0:
+            raise SeekError("no frames to seek in")
         i = int(np.searchsorted(self._frame_ts, ts, side="right")) - 1
         i = max(0, i)
         self._cursor = i

@@ -354,6 +354,7 @@ class _PacketEntry:
     dur: int
     trim_start: int = 0
     trim_end: int = 0
+    pi: int = 0  # physical page index (interleave order across streams)
 
 
 class OggReader(FormatReader):
@@ -450,30 +451,48 @@ class OggReader(FormatReader):
             if page.header_type & 0x04:
                 st["eos"] = True
 
-        # Pick the default audio stream.
-        self._stream = None
+        # Every mappable logical stream becomes a track (demuxer.rs:416-427:
+        # grouped/multiplexed physical streams expose all logical streams;
+        # track ids enumerate BOS order so single-stream files keep id 0).
+        self._streams = []
         for serial in bos_order:
             st = streams[serial]
-            if st["mapper"] is not None:
-                self._stream = st
-                self._serial = serial
-                break
-        if self._stream is None:
+            if st["mapper"] is None:
+                continue
+            entries, start_ts, total = self._build_entries(st)
+            m: Mapper = st["mapper"]
+            st["entries"] = entries
+            st["cursor"] = 0
+            st["track"] = Track(
+                id=len(self._streams),
+                codec_params=m.codec_params(),
+                time_base=TimeBase(1, m.sample_rate),
+                num_frames=total - start_ts,
+                start_ts=start_ts,
+                delay=m.delay,
+            )
+            self._streams.append(st)
+        if not self._streams:
             raise Unsupported("no mappable codec in OGG stream")
+        self._stream = self._streams[0]
+        self.mapper = self._stream["mapper"]
+        self._track = self._stream["track"]
+        self._chained_pages = pages[end_of_physical:] if end_of_physical else []
 
-        mapper: Mapper = self._stream["mapper"]
-        self.mapper = mapper
-
-        # Assign timestamps from durations, anchored to page granules.
+    @staticmethod
+    def _build_entries(st):
+        """Timestamps/trims for one logical stream, anchored to its page
+        granules (logical.rs:230-556)."""
+        mapper: Mapper = st["mapper"]
         entries: List[_PacketEntry] = []
         start_ts = 0
         ts = 0
-        for p, pi in self._stream["packets"]:
+        for p, pi in st["packets"]:
             dur = mapper.packet_dur(p)
-            entries.append(_PacketEntry(p, ts, dur))
+            entries.append(_PacketEntry(p, ts, dur, pi=pi))
             ts += dur
         total = ts
-        granules = self._stream["page_granules"]
+        granules = st["page_granules"]
         if granules:
             # Leading trim: the first audio page's end granule is the
             # absolute sample position after its packets; when the decoded
@@ -526,62 +545,77 @@ class OggReader(FormatReader):
                     e.ts = ts
                     ts += e.dur
                 total = ts
-        self._entries = entries
-        self._cursor = 0
-        self._total = total
-        self._chained_pages = pages[end_of_physical:] if end_of_physical else []
-
-        params = mapper.codec_params()
-        self._track = Track(
-            id=0,
-            codec_params=params,
-            time_base=TimeBase(1, mapper.sample_rate),
-            num_frames=total - start_ts,
-            start_ts=start_ts,
-            delay=mapper.delay,
-        )
+        return entries, start_ts, total
 
     # -- FormatReader ------------------------------------------------------
 
     def tracks(self) -> List[Track]:
-        return [self._track]
+        return [st["track"] for st in self._streams]
 
     def next_packet(self) -> Optional[Packet]:
-        if self._cursor >= len(self._entries):
+        # Deliver in physical page order across logical streams
+        # (demuxer.rs:476: packets surface as pages are read; callers
+        # filter by track id).
+        best = None
+        for tid, st in enumerate(self._streams):
+            c = st["cursor"]
+            if c < len(st["entries"]):
+                key = (st["entries"][c].pi, tid)
+                if best is None or key < best:
+                    best = key
+        if best is None:
             if self._chained_pages:
                 # Chained physical stream: rebuild tracks and signal the
                 # caller to recreate decoders (formats/mod.rs:644).
                 self._load_physical(self._chained_pages)
                 raise ResetRequired("chained OGG physical stream")
             return None
-        e = self._entries[self._cursor]
-        self._cursor += 1
-        return Packet(track_id=0, ts=e.ts, dur=e.dur, data=e.data,
+        tid = best[1]
+        st = self._streams[tid]
+        e = st["entries"][st["cursor"]]
+        st["cursor"] += 1
+        return Packet(track_id=tid, ts=e.ts, dur=e.dur, data=e.data,
                       trim_start=e.trim_start, trim_end=e.trim_end)
 
     def seek(self, mode: str, to: SeekTo) -> SeekedTo:
+        tid = to.track_id if to.track_id is not None else 0
+        if not (0 <= tid < len(self._streams)):
+            raise SeekError("unknown track id")
+        track: Track = self._streams[tid]["track"]
         if to.ts is not None:
             ts = to.ts
         elif to.time is not None:
-            ts = self._track.time_base.calc_timestamp(to.time)
+            ts = track.time_base.calc_timestamp(to.time)
         else:
             raise SeekError("no seek target")
-        keys = [e.ts for e in self._entries]
         import bisect
 
-        i = max(0, bisect.bisect_right(keys, ts) - 1)
-        # Back up one packet so the decoder regains its overlap state.
-        if mode == SeekMode.ACCURATE:
-            i = max(0, i - 1)
-        self._cursor = i
-        self.mapper.reset()
-        return SeekedTo(0, ts, self._entries[i].ts if self._entries else 0)
+        # Reposition EVERY logical stream to the same wall-clock instant
+        # (demuxer.rs:163-304 bisects the physical stream, which moves all
+        # logical streams together).
+        t = track.time_base.calc_time(ts)
+        actual = 0
+        for j, st in enumerate(self._streams):
+            sts = ts if j == tid else st["track"].time_base.calc_timestamp(t)
+            keys = [e.ts for e in st["entries"]]
+            i = max(0, bisect.bisect_right(keys, sts) - 1)
+            # Back up one packet so the decoder regains its overlap state.
+            if mode == SeekMode.ACCURATE:
+                i = max(0, i - 1)
+            st["cursor"] = i
+            st["mapper"].reset()
+            if j == tid:
+                actual = st["entries"][i].ts if st["entries"] else 0
+        return SeekedTo(tid, ts, actual)
 
     def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
-        es = self._entries
+        tid = track_id if track_id is not None else 0
+        if not (0 <= tid < len(self._streams)):
+            raise SeekError("unknown track id")
+        es = self._streams[tid]["entries"]
         n = len(es)
         return PacketTable(
-            track_id=0,
+            track_id=tid,
             offsets=np.full(n, -1, dtype=np.int64),
             sizes=np.asarray([len(e.data) for e in es], dtype=np.int64),
             ts=np.asarray([e.ts for e in es], dtype=np.int64),

@@ -155,6 +155,18 @@ class TestDemuxer:
         pkt = reader.next_packet()
         assert pkt.ts == 1024
 
+    def test_seek_with_no_frames_raises_seek_error(self):
+        # A stream whose metadata parses but that contains zero audio
+        # frames must raise SeekError, not IndexError (soak finding).
+        from symphonia_tpu.core.errors import SeekError
+
+        ch = [np.zeros(0, dtype=np.int64)]
+        data = build_flac_file(ch, kind="fixed", order=0)
+        reader = FlacReader(MediaSourceStream(data))
+        assert reader.next_packet() is None
+        with pytest.raises(SeekError):
+            reader.seek(SeekMode.ACCURATE, SeekTo(ts=0))
+
     def test_metadata_vorbis_comment(self):
         ch = random_walk(256, 16, seed=5)
         # Build a VORBIS_COMMENT metadata block (type 4).

@@ -1261,3 +1261,79 @@ class TestOggFlac:
         got = np.concatenate(outs, axis=1)
         expect = np.stack([c.astype(np.int32) for c in channels])
         np.testing.assert_array_equal(got, expect)
+
+
+class TestOggMultiplexed:
+    """Grouped (multiplexed) physical streams expose every logical stream
+    as a track (demuxer.rs:416-427); packets surface in physical page
+    order and callers filter by track id."""
+
+    @staticmethod
+    def _remux_two_streams(data: bytes):
+        """Duplicate a single-logical-stream OGG into two interleaved
+        logical streams (serials patched on the raw page bytes so lacing
+        and spanning packets are preserved)."""
+        from symphonia_tpu.core.checksum import crc32_buf
+
+        raw_pages = []
+        pos = 0
+        while pos < len(data):
+            _, nxt = parse_page(data, pos)
+            raw_pages.append(data[pos:nxt])
+            pos = nxt
+
+        def with_serial(raw: bytes, serial: int) -> bytes:
+            blob = bytearray(raw)
+            blob[14:18] = serial.to_bytes(4, "little")
+            blob[22:26] = b"\x00" * 4
+            blob[22:26] = crc32_buf(bytes(blob)).to_bytes(4, "little")
+            return bytes(blob)
+
+        out = b""
+        for raw in raw_pages:
+            out += with_serial(raw, 0xAAAA) + with_serial(raw, 0xBBBB)
+        return out
+
+    def test_two_tracks_decode_bit_exact(self):
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        single, _, strack = our_decode(data)
+        muxed = self._remux_two_streams(data)
+        r = OggReader(MediaSourceStream(muxed))
+        tracks = r.tracks()
+        assert [t.id for t in tracks] == [0, 1]
+        for t in tracks:
+            assert t.codec_params.codec == "vorbis"
+            assert t.num_frames == strack.num_frames
+        decs = [VorbisDecoder(t.codec_params) for t in tracks]
+        outs = [[], []]
+        seen = set()
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            seen.add(p.track_id)
+            buf = decs[p.track_id].decode(p)
+            if len(buf):
+                outs[p.track_id].append(buf.planes().copy())
+        assert seen == {0, 1}
+        for tid in (0, 1):
+            got = np.concatenate(outs[tid], axis=1)
+            np.testing.assert_array_equal(got, single)
+
+    def test_seek_targets_chosen_track(self):
+        from symphonia_tpu.core.formats import SeekMode, SeekTo
+
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        muxed = self._remux_two_streams(data)
+        r = OggReader(MediaSourceStream(muxed))
+        t1 = r.tracks()[1]
+        target = t1.num_frames // 2
+        res = r.seek(SeekMode.ACCURATE, SeekTo(ts=target, track_id=1))
+        assert res.track_id == 1
+        assert res.actual_ts <= target
+        # Both streams resume near the target in page order.
+        p = r.next_packet()
+        assert p is not None
+        assert abs(p.ts - target) < 8192
