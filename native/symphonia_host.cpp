@@ -515,6 +515,39 @@ int32_t sh_flac_stream_extract(
 // gate on streams whose residuals fit int32 (bits_per_sample <= 25, the
 // same criterion as the batch device path). Returns 0, or a negative
 // extract status; -20 = CRC-16 mismatch (when verify_crc).
+}  // extern "C" (paused: templates need C++ linkage)
+
+// FLAC LPC with a compile-time order where it matters: coefficients and
+// the sample history live in registers (the generic pointer-walk reloads
+// order+1 values per sample), and the dot unrolls fully. Arithmetic is
+// identical to the reference recurrence (decoder.rs:716): int64
+// accumulator, (acc >> sh) quantized prediction, int64 sample chain. The
+// wasted-bits shift is folded into the store (history keeps the
+// UNSHIFTED value — the reference shifts after prediction too).
+template <int ORDER>
+static void flac_predict_t(const int32_t* r, const int32_t* c_in, int sh,
+                           int wasted, int block, int order_rt, int64_t* xs) {
+    const int order = ORDER > 0 ? ORDER : order_rt;
+    int64_t c[ORDER > 0 ? ORDER : 32];
+    for (int j = 0; j < order; j++) c[j] = c_in[j];
+    int64_t h[ORDER > 0 ? ORDER : 32];  // h[j] = unshifted xs[i-1-j]
+    const int lim = order < block ? order : block;
+    for (int i = 0; i < lim; i++) xs[i] = (int64_t)r[i] << wasted;
+    for (int j = 0; j < order; j++)
+        h[j] = (order - 1 - j) < lim ? (int64_t)r[order - 1 - j] : 0;
+    for (int i = order; i < block; i++) {
+        int64_t acc = 0;
+        for (int j = 0; j < order; j++) acc += c[j] * h[j];
+        int64_t v = (int64_t)r[i] + (acc >> sh);
+        xs[i] = v << wasted;
+        for (int j = (ORDER > 0 ? ORDER : order_rt) - 1; j > 0; j--)
+            h[j] = h[j - 1];
+        if (order > 0) h[0] = v;
+    }
+}
+
+extern "C" {
+
 int32_t sh_flac_decode_frame(
     const uint8_t* fd, int64_t flen,
     int32_t si_channels, int32_t si_bits, int32_t si_rate, int32_t si_block_max,
@@ -548,38 +581,73 @@ int32_t sh_flac_decode_frame(
         const int32_t* c = coefs + ch * 32;
         int o = order[ch];
         int sh = shift[ch];
+        int w = wasted[ch];
         int64_t* xs = x.data() + (size_t)ch * block;
-        for (int i = 0; i < o; i++) xs[i] = r[i];
-        for (int i = o; i < block; i++) {
-            int64_t acc = 0;
-            for (int j = 0; j < o; j++) acc += (int64_t)c[j] * xs[i - 1 - j];
-            xs[i] = (int64_t)r[i] + (acc >> sh);
-        }
-        if (wasted[ch])
-            for (int i = 0; i < block; i++) xs[i] <<= wasted[ch];
-    }
-    // Decorrelate (decoder.rs:32-83): 0=independent, 1=left/side,
-    // 2=right/side, 3=mid/side.
-    if (n_ch == 2 && assign != 0) {
-        int64_t* a = x.data();
-        int64_t* b = x.data() + block;
-        if (assign == 1) {
-            for (int i = 0; i < block; i++) b[i] = a[i] - b[i];
-        } else if (assign == 2) {
-            for (int i = 0; i < block; i++) a[i] = a[i] + b[i];
-        } else if (assign == 3) {
-            for (int i = 0; i < block; i++) {
-                int64_t m2 = (a[i] << 1) | (b[i] & 1);
-                int64_t s = b[i];
-                a[i] = (m2 + s) >> 1;
-                b[i] = (m2 - s) >> 1;
+        switch (o) {
+            case 0:
+                for (int i = 0; i < block; i++) xs[i] = (int64_t)r[i] << w;
+                break;
+            case 1: flac_predict_t<1>(r, c, sh, w, block, o, xs); break;
+            case 2: flac_predict_t<2>(r, c, sh, w, block, o, xs); break;
+            case 3: flac_predict_t<3>(r, c, sh, w, block, o, xs); break;
+            case 4: flac_predict_t<4>(r, c, sh, w, block, o, xs); break;
+            case 5: flac_predict_t<5>(r, c, sh, w, block, o, xs); break;
+            case 6: flac_predict_t<6>(r, c, sh, w, block, o, xs); break;
+            case 7: flac_predict_t<7>(r, c, sh, w, block, o, xs); break;
+            case 8: flac_predict_t<8>(r, c, sh, w, block, o, xs); break;
+            case 9: flac_predict_t<9>(r, c, sh, w, block, o, xs); break;
+            case 10: flac_predict_t<10>(r, c, sh, w, block, o, xs); break;
+            case 11: flac_predict_t<11>(r, c, sh, w, block, o, xs); break;
+            case 12: flac_predict_t<12>(r, c, sh, w, block, o, xs); break;
+            default: {
+                // Orders 13-32 (rare): direct xs walk — a register history
+                // this wide spills and measures slower than the reloads.
+                const int lim = o < block ? o : block;
+                for (int i = 0; i < lim; i++) xs[i] = r[i];
+                for (int i = o; i < block; i++) {
+                    int64_t acc = 0;
+                    for (int j = 0; j < o; j++)
+                        acc += (int64_t)c[j] * xs[i - 1 - j];
+                    xs[i] = (int64_t)r[i] + (acc >> sh);
+                }
+                if (w)
+                    for (int i = 0; i < block; i++) xs[i] <<= w;
+                break;
             }
         }
     }
-    for (int ch = 0; ch < n_ch; ch++) {
-        const int64_t* xs = x.data() + (size_t)ch * block;
-        int32_t* o = pcm + (size_t)ch * n_max;
-        for (int i = 0; i < block; i++) o[i] = (int32_t)xs[i];
+    // Decorrelate (decoder.rs:32-83) fused with the int32 downcast:
+    // 0=independent, 1=left/side, 2=right/side, 3=mid/side. These loops
+    // auto-vectorize (int64 lanes -> packed int32 stores).
+    if (n_ch == 2 && assign != 0) {
+        const int64_t* a = x.data();
+        const int64_t* b = x.data() + block;
+        int32_t* oa = pcm;
+        int32_t* ob = pcm + n_max;
+        if (assign == 1) {
+            for (int i = 0; i < block; i++) {
+                oa[i] = (int32_t)a[i];
+                ob[i] = (int32_t)(a[i] - b[i]);
+            }
+        } else if (assign == 2) {
+            for (int i = 0; i < block; i++) {
+                oa[i] = (int32_t)(a[i] + b[i]);
+                ob[i] = (int32_t)b[i];
+            }
+        } else {
+            for (int i = 0; i < block; i++) {
+                int64_t m2 = (a[i] << 1) | (b[i] & 1);
+                int64_t s = b[i];
+                oa[i] = (int32_t)((m2 + s) >> 1);
+                ob[i] = (int32_t)((m2 - s) >> 1);
+            }
+        }
+    } else {
+        for (int ch = 0; ch < n_ch; ch++) {
+            const int64_t* xs = x.data() + (size_t)ch * block;
+            int32_t* o = pcm + (size_t)ch * n_max;
+            for (int i = 0; i < block; i++) o[i] = (int32_t)xs[i];
+        }
     }
     meta[0] = block;
     meta[1] = bps;

@@ -69,6 +69,8 @@ def scan_frames(buf: bytes, si: StreamInfo) -> np.ndarray:
     Vectorized candidate search + CRC-16 span confirmation; returns int64
     offsets. The final frame extends to the end of ``buf``.
     """
+    if len(buf) < 2:  # matches the native scan: no room for a sync code
+        return np.empty(0, dtype=np.int64)
     native_result = _try_native_scan(buf, si)
     if native_result is not None:
         return native_result
@@ -303,16 +305,50 @@ class FlacReader(FormatReader):
             chunks.append(b)
         self._buf = b"".join(chunks)
         si = self.stream_info
-        starts = scan_frames(self._buf, si)
-        ts = np.empty(len(starts), dtype=np.int64)
-        dur = np.empty(len(starts), dtype=np.int64)
-        for i, s in enumerate(starts):
-            hdr = parse_frame_header(self._buf[s : s + 16], si)
-            ts[i] = first_sample_of(hdr, si)
-            dur[i] = hdr.block_size
+        starts, ts, dur = self._scan_and_index(self._buf, si)
         self._frame_starts = starts
         self._frame_ts = ts
         self._frame_dur = dur
+
+    @staticmethod
+    def _scan_and_index(buf: bytes, si):
+        """Frame-boundary scan + per-frame ts/dur. Tries the AVX-512
+        sequence-chain scan first (sh_flac_scan_fast, ~50x faster than the
+        CRC-16 chain scan); the result is accepted only when the header
+        timestamp chain is contiguous and covers STREAMINFO's sample count,
+        otherwise (corruption — the fast scan can't re-anchor) the robust
+        CRC-chain scan reruns."""
+
+        def index(starts):
+            ts = np.empty(len(starts), dtype=np.int64)
+            dur = np.empty(len(starts), dtype=np.int64)
+            for i, s in enumerate(starts):
+                hdr = parse_frame_header(buf[s : s + 16], si)
+                ts[i] = first_sample_of(hdr, si)
+                dur[i] = hdr.block_size
+            return ts, dur
+
+        fast = None
+        if si.n_samples > 0:
+            try:
+                from .. import native
+
+                if native.available():
+                    fast = native.flac_scan_frames_fast(buf, si)
+            except ImportError:
+                pass
+        if fast is not None and len(fast) > 0:
+            try:
+                ts, dur = index(fast)
+            except DecodeError:
+                ts = None
+            if (ts is not None and ts[0] == 0
+                    and np.array_equal(ts[1:], (ts + dur)[:-1])
+                    and int(ts[-1] + dur[-1]) == si.n_samples):
+                return fast, ts, dur
+        starts = scan_frames(buf, si)
+        ts, dur = index(starts)
+        return starts, ts, dur
 
     # -- FormatReader ------------------------------------------------------
 

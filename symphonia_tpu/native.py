@@ -329,6 +329,29 @@ def _pad_rows(n_max: int) -> int:
     return n_max + 16 if (n_max * 4) % 4096 == 0 else n_max
 
 
+def flac_scan_frames_fast(buf: bytes, si) -> Optional[np.ndarray]:
+    """AVX-512 sync-byte scan with sequence-chain filtering
+    (sh_flac_scan_fast). Much faster than the CRC-16 chain scan but drops
+    everything after a corrupt frame header instead of re-anchoring —
+    callers must validate the result (timestamp contiguity vs STREAMINFO)
+    and fall back to :func:`flac_scan_frames` on any inconsistency."""
+    lib = _load()
+    if lib is None or not lib.sh_flac_has_simd():
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8)
+    cap = max(16, len(buf) // 16)
+    while True:
+        out = np.zeros(cap, dtype=np.int64)
+        n = lib.sh_flac_scan_fast(
+            _u8ptr(a), len(a), si.channels, si.bits_per_sample,
+            si.sample_rate, si.block_len_max,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+        )
+        if n < cap or cap >= len(buf):
+            return out[:n].copy()
+        cap = min(max(cap * 4, 16), max(len(buf), 16))
+
+
 def flac_scan_frames(buf: bytes, si) -> np.ndarray:
     """Native frame-boundary scan; mirrors formats.flac.scan_frames."""
     lib = _load()

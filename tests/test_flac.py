@@ -395,6 +395,43 @@ class TestPerPacketNativeFrame:
         np.testing.assert_array_equal(a, b)
         assert fa.verify_ok is True and fb.verify_ok is True
 
+    @pytest.mark.parametrize("order", [1, 2, 5, 8, 12, 13, 32])
+    @pytest.mark.parametrize("wasted", [0, 3])
+    def test_order_matrix_with_wasted_bits(self, order, wasted, monkeypatch):
+        """The templated-order predictor (1-12), the generic walk (13+),
+        and the folded wasted-bits shift must all match the oracle
+        bit-exactly (native decode path vs SYMPHONIA_TPU_FLAC_FRAME=off)."""
+        coefs = ([3, -3, 1, 1, -1, 2, -2, 1] * 4)[:order]
+        chans = random_walk(4096 + 333, 16, seed=100 + order, ch=2)
+        if wasted:
+            chans = [c >> wasted << wasted for c in chans]
+        # left_side: the mid of mid_side halves (l+r) and breaks the
+        # wasted-bits all-low-zero precondition in the mirror encoder.
+        mode = "left_side" if wasted else "mid_side"
+        data = build_flac_file(chans, 44100, 16, block_size=4096,
+                               stereo_mode=mode, kind="lpc",
+                               lpc_coefs=coefs, lpc_precision=5,
+                               lpc_shift=2, wasted=wasted)
+
+        def decode_all():
+            r = FlacReader(MediaSourceStream(data))
+            dec = FlacDecoder(r.default_track().codec_params,
+                              AudioDecoderOptions(verify=True))
+            outs = []
+            while True:
+                p = r.next_packet()
+                if p is None:
+                    break
+                outs.append(dec.decode(p).planes().copy())
+            return np.concatenate(outs, axis=1), dec.finalize()
+
+        a, fa = decode_all()
+        monkeypatch.setenv("SYMPHONIA_TPU_FLAC_FRAME", "off")
+        b, fb = decode_all()
+        np.testing.assert_array_equal(a, b)
+        assert fa.verify_ok is True and fb.verify_ok is True
+        np.testing.assert_array_equal(a, np.stack(chans))
+
     def test_wide_stream_falls_back(self, monkeypatch):
         """>25-bit streams must take the Python oracle (int32 residual
         gate), bit-exact either way."""
