@@ -2659,7 +2659,7 @@ int32_t sh_aac_extract(
 struct AacStream {
     std::vector<ChannelPair> pairs;
     // Per-packet PCM synthesis scratch (sh_aac_stream_decode_pcm).
-    Dct4Plan plan_long, plan_short;  // n = 1024 / 128
+    Dct4PlanF plan_long, plan_short;  // n = 1024 / 128 (f32: parity bound 4e-6 x peak)
     bool plans_init = false;
     std::vector<float> coeffs, scales;
     std::vector<int16_t> qbuf;
@@ -2766,18 +2766,18 @@ int32_t sh_aac_stream_decode_pcm(
             // imdct_dct4(coeffs) * 1/2048: y[:h]=d[h:], y[h:h+n]=-d[rev],
             // y[h+n:]=-d[:h] with n=1024, h=512 (ops/imdct_host).
             S.plan_long.dct4_half(cf);
-            const double* d = S.plan_long.d.data();
-            const double sc = 1.0 / 2048.0;
+            const float* d = S.plan_long.d.data();
+            const float sc = 1.0f / 2048.0f;
             for (int i = 0; i < 512; i++) pcm[i] = (float)(d[512 + i] * sc);
             for (int i = 0; i < 1024; i++)
                 pcm[512 + i] = (float)(-d[1023 - i] * sc);
             for (int i = 0; i < 512; i++)
                 pcm[1536 + i] = (float)(-d[i] * sc);
         } else {
-            const double sc = 1.0 / 256.0;
+            const float sc = 1.0f / 256.0f;
             for (int w = 0; w < 8; w++) {
                 S.plan_short.dct4_half(cf + w * 128);
-                const double* d = S.plan_short.d.data();
+                const float* d = S.plan_short.d.data();
                 float* pw = pcm + w * 256;
                 for (int i = 0; i < 64; i++) pw[i] = (float)(d[64 + i] * sc);
                 for (int i = 0; i < 128; i++)

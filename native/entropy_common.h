@@ -250,3 +250,97 @@ struct Dct4Plan {
         }
     }
 };
+
+// Single-precision twin of Dct4Plan: same structure, float arithmetic
+// (twiddles computed in double, stored f32). Used by the AAC per-packet
+// PCM synthesis where the parity bound is 4e-6 x stream peak vs the f32
+// pocketfft oracle — an f32 radix-2 FFT lands ~1e-6 x peak, well inside,
+// at twice the vector width of the double plan. Vorbis keeps the double
+// plan (its bound is tighter).
+struct Dct4PlanF {
+    int n = 0, M = 0;
+    std::vector<int> bitrev;
+    std::vector<float> stw;
+    std::vector<size_t> stw_off;
+    std::vector<float> pre_re, pre_im;
+    std::vector<float> post_re, post_im;
+    std::vector<float> re, im, d;
+
+    void init(int n_) {
+        n = n_;
+        M = n / 2;
+        bitrev.assign(M, 0);
+        int bits = 0;
+        while ((1 << bits) < M) bits++;
+        for (int i = 0; i < M; i++) {
+            int r = 0;
+            for (int b = 0; b < bits; b++) r |= ((i >> b) & 1) << (bits - 1 - b);
+            bitrev[i] = r;
+        }
+        stw.clear();
+        stw_off.assign(bits + 1, 0);
+        for (int len = 2, s = 1; len <= M; len <<= 1, s++) {
+            int half = len >> 1;
+            stw_off[s] = stw.size();
+            for (int k = 0; k < half; k++)
+                stw.push_back((float)std::cos(-2.0 * M_PI * k / len));
+            for (int k = 0; k < half; k++)
+                stw.push_back((float)std::sin(-2.0 * M_PI * k / len));
+        }
+        pre_re.resize(M); pre_im.resize(M);
+        post_re.resize(M); post_im.resize(M);
+        for (int m = 0; m < M; m++) {
+            double a = -M_PI * (4.0 * m + 1.0) / (4.0 * n);
+            pre_re[m] = (float)std::cos(a);
+            pre_im[m] = (float)std::sin(a);
+        }
+        for (int k = 0; k < M; k++) {
+            double a = -M_PI * k / n;
+            post_re[k] = (float)std::cos(a);
+            post_im[k] = (float)std::sin(a);
+        }
+        re.resize(M); im.resize(M); d.resize(n);
+    }
+
+    void fft() {
+        float* r = re.data();
+        float* i_ = im.data();
+        for (int i = 0; i < M; i++) {
+            int j = bitrev[i];
+            if (j > i) { std::swap(r[i], r[j]); std::swap(i_[i], i_[j]); }
+        }
+        for (int len = 2, s = 1; len <= M; len <<= 1, s++) {
+            int half = len >> 1;
+            const float* wr = stw.data() + stw_off[s];
+            const float* wi = wr + half;
+            for (int base = 0; base < M; base += len) {
+                float* __restrict ra = r + base;
+                float* __restrict rb = ra + half;
+                float* __restrict ia = i_ + base;
+                float* __restrict ib = ia + half;
+                for (int k = 0; k < half; k++) {
+                    float xr = rb[k] * wr[k] - ib[k] * wi[k];
+                    float xi = rb[k] * wi[k] + ib[k] * wr[k];
+                    rb[k] = ra[k] - xr; ib[k] = ia[k] - xi;
+                    ra[k] += xr; ia[k] += xi;
+                }
+            }
+        }
+    }
+
+    // x: n float32 spectral bins -> d: n floats (half-scale DCT-IV).
+    void dct4_half(const float* x) {
+        for (int m = 0; m < M; m++) {
+            float ur = x[2 * m], ui = x[n - 1 - 2 * m];
+            re[m] = ur * pre_re[m] - ui * pre_im[m];
+            im[m] = ur * pre_im[m] + ui * pre_re[m];
+        }
+        fft();
+        for (int k = 0; k < M; k++) {
+            float wr = re[k] * post_re[k] - im[k] * post_im[k];
+            float wi = re[k] * post_im[k] + im[k] * post_re[k];
+            d[2 * k] = wr;
+            d[n - 1 - 2 * k] = -wi;
+        }
+    }
+};
