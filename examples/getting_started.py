@@ -38,6 +38,8 @@ def main(path: str) -> int:
         packet = fmt.next_packet()
         if packet is None:
             break
+        if packet.track_id != track.id:
+            continue  # another track (video/subtitle or second audio)
         try:
             audio = decoder.decode(packet)
         except ResetRequired:

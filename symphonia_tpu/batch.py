@@ -552,6 +552,18 @@ class Mp3BatchDecoder:
             results[idx] = DecodedAudio(pcm, reader.header.sample_rate, 32)
 
 
+def _audio_track_or_raise(fmt):
+    """The default audio track, or Unsupported for containers that opened
+    with only non-audio (video/subtitle) tracks — those demux packets but
+    have nothing an audio decoder applies to."""
+    track = fmt.default_track()
+    if track is None or track.codec_params is None:
+        from .core.errors import Unsupported
+
+        raise Unsupported("no audio tracks")
+    return track
+
+
 def _fallback_decode(data: bytes, gapless: bool) -> DecodedAudio:
     from .core.formats import FormatOptions
 
@@ -562,13 +574,15 @@ def _fallback_decode(data: bytes, gapless: bool) -> DecodedAudio:
         mss, fmt_opts=FormatOptions(enable_gapless=gapless)
     )
     fmt = probed.format
-    track = fmt.default_track()
+    track = _audio_track_or_raise(fmt)
     dec = sym.get_codecs().make_audio_decoder(track.codec_params)
     outs = []
     while True:
         pkt = fmt.next_packet()
         if pkt is None:
             break
+        if pkt.track_id != track.id:
+            continue
         buf = dec.decode(pkt)
         if buf.frames:
             outs.append(buf.planes().copy())
@@ -662,7 +676,7 @@ def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:
     mss = MediaSourceStream(data)
     probed = sym.get_probe().probe(mss)
     fmt = probed.format
-    track = fmt.default_track()
+    track = _audio_track_or_raise(fmt)
     codec = track.codec_params.codec
 
     # Batch pipelines re-demux with their native container readers; codec
@@ -693,6 +707,8 @@ def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:
         pkt = fmt.next_packet()
         if pkt is None:
             break
+        if pkt.track_id != track.id:
+            continue
         buf = dec.decode(pkt)
         outs.append(buf.planes().copy())
     pcm = (
@@ -724,7 +740,7 @@ class VorbisBatchDecoder:
         from .formats.ogg import OggReader
 
         reader = OggReader(MediaSourceStream(data))
-        track = reader.default_track()
+        track = _audio_track_or_raise(reader)
         if track.codec_params.codec != "vorbis":
             raise DecodeError("not a Vorbis stream")
         dec = VorbisDecoder(track.codec_params)
@@ -733,6 +749,8 @@ class VorbisBatchDecoder:
             pkt = reader.next_packet()
             if pkt is None:
                 break
+            if pkt.track_id != track.id:
+                continue
             pkts.append(bytes(pkt.data))
             trims.append((pkt.trim_start, pkt.trim_end))
         # Entropy stage: native C++ when available (vorbis_entropy.cpp),
@@ -836,7 +854,7 @@ class AacBatchDecoder:
 
         probed = sym.get_probe().probe(MediaSourceStream(data))
         fmt = probed.format
-        track = fmt.default_track()
+        track = _audio_track_or_raise(fmt)
         if track.codec_params.codec != "aac":
             raise DecodeError("not an AAC stream")
         dec = AacDecoder(track.codec_params)

@@ -257,7 +257,14 @@ def floor0_synthesis(
             raise DecodeError("invalid floor0 coefficients")
         a = float(amplitude) * cfg.amplitude_offset
         b = np.sqrt(p + q) * ((1 << cfg.amplitude_bits) - 1)
-        val = np.exp(0.11512925 * (a / b - cfg.amplitude_offset)).astype(np.float32)
+        # Crafted floor-0 setups drive this exp to inf; that is the
+        # accepted behavior (the reference's f32 powf overflows the same
+        # way), so scope the expected overflow warning here rather than
+        # letting it mask unexpected ones elsewhere in the suite.
+        with np.errstate(over="ignore"):
+            val = np.exp(
+                0.11512925 * (a / b - cfg.amplitude_offset)
+            ).astype(np.float32)
         while i < n2 and m[i] == cond:
             out[i] = val
             i += 1

@@ -198,14 +198,28 @@ def int_to_float(x: np.ndarray, bits: int, signed: bool = True) -> np.ndarray:
 
 
 def float_to_int(
-    x: np.ndarray, bits: int, signed: bool = True, dither: Optional[np.random.Generator] = None
+    x: np.ndarray, bits: int, signed: bool = True,
+    dither: Optional[np.random.Generator] = None,
+    dither_mode: str = "triangular",
 ) -> np.ndarray:
-    """f32 -> integer PCM with optional TPDF dither (conv.rs:147-270)."""
+    """f32 -> integer PCM with optional dither (conv.rs:147-270).
+
+    ``dither_mode`` selects the reference's Dither variants:
+    ``"triangular"`` (TPDF, sum of two uniforms — conv.rs:186-199) or
+    ``"rectangular"`` (one uniform LSB — conv.rs:177-184).
+    """
     scale = np.float32(1 << (bits - 1))
     y = x.astype(np.float64) * scale
     if dither is not None:
-        # TPDF dither: sum of two uniform [-0.5, 0.5) samples.
-        y = y + (dither.random(y.shape) - 0.5) + (dither.random(y.shape) - 0.5)
+        if dither_mode == "rectangular":
+            # RPDF dither: one uniform [-0.5, 0.5) LSB.
+            y = y + (dither.random(y.shape) - 0.5)
+        elif dither_mode == "triangular":
+            # TPDF dither: sum of two uniform [-0.5, 0.5) samples.
+            y = y + (dither.random(y.shape) - 0.5) \
+                  + (dither.random(y.shape) - 0.5)
+        else:
+            raise ValueError(f"unknown dither mode: {dither_mode!r}")
     y = np.rint(y)
     y = _clamp_int(y, bits, signed=True)
     if not signed:
@@ -314,14 +328,21 @@ class AudioBuffer:
             return d.astype(np.float32, copy=False)
         return int_to_float(d, self.bits_per_sample)
 
-    def to_int(self, bits: int) -> np.ndarray:
-        """Planar signed integer export at the requested width."""
+    def to_int(self, bits: int, dither=None,
+               dither_mode: str = "triangular") -> np.ndarray:
+        """Planar signed integer export at the requested width.
+
+        ``dither`` (a numpy Generator) enables dithered quantization of
+        float content; ``dither_mode`` picks rectangular/triangular
+        (conv.rs:147-270 Dither selection when narrowing)."""
         d = self.planes()
         if d.dtype.kind == "f":
-            return float_to_int(d, bits)
+            return float_to_int(d, bits, dither=dither,
+                                dither_mode=dither_mode)
         return convert_int_width(d, self.bits_per_sample, bits)
 
-    def copy_to_interleaved(self, fmt: SampleFormat) -> np.ndarray:
+    def copy_to_interleaved(self, fmt: SampleFormat, dither=None,
+                            dither_mode: str = "triangular") -> np.ndarray:
         """Interleaved export in any target sample format
         ([frames * ch] flat, frame-major)."""
         ch = self.num_channels
@@ -329,16 +350,17 @@ class AudioBuffer:
             out = self.to_float().astype(fmt.np_dtype)
         else:
             bits = fmt.bits
-            vals = self.to_int(bits)
+            vals = self.to_int(bits, dither=dither, dither_mode=dither_mode)
             if fmt.is_unsigned:
                 vals = vals + (1 << (bits - 1))
             out = vals.astype(fmt.np_dtype)
         return np.ascontiguousarray(out.T).reshape(ch * self.frames)
 
-    def copy_to_planar(self, fmt: SampleFormat) -> np.ndarray:
+    def copy_to_planar(self, fmt: SampleFormat, dither=None,
+                       dither_mode: str = "triangular") -> np.ndarray:
         if fmt.is_float:
             return self.to_float().astype(fmt.np_dtype)
-        vals = self.to_int(fmt.bits)
+        vals = self.to_int(fmt.bits, dither=dither, dither_mode=dither_mode)
         if fmt.is_unsigned:
             vals = vals + (1 << (fmt.bits - 1))
         return vals.astype(fmt.np_dtype)

@@ -20,6 +20,12 @@ class Packet:
         data: the raw codec bitstream bytes.
         trim_start: frames to discard from the decoded start (gapless delay).
         trim_end: frames to discard from the decoded end (gapless padding).
+        keyframe: True when the packet can be decoded without reference to
+            earlier packets. Always True for audio; for video tracks it
+            derives from the container's sync tables (MP4 stss /
+            trun sample flags, MKV SimpleBlock keyframe bit or
+            BlockGroup-without-ReferenceBlock — lacing.rs keyframe
+            handling, atoms/stss.rs).
     """
 
     track_id: int
@@ -28,6 +34,7 @@ class Packet:
     data: bytes
     trim_start: int = 0
     trim_end: int = 0
+    keyframe: bool = True
 
     def pts(self) -> int:
         return self.ts

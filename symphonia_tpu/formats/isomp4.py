@@ -255,6 +255,11 @@ class Mp4Track:
     sizes: Optional[np.ndarray] = None
     ts: Optional[np.ndarray] = None
     durs: Optional[np.ndarray] = None
+    # Per-sample composition-time offsets (ctts / trun cts; pts = dts +
+    # pts_off) and sync-sample flags (stss / trun sample flags). Always
+    # allocated alongside the table so fragment appends stay aligned.
+    pts_off: Optional[np.ndarray] = None
+    key: Optional[np.ndarray] = None
     delay: int = 0  # edit-list media offset in timescale ticks
     duration: int = 0
     language: Optional[str] = None  # mdhd packed ISO-639-2/T code
@@ -353,7 +358,8 @@ class IsoMp4Reader(FormatReader):
         for atype, b, e in iter_atoms(buf, *moov):
             if atype == b"trak":
                 t = self._parse_trak(buf, b, e)
-                if t is not None and t.codec is not None:
+                if t is not None and (t.codec is not None
+                                      or t.other_params is not None):
                     self._tracks.append(t)
             elif atype == b"mvex":
                 self._parse_mvex(buf, b, e)
@@ -378,11 +384,24 @@ class IsoMp4Reader(FormatReader):
     def _finish_tracks(self) -> None:
         """Validate tracks and build the public Track objects + cursors."""
         if not self._tracks:
-            raise Unsupported("no supported audio tracks in MP4")
+            raise Unsupported("no supported tracks in MP4")
 
         self._cursor = {t.track_id: 0 for t in self._tracks}
         self._track_objs = []
+        self._other_tracks: List[Track] = []
         for t in self._tracks:
+            if t.other_params is not None:
+                # Video/subtitle track: demuxed via next_packet /
+                # packet_table like the reference, surfaced through
+                # other_tracks() (no audio decoder applies).
+                self._other_tracks.append(Track(
+                    id=t.track_id, codec_params=t.other_params,
+                    time_base=TimeBase(1, t.timescale or 1),
+                    num_frames=(int(t.durs.sum()) if t.durs is not None
+                                and len(t.durs) else None),
+                    duration=t.duration or None,
+                    language=t.language))
+                continue
             params = AudioCodecParameters(
                 codec=t.codec,
                 sample_rate=t.sample_rate or t.timescale,
@@ -487,14 +506,23 @@ class IsoMp4Reader(FormatReader):
             return None
         self._parse_stsd(buf, t, stbl)
         if t.other_params is not None:
-            # Experimental video/subtitle track: describe, don't demux
-            # (matches the MKV V_*/S_* handling via other_tracks()).
-            if not hasattr(self, "_other_tracks"):
-                self._other_tracks: List[Track] = []
-            self._other_tracks.append(Track(
-                id=t.track_id, codec_params=t.other_params,
-                time_base=TimeBase(1, t.timescale or 1)))
-            return None
+            # Experimental video/subtitle track: demuxed like every other
+            # track (demuxer.rs:618-663 has no track-type filter), with
+            # composition offsets and sync flags from ctts/stss
+            # (atoms/ctts.rs, atoms/stss.rs). A malformed stbl degrades to
+            # a described-only (empty-table) track rather than failing the
+            # whole container.
+            try:
+                self._expand_sample_tables(buf, t, stbl)
+                self._parse_ctts_stss(buf, t, stbl)
+            except DecodeError:
+                t.offsets = np.zeros(0, np.int64)
+                t.sizes = np.zeros(0, np.int64)
+                t.ts = np.zeros(0, np.int64)
+                t.durs = np.zeros(0, np.int64)
+                t.pts_off = np.zeros(0, np.int64)
+                t.key = np.ones(0, bool)
+            return t
         self._expand_sample_tables(buf, t, stbl)
         # Edit list -> delay (elst.rs).
         elst = find_atom(buf, b, e, [b"edts", b"elst"])
@@ -695,6 +723,8 @@ class IsoMp4Reader(FormatReader):
             t.sizes = np.zeros(0, np.int64)
             t.ts = np.zeros(0, np.int64)
             t.durs = np.zeros(0, np.int64)
+            t.pts_off = np.zeros(0, np.int64)
+            t.key = np.ones(0, bool)
             return
         n = len(sizes)
 
@@ -750,6 +780,8 @@ class IsoMp4Reader(FormatReader):
             t.sizes = t.durs * fb
             t.ts = np.concatenate([[0], np.cumsum(t.durs[:-1])]) \
                 if len(t.durs) else np.zeros(0, np.int64)
+            t.pts_off = np.zeros(len(t.durs), np.int64)
+            t.key = np.ones(len(t.durs), bool)
             return
 
         # Expand to per-sample offsets.
@@ -792,6 +824,34 @@ class IsoMp4Reader(FormatReader):
         t.sizes = sizes
         t.ts = ts
         t.durs = durs
+        t.pts_off = np.zeros(n, np.int64)
+        t.key = np.ones(n, bool)
+
+    def _parse_ctts_stss(self, buf, t: Mp4Track, stbl) -> None:
+        """Composition-time offsets and sync-sample flags (atoms/ctts.rs,
+        atoms/stss.rs). pts = dts + ctts offset; a missing stss means
+        every sample is a sync sample (ISO 14496-12 8.6.2)."""
+        n = len(t.offsets)
+        ctts = find_atom(buf, *stbl, [b"ctts"])
+        if ctts is not None and n:
+            version = buf[ctts[0]]
+            cc = int.from_bytes(buf[ctts[0] + 4 : ctts[0] + 8], "big")
+            rows = self._table_array(buf, ctts[0] + 8, 8, cc, ">u4",
+                                     "ctts").reshape(-1, 2)
+            counts = np.minimum(rows[:, 0], n)
+            offs = rows[:, 1]
+            if version == 1:
+                # v1 offsets are signed 32-bit (v0 unsigned).
+                offs = (offs.astype(np.uint32)).astype(np.int32).astype(np.int64)
+            expanded = np.repeat(offs, counts)[:n]
+            t.pts_off[: len(expanded)] = expanded
+        stss = find_atom(buf, *stbl, [b"stss"])
+        if stss is not None and n:
+            cc = int.from_bytes(buf[stss[0] + 4 : stss[0] + 8], "big")
+            nums = self._table_array(buf, stss[0] + 8, 4, cc, ">u4", "stss")
+            t.key = np.zeros(n, bool)
+            nums = nums[(nums >= 1) & (nums <= n)] - 1  # 1-based sample ids
+            t.key[nums] = True
 
     def _parse_sidx(self, buf) -> None:
         """Segment index atoms -> [(start_ts, byte_lo, byte_hi)] per
@@ -855,7 +915,8 @@ class IsoMp4Reader(FormatReader):
             track_id = int.from_bytes(buf[b + 4 : b + 8], "big")
             dur = int.from_bytes(buf[b + 12 : b + 16], "big")
             size = int.from_bytes(buf[b + 16 : b + 20], "big")
-            defaults[track_id] = (dur, size)
+            flags = int.from_bytes(buf[b + 20 : b + 24], "big")
+            defaults[track_id] = (dur, size, flags)
 
     def _parse_fragments(self, buf, lo: int = 0, hi: Optional[int] = None) -> None:
         """Minimal moof/traf/trun support (fragmented MP4, stream.rs:83)."""
@@ -881,13 +942,16 @@ class IsoMp4Reader(FormatReader):
                     pos += 8
                 if flags & 0x2:
                     pos += 4
-                default_dur, default_size = getattr(
-                    self, "_trex_defaults", {}).get(track_id, (0, 0))
+                default_dur, default_size, default_flags = getattr(
+                    self, "_trex_defaults", {}).get(track_id, (0, 0, 0))
                 if flags & 0x8:
                     default_dur = int.from_bytes(buf[pos : pos + 4], "big")
                     pos += 4
                 if flags & 0x10:
                     default_size = int.from_bytes(buf[pos : pos + 4], "big")
+                    pos += 4
+                if flags & 0x20:
+                    default_flags = int.from_bytes(buf[pos : pos + 4], "big")
                     pos += 4
                 track = next((t for t in self._tracks if t.track_id == track_id), None)
                 if track is None:
@@ -895,14 +959,18 @@ class IsoMp4Reader(FormatReader):
                 for t3, rb, re_ in iter_atoms(buf, tb, te):
                     if t3 != b"trun":
                         continue
+                    trun_version = buf[rb]
                     tflags = int.from_bytes(buf[rb + 1 : rb + 4], "big")
                     cnt = int.from_bytes(buf[rb + 4 : rb + 8], "big")
                     pos2 = rb + 8
                     data_off = 0
+                    first_flags = None
                     if tflags & 0x1:
                         data_off = int.from_bytes(buf[pos2 : pos2 + 4], "big", signed=True)
                         pos2 += 4
                     if tflags & 0x4:
+                        first_flags = int.from_bytes(buf[pos2 : pos2 + 4],
+                                                     "big")
                         pos2 += 4
                     # DoS bound: a crafted count must not drive a giant
                     # walk (mirrors the stsz cap). With per-sample fields
@@ -941,11 +1009,14 @@ class IsoMp4Reader(FormatReader):
                         else:
                             self._empty_trun_samples = getattr(
                                 self, "_empty_trun_samples", 0) + cnt
-                    offs, szs, drs = [], [], []
+                    offs, szs, drs, ptos, kfs = [], [], [], [], []
                     cur = base_offset + data_off
-                    for _ in range(cnt):
+                    for k in range(cnt):
                         d = default_dur
                         s = default_size
+                        f = default_flags
+                        if k == 0 and first_flags is not None:
+                            f = first_flags
                         if tflags & 0x100:
                             d = int.from_bytes(buf[pos2 : pos2 + 4], "big")
                             pos2 += 4
@@ -953,12 +1024,22 @@ class IsoMp4Reader(FormatReader):
                             s = int.from_bytes(buf[pos2 : pos2 + 4], "big")
                             pos2 += 4
                         if tflags & 0x400:
+                            f = int.from_bytes(buf[pos2 : pos2 + 4], "big")
                             pos2 += 4
+                        cts = 0
                         if tflags & 0x800:
+                            # v1 composition offsets are signed (trun.rs).
+                            cts = int.from_bytes(
+                                buf[pos2 : pos2 + 4], "big",
+                                signed=trun_version >= 1)
                             pos2 += 4
                         offs.append(cur)
                         szs.append(s)
                         drs.append(d)
+                        ptos.append(cts)
+                        # ISO 14496-12 sample flags bit 16:
+                        # sample_is_non_sync_sample.
+                        kfs.append(not ((f >> 16) & 1))
                         cur += s
                     if not offs:
                         # A zero-sample trun must append NOTHING: the
@@ -974,6 +1055,10 @@ class IsoMp4Reader(FormatReader):
                     track.sizes = np.concatenate([track.sizes, np.asarray(szs, np.int64)])
                     track.durs = np.concatenate([track.durs, np.asarray(drs, np.int64)])
                     track.ts = np.concatenate([track.ts, new_ts])
+                    track.pts_off = np.concatenate(
+                        [track.pts_off, np.asarray(ptos, np.int64)])
+                    track.key = np.concatenate(
+                        [track.key, np.asarray(kfs, bool)])
 
     def _parse_udta(self, buf, b, e) -> None:
         meta = find_atom(buf, b, e, [b"meta"])
@@ -1113,15 +1198,26 @@ class IsoMp4Reader(FormatReader):
         _, t, i = best
         self._cursor[t.track_id] = i + 1
         off, size = int(t.offsets[i]), int(t.sizes[i])
+        ts = int(t.ts[i])
+        if t.pts_off is not None and i < len(t.pts_off):
+            ts += int(t.pts_off[i])  # pts = dts + ctts offset
+        kf = (bool(t.key[i]) if t.key is not None and i < len(t.key)
+              else True)
         return Packet(
             track_id=t.track_id,
-            ts=int(t.ts[i]),
+            ts=ts,
             dur=int(t.durs[i]),
             data=self._buf[off : off + size],
+            keyframe=kf,
         )
 
+    def _default_mp4_track(self) -> Mp4Track:
+        """First audio Mp4Track, else the first track of any kind."""
+        return next((t for t in self._tracks if t.other_params is None),
+                    self._tracks[0])
+
     def seek(self, mode: str, to: SeekTo) -> SeekedTo:
-        track = self._tracks[0]
+        track = self._default_mp4_track()
         if to.track_id is not None:
             track = next((t for t in self._tracks if t.track_id == to.track_id), track)
         if to.ts is not None:
@@ -1155,7 +1251,7 @@ class IsoMp4Reader(FormatReader):
     def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
         if self._sidx_segments:  # bulk consumer: materialize everything
             self._ensure_fragments_loaded(len(self._sidx_segments) - 1)
-        t = self._tracks[0]
+        t = self._default_mp4_track()
         if track_id is not None:
             t = next(tt for tt in self._tracks if tt.track_id == track_id)
         n = len(t.offsets)
@@ -1336,7 +1432,8 @@ class Mp4StreamReader(IsoMp4Reader):
         for atype, b, e in iter_atoms(self._view, lo, hi):
             if atype == b"trak":
                 t = self._parse_trak(self._view, b, e)
-                if t is not None and t.codec is not None:
+                if t is not None and (t.codec is not None
+                                      or t.other_params is not None):
                     self._tracks.append(t)
             elif atype == b"mvex":
                 self._parse_mvex(self._view, b, e)
@@ -1357,8 +1454,13 @@ class Mp4StreamReader(IsoMp4Reader):
                 continue
             i0 = self._sched.get(t.track_id, 0)
             for i in range(i0, len(t.offsets)):
+                pts = int(t.ts[i])
+                if t.pts_off is not None and i < len(t.pts_off):
+                    pts += int(t.pts_off[i])
+                kf = (bool(t.key[i]) if t.key is not None and i < len(t.key)
+                      else True)
                 entries.append((int(t.offsets[i]), int(t.sizes[i]),
-                                int(t.ts[i]), int(t.durs[i]), t.track_id))
+                                pts, int(t.durs[i]), t.track_id, kf))
             self._sched[t.track_id] = len(t.offsets)
         entries.sort(key=lambda x: x[0])
         self._pending.extend(entries)
@@ -1374,7 +1476,7 @@ class Mp4StreamReader(IsoMp4Reader):
                     if not self._pending:
                         return None
                     break
-            off, size, ts, dur, tid = self._pending.popleft()
+            off, size, ts, dur, tid, kf = self._pending.popleft()
             if size <= 0:
                 continue
             hi = off + size
@@ -1393,12 +1495,13 @@ class Mp4StreamReader(IsoMp4Reader):
                 except EndOfStream:
                     self._eof = True
                     return None
-            return Packet(track_id=tid, ts=ts, dur=dur, data=data)
+            return Packet(track_id=tid, ts=ts, dur=dur, data=data,
+                          keyframe=kf)
 
     def seek(self, mode: str, to: SeekTo) -> SeekedTo:
         """Forward-only seek: drop pending packets before the target
         (backward targets raise, as on every pipe reader)."""
-        track = self._tracks[0]
+        track = self._default_mp4_track()
         if to.track_id is not None:
             track = next((t for t in self._tracks
                           if t.track_id == to.track_id), track)
@@ -1428,8 +1531,8 @@ class Mp4StreamReader(IsoMp4Reader):
                 break
             if track_id is None or p.track_id == track_id:
                 rows.append(p)
-        tid = track_id if track_id is not None else (
-            rows[0].track_id if rows else self._tracks[0].track_id)
+        tid = track_id if track_id is not None else \
+            self._default_mp4_track().track_id
         rows = [p for p in rows if p.track_id == tid]
         n = len(rows)
         return PacketTable(

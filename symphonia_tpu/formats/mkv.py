@@ -93,6 +93,7 @@ ID_FILE_MIME = 0x4660
 ID_FILE_DATA = 0x465C
 ID_FILE_DESCRIPTION = 0x467E
 ID_BLOCK_DURATION = 0x9B
+ID_REFERENCE_BLOCK = 0xFB
 ID_DEFAULT_DURATION = 0x23E383
 ID_CUES = 0x1C53BB6B
 ID_CUE_POINT = 0xBB
@@ -407,8 +408,12 @@ def unlace(buf: bytes) -> List[bytes]:
 
 
 def parse_block(buf, bb: int, be: int):
-    """(Simple)Block payload -> (track_no, rel_ts, frames) or None on a
-    truncated/foreign body (malformed input must not crash)."""
+    """(Simple)Block payload -> (track_no, rel_ts, frames, keyframe) or
+    None on a truncated/foreign body (malformed input must not crash).
+
+    ``keyframe`` is the SimpleBlock flags-byte keyframe bit (0x80,
+    lacing.rs); for a BlockGroup Block the bit is reserved-zero and the
+    caller overrides it from ReferenceBlock presence."""
     try:
         track_no, p2 = read_vint(buf, bb, keep_marker=False)
     except DecodeError:
@@ -416,28 +421,30 @@ def parse_block(buf, bb: int, be: int):
     if p2 + 3 > be:
         return None  # too short for rel_ts + flags
     rel_ts = struct.unpack(">h", buf[p2 : p2 + 2])[0]
+    keyframe = bool(buf[p2 + 2] & 0x80)
     try:
         frames = unlace(buf[p2 + 2 : be])
     except (IndexError, DecodeError):
         return None
-    return track_no, rel_ts, frames
+    return track_no, rel_ts, frames, keyframe
 
 
 def _expand_blocks(
-    blocks: List[Tuple[int, int, List[bytes], Optional[int]]],
+    blocks: List[Tuple[int, int, List[bytes], Optional[int], bool]],
     tracks: Dict[int, "MkvTrack"],
     timescale_ns: int,
-) -> List[Tuple[int, int, int, bytes]]:
-    """Blocks -> per-frame (track_no, ts, dur, data) packets.
+) -> List[Tuple[int, int, int, bytes, bool]]:
+    """Blocks -> per-frame (track_no, ts, dur, data, keyframe) packets.
 
     Block duration precedence (demuxer.rs / segment.rs): explicit
     BlockDuration, else the gap to the track's next block, else the track's
     DefaultDuration; laced frames split the block duration evenly and get
-    consecutive timestamps.
+    consecutive timestamps (all laced frames share the block's keyframe
+    flag — lacing.rs extracts frames, the flag is per block).
     """
     # Next-block gap per track.
     idx_by_track: Dict[int, List[int]] = {}
-    for i, (no, ts, _f, _d) in enumerate(blocks):
+    for i, (no, ts, _f, _d, _k) in enumerate(blocks):
         idx_by_track.setdefault(no, []).append(i)
     gaps: List[Optional[int]] = [None] * len(blocks)
     for no, idxs in idx_by_track.items():
@@ -445,8 +452,8 @@ def _expand_blocks(
             if j + 1 < len(idxs):
                 g = blocks[idxs[j + 1]][1] - blocks[i][1]
                 gaps[i] = g if g > 0 else None
-    out: List[Tuple[int, int, int, bytes]] = []
-    for i, (no, ts, frames, bdur) in enumerate(blocks):
+    out: List[Tuple[int, int, int, bytes, bool]] = []
+    for i, (no, ts, frames, bdur, key) in enumerate(blocks):
         t = tracks.get(no)
         if bdur is None:
             bdur = gaps[i]
@@ -457,7 +464,7 @@ def _expand_blocks(
             bdur = 0
         fdur = bdur // len(frames)
         for k, f in enumerate(frames):
-            out.append((no, ts + k * fdur, fdur, f))
+            out.append((no, ts + k * fdur, fdur, f, key))
     return out
 
 
@@ -692,8 +699,9 @@ class MkvReader(FormatReader):
         timescale_ns = 1_000_000
         seg_duration: Optional[int] = None  # Info Duration, timescale ticks
         self._mkv_tracks: Dict[int, MkvTrack] = {}
-        # Blocks: (track_no, ts_ticks, [frames], block_dur_ticks|None)
-        blocks: List[Tuple[int, int, List[bytes], Optional[int]]] = []
+        self._other_mkv_tracks: Dict[int, MkvTrack] = {}
+        # Blocks: (track_no, ts_ticks, [frames], block_dur_ticks|None, key)
+        blocks: List[Tuple[int, int, List[bytes], Optional[int], bool]] = []
         self._cues: List[Tuple[int, int]] = []  # (time_ticks, cluster_pos)
         self._segment_start = segment[0]
         rev = MetadataRevision()
@@ -758,6 +766,7 @@ class MkvReader(FormatReader):
                     else:
                         op = _map_other_codec(t, ttype)
                         if op is not None:
+                            self._other_mkv_tracks[t.number] = t
                             self._other_tracks.append(
                                 Track(id=t.number, codec_params=op,
                                       language=t.language, flags=t.flags))
@@ -769,25 +778,34 @@ class MkvReader(FormatReader):
                     elif eid2 in (ID_SIMPLE_BLOCK, ID_BLOCK_GROUP):
                         block = None
                         bdur = None
+                        has_ref = None  # BlockGroup: ReferenceBlock seen
                         if eid2 == ID_SIMPLE_BLOCK:
                             block = (b2, e2)
                         else:
+                            has_ref = False
                             for eid3, b3, e3 in iter_elements(buf, b2, e2):
                                 if eid3 == ID_BLOCK:
                                     block = (b3, e3)
                                 elif eid3 == ID_BLOCK_DURATION:
                                     bdur = _uint(buf, b3, e3)
+                                elif eid3 == ID_REFERENCE_BLOCK:
+                                    has_ref = True
                         if block is None:
                             continue
                         parsed = parse_block(buf, *block)
                         if parsed is None:
                             continue
-                        track_no, rel_ts, frames = parsed
-                        if track_no not in self._mkv_tracks:
+                        track_no, rel_ts, frames, key = parsed
+                        if has_ref is not None:
+                            # Block in a BlockGroup: keyframe iff no
+                            # ReferenceBlock (lacing.rs keyframe handling).
+                            key = not has_ref
+                        if (track_no not in self._mkv_tracks
+                                and track_no not in self._other_mkv_tracks):
                             continue
                         if frames:
                             blocks.append((track_no, cluster_ts + rel_ts,
-                                           frames, bdur))
+                                           frames, bdur, key))
             elif eid == ID_CUES:
                 self._parse_cues(buf, b, e)
             elif eid == ID_TAGS:
@@ -803,9 +821,10 @@ class MkvReader(FormatReader):
                 if att:
                     self._attachments = att
 
-        if not self._mkv_tracks:
-            raise Unsupported("no supported audio tracks in Matroska")
-        is_video, track_uid_map = mkv_tag_scope(self._mkv_tracks,
+        if not self._mkv_tracks and not self._other_mkv_tracks:
+            raise Unsupported("no supported tracks in Matroska")
+        all_mkv_tracks = {**self._mkv_tracks, **self._other_mkv_tracks}
+        is_video, track_uid_map = mkv_tag_scope(all_mkv_tracks,
                                                 self._other_tracks)
         for tb, te in tags_spans:
             parse_mkv_tags(buf, tb, te, rev, is_video=is_video,
@@ -815,7 +834,7 @@ class MkvReader(FormatReader):
             self._metadata.push(rev)
 
         self._timescale_ns = timescale_ns
-        self._packets = _expand_blocks(blocks, self._mkv_tracks, timescale_ns)
+        self._packets = _expand_blocks(blocks, all_mkv_tracks, timescale_ns)
         self._cursor = 0
         self._track_objs = []
         for no, t in sorted(self._mkv_tracks.items()):
@@ -829,6 +848,9 @@ class MkvReader(FormatReader):
                     flags=t.flags,
                 )
             )
+        for tr in self._other_tracks:
+            tr.time_base = TimeBase(timescale_ns, 1_000_000_000)
+            tr.duration = seg_duration
 
     def _parse_cues(self, buf, b, e) -> None:
         """Cues element -> (time_ticks, cluster_pos) list (segment.rs)."""
@@ -861,9 +883,9 @@ class MkvReader(FormatReader):
     def next_packet(self) -> Optional[Packet]:
         if self._cursor >= len(self._packets):
             return None
-        no, ts, dur, data = self._packets[self._cursor]
+        no, ts, dur, data, key = self._packets[self._cursor]
         self._cursor += 1
-        return Packet(track_id=no, ts=ts, dur=dur, data=data)
+        return Packet(track_id=no, ts=ts, dur=dur, data=data, keyframe=key)
 
     def seek(self, mode: str, to: SeekTo) -> SeekedTo:
         if to.ts is not None:
@@ -877,7 +899,8 @@ class MkvReader(FormatReader):
 
         i = max(0, bisect.bisect_right(keys, ts) - 1)
         self._cursor = i
-        return SeekedTo(self._track_objs[0].id, ts,
+        first = self._track_objs or self._other_tracks
+        return SeekedTo(first[0].id, ts,
                         self._packets[i][1] if self._packets else 0)
 
     def cues(self) -> List[Tuple[int, int]]:
@@ -886,8 +909,8 @@ class MkvReader(FormatReader):
 
     def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
         if track_id is None:
-            track_id = self._track_objs[0].id
-        sel = [(ts, dur, d) for no, ts, dur, d in self._packets
+            track_id = (self._track_objs or self._other_tracks)[0].id
+        sel = [(ts, dur, d) for no, ts, dur, d, _k in self._packets
                if no == track_id]
         n = len(sel)
         return PacketTable(
@@ -915,9 +938,11 @@ class MkvStreamReader(FormatReader):
         super().__init__(mss, options)
         self._metadata = MetadataLog()
         self._other_tracks: List[Track] = []
+        self._other_mkv_tracks: Dict[int, MkvTrack] = {}
         self._queue: List[Packet] = []
-        # One pending block per track for next-gap durations.
-        self._pending: Dict[int, Tuple[int, List[bytes], Optional[int]]] = {}
+        # One pending block per track for next-gap durations:
+        # (ts, frames, block_dur|None, keyframe).
+        self._pending: Dict[int, Tuple[int, List[bytes], Optional[int], bool]] = {}
         magic = mss.read_bytes(4)
         if magic != EBML_MAGIC:
             raise Unsupported("not an EBML stream")
@@ -1002,12 +1027,13 @@ class MkvStreamReader(FormatReader):
                 att = parse_mkv_attachments(body, 0, len(body))
                 if att:
                     self._attachments = att
-        if not self._mkv_tracks:
-            raise Unsupported("no supported audio tracks in Matroska")
+        if not self._mkv_tracks and not self._other_mkv_tracks:
+            raise Unsupported("no supported tracks in Matroska")
         if header_tag_bodies:
             rev = MetadataRevision()
-            is_video, uid_map = mkv_tag_scope(self._mkv_tracks,
-                                              self._other_tracks)
+            is_video, uid_map = mkv_tag_scope(
+                {**self._mkv_tracks, **self._other_mkv_tracks},
+                self._other_tracks)
             for body in header_tag_bodies:
                 parse_mkv_tags(body, 0, len(body), rev,
                                is_video=is_video,
@@ -1035,6 +1061,9 @@ class MkvStreamReader(FormatReader):
                   language=t.language, flags=t.flags)
             for no, t in sorted(self._mkv_tracks.items())
         ]
+        for tr in self._other_tracks:
+            tr.time_base = TimeBase(self._timescale_ns, 1_000_000_000)
+            tr.duration = self._seg_duration
 
     # -- EBML over MSS -------------------------------------------------------
 
@@ -1082,6 +1111,7 @@ class MkvStreamReader(FormatReader):
             else:
                 op = _map_other_codec(t, ttype)
                 if op is not None:
+                    self._other_mkv_tracks[t.number] = t
                     self._other_tracks.append(
                         Track(id=t.number, codec_params=op,
                               language=t.language, flags=t.flags))
@@ -1109,10 +1139,10 @@ class MkvStreamReader(FormatReader):
         held = self._pending.pop(no, None)
         if held is None:
             return
-        ts, frames, bdur = held
+        ts, frames, bdur, key = held
         if bdur is None and next_ts is not None and next_ts > ts:
             bdur = next_ts - ts
-        t = self._mkv_tracks.get(no)
+        t = self._mkv_tracks.get(no) or self._other_mkv_tracks.get(no)
         if bdur is None and t is not None and t.default_duration_ns:
             bdur = max(1, round(t.default_duration_ns * len(frames)
                                 / self._timescale_ns))
@@ -1121,20 +1151,24 @@ class MkvStreamReader(FormatReader):
         fdur = bdur // len(frames)
         for k, f in enumerate(frames):
             self._queue.append(Packet(track_id=no, ts=ts + k * fdur,
-                                      dur=fdur, data=f))
+                                      dur=fdur, data=f, keyframe=key))
 
-    def _absorb_block(self, raw: bytes, bdur: Optional[int]) -> None:
+    def _absorb_block(self, raw: bytes, bdur: Optional[int],
+                      has_ref: Optional[bool] = None) -> None:
         parsed = parse_block(raw, 0, len(raw))
         if parsed is None:
             return  # truncated/malformed block
-        track_no, rel_ts, frames = parsed
-        if track_no not in self._mkv_tracks:
+        track_no, rel_ts, frames, key = parsed
+        if has_ref is not None:
+            key = not has_ref  # BlockGroup: keyframe iff no ReferenceBlock
+        if (track_no not in self._mkv_tracks
+                and track_no not in self._other_mkv_tracks):
             return
         if not frames:
             return
         ts = self._cluster_ts + rel_ts
         self._flush_pending(track_no, ts)
-        self._pending[track_no] = (ts, frames, bdur)
+        self._pending[track_no] = (ts, frames, bdur, key)
 
     def _advance(self) -> bool:
         """Read one element of the current cluster (or enter the next
@@ -1168,13 +1202,16 @@ class MkvStreamReader(FormatReader):
             if eid == ID_BLOCK_GROUP:
                 body = self.mss.read_bytes(size)
                 block = bdur = None
+                has_ref = False
                 for eid2, b2, e2 in iter_elements(body, 0, len(body)):
                     if eid2 == ID_BLOCK:
                         block = body[b2:e2]
                     elif eid2 == ID_BLOCK_DURATION:
                         bdur = _uint(body, b2, e2)
+                    elif eid2 == ID_REFERENCE_BLOCK:
+                        has_ref = True
                 if block is not None:
-                    self._absorb_block(block, bdur)
+                    self._absorb_block(block, bdur, has_ref)
                 return True
             if eid in (ID_TAGS, ID_CHAPTERS, ID_ATTACHMENTS):
                 # Trailing metadata in streamed mode: parse in place (the
@@ -1182,8 +1219,9 @@ class MkvStreamReader(FormatReader):
                 body = self.mss.read_bytes(size)
                 if eid == ID_TAGS:
                     rev = MetadataRevision()
-                    is_video, uid_map = mkv_tag_scope(self._mkv_tracks,
-                                                      self._other_tracks)
+                    is_video, uid_map = mkv_tag_scope(
+                        {**self._mkv_tracks, **self._other_mkv_tracks},
+                        self._other_tracks)
                     parse_mkv_tags(
                         body, 0, len(body), rev,
                         is_video=is_video, track_uid_map=uid_map,
@@ -1270,7 +1308,8 @@ class MkvStreamReader(FormatReader):
             if p.ts + max(p.dur, 0) > ts or p.ts >= ts:
                 break
             self._queue.pop(0)
-        return SeekedTo(self._track_objs[0].id, ts,
+        first = self._track_objs or self._other_tracks
+        return SeekedTo(first[0].id, ts,
                         self._queue[0].ts if self._queue else actual)
 
 

@@ -63,6 +63,8 @@ def our_decode(data: bytes, gapless: bool, keep_going: bool = False):
     )
     fmt = probed.format
     track = fmt.default_track()
+    if track is None:
+        raise sym.Unsupported("no audio tracks in input")
     dec = sym.get_codecs().make_audio_decoder(
         track.codec_params, AudioDecoderOptions(verify=True)
     )

@@ -85,6 +85,9 @@ def main(argv=None) -> int:
     track = fmt.default_track()
     if args.track is not None:
         track = next((t for t in fmt.tracks() if t.id == args.track), track)
+    if track is None:
+        print("no audio tracks in input", file=sys.stderr)
+        return 1
 
     print(f"{type(fmt).__name__}:")
     print_probe_info(probed, track)

@@ -155,3 +155,45 @@ class TestResampler:
         rs = Resampler(48000, 48000, 1)
         x = np.ones((1, 100), np.float32)
         assert rs.process(x).shape == (1, 100)
+
+
+class TestDitherModes:
+    """Rectangular vs triangular dither (conv.rs:147-270): both are
+    mean-unbiased; the rectangular error is one uniform LSB (quantized
+    output spans exactly two codes for an inter-level input) while the
+    triangular error is the sum of two uniforms (wider support, peaked)."""
+
+    def test_distributions(self):
+        # Input sits exactly 0.25 LSB above code 100 at 16-bit.
+        x = np.full(20000, 100.25 / 32768.0, dtype=np.float32)
+        rect = float_to_int(x, 16, dither=np.random.default_rng(7),
+                            dither_mode="rectangular")
+        tri = float_to_int(x, 16, dither=np.random.default_rng(7),
+                           dither_mode="triangular")
+        # Rectangular: error support is 1 LSB -> only codes {100, 101};
+        # P(101) = 0.25.
+        assert set(np.unique(rect)) == {100, 101}
+        assert abs(np.mean(rect == 101) - 0.25) < 0.02
+        # Triangular: 2-LSB support reaches codes 99 and/or 101+ tails.
+        assert len(np.unique(tri)) >= 3
+        # Both are mean-unbiased around the true value.
+        assert abs(rect.mean() - 100.25) < 0.02
+        assert abs(tri.mean() - 100.25) < 0.02
+        # Triangular error variance ~1/6 + 1/12 (quantizer), rectangular
+        # lower; just check ordering.
+        assert tri.astype(float).var() > rect.astype(float).var()
+
+    def test_mode_validation_and_export_path(self):
+        from symphonia_tpu.core.audio import (AudioBuffer, AudioSpec,
+                                              Channels, SampleFormat)
+
+        with pytest.raises(ValueError):
+            float_to_int(np.zeros(4, np.float32), 16,
+                         dither=np.random.default_rng(0), dither_mode="bad")
+        spec = AudioSpec(8000, Channels.from_count(1))
+        buf = AudioBuffer.from_array(
+            np.full((1, 256), 100.25 / 32768.0, np.float32), spec)
+        out = buf.copy_to_interleaved(SampleFormat.S16,
+                                      dither=np.random.default_rng(3),
+                                      dither_mode="rectangular")
+        assert set(np.unique(out)) == {100, 101}

@@ -1054,3 +1054,132 @@ class TestMkvAlac:
             outs.append(dec.decode(p).planes().copy())
         got = np.concatenate(outs, axis=1)
         np.testing.assert_array_equal(got[0], ch[0].astype(np.int32))
+
+
+def _sb_flags(track: int, rel_ts: int, frame: bytes, flags: int) -> bytes:
+    """SimpleBlock with an explicit flags byte (0x80 = keyframe)."""
+    body = bytes([0x80 | track]) + struct.pack(">h", rel_ts) \
+        + bytes([flags]) + frame
+    return elem(0xA3, body)
+
+
+def _block_group(track: int, rel_ts: int, frame: bytes, bdur=None,
+                 ref=None) -> bytes:
+    """BlockGroup: Block (+ BlockDuration, + ReferenceBlock)."""
+    blk = bytes([0x80 | track]) + struct.pack(">h", rel_ts) + b"\x00" + frame
+    payload = elem(0xA1, blk)
+    if bdur is not None:
+        payload += uint_elem(0x9B, bdur)
+    if ref is not None:
+        payload += elem(0xFB, struct.pack(">b", ref))
+    return elem(0xA0, payload)
+
+
+class TestNonAudioPacketDemux:
+    """Video/subtitle track packets are demuxed like audio (the reference's
+    next_packet has no track-type filter, demuxer.rs:634-650), with
+    keyframe flags from the SimpleBlock keyframe bit / ReferenceBlock
+    absence (lacing.rs) and subtitle durations from BlockDuration."""
+
+    VFRAMES = [b"\x9d\x01*KEY0" + bytes(20), b"delta-frame-1" + bytes(9),
+               b"delta-frame-2" + bytes(9)]
+    SUBTITLE = "Hello, world".encode()
+
+    def _build(self) -> bytes:
+        ebml_hdr = elem(0x1A45DFA3,
+                        elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
+        audio_entry = (
+            uint_elem(0xD7, 1) + uint_elem(0x83, 2)
+            + elem(0x86, b"A_PCM/INT/LIT")
+            + elem(0xE1, float_elem(0xB5, 8000.0) + uint_elem(0x9F, 1)
+                   + uint_elem(0x6264, 16))
+        )
+        video_entry = (
+            uint_elem(0xD7, 2) + uint_elem(0x83, 1)
+            + elem(0x86, b"V_VP9")
+            + uint_elem(0x23E383, 40_000_000)  # DefaultDuration 40 ms
+            + elem(0xE0, uint_elem(0xB0, 320) + uint_elem(0xBA, 180))
+        )
+        sub_entry = (
+            uint_elem(0xD7, 3) + uint_elem(0x83, 0x11)
+            + elem(0x86, b"S_TEXT/UTF8")
+        )
+        tracks = elem(0x1654AE6B, elem(0xAE, audio_entry)
+                      + elem(0xAE, video_entry) + elem(0xAE, sub_entry))
+        info = elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+        pcm = (np.arange(64, dtype="<i2") * 50).tobytes()
+        cluster_body = (
+            uint_elem(0xE7, 0)
+            + _sb_flags(1, 0, pcm, 0x80)                       # audio
+            + _sb_flags(2, 0, self.VFRAMES[0], 0x80)           # video key
+            + _sb_flags(2, 40, self.VFRAMES[1], 0x00)          # video delta
+            + _block_group(2, 80, self.VFRAMES[2], ref=-40)    # delta (ref)
+            + _block_group(3, 10, self.SUBTITLE, bdur=500)     # subtitle
+        )
+        cluster = elem(0x1F43B675, cluster_body)
+        return ebml_hdr + elem(0x18538067, info + tracks + cluster)
+
+    def _readers(self, data):
+        from symphonia_tpu.formats.mkv import MkvReader, MkvStreamReader
+
+        yield MkvReader(MediaSourceStream(data))
+        yield MkvStreamReader(MediaSourceStream(_Pipe(data)))
+
+    def test_video_and_subtitle_packets_both_readers(self):
+        data = self._build()
+        for r in self._readers(data):
+            per_track = {1: [], 2: [], 3: []}
+            while True:
+                p = r.next_packet()
+                if p is None:
+                    break
+                per_track[p.track_id].append(p)
+            # Video: all three frame bodies, ts-exact, keyframe per block.
+            vid = per_track[2]
+            assert [p.data for p in vid] == self.VFRAMES
+            assert [p.ts for p in vid] == [0, 40, 80]
+            assert [p.keyframe for p in vid] == [True, False, False]
+            # Durations: next-block gaps, then DefaultDuration for the last.
+            assert [p.dur for p in vid] == [40, 40, 40]
+            # Subtitle: BlockDuration carries the display time.
+            sub = per_track[3]
+            assert len(sub) == 1
+            assert sub[0].data == self.SUBTITLE
+            assert sub[0].ts == 10 and sub[0].dur == 500
+            assert sub[0].keyframe  # no ReferenceBlock
+            # Audio still decodes alongside.
+            assert len(per_track[1]) == 1 and per_track[1][0].keyframe
+
+    def test_other_track_packet_table(self):
+        from symphonia_tpu.formats.mkv import MkvReader
+
+        r = MkvReader(MediaSourceStream(self._build()))
+        pt = r.packet_table(track_id=2)
+        assert list(pt.sizes) == [len(f) for f in self.VFRAMES]
+        assert list(pt.ts) == [0, 40, 80]
+        assert pt.data == self.VFRAMES
+
+    def test_video_only_mkv_opens(self):
+        """A Matroska with only a video track opens and demuxes (the
+        reference has no audio requirement); audio surfaces stay empty."""
+        from symphonia_tpu.formats.mkv import MkvReader, MkvStreamReader
+
+        ebml_hdr = elem(0x1A45DFA3,
+                        elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
+        video_entry = (
+            uint_elem(0xD7, 1) + uint_elem(0x83, 1)
+            + elem(0x86, b"V_VP8")
+            + elem(0xE0, uint_elem(0xB0, 64) + uint_elem(0xBA, 64))
+        )
+        tracks = elem(0x1654AE6B, elem(0xAE, video_entry))
+        info = elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+        cluster = elem(0x1F43B675, uint_elem(0xE7, 0)
+                       + _sb_flags(1, 0, b"vp8-frame", 0x80))
+        data = ebml_hdr + elem(0x18538067, info + tracks + cluster)
+        for r in (MkvReader(MediaSourceStream(data)),
+                  MkvStreamReader(MediaSourceStream(_Pipe(data)))):
+            assert r.tracks() == []
+            assert r.default_track() is None
+            assert len(r.other_tracks()) == 1
+            p = r.next_packet()
+            assert p is not None and p.data == b"vp8-frame" and p.keyframe

@@ -1129,3 +1129,158 @@ class TestMp4Alac:
             outs.append(dec.decode(p).planes().copy())
         got = np.concatenate(outs, axis=1)
         np.testing.assert_array_equal(got[0], ch[0].astype(np.int32))
+
+
+def build_av_mp4(pcm, vframes, v_dur=100, ctts_offs=None, sync=None,
+                 ctts_version=0, rate=8000, v_timescale=1000) -> bytes:
+    """Two-track MP4: sowt PCM audio (track 1, one chunk) + an avc1 video
+    track (track 2) whose samples carry stts durations, optional ctts
+    composition offsets and an optional stss sync-sample table."""
+    n_ch, n_frames = pcm.shape
+    audio_payload = np.ascontiguousarray(pcm.T.astype("<i2")).tobytes()
+    video_payload = b"".join(vframes)
+    nv = len(vframes)
+    fb = 2 * n_ch
+
+    def audio_trak(mdat_off):
+        common = (b"\x00" * 6 + struct.pack(">H", 1) + struct.pack(">H", 0)
+                  + b"\x00" * 6 + struct.pack(">HH", n_ch, 16)
+                  + b"\x00" * 4 + struct.pack(">I", rate << 16))
+        stsd = full_atom(b"stsd", struct.pack(">I", 1)
+                         + atom(b"sowt", common))
+        stts = full_atom(b"stts", struct.pack(">III", 1, n_frames, 1))
+        stsc = full_atom(b"stsc", struct.pack(">IIII", 1, 1, n_frames, 1))
+        stsz = full_atom(b"stsz", struct.pack(">III", fb, n_frames, 0)[:12])
+        stco = full_atom(b"stco", struct.pack(">II", 1, mdat_off))
+        stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, rate,
+                                              n_frames, 0x55C4, 0))
+        mdia = atom(b"mdia", mdhd + atom(b"minf", stbl))
+        tkhd = full_atom(b"tkhd",
+                         struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 72)
+        return atom(b"trak", tkhd + mdia)
+
+    def video_trak(mdat_off):
+        visual = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                  + struct.pack(">HH", 320, 180)
+                  + struct.pack(">II", 0x480000, 0x480000)
+                  + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+                  + struct.pack(">Hh", 24, -1)
+                  + atom(b"avcC", b"\x01\x64\x00\x1f\xff"))
+        stsd = full_atom(b"stsd", struct.pack(">I", 1)
+                         + atom(b"avc1", visual))
+        stts = full_atom(b"stts", struct.pack(">III", 1, nv, v_dur))
+        stsc = full_atom(b"stsc", struct.pack(">IIII", 1, 1, nv, 1))
+        stsz = full_atom(b"stsz", struct.pack(">II", 0, nv)
+                         + b"".join(struct.pack(">I", len(f))
+                                    for f in vframes))
+        voff = mdat_off + len(audio_payload)
+        stco = full_atom(b"stco", struct.pack(">II", 1, voff))
+        extra = b""
+        if ctts_offs is not None:
+            extra += full_atom(
+                b"ctts", struct.pack(">I", len(ctts_offs))
+                + b"".join(struct.pack(">Ii" if ctts_version else ">II",
+                                       1, o) for o in ctts_offs),
+                version=ctts_version)
+        if sync is not None:
+            extra += full_atom(b"stss", struct.pack(">I", len(sync))
+                               + b"".join(struct.pack(">I", s)
+                                          for s in sync))
+        stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco + extra)
+        mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, v_timescale,
+                                              nv * v_dur, 0x55C4, 0))
+        mdia = atom(b"mdia", mdhd + atom(b"minf", stbl))
+        tkhd = full_atom(b"tkhd",
+                         struct.pack(">IIII", 0, 0, 2, 0) + b"\x00" * 72)
+        return atom(b"trak", tkhd + mdia)
+
+    def build(mdat_off):
+        mvhd = full_atom(b"mvhd",
+                         struct.pack(">III", 0, 0, rate) + b"\x00" * 88)
+        return atom(b"moov", mvhd + audio_trak(mdat_off)
+                    + video_trak(mdat_off))
+
+    ftyp = atom(b"ftyp", b"isom\x00\x00\x00\x00isommp42")
+    moov = build(0)
+    moov = build(len(ftyp) + len(moov) + 8)
+    return ftyp + moov + atom(b"mdat", audio_payload + video_payload)
+
+
+class TestVideoPacketDemux:
+    """Video track packets are demuxed alongside audio (the reference
+    interleaves every track by min-dts, demuxer.rs:618-663), with pts =
+    dts + ctts offset (atoms/ctts.rs) and keyframes from stss
+    (atoms/stss.rs)."""
+
+    VFRAMES = [b"IDR-frame-0" + bytes(30), b"P-frame-1" + bytes(12),
+               b"P-frame-2" + bytes(8), b"IDR-frame-3" + bytes(25)]
+
+    def _pcm(self, n=160):
+        rng = np.random.default_rng(5)
+        return rng.integers(-3000, 3000, size=(1, n)).astype(np.int16)
+
+    def _collect(self, fmt):
+        per = {}
+        order = []
+        while True:
+            p = fmt.next_packet()
+            if p is None:
+                break
+            per.setdefault(p.track_id, []).append(p)
+            order.append(p.track_id)
+        return per, order
+
+    def test_ctts_stss_both_readers(self):
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        data = build_av_mp4(self._pcm(), self.VFRAMES,
+                            ctts_offs=[200, 0, 100, 0], sync=[1, 4])
+        for fmt in (IsoMp4Reader(MediaSourceStream(data)),
+                    Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))):
+            per, _ = self._collect(fmt)
+            vid = per[2]
+            assert [p.data for p in vid] == self.VFRAMES
+            # pts = dts + ctts: dts 0,100,200,300 + offsets.
+            assert [p.ts for p in vid] == [200, 100, 300, 300]
+            assert [p.keyframe for p in vid] == [True, False, False, True]
+            assert all(p.dur == 100 for p in vid)
+            # Audio rides along untouched (all sync, dts timing).
+            assert all(p.keyframe for p in per[1])
+
+    def test_ctts_v1_signed_offsets(self):
+        data = build_av_mp4(self._pcm(), self.VFRAMES,
+                            ctts_offs=[0, -50, 25, 0], ctts_version=1)
+        per, _ = self._collect(IsoMp4Reader(MediaSourceStream(data)))
+        assert [p.ts for p in per[2]] == [0, 50, 225, 300]
+        # No stss atom: every sample is a sync sample (ISO 14496-12).
+        assert all(p.keyframe for p in per[2])
+
+    def test_min_dts_interleaving(self):
+        """Packets come out ordered by dts across tracks."""
+        data = build_av_mp4(self._pcm(n=400), self.VFRAMES)
+        fmt = IsoMp4Reader(MediaSourceStream(data))
+        last_dts = {}
+        prev = -1.0
+        while True:
+            p = fmt.next_packet()
+            if p is None:
+                break
+            t = next(t for t in fmt._tracks if t.track_id == p.track_id)
+            i = fmt._cursor[p.track_id] - 1
+            dts = t.ts[i] / (t.timescale or 1)
+            assert dts >= prev - 1e-9
+            prev = dts
+            last_dts[p.track_id] = dts
+        assert set(last_dts) == {1, 2}
+
+    def test_video_packet_table(self):
+        data = build_av_mp4(self._pcm(), self.VFRAMES)
+        fmt = IsoMp4Reader(MediaSourceStream(data))
+        pt = fmt.packet_table(track_id=2)
+        assert list(pt.sizes) == [len(f) for f in self.VFRAMES]
+        assert pt.data == self.VFRAMES
+        # default (audio) table is unaffected by the video track
+        at = fmt.packet_table()
+        assert at.track_id == 1
