@@ -57,7 +57,11 @@ def parse_nested_usize(src: str, name: str, shape) -> np.ndarray:
     return parse_array(src, name, dtype=np.int64).reshape(shape)
 
 
-def main() -> None:
+def build_mp3_tables() -> dict:
+    """Re-extract the MP3 table set from the reference source. Pure
+    function of the reference checkout: the spec-regeneration test
+    (tests/test_table_regen.py) asserts the committed npz equals a fresh
+    build, so a perturbed shipped table fails CI."""
     out = {}
 
     cb = (REF / "layer3" / "codebooks.rs").read_text()
@@ -103,35 +107,44 @@ def main() -> None:
         l12, "LAYER12_SCALEFACTORS", dtype=np.float64
     ).astype(np.float32)
 
-    dst = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "mp3_tables.npz"
-    np.savez_compressed(dst, **out)
-    print(f"wrote {dst} with {len(out)} arrays")
     # Spot-check invariants.
     assert out["sfb_long"][0, -1] == 576
     assert out["synthesis_d"].shape == (512,)
     assert abs(out["synthesis_d"][1] + 0.000015259) < 1e-9
     assert out["layer12_scalefactors"][0] == 2.0
+    return out
+
+
+def main() -> None:
+    out = build_mp3_tables()
+    dst = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "mp3_tables.npz"
+    np.savez_compressed(dst, **out)
+    print(f"wrote {dst} with {len(out)} arrays")
 
 
 if __name__ == "__main__":
     main()
 
 
-def gen_vorbis_tables() -> None:
-    """Extract the floor1 inverse-dB table (Vorbis I spec §10.1 data) into
-    symphonia_tpu/data/vorbis_tables.npz."""
+def build_vorbis_tables() -> dict:
+    """Re-extract the floor1 inverse-dB table (Vorbis I spec §10.1 data)."""
     src = Path("/root/reference/symphonia-codec-vorbis/src/floor.rs").read_text()
     table = parse_array(src, "FLOOR1_INVERSE_DB_TABLE", dtype=np.float64)
     assert table.shape == (256,)
+    return {"floor1_inverse_db": table.astype(np.float32)}
+
+
+def gen_vorbis_tables() -> None:
+    """Write symphonia_tpu/data/vorbis_tables.npz."""
     dst = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "vorbis_tables.npz"
-    np.savez_compressed(dst, floor1_inverse_db=table.astype(np.float32))
+    np.savez_compressed(dst, **build_vorbis_tables())
     print(f"wrote {dst}")
 
 
-def gen_aac_tables() -> None:
-    """Extract AAC constant tables (ISO/IEC 13818-7 / 14496-3 data):
+def build_aac_tables() -> dict:
+    """Re-extract AAC constant tables (ISO/IEC 13818-7 / 14496-3 data):
     spectrum Huffman codebooks 1-11, scalefactor codebook, and the
-    scalefactor-band (swb) offset tables, into aac_tables.npz."""
+    scalefactor-band (swb) offset tables."""
     refdir = Path("/root/reference/symphonia-codec-aac/src/aac")
     cb = (refdir / "codebooks.rs").read_text()
     out = {}
@@ -147,16 +160,22 @@ def gen_aac_tables() -> None:
                  "8K_SHORT", "64K_SHORT"]:
         out[f"swb_{name.lower()}"] = parse_array(common, f"SWB_OFFSET_{name}").astype(np.int32)
 
-    dst = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "aac_tables.npz"
-    np.savez_compressed(dst, **out)
-    print(f"wrote {dst} with {len(out)} arrays")
     assert len(out["spec_codes_11"]) == 289
     assert out["swb_48k_long"][-1] == 1024
+    return out
 
 
-def gen_mp3_native_header() -> None:
-    """Emit native/mp3_tables.h from mp3_tables.npz for the C++ entropy
-    stage."""
+def gen_aac_tables() -> None:
+    """Write symphonia_tpu/data/aac_tables.npz."""
+    dst = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "aac_tables.npz"
+    out = build_aac_tables()
+    np.savez_compressed(dst, **out)
+    print(f"wrote {dst} with {len(out)} arrays")
+
+
+def build_mp3_native_header_text() -> str:
+    """Render native/mp3_tables.h's contents from the shipped npz (the
+    C++ entropy stage's compiled-in copy of the same tables)."""
     src = Path(__file__).resolve().parent.parent / "symphonia_tpu" / "data" / "mp3_tables.npz"
     d = dict(np.load(src))
     out = ["// Generated by tools/gen_mp3_tables.py from mp3_tables.npz.",
@@ -190,6 +209,11 @@ def gen_mp3_native_header() -> None:
     for name in ["bit_rates_mpeg1_l1", "bit_rates_mpeg1_l2", "bit_rates_mpeg1_l3",
                  "bit_rates_mpeg2_l1", "bit_rates_mpeg2_l23"]:
         emit("k" + "".join(w.capitalize() for w in name.split("_")), d[name], "int64_t")
+    return "\n".join(out) + "\n"
+
+
+def gen_mp3_native_header() -> None:
+    """Write native/mp3_tables.h."""
     dst = Path(__file__).resolve().parent.parent / "native" / "mp3_tables.h"
-    dst.write_text("\n".join(out) + "\n")
+    dst.write_text(build_mp3_native_header_text())
     print(f"wrote {dst}")
