@@ -813,8 +813,12 @@ class IsoMp4Reader(FormatReader):
                                   "stts").reshape(-1, 2)
         # Clip run counts before materializing: only n durations are
         # needed, and crafted counts must not drive a giant np.repeat.
+        # The cumulative cut bounds the expansion at < 2n even when MANY
+        # rows each claim up to n samples (per-row clipping alone still
+        # allowed rows x n).
         counts = np.minimum(truns[:, 0], n)
-        durs = np.repeat(truns[:, 1], counts)[:n]
+        k = int(np.searchsorted(np.cumsum(counts), n)) + 1
+        durs = np.repeat(truns[:k, 1], counts[:k])[:n]
         if len(durs) < n:
             pad = durs[-1] if len(durs) else 0
             durs = np.concatenate([durs, np.full(n - len(durs), pad, np.int64)])
@@ -839,11 +843,15 @@ class IsoMp4Reader(FormatReader):
             rows = self._table_array(buf, ctts[0] + 8, 8, cc, ">u4",
                                      "ctts").reshape(-1, 2)
             counts = np.minimum(rows[:, 0], n)
-            offs = rows[:, 1]
+            # Cumulative cut: bound the materialized expansion at < 2n
+            # (many rows each claiming up to n would otherwise allocate
+            # rows x n elements before the [:n] slice).
+            k = int(np.searchsorted(np.cumsum(counts), n)) + 1
+            offs = rows[:k, 1]
             if version == 1:
                 # v1 offsets are signed 32-bit (v0 unsigned).
                 offs = (offs.astype(np.uint32)).astype(np.int32).astype(np.int64)
-            expanded = np.repeat(offs, counts)[:n]
+            expanded = np.repeat(offs, counts[:k])[:n]
             t.pts_off[: len(expanded)] = expanded
         stss = find_atom(buf, *stbl, [b"stss"])
         if stss is not None and n:

@@ -573,6 +573,61 @@ class TestSampleTableBounds:
         assert time.time() - t0 < 5.0
 
 
+class TestTableExpansionFlood:
+    """Many table rows EACH claiming up to n samples must not materialize
+    rows x n elements before the [:n] slice (per-row clipping alone
+    bounded nothing: 50k rows x 150k claimed = 60 GB of int64). The
+    cumulative cut bounds expansion at < 2n."""
+
+    N = 200_000
+    ROWS = 50_000
+
+    def test_ctts_flood_bounded(self):
+        import time
+
+        from symphonia_tpu.formats.isomp4 import IsoMp4Reader, Mp4Track
+
+        rows = np.empty((self.ROWS, 2), ">u4")
+        rows[:, 0] = 150_000  # claimed count per row
+        rows[:, 1] = 7        # offset
+        ctts = full_atom(b"ctts", struct.pack(">I", self.ROWS)
+                         + rows.tobytes())
+        stbl = atom(b"stbl", ctts)
+        t = Mp4Track(track_id=1, timescale=1000)
+        t.offsets = np.zeros(self.N, np.int64)
+        t.pts_off = np.zeros(self.N, np.int64)
+        t.key = np.ones(self.N, bool)
+        rd = object.__new__(IsoMp4Reader)
+        t0 = time.time()
+        rd._parse_ctts_stss(stbl, t, (8, len(stbl)))
+        assert time.time() - t0 < 5.0
+        assert (t.pts_off == 7).all()  # first rows cover every sample
+
+    def test_stts_flood_bounded(self):
+        import time
+
+        from symphonia_tpu.formats.isomp4 import IsoMp4Reader, Mp4Track
+
+        rows = np.empty((self.ROWS, 2), ">u4")
+        rows[:, 0] = 150_000
+        rows[:, 1] = 3  # duration per sample
+        stts = full_atom(b"stts", struct.pack(">I", self.ROWS)
+                         + rows.tobytes())
+        sizes = np.full(self.N, 2, ">u4")
+        stsz = full_atom(b"stsz", struct.pack(">II", 0, self.N)
+                         + sizes.tobytes())
+        stsc = full_atom(b"stsc", struct.pack(">IIII", 1, 1, self.N, 1))
+        stco = full_atom(b"stco", struct.pack(">II", 1, 0))
+        stbl = atom(b"stbl", stts + stsz + stsc + stco)
+        t = Mp4Track(track_id=1, timescale=1000)
+        rd = object.__new__(IsoMp4Reader)
+        t0 = time.time()
+        rd._expand_sample_tables(stbl, t, (8, len(stbl)))
+        assert time.time() - t0 < 5.0
+        assert len(t.durs) == self.N and (t.durs == 3).all()
+        assert t.ts[-1] == 3 * (self.N - 1)
+
+
 class TestIlstTyped:
     """Typed + freeform ilst atoms (VERDICT #5; atoms/ilst.rs:1-1020 +
     utils/itunes.rs): disk/tmpo/cpil/gnre/rtng yield typed values, freeform
