@@ -536,17 +536,28 @@ def main() -> None:
     for name, _fn in host_stages:
         audio, wall = best[name]
         stages[name] = audio / wall if wall > 0 and audio else 0.0
-    # Breadth stages: single best-of-N capture, stderr-visible only.
-    for name, fn in [("vorbis_host", bench_vorbis_host),
-                     ("alac_host", bench_alac_host),
-                     ("adpcm_host", bench_adpcm_host),
-                     ("l2_host", bench_l2_host)]:
-        try:
-            audio, wall = fn()
-            stages[name] = audio / wall if wall > 0 and audio else 0.0
-        except Exception as e:  # pragma: no cover
-            print(f"bench stage {name} failed: {e}", file=sys.stderr)
-            stages[name] = 0.0
+    # Breadth stages: stderr-visible only. Same noise-burst problem as the
+    # aggregate stages (a single capture inside a noisy phase measured
+    # l2_host 886 vs ~1000 quiet), so spread a few passes and keep the
+    # global best per stage.
+    breadth = [("vorbis_host", bench_vorbis_host),
+               ("alac_host", bench_alac_host),
+               ("adpcm_host", bench_adpcm_host),
+               ("l2_host", bench_l2_host)]
+    bbest = {name: (0.0, float("inf")) for name, _ in breadth}
+    for _pass in range(4):
+        for name, fn in breadth:
+            try:
+                audio, wall = fn()
+                if wall < bbest[name][1]:
+                    bbest[name] = (audio, wall)
+            except Exception as e:  # pragma: no cover
+                print(f"bench stage {name} failed: {e}", file=sys.stderr)
+        if _pass < 3:
+            time.sleep(2.0)
+    for name, _fn in breadth:
+        audio, wall = bbest[name]
+        stages[name] = audio / wall if wall > 0 and audio else 0.0
     _configure_jax()
     for name, fn in device_stages:
         try:
