@@ -943,7 +943,11 @@ def aac_dequant_host(ext, bands_long) -> np.ndarray:
     q = ext["qbuf"].astype(np.int32)
     mag = np.minimum(np.abs(q), 8191)
     scale = ext["scales"][:, :, sfb]
-    vals = np.sign(q).astype(np.float32) * pow43[mag] * scale
+    # Lanes the host already dequantized (deq != 0) carry stale qbuf /
+    # scales here; their product may overflow to inf before the mask
+    # discards it below — expected, scope the warning.
+    with np.errstate(over="ignore"):
+        vals = np.sign(q).astype(np.float32) * pow43[mag] * scale
     # Uncoded bands multiply stale quants by a zero scale: canonicalize
     # -0.0 to +0.0 so reconstructions are byte-deterministic (the decode
     # math is unaffected; only hashes/tobytes comparisons care).

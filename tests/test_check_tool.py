@@ -3,6 +3,7 @@
 Python oracle decoders for the external binaries this environment lacks)."""
 
 import struct
+import pathlib
 import sys
 
 import numpy as np
@@ -96,7 +97,7 @@ class TestCrossMode:
         monkeypatch.setattr(native, "_load", spy)
         with native.disabled():
             assert native._load() is None
-            data = open(m4a_aac, "rb").read()
+            data = pathlib.Path(m4a_aac).read_bytes()
             from symphonia_tpu.tools.check import our_decode
 
             our_decode(data, gapless=False)

@@ -4,6 +4,7 @@ and random inputs must raise framework errors — never crash, hang, or
 exhaust memory."""
 
 import numpy as np
+import pathlib
 import pytest
 
 import symphonia_tpu as sym
@@ -73,7 +74,7 @@ def corpus():
         [(0, [simple_block(1, 0, [sig.astype("<i2").tobytes()])])],
         rate=8000, ch=1, bit_depth=16)))
     out.append(("adpcm", make_adpcm_wav(bytes(600), 0x11, 256, 505, 1000)))
-    out.append(("ogg", open(HOUSE_OGG, "rb").read()))
+    out.append(("ogg", pathlib.Path(HOUSE_OGG).read_bytes()))
 
     # Flagged ID3v2 frames (grouped/encrypted/compressed/DLI) leading an
     # MP3: the v2.3/v2.4 frame-flag machinery under mutation.
@@ -176,7 +177,7 @@ class TestBatchNativeFuzz:
             self._batch_try(data[: int(len(data) * frac)])
 
     def test_vorbis_batch_mutations(self):
-        data = open(HOUSE_OGG, "rb").read()
+        data = pathlib.Path(HOUSE_OGG).read_bytes()
         rng = np.random.default_rng(8)
         from symphonia_tpu.batch import VorbisBatchDecoder
 

@@ -4,6 +4,7 @@ and unit tests of the dense-stage math vs analytical spec formulas
 (SURVEY.md §4 test model)."""
 
 import os
+import pathlib
 
 import numpy as np
 import pytest
@@ -526,7 +527,7 @@ class TestMpaStreaming:
         from test_flac import _FwdPipe
         from symphonia_tpu.formats.mpa import MpaReader, MpaStreamReader
 
-        data = open(HOUSE_MP3, "rb").read()
+        data = pathlib.Path(HOUSE_MP3).read_bytes()
         r0 = MpaReader(MediaSourceStream(data))
         bulk = []
         while True:
@@ -549,7 +550,7 @@ class TestMpaStreaming:
         from test_flac import _FwdPipe
         from symphonia_tpu.formats.mpa import MpaStreamReader
 
-        data = open(HOUSE_MP3, "rb").read()
+        data = pathlib.Path(HOUSE_MP3).read_bytes()
         probed = sym.get_probe().probe(MediaSourceStream(_FwdPipe(data)))
         assert isinstance(probed.format, MpaStreamReader)
 
@@ -569,7 +570,7 @@ class TestMp3EngineParity:
         gen = tmp_path / "gen.py"
         gen.write_text(
             """
-import sys, pickle
+import pathlib, sys, pickle
 sys.path.insert(0, %r); sys.path.insert(0, %r)
 import numpy as np
 from mp3_builder import (big_table_encoder, build_mpeg1_l3_frame,
@@ -607,23 +608,23 @@ for f in range(10):
               for _ in range(2)]
     m2.append(build_mpeg2_l3_frame(gspecs, n_ch=2))
 cases.append(b"".join(m2))
-cases.append(open("/opt/venv/lib/python3.12/site-packages/pygame/examples/"
-                  "data/house_lo.mp3", "rb").read())
-pickle.dump(cases, open(sys.argv[1], "wb"))
+cases.append(pathlib.Path("/opt/venv/lib/python3.12/site-packages/pygame/examples/"
+                  "data/house_lo.mp3").read_bytes())
+pathlib.Path(sys.argv[1]).write_bytes(pickle.dumps(cases))
 """
             % (root, tdir)
         )
         run = tmp_path / "run.py"
         run.write_text(
             """
-import sys, pickle
+import pathlib, sys, pickle
 sys.path.insert(0, %r)
 import numpy as np
 from symphonia_tpu import native
 from symphonia_tpu.core.formats import FormatOptions
 from symphonia_tpu.core.io import MediaSourceStream
 from symphonia_tpu.formats.mpa import MpaReader
-cases = pickle.load(open(sys.argv[1], "rb"))
+cases = pickle.loads(pathlib.Path(sys.argv[1]).read_bytes())
 outs = []
 for data in cases:
     r = MpaReader(MediaSourceStream(data), FormatOptions(enable_gapless=False))
@@ -652,7 +653,7 @@ pickle.dump(outs, open(sys.argv[2], "wb"))
             subprocess.run(
                 [_sys.executable, str(run), str(cases_p), str(out_p)],
                 check=True, env=env)
-            results[mode] = pickle.load(open(out_p, "rb"))
+            results[mode] = pickle.loads(pathlib.Path(out_p).read_bytes())
         assert len(results["simd"]) == len(results["scalar"]) == 5
         for i, (a, b) in enumerate(zip(results["simd"], results["scalar"])):
             assert a[0] > 0, f"case {i}: no granules decoded"

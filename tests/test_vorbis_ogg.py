@@ -2,6 +2,7 @@
 parsing, mapper behavior, metadata, and seek."""
 
 import os
+import pathlib
 
 import numpy as np
 import pytest
@@ -214,7 +215,7 @@ class TestNativeVorbisEntropy:
 
         if not native.available():
             pytest.skip("native lib unavailable")
-        data = open(HOUSE_OGG, "rb").read()
+        data = pathlib.Path(HOUSE_OGG).read_bytes()
         r = OggReader(MediaSourceStream(data))
         dec = VorbisDecoder(r.default_track().codec_params)
         pkts = []
@@ -235,7 +236,7 @@ class TestNativeVorbisEntropy:
     def test_batch_uses_native(self):
         from symphonia_tpu.batch import VorbisBatchDecoder
 
-        data = open(HOUSE_OGG, "rb").read()
+        data = pathlib.Path(HOUSE_OGG).read_bytes()
         out = VorbisBatchDecoder().decode_bytes(data)
         assert out.samples.shape[0] >= 1
         assert out.samples.shape[1] > 50000
@@ -278,7 +279,7 @@ class TestOggStreaming:
     def test_pipe_decode_bounded_memory_parity(self):
         from symphonia_tpu.formats.ogg import OggStreamReader
 
-        data = open(HOUSE_OGG, "rb").read()
+        data = pathlib.Path(HOUSE_OGG).read_bytes()
         mss = MediaSourceStream(_Pipe(data))
         r = OggStreamReader(mss)
         got, max_win = [], 0
@@ -298,7 +299,7 @@ class TestOggStreaming:
     def test_probe_routes_pipe_to_streaming(self):
         from symphonia_tpu.formats.ogg import OggStreamReader
 
-        data = open(HOUSE_OGG, "rb").read()
+        data = pathlib.Path(HOUSE_OGG).read_bytes()
         probed = sym.get_probe().probe(MediaSourceStream(_Pipe(data)))
         assert isinstance(probed.format, OggStreamReader)
         assert probed.format.default_track().codec_params.codec == "vorbis"
@@ -307,7 +308,7 @@ class TestOggStreaming:
         from symphonia_tpu.core.formats import SeekMode, SeekTo
         from symphonia_tpu.formats.ogg import OggStreamReader
 
-        data = open(HOUSE_OGG, "rb").read()
+        data = pathlib.Path(HOUSE_OGG).read_bytes()
         bulk = self._bulk_packets(data)
         total = bulk[-1].ts + bulk[-1].dur
         by_data = {p.data: p for p in bulk}
@@ -328,7 +329,7 @@ class TestOggStreaming:
         from symphonia_tpu.core.formats import SeekMode, SeekTo
         from symphonia_tpu.formats.ogg import OggStreamReader
 
-        data = open(HOUSE_OGG, "rb").read()
+        data = pathlib.Path(HOUSE_OGG).read_bytes()
         bulk = self._bulk_packets(data)
         total = bulk[-1].ts + bulk[-1].dur
         # Full reference decode.
@@ -369,7 +370,7 @@ class TestOggStreaming:
         from symphonia_tpu.core.errors import ResetRequired
         from symphonia_tpu.formats.ogg import OggStreamReader
 
-        data = open(HOUSE_OGG, "rb").read() * 4
+        data = pathlib.Path(HOUSE_OGG).read_bytes() * 4
         mss = MediaSourceStream(_Pipe(data))
         r = OggStreamReader(mss)
         n = resets = max_win = 0
@@ -394,7 +395,7 @@ class TestOggStreaming:
         from symphonia_tpu.core.formats import SeekMode, SeekTo
         from symphonia_tpu.formats.ogg import OggReader, OggStreamReader, parse_page
 
-        raw = open(HOUSE_OGG, "rb").read()
+        raw = pathlib.Path(HOUSE_OGG).read_bytes()
         # Rewrite the first audio page's granule 100 samples early to
         # synthesize encoder pre-roll, fixing up the CRC.
         from symphonia_tpu.core.checksum import crc32_buf
@@ -436,7 +437,7 @@ class TestOggStreaming:
         from symphonia_tpu.core.formats import SeekMode, SeekTo
         from symphonia_tpu.formats.ogg import OggStreamReader
 
-        data = open(HOUSE_OGG, "rb").read()
+        data = pathlib.Path(HOUSE_OGG).read_bytes()
         r = OggStreamReader(MediaSourceStream(_Pipe(data)))
         s = r.seek(SeekMode.ACCURATE, SeekTo(ts=30000))
         p = r.next_packet()
@@ -532,7 +533,7 @@ class TestNativeSetupParser:
     def test_house_parity(self):
         from symphonia_tpu.core.io import MediaSourceStream
         from symphonia_tpu.formats.ogg import OggReader
-        rdr = OggReader(MediaSourceStream(open(HOUSE_OGG, "rb").read()))
+        rdr = OggReader(MediaSourceStream(pathlib.Path(HOUSE_OGG).read_bytes()))
         params = rdr.tracks()[0].codec_params
         pkts = []
         while True:
@@ -558,7 +559,7 @@ class TestNativeSetupParser:
         from symphonia_tpu.core.io import MediaSourceStream
         from symphonia_tpu.formats.ogg import OggReader
         from symphonia_tpu.codecs.vorbis import VorbisDecoder
-        rdr = OggReader(MediaSourceStream(open(HOUSE_OGG, "rb").read()))
+        rdr = OggReader(MediaSourceStream(pathlib.Path(HOUSE_OGG).read_bytes()))
         dec = VorbisDecoder(rdr.tracks()[0].codec_params)
         if not dec._native:
             pytest.skip("native lib unavailable")
@@ -584,7 +585,7 @@ class TestNativeSetupParser:
         if lib is None or not hasattr(lib, "sh_vorbis_open_hdrs"):
             pytest.skip("native lib unavailable")
         native._vorbis_register_tables(lib)
-        rdr = OggReader(MediaSourceStream(open(HOUSE_OGG, "rb").read()))
+        rdr = OggReader(MediaSourceStream(pathlib.Path(HOUSE_OGG).read_bytes()))
         dec_params = rdr.tracks()[0].codec_params
         pkts = []
         while len(pkts) < 12:
