@@ -512,12 +512,14 @@ def main() -> None:
     # inside a noisy phase. Spreading passes over time and taking the
     # global best recovers the steady-state number (still plain best-of-N
     # wall time, just sampled wider). Adaptive stop: keep passing until no
-    # stage's best improved by >1% for 3 consecutive passes (min 5 passes,
-    # cap 16 — a noisy round-2 driver window measured 20-25% below quiet
-    # with only 5 fixed passes).
+    # stage's best improved by >1% for 4 consecutive passes (min 5 passes,
+    # cap 20 — a noisy round-2 driver window measured 20-25% below quiet
+    # with only 5 fixed passes, and the end-of-round driver capture is a
+    # one-shot: a slightly longer budget buys more chances to straddle a
+    # noise burst).
     best = {name: (0.0, float("inf")) for name, _ in host_stages}
     stale = 0
-    for _pass in range(16):
+    for _pass in range(20):
         improved = False
         for name, fn in host_stages:
             try:
@@ -529,9 +531,9 @@ def main() -> None:
             except Exception as e:  # pragma: no cover
                 print(f"bench stage {name} failed: {e}", file=sys.stderr)
         stale = 0 if improved else stale + 1
-        if _pass >= 4 and stale >= 3:
+        if _pass >= 4 and stale >= 4:
             break
-        if _pass < 15:
+        if _pass < 19:
             time.sleep(2.5)
     for name, _fn in host_stages:
         audio, wall = best[name]
