@@ -191,7 +191,9 @@ class TestPlayTui:
         import wave
 
         wav = "/tmp/symtpu_tui_test.wav"
-        sig = (np.sin(np.arange(16000) * 0.2) * 12000).astype("<i2")
+        # Long enough (30 s) that playback outlasts the interaction even
+        # when the suite loads this 1-core VM; the test quits via 'q'.
+        sig = (np.sin(np.arange(240000) * 0.2) * 12000).astype("<i2")
         with wave.open(wav, "wb") as w:
             w.setnchannels(1)
             w.setsampwidth(2)
@@ -206,8 +208,11 @@ class TestPlayTui:
                        "--play", "--tui", wav])
         out = b""
         t0 = _time.time()
+        # Event-driven keystrokes: wait for the UI to actually render each
+        # state before reacting (fixed wall-clock delays flake under load).
         sent = 0
-        while _time.time() - t0 < 30:
+        last_send = t0
+        while _time.time() - t0 < 90:
             r, _, _ = select.select([fd], [], [], 0.3)
             if r:
                 try:
@@ -217,16 +222,19 @@ class TestPlayTui:
                 if not chunk:
                     break
                 out += chunk
-            dt = _time.time() - t0
-            if sent == 0 and dt > 3:
+            now = _time.time()
+            if sent == 0 and b"PLAYING" in out:
                 os.write(fd, b" ")
-                sent = 1
-            elif sent == 1 and dt > 4:
+                sent, last_send = 1, now
+            elif sent == 1 and b"PAUSED" in out:
                 os.write(fd, b" ")
-                sent = 2
-            elif sent == 2 and dt > 5:
+                sent, last_send = 2, now
+            elif sent == 2 and now - last_send > 1.0:
                 os.write(fd, b"q")
-                sent = 3
+                sent, last_send = 3, now
+            elif sent == 3 and now - last_send > 10.0:
+                os.write(fd, b"q")  # retry quit if the first was swallowed
+                last_send = now
         _, status = os.waitpid(pid, 0)
         txt = out.decode("utf-8", "replace")
         assert status == 0
