@@ -25,6 +25,9 @@ def main(path: str) -> int:
     probed = sym.get_probe().probe(MediaSourceStream(data))
     fmt = probed.format
     track = fmt.default_track()
+    if track is None:  # e.g. a video-only container: demuxable, no audio
+        print("no audio track in this container", file=sys.stderr)
+        return 1
     params = track.codec_params
     print(f"container: {type(fmt).__name__}")
     print(f"codec:     {params.codec}")

@@ -21,11 +21,11 @@ class Packet:
         trim_start: frames to discard from the decoded start (gapless delay).
         trim_end: frames to discard from the decoded end (gapless padding).
         keyframe: True when the packet can be decoded without reference to
-            earlier packets. Always True for audio; for video tracks it
-            derives from the container's sync tables (MP4 stss /
-            trun sample flags, MKV SimpleBlock keyframe bit or
+            earlier packets. Derives from the container's sync tables
+            (MP4 stss / trun sample flags, MKV SimpleBlock keyframe bit or
             BlockGroup-without-ReferenceBlock — lacing.rs keyframe
-            handling, atoms/stss.rs).
+            handling, atoms/stss.rs); defaults True when the container
+            carries no sync info, which is the normal case for audio.
     """
 
     track_id: int

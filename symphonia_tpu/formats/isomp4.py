@@ -524,6 +524,15 @@ class IsoMp4Reader(FormatReader):
                 t.key = np.ones(0, bool)
             return t
         self._expand_sample_tables(buf, t, stbl)
+        # ctts/stss apply to every track (the fragment path already applies
+        # trun cts offsets and sample flags uniformly); audio tracks almost
+        # never carry them, and a malformed table on an otherwise-good
+        # audio track degrades to dts/all-sync rather than failing it.
+        try:
+            self._parse_ctts_stss(buf, t, stbl)
+        except DecodeError:
+            t.pts_off = np.zeros(len(t.offsets), np.int64)
+            t.key = np.ones(len(t.offsets), bool)
         # Edit list -> delay (elst.rs).
         elst = find_atom(buf, b, e, [b"edts", b"elst"])
         if elst:
@@ -1252,7 +1261,13 @@ class IsoMp4Reader(FormatReader):
         i = int(np.searchsorted(track.ts, ts, side="right")) - 1
         i = max(0, i)
         for t in self._tracks:
-            j = int(np.searchsorted(t.ts, ts, side="right")) - 1
+            # The target is in the seek track's timescale; rescale the
+            # tick value per track before positioning its cursor (video
+            # and audio timescales virtually always differ).
+            t_ts = ts
+            if track.timescale and t.timescale != track.timescale:
+                t_ts = ts * t.timescale // track.timescale
+            j = int(np.searchsorted(t.ts, t_ts, side="right")) - 1
             self._cursor[t.track_id] = max(0, j)
         return SeekedTo(track.track_id, ts, int(track.ts[i]))
 
@@ -1263,11 +1278,16 @@ class IsoMp4Reader(FormatReader):
         if track_id is not None:
             t = next(tt for tt in self._tracks if tt.track_id == track_id)
         n = len(t.offsets)
+        # Table ts carries pts (dts + ctts offset), same as next_packet.
+        ts_out = t.ts.copy()
+        if t.pts_off is not None and len(t.pts_off):
+            m = min(n, len(t.pts_off))
+            ts_out[:m] += t.pts_off[:m]
         return PacketTable(
             track_id=t.track_id,
             offsets=t.offsets + self._start,
             sizes=t.sizes.copy(),
-            ts=t.ts.copy(),
+            ts=ts_out,
             dur=t.durs.copy(),
             trim_start=np.zeros(n, np.int32),
             trim_end=np.zeros(n, np.int32),
@@ -1462,13 +1482,16 @@ class Mp4StreamReader(IsoMp4Reader):
                 continue
             i0 = self._sched.get(t.track_id, 0)
             for i in range(i0, len(t.offsets)):
-                pts = int(t.ts[i])
+                dts = int(t.ts[i])
+                pts = dts
                 if t.pts_off is not None and i < len(t.pts_off):
                     pts += int(t.pts_off[i])
                 kf = (bool(t.key[i]) if t.key is not None and i < len(t.key)
                       else True)
+                # dts rides along for seek matching: pts is non-monotonic
+                # in decode order for ctts-bearing video tracks.
                 entries.append((int(t.offsets[i]), int(t.sizes[i]),
-                                pts, int(t.durs[i]), t.track_id, kf))
+                                pts, int(t.durs[i]), t.track_id, kf, dts))
             self._sched[t.track_id] = len(t.offsets)
         entries.sort(key=lambda x: x[0])
         self._pending.extend(entries)
@@ -1484,7 +1507,7 @@ class Mp4StreamReader(IsoMp4Reader):
                     if not self._pending:
                         return None
                     break
-            off, size, ts, dur, tid, kf = self._pending.popleft()
+            off, size, ts, dur, tid, kf, _dts = self._pending.popleft()
             if size <= 0:
                 continue
             hi = off + size
@@ -1521,10 +1544,13 @@ class Mp4StreamReader(IsoMp4Reader):
             raise SeekError("no seek target")
         while True:
             for i, ent in enumerate(self._pending):
-                if ent[4] == track.track_id and ent[2] + ent[3] > ts:
+                # Match on dts (ent[6]): monotonic per track in decode
+                # order, unlike pts for ctts-bearing video. The bulk
+                # reader's seek also reports the landed sample's dts.
+                if ent[4] == track.track_id and ent[6] + ent[3] > ts:
                     for _ in range(i):
                         self._pending.popleft()
-                    return SeekedTo(track.track_id, ts, ent[2])
+                    return SeekedTo(track.track_id, ts, ent[6])
             self._pending.clear()
             if self._eof or not self._step_atom(buffer_mdat=False):
                 raise SeekError("seek target beyond end of stream")

@@ -235,7 +235,25 @@ class TestPlayTui:
             elif sent == 3 and now - last_send > 10.0:
                 os.write(fd, b"q")  # retry quit if the first was swallowed
                 last_send = now
-        _, status = os.waitpid(pid, 0)
+        if sent < 3:
+            # Expected output never appeared: still ask the child to quit
+            # so the (bounded) reap below can't hang the suite.
+            try:
+                os.write(fd, b"q")
+            except OSError:
+                pass
+        status = None
+        t1 = _time.time()
+        while _time.time() - t1 < 30:
+            wpid, st = os.waitpid(pid, os.WNOHANG)
+            if wpid == pid:
+                status = st
+                break
+            _time.sleep(0.2)
+        if status is None:
+            os.kill(pid, 9)
+            os.waitpid(pid, 0)
+            pytest.fail("TUI child did not exit after quit")
         txt = out.decode("utf-8", "replace")
         assert status == 0
         assert "symphonia_tpu" in txt and "PLAYING" in txt

@@ -1187,7 +1187,8 @@ class TestMp4Alac:
 
 
 def build_av_mp4(pcm, vframes, v_dur=100, ctts_offs=None, sync=None,
-                 ctts_version=0, rate=8000, v_timescale=1000) -> bytes:
+                 ctts_version=0, rate=8000, v_timescale=1000,
+                 a_ctts_offs=None) -> bytes:
     """Two-track MP4: sowt PCM audio (track 1, one chunk) + an avc1 video
     track (track 2) whose samples carry stts durations, optional ctts
     composition offsets and an optional stss sync-sample table."""
@@ -1207,7 +1208,12 @@ def build_av_mp4(pcm, vframes, v_dur=100, ctts_offs=None, sync=None,
         stsc = full_atom(b"stsc", struct.pack(">IIII", 1, 1, n_frames, 1))
         stsz = full_atom(b"stsz", struct.pack(">III", fb, n_frames, 0)[:12])
         stco = full_atom(b"stco", struct.pack(">II", 1, mdat_off))
-        stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco)
+        extra = b""
+        if a_ctts_offs is not None:
+            extra = full_atom(
+                b"ctts", struct.pack(">I", len(a_ctts_offs))
+                + b"".join(struct.pack(">II", 1, o) for o in a_ctts_offs))
+        stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco + extra)
         mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, rate,
                                               n_frames, 0x55C4, 0))
         mdia = atom(b"mdia", mdhd + atom(b"minf", stbl))
@@ -1339,3 +1345,57 @@ class TestVideoPacketDemux:
         # default (audio) table is unaffected by the video track
         at = fmt.packet_table()
         assert at.track_id == 1
+
+    def test_packet_table_ts_is_pts_like_next_packet(self):
+        """Both packet surfaces report the same (pts) timestamps."""
+        data = build_av_mp4(self._pcm(), self.VFRAMES,
+                            ctts_offs=[200, 0, 100, 0])
+        fmt = IsoMp4Reader(MediaSourceStream(data))
+        pt = fmt.packet_table(track_id=2)
+        assert list(pt.ts) == [200, 100, 300, 300]
+        per, _ = self._collect(IsoMp4Reader(MediaSourceStream(data)))
+        assert [p.ts for p in per[2]] == list(pt.ts)
+
+    def test_seek_rescales_other_track_timescales(self):
+        """Seeking in audio ticks (rate 8000) must position the video
+        cursor (timescale 1000) at the same instant, not at the raw tick
+        value interpreted in the wrong timescale."""
+        from symphonia_tpu.core.formats import SeekTo
+
+        data = build_av_mp4(self._pcm(n=3200), self.VFRAMES)
+        fmt = IsoMp4Reader(MediaSourceStream(data))
+        fmt.seek("coarse", SeekTo(ts=800))  # 0.1 s of 8 kHz audio
+        per, _ = self._collect(fmt)
+        # 0.1 s = video dts 100: the frame covering 0.1 s is emitted,
+        # earlier ones are skipped, none silently dropped.
+        assert [p.data for p in per[2]] == self.VFRAMES[1:]
+
+    def test_pipe_seek_matches_on_dts_with_ctts(self):
+        """Stream-reader seeks key on dts (monotonic in decode order),
+        not the ctts-reordered pts."""
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.core.formats import SeekTo
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        data = build_av_mp4(self._pcm(), self.VFRAMES,
+                            ctts_offs=[200, 0, 100, 0])
+        fmt = Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))
+        seeked = fmt.seek("coarse", SeekTo(ts=120, track_id=2))
+        # dts 100 covers tick 120 (its pts is 100; the pts-keyed scan
+        # used to land on the decode-order-first pts=200 entry).
+        assert seeked.actual_ts == 100
+
+    def test_audio_ctts_applied_in_moov_path(self):
+        """ctts applies to every track (our fragment path already applies
+        trun cts uniformly), so an audio stbl carrying one shifts pts."""
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        pcm = self._pcm(n=4)
+        data = build_av_mp4(pcm, self.VFRAMES, a_ctts_offs=[10, 10, 10, 10])
+        for fmt in (IsoMp4Reader(MediaSourceStream(data)),
+                    Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))):
+            per, _ = self._collect(fmt)
+            # sowt PCM coalesces the chunk into one packet; its pts
+            # carries the first sample's ctts shift (dts 0 + 10).
+            assert [p.ts for p in per[1]] == [10]
