@@ -23,7 +23,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from .codecs import AudioCodecParameters
-from .errors import EndOfStream, SeekError
+from .errors import EndOfStream, SeekError, Unsupported
 from .packet import Packet
 from .units import Time, TimeBase
 
@@ -267,7 +267,7 @@ class FormatReader:
         if track_id is None:
             track = self.default_track()
             if track is None:
-                raise ValueError("no tracks")
+                raise Unsupported("no audio tracks to build a packet table for")
             track_id = track.id
         offs, sizes, ts, dur, t0, t1, payloads = [], [], [], [], [], [], []
         while True:
