@@ -1268,6 +1268,119 @@ def build_av_mp4(pcm, vframes, v_dur=100, ctts_offs=None, sync=None,
     return ftyp + moov + atom(b"mdat", audio_payload + video_payload)
 
 
+def build_fmp4_video(vframes, v_dur=100, timescale=1000, sample_flags=None,
+                     cts=None, first_flags=None, tfhd_flags=None,
+                     trex_flags=0, trun_version=1) -> bytes:
+    """Fragmented MP4 with a single avc1 video track (one moof/mdat pair):
+    trun carries per-sample sizes, plus optional per-sample flags (0x400),
+    composition offsets (0x800) and first-sample-flags (0x4); sample-flag
+    resolution order is trun > tfhd > trex."""
+    visual = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+              + struct.pack(">HH", 320, 180)
+              + struct.pack(">II", 0x480000, 0x480000)
+              + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+              + struct.pack(">Hh", 24, -1)
+              + atom(b"avcC", b"\x01\x64\x00\x1f\xff"))
+    stsd = full_atom(b"stsd", struct.pack(">I", 1) + atom(b"avc1", visual))
+    stbl = atom(b"stbl", stsd + full_atom(b"stts", struct.pack(">I", 0))
+                + full_atom(b"stsc", struct.pack(">I", 0))
+                + full_atom(b"stsz", struct.pack(">II", 0, 0))
+                + full_atom(b"stco", struct.pack(">I", 0)))
+    mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, 0,
+                                          0x55C4, 0))
+    mdia = atom(b"mdia", mdhd + atom(b"minf", stbl))
+    tkhd = full_atom(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 72)
+    trex = full_atom(b"trex", struct.pack(">IIIII", 1, 1, v_dur, 0,
+                                          trex_flags))
+    mvhd = full_atom(b"mvhd", struct.pack(">III", 0, 0, timescale)
+                     + b"\x00" * 88)
+    moov = atom(b"moov", mvhd + atom(b"trak", tkhd + mdia)
+                + atom(b"mvex", trex))
+    ftyp = atom(b"ftyp", b"isom\x00\x00\x00\x00isommp42")
+
+    n = len(vframes)
+    mfhd = full_atom(b"mfhd", struct.pack(">I", 1))
+    if tfhd_flags is None:
+        tfhd = full_atom(b"tfhd", struct.pack(">I", 1), flags=0)
+    else:
+        tfhd = full_atom(b"tfhd", struct.pack(">II", 1, tfhd_flags),
+                         flags=0x20)  # default-sample-flags present
+    tr_flags = 0x1 | 0x200  # data offset + per-sample sizes
+    if first_flags is not None:
+        tr_flags |= 0x4
+    if sample_flags is not None:
+        tr_flags |= 0x400
+    if cts is not None:
+        tr_flags |= 0x800
+    payload = struct.pack(">I", n) + struct.pack(">i", 0)
+    if first_flags is not None:
+        payload += struct.pack(">I", first_flags)
+    for k, f in enumerate(vframes):
+        payload += struct.pack(">I", len(f))
+        if sample_flags is not None:
+            payload += struct.pack(">I", sample_flags[k])
+        if cts is not None:
+            payload += struct.pack(">i" if trun_version else ">I", cts[k])
+    trun = full_atom(b"trun", payload, flags=tr_flags,
+                     version=trun_version)
+    moof = bytearray(atom(b"moof", mfhd + atom(b"traf", tfhd + trun)))
+    data_offset = len(moof) + 8
+    idx = moof.find(b"trun") + 4 + 4 + 4  # type + ver/flags + count
+    struct.pack_into(">i", moof, idx, data_offset)
+    return ftyp + moov + bytes(moof) + atom(b"mdat", b"".join(vframes))
+
+
+class TestFragmentedVideoFlags:
+    """trun sample-flag / composition-offset resolution on a video track
+    (the moov-path ctts/stss tests above cover the non-fragmented side)."""
+
+    VFRAMES = [b"IDR" + bytes(20), b"P1" + bytes(9), b"P2" + bytes(7),
+               b"IDR2" + bytes(15)]
+    NON_SYNC = 0x00010000  # ISO 14496-12 bit 16: sample_is_non_sync_sample
+
+    def _drain(self, data):
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        outs = []
+        for fmt in (IsoMp4Reader(MediaSourceStream(data)),
+                    Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))):
+            pkts = []
+            while True:
+                p = fmt.next_packet()
+                if p is None:
+                    break
+                pkts.append(p)
+            outs.append(pkts)
+        return outs
+
+    def test_per_sample_flags_and_cts(self):
+        data = build_fmp4_video(
+            self.VFRAMES,
+            sample_flags=[0, self.NON_SYNC, self.NON_SYNC, 0],
+            cts=[200, 0, -50, 100])
+        for pkts in self._drain(data):
+            assert [bytes(p.data) for p in pkts] == self.VFRAMES
+            assert [p.keyframe for p in pkts] == [True, False, False, True]
+            # pts = dts (0,100,200,300) + signed v1 cts offsets
+            assert [p.ts for p in pkts] == [200, 100, 150, 400]
+
+    def test_first_sample_flags_over_tfhd_default(self):
+        """first-sample-flags (0x4) overrides the tfhd default for sample
+        0 only; the rest inherit the tfhd default (non-sync)."""
+        data = build_fmp4_video(self.VFRAMES, first_flags=0,
+                                tfhd_flags=self.NON_SYNC)
+        for pkts in self._drain(data):
+            assert [p.keyframe for p in pkts] == [True, False, False, False]
+
+    def test_trex_default_flags_resolved(self):
+        """With no tfhd/trun flag fields, sample flags come from trex."""
+        data = build_fmp4_video(self.VFRAMES, trex_flags=self.NON_SYNC)
+        for pkts in self._drain(data):
+            assert [p.keyframe for p in pkts] == [False] * 4
+            assert all(p.dur == 100 for p in pkts)  # trex default duration
+
+
 class TestVideoPacketDemux:
     """Video track packets are demuxed alongside audio (the reference
     interleaves every track by min-dts, demuxer.rs:618-663), with pts =
