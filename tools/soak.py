@@ -343,9 +343,30 @@ def builders(rng):
         return build_av_mp4(pcm, vframes, ctts_offs=ctts, sync=sync,
                             ctts_version=ver)
 
+    def fmp4_video():
+        # Fragmented video: trun per-sample flags / signed cts /
+        # first-sample-flags / tfhd+trex default resolution under mutation.
+        from test_mp4 import build_fmp4_video
+
+        nv = int(rng.integers(1, 10))
+        vframes = [bytes(rng.integers(0, 256,
+                                      size=int(rng.integers(1, 100)),
+                                      dtype=np.uint8)) for _ in range(nv)]
+        ver = int(rng.integers(2))
+        flags = ([int(rng.integers(0, 2)) << 16 for _ in range(nv)]
+                 if rng.integers(2) else None)
+        cts = ([int(rng.integers(-300 if ver else 0, 500))
+                for _ in range(nv)] if rng.integers(2) else None)
+        first = int(rng.integers(0, 2)) << 16 if rng.integers(2) else None
+        tfhd = int(rng.integers(0, 2)) << 16 if rng.integers(2) else None
+        return build_fmp4_video(vframes, sample_flags=flags, cts=cts,
+                                first_flags=first, tfhd_flags=tfhd,
+                                trex_flags=int(rng.integers(0, 2)) << 16,
+                                trun_version=ver)
+
     return [flac, mp3, aac, wav, mkv, m4a, ogg, adpcm, aiff, caf, fmp4,
             id3_mp3, ape_mp3, flac_meta, m4a_ilst, mkv_targets,
-            mkv_av, mp4_av]
+            mkv_av, mp4_av, fmp4_video]
 
 
 def mutate(data: bytes, rng) -> bytes:
@@ -420,6 +441,16 @@ def main():
         fmt = sym.get_probe().probe(MediaSourceStream(data)).format
         tr = fmt.default_track()
         if tr is None or tr.codec_params is None:
+            # Non-audio container: still stress seek + packet walk.
+            for _ in range(4):
+                try:
+                    fmt.seek("accurate",
+                             sym.SeekTo(ts=int(rng.integers(0, 200000))))
+                except ok_errors:
+                    continue
+                for _ in range(3):
+                    if fmt.next_packet() is None:
+                        break
             return
         dec = sym.get_codecs().make_audio_decoder(tr.codec_params)
         span = tr.num_frames or 200000
@@ -445,6 +476,8 @@ def main():
         fmt = sym.get_probe().probe(MediaSourceStream(_Pipe(data))).format
         tr = fmt.default_track()
         if tr is None or tr.codec_params is None:
+            while fmt.next_packet() is not None:  # still walk the packets
+                pass
             return 0  # non-audio-only container
         dec = sym.get_codecs().make_audio_decoder(tr.codec_params)
         total = 0
