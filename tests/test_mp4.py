@@ -1188,13 +1188,15 @@ class TestMp4Alac:
 
 def build_av_mp4(pcm, vframes, v_dur=100, ctts_offs=None, sync=None,
                  ctts_version=0, rate=8000, v_timescale=1000,
-                 a_ctts_offs=None) -> bytes:
+                 a_ctts_offs=None, subs=None, s_dur=500) -> bytes:
     """Two-track MP4: sowt PCM audio (track 1, one chunk) + an avc1 video
     track (track 2) whose samples carry stts durations, optional ctts
-    composition offsets and an optional stss sync-sample table."""
+    composition offsets and an optional stss sync-sample table; ``subs``
+    adds a tx3g subtitle track (track 3) with one sample per cue."""
     n_ch, n_frames = pcm.shape
     audio_payload = np.ascontiguousarray(pcm.T.astype("<i2")).tobytes()
     video_payload = b"".join(vframes)
+    subs_payload = b"".join(subs) if subs else b""
     nv = len(vframes)
     fb = 2 * n_ch
 
@@ -1256,16 +1258,36 @@ def build_av_mp4(pcm, vframes, v_dur=100, ctts_offs=None, sync=None,
                          struct.pack(">IIII", 0, 0, 2, 0) + b"\x00" * 72)
         return atom(b"trak", tkhd + mdia)
 
+    def subs_trak(mdat_off):
+        ns = len(subs)
+        stsd = full_atom(b"stsd", struct.pack(">I", 1)
+                         + atom(b"tx3g", b"\x00" * 8))
+        stts = full_atom(b"stts", struct.pack(">III", 1, ns, s_dur))
+        stsc = full_atom(b"stsc", struct.pack(">IIII", 1, 1, ns, 1))
+        stsz = full_atom(b"stsz", struct.pack(">II", 0, ns)
+                         + b"".join(struct.pack(">I", len(s)) for s in subs))
+        soff = mdat_off + len(audio_payload) + len(video_payload)
+        stco = full_atom(b"stco", struct.pack(">II", 1, soff))
+        stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, 1000,
+                                              ns * s_dur, 0x55C4, 0))
+        mdia = atom(b"mdia", mdhd + atom(b"minf", stbl))
+        tkhd = full_atom(b"tkhd",
+                         struct.pack(">IIII", 0, 0, 3, 0) + b"\x00" * 72)
+        return atom(b"trak", tkhd + mdia)
+
     def build(mdat_off):
         mvhd = full_atom(b"mvhd",
                          struct.pack(">III", 0, 0, rate) + b"\x00" * 88)
         return atom(b"moov", mvhd + audio_trak(mdat_off)
-                    + video_trak(mdat_off))
+                    + video_trak(mdat_off)
+                    + (subs_trak(mdat_off) if subs else b""))
 
     ftyp = atom(b"ftyp", b"isom\x00\x00\x00\x00isommp42")
     moov = build(0)
     moov = build(len(ftyp) + len(moov) + 8)
-    return ftyp + moov + atom(b"mdat", audio_payload + video_payload)
+    return ftyp + moov + atom(b"mdat", audio_payload + video_payload
+                              + subs_payload)
 
 
 def build_fmp4_video(vframes, v_dur=100, timescale=1000, sample_flags=None,
@@ -1458,6 +1480,26 @@ class TestVideoPacketDemux:
         # default (audio) table is unaffected by the video track
         at = fmt.packet_table()
         assert at.track_id == 1
+
+    def test_subtitle_packets_both_readers(self):
+        """tx3g subtitle samples come out as packets with their own ts/dur
+        (the reference demuxes every track, demuxer.rs:618-663)."""
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        cues = [b"\x00\x05hello", b"\x00\x05world", b"\x00\x03bye"]
+        data = build_av_mp4(self._pcm(), self.VFRAMES, subs=cues, s_dur=700)
+        for fmt in (IsoMp4Reader(MediaSourceStream(data)),
+                    Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))):
+            subs = next(t for t in fmt.other_tracks()
+                        if t.codec_params.codec == "mov_text")
+            assert subs.id == 3
+            per, _ = self._collect(fmt)
+            assert [bytes(p.data) for p in per[3]] == cues
+            assert [p.ts for p in per[3]] == [0, 700, 1400]
+            assert all(p.dur == 700 for p in per[3])
+            # audio and video still ride along
+            assert len(per[1]) > 0 and len(per[2]) == 4
 
     def test_packet_table_ts_is_pts_like_next_packet(self):
         """Both packet surfaces report the same (pts) timestamps."""
