@@ -518,23 +518,29 @@ def main() -> None:
     # one-shot: a slightly longer budget buys more chances to straddle a
     # noise burst).
     best = {name: (0.0, float("inf")) for name, _ in host_stages}
-    stale = 0
-    for _pass in range(20):
-        improved = False
-        for name, fn in host_stages:
-            try:
-                audio, wall = fn(repeats=12)
-                if wall < best[name][1] * 0.99:
-                    improved = True
-                if wall < best[name][1]:
-                    best[name] = (audio, wall)
-            except Exception as e:  # pragma: no cover
-                print(f"bench stage {name} failed: {e}", file=sys.stderr)
-        stale = 0 if improved else stale + 1
-        if _pass >= 4 and stale >= 4:
-            break
-        if _pass < 19:
-            time.sleep(2.5)
+
+    def _sample_host(passes, min_passes, stale_cap, tag=""):
+        stale = 0
+        for _pass in range(passes):
+            improved = False
+            for name, fn in host_stages:
+                try:
+                    audio, wall = fn(repeats=12)
+                    if wall < best[name][1] * 0.99:
+                        improved = True
+                    if wall < best[name][1]:
+                        best[name] = (audio, wall)
+                except Exception as e:  # pragma: no cover
+                    print(f"bench stage {name} failed{tag}: {e}",
+                          file=sys.stderr)
+            stale = 0 if improved else stale + 1
+            if _pass >= min_passes - 1 and stale >= stale_cap:
+                break
+            if _pass < passes - 1:
+                time.sleep(2.5)
+
+    _sample_host(passes=20, min_passes=5, stale_cap=4)
+
     def _host_stage_results():
         for name, _fn in host_stages:
             audio, wall = best[name]
@@ -579,23 +585,7 @@ def main() -> None:
     # burst gets a second, time-separated shot at a quiet window. Best-of
     # merging means these passes can only improve the numbers (the tunnel's
     # background threads bias late passes down, which the min() ignores).
-    stale = 0
-    for _pass in range(6):
-        improved = False
-        for name, fn in host_stages:
-            try:
-                audio, wall = fn(repeats=12)
-                if wall < best[name][1] * 0.99:
-                    improved = True
-                if wall < best[name][1]:
-                    best[name] = (audio, wall)
-            except Exception as e:  # pragma: no cover
-                print(f"bench stage {name} failed late: {e}", file=sys.stderr)
-        stale = 0 if improved else stale + 1
-        if stale >= 2:
-            break
-        if _pass < 5:
-            time.sleep(2.5)
+    _sample_host(passes=6, min_passes=1, stale_cap=2, tag=" late")
     _host_stage_results()
     for _pass in range(2):
         for name, fn in breadth:

@@ -477,7 +477,9 @@ class IsoMp4Reader(FormatReader):
     def _parse_trak(self, buf, b, e) -> Optional[Mp4Track]:
         t = Mp4Track(track_id=len(self._tracks))
         tkhd = find_atom(buf, b, e, [b"tkhd"])
-        if tkhd:
+        if tkhd and tkhd[1] - tkhd[0] >= 4:
+            # Slices clamp at EOF but scalar byte reads raise: every
+            # version read below needs the full-box header present.
             version = buf[tkhd[0]]
             off = tkhd[0] + 4 + (8 if version == 1 else 4) * 2
             t.track_id = int.from_bytes(buf[off : off + 4], "big")
@@ -485,7 +487,7 @@ class IsoMp4Reader(FormatReader):
         if mdia is None:
             return None
         mdhd = find_atom(buf, *mdia, [b"mdhd"])
-        if mdhd:
+        if mdhd and mdhd[1] - mdhd[0] >= 4:
             version = buf[mdhd[0]]
             if version == 1:
                 t.timescale = int.from_bytes(buf[mdhd[0] + 20 : mdhd[0] + 24], "big")
@@ -535,10 +537,13 @@ class IsoMp4Reader(FormatReader):
             t.key = np.ones(len(t.offsets), bool)
         # Edit list -> delay (elst.rs).
         elst = find_atom(buf, b, e, [b"edts", b"elst"])
-        if elst:
+        if elst and elst[1] - elst[0] >= 8:
             version = buf[elst[0]]
             count = int.from_bytes(buf[elst[0] + 4 : elst[0] + 8], "big")
             pos = elst[0] + 8
+            # Byte anchor: a crafted count must not spin billions of
+            # clamped-slice iterations.
+            count = min(count, (elst[1] - pos) // (20 if version == 1 else 12))
             for _ in range(count):
                 if version == 1:
                     seg_dur = int.from_bytes(buf[pos : pos + 8], "big")
@@ -846,7 +851,7 @@ class IsoMp4Reader(FormatReader):
         every sample is a sync sample (ISO 14496-12 8.6.2)."""
         n = len(t.offsets)
         ctts = find_atom(buf, *stbl, [b"ctts"])
-        if ctts is not None and n:
+        if ctts is not None and n and ctts[1] - ctts[0] >= 8:
             version = buf[ctts[0]]
             cc = int.from_bytes(buf[ctts[0] + 4 : ctts[0] + 8], "big")
             rows = self._table_array(buf, ctts[0] + 8, 8, cc, ">u4",
@@ -863,7 +868,7 @@ class IsoMp4Reader(FormatReader):
             expanded = np.repeat(offs, counts[:k])[:n]
             t.pts_off[: len(expanded)] = expanded
         stss = find_atom(buf, *stbl, [b"stss"])
-        if stss is not None and n:
+        if stss is not None and n and stss[1] - stss[0] >= 8:
             cc = int.from_bytes(buf[stss[0] + 4 : stss[0] + 8], "big")
             nums = self._table_array(buf, stss[0] + 8, 4, cc, ">u4", "stss")
             t.key = np.zeros(n, bool)
@@ -878,7 +883,7 @@ class IsoMp4Reader(FormatReader):
         self._sidx_timescale = 0
         self._sidx_track_id: Optional[int] = None
         for atype, b, e in iter_atoms(buf, 0, len(buf)):
-            if atype != b"sidx":
+            if atype != b"sidx" or e - b < 12:
                 continue
             version = buf[b]
             ref_id = int.from_bytes(buf[b + 4 : b + 8], "big")
@@ -974,7 +979,7 @@ class IsoMp4Reader(FormatReader):
                 if track is None:
                     continue
                 for t3, rb, re_ in iter_atoms(buf, tb, te):
-                    if t3 != b"trun":
+                    if t3 != b"trun" or re_ - rb < 8:
                         continue
                     trun_version = buf[rb]
                     tflags = int.from_bytes(buf[rb + 1 : rb + 4], "big")
@@ -1265,7 +1270,8 @@ class IsoMp4Reader(FormatReader):
             # tick value per track before positioning its cursor (video
             # and audio timescales virtually always differ).
             t_ts = ts
-            if track.timescale and t.timescale != track.timescale:
+            if track.timescale and t.timescale and \
+                    t.timescale != track.timescale:
                 t_ts = ts * t.timescale // track.timescale
             j = int(np.searchsorted(t.ts, t_ts, side="right")) - 1
             self._cursor[t.track_id] = max(0, j)

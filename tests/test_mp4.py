@@ -1290,6 +1290,90 @@ def build_av_mp4(pcm, vframes, v_dur=100, ctts_offs=None, sync=None,
                               + subs_payload)
 
 
+class TestMalformedAtomBounds:
+    """Empty/truncated full-box atoms at EOF must degrade, not crash:
+    slices clamp but the scalar version-byte reads raise IndexError when
+    the atom body is empty and sits at the end of the file."""
+
+    def _m4a_moov_last(self, stbl_extra=b"", trak_extra=b""):
+        """Audio-only sowt M4A laid out mdat-FIRST so the moov (and any
+        trailing empty atom inside it) ends exactly at EOF."""
+        rng = np.random.default_rng(3)
+        pcm = rng.integers(-3000, 3000, size=(1, 16)).astype(np.int16)
+        payload = np.ascontiguousarray(pcm.T.astype("<i2")).tobytes()
+        ftyp = atom(b"ftyp", b"isom\x00\x00\x00\x00isommp42")
+        mdat = atom(b"mdat", payload)
+        common = (b"\x00" * 6 + struct.pack(">H", 1) + struct.pack(">H", 0)
+                  + b"\x00" * 6 + struct.pack(">HH", 1, 16)
+                  + b"\x00" * 4 + struct.pack(">I", 8000 << 16))
+        stsd = full_atom(b"stsd", struct.pack(">I", 1) + atom(b"sowt", common))
+        stts = full_atom(b"stts", struct.pack(">III", 1, 16, 1))
+        stsc = full_atom(b"stsc", struct.pack(">IIII", 1, 1, 16, 1))
+        stsz = full_atom(b"stsz", struct.pack(">III", 2, 16, 0)[:12])
+        stco = full_atom(b"stco", struct.pack(">II", 1, len(ftyp) + 8))
+        stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco + stbl_extra)
+        mdhd = full_atom(b"mdhd", struct.pack(">IIIIHH", 0, 0, 8000, 16,
+                                              0x55C4, 0))
+        mdia = atom(b"mdia", mdhd + atom(b"minf", stbl))
+        tkhd = full_atom(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0)
+                         + b"\x00" * 72)
+        moov = atom(b"moov", full_atom(
+            b"mvhd", struct.pack(">III", 0, 0, 8000) + b"\x00" * 88)
+            + atom(b"trak", tkhd + mdia + trak_extra))
+        return ftyp + mdat + moov
+
+    def _decodes(self, data):
+        fmt = IsoMp4Reader(MediaSourceStream(data))
+        n = 0
+        while fmt.next_packet() is not None:
+            n += 1
+        return n
+
+    def test_empty_ctts_at_eof_degrades(self):
+        data = self._m4a_moov_last(stbl_extra=atom(b"ctts", b""))
+        assert self._decodes(data) > 0  # used to raise raw IndexError
+
+    def test_empty_stss_tkhd_mdhd_elst_at_eof(self):
+        assert self._decodes(
+            self._m4a_moov_last(stbl_extra=atom(b"stss", b""))) > 0
+        assert self._decodes(
+            self._m4a_moov_last(
+                trak_extra=atom(b"edts", atom(b"elst", b"")))) > 0
+
+    def test_elst_count_byte_anchored(self):
+        """A crafted elst count must not spin ~2^32 iterations."""
+        import time as _t
+
+        elst = full_atom(b"elst", struct.pack(">I", 0xFFFFFFFF)
+                         + struct.pack(">Ii", 100, 50))
+        data = self._m4a_moov_last(trak_extra=atom(b"edts", elst))
+        t0 = _t.time()
+        assert self._decodes(data) > 0
+        assert _t.time() - t0 < 5.0
+
+    def test_seek_with_zero_timescale_track(self):
+        """A malformed secondary track with mdhd timescale 0 must not be
+        rewound to sample 0 by the cross-track seek rescale."""
+        from symphonia_tpu.core.formats import SeekTo
+
+        rng = np.random.default_rng(5)
+        pcm = rng.integers(-3000, 3000, size=(1, 3200)).astype(np.int16)
+        vframes = [b"a" * 10, b"b" * 10, b"c" * 10, b"d" * 10]
+        data = build_av_mp4(pcm, vframes, v_timescale=0)
+        fmt = IsoMp4Reader(MediaSourceStream(data))
+        fmt.seek("coarse", SeekTo(ts=800))
+        vid = []
+        while True:
+            p = fmt.next_packet()
+            if p is None:
+                break
+            if p.track_id == 2:
+                vid.append(bytes(p.data))
+        # Raw-tick positioning (the pre-rescale behavior) for the
+        # 0-timescale track: not rewound to the start.
+        assert vid == [b"d" * 10]
+
+
 def build_fmp4_video(vframes, v_dur=100, timescale=1000, sample_flags=None,
                      cts=None, first_flags=None, tfhd_flags=None,
                      trex_flags=0, trun_version=1) -> bytes:
