@@ -192,7 +192,7 @@ class CafReader(FormatReader):
 
             # _parse_esds expects the 4 version/flags bytes an esds atom
             # carries before the descriptor; the cookie starts at tag 0x03.
-            asc = _parse_esds(b"\x00\x00\x00\x00" + kuki)
+            _oti, asc = _parse_esds(b"\x00\x00\x00\x00" + kuki)
             if asc:
                 return asc
         return kuki

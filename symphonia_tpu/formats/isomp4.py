@@ -16,7 +16,7 @@ from __future__ import annotations
 import bisect
 import struct
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -43,7 +43,6 @@ from ..core.formats import (
     FormatOptions,
     FormatReader,
     PacketTable,
-    SeekMode,
     SeekTo,
     SeekedTo,
     Track,
@@ -213,8 +212,10 @@ class _RangeView:
         return b[0]
 
 
-def iter_atoms(buf: bytes, start: int, end: int):
-    """Yield (type, body_start, body_end) for atoms in [start, end)."""
+def iter_atoms_h(buf: bytes, start: int, end: int):
+    """Yield (type, header_start, body_start, body_end) for atoms in
+    [start, end) — header_start differs from body_start by 8 or, for
+    64-bit largesize atoms, 16 bytes."""
     pos = start
     while pos + 8 <= end:
         size = int.from_bytes(buf[pos : pos + 4], "big")
@@ -227,8 +228,14 @@ def iter_atoms(buf: bytes, start: int, end: int):
             size = end - pos
         if size < hdr or pos + size > end:
             break
-        yield atype, pos + hdr, pos + size
+        yield atype, pos, pos + hdr, pos + size
         pos += size
+
+
+def iter_atoms(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for atoms in [start, end)."""
+    for atype, _h, b, e in iter_atoms_h(buf, start, end):
+        yield atype, b, e
 
 
 def find_atom(buf, start, end, path: List[bytes]):
@@ -271,8 +278,10 @@ class Mp4Track:
     pcm_frame_bytes: int = 0
 
 
-def _parse_esds(body: bytes) -> Optional[bytes]:
-    """Extract the DecoderSpecificInfo (ASC) from an esds box (esds.rs)."""
+def _parse_esds(body: bytes):
+    """(objectTypeIndication, DecoderSpecificInfo) from an esds box
+    (esds.rs). Either may be None; MP3-in-MP4 signals via OTI 0x69/0x6B
+    with no DSI (the reference maps OTI to the codec id)."""
     pos = 4  # version/flags
 
     def read_desc(p):
@@ -290,7 +299,7 @@ def _parse_esds(body: bytes) -> Optional[bytes]:
     try:
         tag, size, pos = read_desc(pos)  # ES descriptor (0x03)
         if tag != 0x03:
-            return None
+            return None, None
         pos += 2  # ES id
         flags = body[pos]
         pos += 1
@@ -302,17 +311,18 @@ def _parse_esds(body: bytes) -> Optional[bytes]:
             pos += 2
         tag, size, pos = read_desc(pos)  # DecoderConfig (0x04)
         if tag != 0x04:
-            return None
+            return None, None
         dc_end = pos + size
+        oti = body[pos]
         pos += 13  # objectType, streamType, bufferSize, bitrates
         if pos >= dc_end:
-            return None
+            return oti, None
         tag, size, pos = read_desc(pos)  # DecoderSpecificInfo (0x05)
         if tag != 0x05:
-            return None
-        return body[pos : pos + size]
+            return oti, None
+        return oti, body[pos : pos + size]
     except IndexError:
-        return None
+        return None, None
 
 
 # iTunes ilst key maps live in metadata/std_tag.py (ITUNES_MAP /
@@ -355,9 +365,17 @@ class IsoMp4Reader(FormatReader):
             raise Unsupported("missing moov atom")
 
         self._tracks: List[Mp4Track] = []
+        trak_err: Optional[DecodeError] = None
         for atype, b, e in iter_atoms(buf, *moov):
             if atype == b"trak":
-                t = self._parse_trak(buf, b, e)
+                # One malformed trak must not kill its valid siblings;
+                # a file with NO parsable track re-raises the first error
+                # (so single-track malformed files fail as before).
+                try:
+                    t = self._parse_trak(buf, b, e)
+                except DecodeError as exc:
+                    trak_err = trak_err or exc
+                    continue
                 if t is not None and (t.codec is not None
                                       or t.other_params is not None):
                     self._tracks.append(t)
@@ -365,6 +383,8 @@ class IsoMp4Reader(FormatReader):
                 self._parse_mvex(buf, b, e)
             elif atype == b"udta":
                 self._parse_udta(buf, b, e)
+        if not self._tracks and trak_err is not None:
+            raise trak_err
 
         # Fragmented movies: sidx-indexed lazy loading when the moov carries
         # no usable sample tables (demuxer.rs:500-584); otherwise an eager
@@ -561,8 +581,7 @@ class IsoMp4Reader(FormatReader):
         stsd = find_atom(buf, *stbl, [b"stsd"])
         if stsd is None:
             return
-        count = int.from_bytes(buf[stsd[0] + 4 : stsd[0] + 8], "big")
-        pos = stsd[0] + 8
+        pos = stsd[0] + 8  # entry count precedes; iter_atoms bounds the walk
         for atype, b, e in iter_atoms(buf, pos, stsd[1]):
             entry = buf[b : e]
             # SampleEntry: 6 reserved + 2 data_ref_index, audio: 8 more
@@ -586,8 +605,13 @@ class IsoMp4Reader(FormatReader):
                     if wave:
                         esds = find_atom(buf, wave[0], wave[1], [b"esds"])
                 if esds:
-                    asc = _parse_esds(buf[esds[0] : esds[1]])
-                    if asc:
+                    oti, asc = _parse_esds(buf[esds[0] : esds[1]])
+                    if oti in (0x69, 0x6B):
+                        # MPEG-2 BC / MPEG-1 audio in mp4a (the common
+                        # "ffmpeg -c copy mp3 -> m4a" layout): the codec
+                        # comes from the OTI, no DSI (esds.rs OTI map).
+                        t.codec = CODEC_ID_MP3
+                    elif asc:
                         t.extra_data = asc
                         from ..common.mpeg import AudioSpecificConfig
 
@@ -598,8 +622,6 @@ class IsoMp4Reader(FormatReader):
                             t.ch_layout = parsed.channels
                         except Exception:
                             pass
-                        # .mp3-in-mp4 signals via object type in esds; the
-                        # ASC parse fails for those and AAC stays assumed.
             elif atype == b"alac":
                 t.codec = CODEC_ID_ALAC
                 sub = find_atom(buf, sub_start, e, [b"alac"])
@@ -615,10 +637,18 @@ class IsoMp4Reader(FormatReader):
                 t.codec = CODEC_ID_OPUS
                 sub = find_atom(buf, sub_start, e, [b"dOps"])
                 if sub:
-                    # dOps carries an Opus id header minus the magic
-                    # (atoms/opus.rs:37-59); 11..268 payload bytes.
-                    if 11 <= sub[1] - sub[0] <= 268:
-                        t.extra_data = b"OpusHead" + bytes(buf[sub[0]:sub[1]])
+                    # dOps stores the id-header fields BIG-endian with
+                    # Version 0; an RFC 7845 OpusHead is little-endian
+                    # with version 1, so rebuild it field by field
+                    # (atoms/opus.rs:37-59), mapping table verbatim.
+                    d = bytes(buf[sub[0] : sub[1]])
+                    if 11 <= len(d) <= 268:
+                        t.extra_data = (
+                            b"OpusHead" + bytes([1, d[1]])
+                            + int.from_bytes(d[2:4], "big").to_bytes(2, "little")
+                            + int.from_bytes(d[4:8], "big").to_bytes(4, "little")
+                            + int.from_bytes(d[8:10], "big").to_bytes(2, "little")
+                            + d[10:])
             elif atype in (b"ac-3", b"ec-3"):
                 # Described-only: the reference surfaces AC-3/E-AC-3 params
                 # via dac3/dec3 (atoms/{dac3,dec3}.rs) but ships no decoder.
@@ -644,7 +674,9 @@ class IsoMp4Reader(FormatReader):
                     if bpas != nbytes:
                         raise DecodeError(
                             "isomp4: invalid pcm bytes per sample")
-                if t.n_channels not in (1, 2):
+                if t.n_channels < 1:
+                    # 0 channels breaks the PCM frame math; >2 is legal
+                    # QuickTime multichannel (frame size scales fine).
                     raise DecodeError("isomp4: invalid number of channels")
                 t.codec = codec
                 t.bits_per_sample = 8 * nbytes
@@ -657,9 +689,7 @@ class IsoMp4Reader(FormatReader):
                     raise DecodeError("isomp4: malformed lpcm entry")
                 if int.from_bytes(entry[44:48], "big") != 0x7F000000:
                     raise DecodeError("isomp4: lpcm reserved mismatch")
-                import struct as _struct
-
-                t.sample_rate = int(_struct.unpack(">d", entry[32:40])[0])
+                t.sample_rate = int(struct.unpack(">d", entry[32:40])[0])
                 t.n_channels = int.from_bytes(entry[40:44], "big")
                 bits = int.from_bytes(entry[48:52], "big")
                 flags = int.from_bytes(entry[52:56], "big")
@@ -691,17 +721,18 @@ class IsoMp4Reader(FormatReader):
             break  # only first entry
 
     @staticmethod
-    def _table_array(buf, start, width, count, dtype, what):
-        """Checked big-endian table read: a truncated atom whose declared
-        entry count exceeds its bytes is a DecodeError (the reference
-        errors on short atom reads), not a raw numpy ValueError."""
+    def _table_array(buf, start, width, count, dtype, what, bound=None):
+        """Checked big-endian table read: a declared entry count that
+        exceeds the atom's own bytes (``bound`` = atom body end) is a
+        DecodeError (the reference errors on short atom reads), not a raw
+        numpy ValueError — and never silently reads past the atom into
+        its neighbors' bytes."""
         end = start + width * count
-        if count < 0 or end > len(buf):
+        if count < 0 or end > (len(buf) if bound is None else bound):
             raise DecodeError(f"isomp4: truncated {what} table")
         return np.frombuffer(buf[start:end], dtype=dtype).astype(np.int64)
 
-    def _expand_sample_tables(self, buf, t: Mp4Track, stbl,
-                              byte_bound: Optional[int] = None) -> None:
+    def _expand_sample_tables(self, buf, t: Mp4Track, stbl) -> None:
         def table(name):
             a = find_atom(buf, *stbl, [name])
             return a
@@ -720,9 +751,7 @@ class IsoMp4Reader(FormatReader):
                 # the row count — their per-sample scheduling loop is what
                 # a crafted count would actually drive.
                 pipe_bound = getattr(self, "_stsz_byte_bound", None)
-                if byte_bound is None:
-                    byte_bound = pipe_bound
-                bound = (byte_bound if byte_bound is not None
+                bound = (pipe_bound if pipe_bound is not None
                          else len(buf)) // uniform
                 if pipe_bound is not None:
                     bound = min(bound, _PIPE_SAMPLE_CAP)
@@ -731,7 +760,7 @@ class IsoMp4Reader(FormatReader):
                 sizes = np.full(count, uniform, dtype=np.int64)
             else:
                 sizes = self._table_array(buf, stsz[0] + 12, 4, count,
-                                          ">u4", "stsz")
+                                          ">u4", "stsz", bound=stsz[1])
         if sizes is None or len(sizes) == 0:
             t.offsets = np.zeros(0, np.int64)
             t.sizes = np.zeros(0, np.int64)
@@ -747,14 +776,14 @@ class IsoMp4Reader(FormatReader):
         if stco:
             cc = int.from_bytes(buf[stco[0] + 4 : stco[0] + 8], "big")
             chunk_offsets = self._table_array(buf, stco[0] + 8, 4, cc,
-                                              ">u4", "stco")
+                                              ">u4", "stco", bound=stco[1])
         else:
             co64 = table(b"co64")
             if co64 is None:
                 raise DecodeError("isomp4: missing stco/co64 sample table")
             cc = int.from_bytes(buf[co64[0] + 4 : co64[0] + 8], "big")
             chunk_offsets = self._table_array(buf, co64[0] + 8, 8, cc,
-                                              ">u8", "co64")
+                                              ">u8", "co64", bound=co64[1])
 
         # stsc: samples per chunk runs.
         stsc = table(b"stsc")
@@ -762,7 +791,7 @@ class IsoMp4Reader(FormatReader):
             raise DecodeError("isomp4: missing stsc sample table")
         sc = int.from_bytes(buf[stsc[0] + 4 : stsc[0] + 8], "big")
         runs = self._table_array(buf, stsc[0] + 8, 12, sc, ">u4",
-                                 "stsc").reshape(-1, 3)
+                                 "stsc", bound=stsc[1]).reshape(-1, 3)
         # (first_chunk, samples, desc_idx)
 
         if t.pcm_frame_bytes:
@@ -805,7 +834,10 @@ class IsoMp4Reader(FormatReader):
             first = int(runs[ri, 0]) - 1
             spc = int(runs[ri, 1])
             last = int(runs[ri + 1, 0]) - 1 if ri + 1 < len(runs) else len(chunk_offsets)
-            for ci in range(first, last):
+            # Clamp malformed first_chunk values into the stco range (the
+            # PCM branch above does the same): out-of-range indexes must
+            # not raise raw IndexError or wrap negatively.
+            for ci in range(max(0, first), min(last, len(chunk_offsets))):
                 if si >= n:
                     break
                 take = min(spc, n - si)
@@ -824,7 +856,7 @@ class IsoMp4Reader(FormatReader):
             raise DecodeError("isomp4: missing stts sample table")
         tc = int.from_bytes(buf[stts[0] + 4 : stts[0] + 8], "big")
         truns = self._table_array(buf, stts[0] + 8, 8, tc, ">u4",
-                                  "stts").reshape(-1, 2)
+                                  "stts", bound=stts[1]).reshape(-1, 2)
         # Clip run counts before materializing: only n durations are
         # needed, and crafted counts must not drive a giant np.repeat.
         # The cumulative cut bounds the expansion at < 2n even when MANY
@@ -855,7 +887,7 @@ class IsoMp4Reader(FormatReader):
             version = buf[ctts[0]]
             cc = int.from_bytes(buf[ctts[0] + 4 : ctts[0] + 8], "big")
             rows = self._table_array(buf, ctts[0] + 8, 8, cc, ">u4",
-                                     "ctts").reshape(-1, 2)
+                                     "ctts", bound=ctts[1]).reshape(-1, 2)
             counts = np.minimum(rows[:, 0], n)
             # Cumulative cut: bound the materialized expansion at < 2n
             # (many rows each claiming up to n would otherwise allocate
@@ -870,7 +902,8 @@ class IsoMp4Reader(FormatReader):
         stss = find_atom(buf, *stbl, [b"stss"])
         if stss is not None and n and stss[1] - stss[0] >= 8:
             cc = int.from_bytes(buf[stss[0] + 4 : stss[0] + 8], "big")
-            nums = self._table_array(buf, stss[0] + 8, 4, cc, ">u4", "stss")
+            nums = self._table_array(buf, stss[0] + 8, 4, cc, ">u4", "stss",
+                                      bound=stss[1])
             t.key = np.zeros(n, bool)
             nums = nums[(nums >= 1) & (nums <= n)] - 1  # 1-based sample ids
             t.key[nums] = True
@@ -941,13 +974,31 @@ class IsoMp4Reader(FormatReader):
             defaults[track_id] = (dur, size, flags)
 
     def _parse_fragments(self, buf, lo: int = 0, hi: Optional[int] = None) -> None:
-        """Minimal moof/traf/trun support (fragmented MP4, stream.rs:83)."""
+        """Minimal moof/traf/trun support (fragmented MP4, stream.rs:83).
+
+        Per-trun rows accumulate in per-track column lists and flush to
+        the track arrays ONCE per call: appending via np.concatenate per
+        trun is quadratic over many tiny truns (a crafted-fragment DoS).
+        """
         if hi is None:
             hi = len(buf)
-        for atype, b, e in iter_atoms(buf, lo, hi):
+        # track_id -> [off_chunks, sz_chunks, dr_chunks, pto_chunks,
+        #              kf_chunks, ts_chunks, next_ts, track]
+        acc: dict = {}
+
+        def _acc(track):
+            a = acc.get(track.track_id)
+            if a is None:
+                nt = (int(track.ts[-1] + track.durs[-1])
+                      if len(track.ts) else 0)
+                a = acc[track.track_id] = [[], [], [], [], [], [], nt, track]
+            return a
+
+        for atype, moof_start, b, e in iter_atoms_h(buf, lo, hi):
             if atype != b"moof":
                 continue
-            moof_start = b - 8
+            # default-base-is-moof offsets anchor at the atom HEADER
+            # (which is 16 bytes for a 64-bit largesize moof, not 8).
             for t2, tb, te in iter_atoms(buf, b, e):
                 if t2 != b"traf":
                     continue
@@ -1005,16 +1056,20 @@ class IsoMp4Reader(FormatReader):
                             raise DecodeError("isomp4: truncated trun table")
                     else:
                         # No per-sample fields: the trun's own bytes can't
-                        # bound the count. Pipe views report a sentinel
+                        # bound the count. Each sample claims default_size
+                        # stream bytes, so a CUMULATIVE byte ledger caps
+                        # the total across all truns (per-trun bounds
+                        # alone let thousands of truns each claim the
+                        # whole file). Pipe views report a sentinel
                         # length; use the explicit bound there (see
-                        # _stsz_byte_bound). Each sample then claims
-                        # default_size stream bytes — and when that is 0,
-                        # byte anchors bound nothing, so empty samples get
-                        # a small cumulative cap of their own.
+                        # _stsz_byte_bound) plus a row cap. default_size
+                        # 0 claims no bytes, so empty samples get a small
+                        # cumulative row cap of their own.
                         cap = getattr(self, "_stsz_byte_bound", None)
                         if default_size:
-                            bound = ((cap if cap is not None else len(buf))
-                                     // default_size)
+                            budget = cap if cap is not None else len(buf)
+                            used_b = getattr(self, "_trun_bytes", 0)
+                            bound = max(0, budget - used_b) // default_size
                             if cap is not None:  # pipe: length is assumed
                                 used = getattr(self, "_trun_samples", 0)
                                 bound = min(bound, _PIPE_SAMPLE_CAP - used)
@@ -1025,6 +1080,8 @@ class IsoMp4Reader(FormatReader):
                             raise DecodeError(
                                 "isomp4: trun count exceeds stream")
                         if default_size:
+                            self._trun_bytes = getattr(
+                                self, "_trun_bytes", 0) + cnt * default_size
                             if cap is not None:
                                 self._trun_samples = getattr(
                                     self, "_trun_samples", 0) + cnt
@@ -1069,18 +1126,25 @@ class IsoMp4Reader(FormatReader):
                         # with no matching offset/size/dur row (soak-found
                         # length desync -> IndexError on the next trun).
                         continue
-                    base_ts = int(track.ts[-1] + track.durs[-1]) if len(track.ts) else 0
-                    new_ts = base_ts + np.concatenate(
-                        [[0], np.cumsum(np.asarray(drs[:-1], dtype=np.int64))]
-                    )
-                    track.offsets = np.concatenate([track.offsets, np.asarray(offs, np.int64)])
-                    track.sizes = np.concatenate([track.sizes, np.asarray(szs, np.int64)])
-                    track.durs = np.concatenate([track.durs, np.asarray(drs, np.int64)])
-                    track.ts = np.concatenate([track.ts, new_ts])
-                    track.pts_off = np.concatenate(
-                        [track.pts_off, np.asarray(ptos, np.int64)])
-                    track.key = np.concatenate(
-                        [track.key, np.asarray(kfs, bool)])
+                    a = _acc(track)
+                    drs_a = np.asarray(drs, np.int64)
+                    new_ts = a[6] + np.concatenate(
+                        [[0], np.cumsum(drs_a[:-1])])
+                    a[6] += int(drs_a.sum())
+                    a[0].append(np.asarray(offs, np.int64))
+                    a[1].append(np.asarray(szs, np.int64))
+                    a[2].append(drs_a)
+                    a[3].append(np.asarray(ptos, np.int64))
+                    a[4].append(np.asarray(kfs, bool))
+                    a[5].append(new_ts)
+        for offc, szc, drc, ptoc, kfc, tsc, _nt, track in acc.values():
+            track.offsets = np.concatenate([track.offsets] + offc)
+            track.sizes = np.concatenate([track.sizes] + szc)
+            track.durs = np.concatenate([track.durs] + drc)
+            track.ts = np.concatenate([track.ts] + tsc)
+            track.pts_off = np.concatenate([track.pts_off] + ptoc)
+            track.key = np.concatenate(
+                [track.key.astype(bool)] + kfc)
 
     def _parse_udta(self, buf, b, e) -> None:
         meta = find_atom(buf, b, e, [b"meta"])
@@ -1100,7 +1164,6 @@ class IsoMp4Reader(FormatReader):
         """Typed `data` atom payload -> Python value (atoms/ilst.rs typed
         readers; itunes well-known data types). Returns None when the type
         is unrecognized (caller keeps the raw bytes)."""
-        import struct as _s
 
         if dtype in (1, 4):  # UTF-8 (+ sort variant)
             return payload.decode("utf-8", "replace")
@@ -1111,9 +1174,9 @@ class IsoMp4Reader(FormatReader):
         if dtype in (22, 0):  # unsigned big-endian int / implicit numeric
             return int.from_bytes(payload, "big")
         if dtype == 23 and len(payload) == 4:
-            return _s.unpack(">f", payload)[0]
+            return struct.unpack(">f", payload)[0]
         if dtype == 24 and len(payload) == 8:
-            return _s.unpack(">d", payload)[0]
+            return struct.unpack(">d", payload)[0]
         return None
 
     def _parse_ilst_item(self, buf, atype, ib, ie, rev) -> None:
@@ -1333,11 +1396,11 @@ class Mp4StreamReader(IsoMp4Reader):
         self._sidx_track_id = None
         self._frag_loaded = 0
         self._moov_parsed = False
-        self._fragmented = False
         self._saw_ftyp = False
         self._eof = False
         self._cur_mdat_end: Optional[int] = None
         self._pending: deque = deque()
+        self._emitted_dts: dict = {}  # track_id -> last emitted dts
         self._sched: Dict[int, int] = {}  # per-track scheduled-sample count
 
         # Walk until the moov has been parsed (buffering any mdat bodies
@@ -1463,9 +1526,14 @@ class Mp4StreamReader(IsoMp4Reader):
         return True
 
     def _parse_moov_atoms(self, lo: int, hi: int) -> None:
+        trak_err: Optional[DecodeError] = None
         for atype, b, e in iter_atoms(self._view, lo, hi):
             if atype == b"trak":
-                t = self._parse_trak(self._view, b, e)
+                try:  # skip malformed traks; keep valid siblings
+                    t = self._parse_trak(self._view, b, e)
+                except DecodeError as exc:
+                    trak_err = trak_err or exc
+                    continue
                 if t is not None and (t.codec is not None
                                       or t.other_params is not None):
                     self._tracks.append(t)
@@ -1473,6 +1541,8 @@ class Mp4StreamReader(IsoMp4Reader):
                 self._parse_mvex(self._view, b, e)
             elif atype == b"udta":
                 self._parse_udta(self._view, b, e)
+        if not self._tracks and trak_err is not None:
+            raise trak_err
         self._moov_parsed = True
         self._sched = {t.track_id: 0 for t in self._tracks}
         # Samples may already be addressable (mdat buffered pre-moov).
@@ -1513,7 +1583,8 @@ class Mp4StreamReader(IsoMp4Reader):
                     if not self._pending:
                         return None
                     break
-            off, size, ts, dur, tid, kf, _dts = self._pending.popleft()
+            off, size, ts, dur, tid, kf, dts = self._pending.popleft()
+            self._emitted_dts[tid] = dts
             if size <= 0:
                 continue
             hi = off + size
@@ -1548,6 +1619,9 @@ class Mp4StreamReader(IsoMp4Reader):
             ts = int(to.time.to_seconds() * (track.timescale or 1))
         else:
             raise SeekError("no seek target")
+        last = self._emitted_dts.get(track.track_id)
+        if last is not None and ts < last:
+            raise SeekError("cannot seek backward on a pipe")
         while True:
             for i, ent in enumerate(self._pending):
                 # Match on dts (ent[6]): monotonic per track in decode

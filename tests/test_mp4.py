@@ -1097,7 +1097,12 @@ class TestStsdEntryVariants:
         assert p.codec == "opus"
         assert p.extra_data is not None
         assert p.extra_data.startswith(b"OpusHead")
+        # The big-endian version-0 dOps fields are rebuilt as an RFC 7845
+        # little-endian version-1 OpusHead (atoms/opus.rs).
+        assert p.extra_data[8] == 1  # OpusHead version
         assert p.extra_data[9] == 2  # channel count rides through
+        assert int.from_bytes(p.extra_data[10:12], "little") == 312
+        assert int.from_bytes(p.extra_data[12:16], "little") == 48000
 
     def test_ac3_described_not_decodable(self):
         from symphonia_tpu.core.errors import Unsupported
@@ -1290,6 +1295,65 @@ def build_av_mp4(pcm, vframes, v_dur=100, ctts_offs=None, sync=None,
                               + subs_payload)
 
 
+class TestMp3InMp4:
+    """mp4a entries whose esds objectTypeIndication is 0x69/0x6B carry
+    MPEG audio, not AAC (the reference maps OTI to the codec, esds.rs)."""
+
+    def _mp3_frames(self, n=4):
+        from mp3_builder import build_mpeg1_l3_stream
+
+        # Build per-frame by slicing the stream on 0xFFF sync headers.
+        data = build_mpeg1_l3_stream(n, n_ch=1, seed=4)
+        offs = [i for i in range(len(data) - 1)
+                if data[i] == 0xFF and (data[i + 1] & 0xE0) == 0xE0]
+        # Keep only real frame starts: successive offsets spaced by the
+        # header-implied size (the builder emits back-to-back frames).
+        starts = [offs[0]]
+        for o in offs[1:]:
+            if o > starts[-1] + 24:  # frames are never this short
+                starts.append(o)
+        frames = [data[a:b] for a, b in zip(starts, starts[1:] + [len(data)])]
+        return frames, data
+
+    def test_oti_0x6b_maps_to_mp3_and_decodes(self):
+        frames, raw = self._mp3_frames()
+        # esds with OTI 0x6B and no DecoderSpecificInfo.
+        dcd = bytes([0x04, 13, 0x6B, 0x15]) + b"\x00" * 11
+        es = bytes([0x03, 3 + len(dcd)]) + b"\x00\x00\x00" + dcd
+        esds = full_atom(b"esds", es)
+        entry = atom(b"mp4a",
+                     b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+                     + struct.pack(">HH", 1, 16) + b"\x00" * 4
+                     + struct.pack(">I", 44100 << 16) + esds)
+        data = build_m4a_custom_entry(frames, entry, rate=44100,
+                                      samples_per_frame=1152)
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        track = probed.format.default_track()
+        assert track.codec_params.codec == "mp3"
+        dec = sym.get_codecs().make_audio_decoder(track.codec_params)
+        outs = []
+        while True:
+            p = probed.format.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        ours = np.concatenate(outs, axis=1)
+        # Reference: the same frames decoded through the MPA reader.
+        ref_fmt = sym.get_probe().probe(MediaSourceStream(raw)).format
+        ref_dec = sym.get_codecs().make_audio_decoder(
+            ref_fmt.default_track().codec_params)
+        refs = []
+        while True:
+            p = ref_fmt.next_packet()
+            if p is None:
+                break
+            refs.append(ref_dec.decode(p).planes().copy())
+        ref = np.concatenate(refs, axis=1)
+        n = min(ours.shape[1], ref.shape[1])
+        assert n > 0
+        np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
 class TestMalformedAtomBounds:
     """Empty/truncated full-box atoms at EOF must degrade, not crash:
     slices clamp but the scalar version-byte reads raise IndexError when
@@ -1351,6 +1415,139 @@ class TestMalformedAtomBounds:
         assert self._decodes(data) > 0
         assert _t.time() - t0 < 5.0
 
+    def test_table_read_bounded_by_atom_end(self):
+        """A count that exceeds the atom's own bytes is a DecodeError even
+        when the table would fit inside the FILE (it must never silently
+        read the neighboring atoms' bytes as table data)."""
+        from symphonia_tpu.core.errors import DecodeError
+
+        data = bytearray(self._m4a_moov_last())
+        i = data.find(b"stsc")
+        # stsc count 3: 36 bytes of rows, but the atom body holds one row.
+        struct.pack_into(">I", data, i + 8, 3)
+        with pytest.raises(DecodeError):
+            self._decodes(bytes(data))
+
+    def test_stsc_first_chunk_out_of_range_clamped(self):
+        """first_chunk beyond the stco count must clamp, not raise raw
+        IndexError (and 0 must not wrap to the last chunk)."""
+        for bad_first in (7, 0):
+            data = bytearray(self._m4a_moov_last())
+            i = data.find(b"stsc")
+            struct.pack_into(">I", data, i + 12, bad_first)
+            self._decodes(bytes(data))  # no raw IndexError
+
+    def test_bad_sibling_track_does_not_kill_container(self):
+        """One malformed trak is skipped; its valid sibling still plays.
+        A file whose ONLY track is malformed still raises DecodeError."""
+        from symphonia_tpu.core.errors import DecodeError
+
+        rng = np.random.default_rng(5)
+        pcm = rng.integers(-3000, 3000, size=(1, 64)).astype(np.int16)
+        payload = np.ascontiguousarray(pcm.T.astype("<i2")).tobytes()
+        bad_entry = atom(b"sowt",
+                         b"\x00" * 6 + struct.pack(">H", 1)
+                         + struct.pack(">H", 0) + b"\x00" * 6
+                         + struct.pack(">HH", 0, 16)  # 0 channels: invalid
+                         + b"\x00" * 4 + struct.pack(">I", 8000 << 16))
+        bad = build_m4a_custom_entry([payload], bad_entry, rate=8000,
+                                     samples_per_frame=64)
+        with pytest.raises(DecodeError):
+            IsoMp4Reader(MediaSourceStream(bad))
+        # Same malformed trak + a good PCM sibling: container opens and
+        # the good track decodes.
+        i = bad.find(b"moov")
+        moov_end = i + int.from_bytes(bad[i - 4 : i], "big") - 4
+        trak_i = bad.find(b"trak", i)
+        trak_len = int.from_bytes(bad[trak_i - 4 : trak_i], "big")
+        bad_trak = bad[trak_i - 4 : trak_i - 4 + trak_len]
+        good = build_av_mp4(pcm, [b"v" * 8])
+        j = good.find(b"moov")
+        glen = int.from_bytes(good[j - 4 : j], "big")
+        patched = (good[: j - 4]
+                   + (glen + len(bad_trak)).to_bytes(4, "big")
+                   + good[j : j + glen - 4] + bad_trak
+                   + good[j + glen - 4 :])
+        fmt = IsoMp4Reader(MediaSourceStream(patched))
+        assert fmt.default_track() is not None
+
+    def test_multichannel_quicktime_pcm(self):
+        """>2-channel v0/v1 PCM entries are legal QuickTime layouts."""
+        rng = np.random.default_rng(6)
+        pcm = rng.integers(-3000, 3000, size=(4, 32)).astype(np.int16)
+        inter = np.ascontiguousarray(pcm.T.astype("<i2")).tobytes()
+        # v0 semantics: one MP4 sample per PCM frame (8 bytes here).
+        samples = [inter[i : i + 8] for i in range(0, len(inter), 8)]
+        entry = atom(b"sowt",
+                     b"\x00" * 6 + struct.pack(">H", 1)
+                     + struct.pack(">H", 0) + b"\x00" * 6
+                     + struct.pack(">HH", 4, 16)
+                     + b"\x00" * 4 + struct.pack(">I", 8000 << 16))
+        data = build_m4a_custom_entry(samples, entry, rate=8000,
+                                      samples_per_frame=1)
+        probed = sym.get_probe().probe(MediaSourceStream(data))
+        tr = probed.format.default_track()
+        dec = sym.get_codecs().make_audio_decoder(tr.codec_params)
+        out = dec.decode(probed.format.next_packet()).planes()
+        assert out.shape[0] == 4
+        np.testing.assert_array_equal(out.astype(np.int16), pcm)
+
+    def test_seekable_trun_byte_ledger_cumulative(self):
+        """Thousands of zero-field truns each claiming the whole file via
+        trex default_size must fail fast (cumulative byte ledger), not
+        materialize rows * file_size samples (seekable-path DoS)."""
+        import time as _t
+        from symphonia_tpu.core.errors import DecodeError
+
+        one = build_fmp4_video([b"x"], trex_flags=0)
+        # Strip its trun of per-sample sizes: craft a raw zero-field trun
+        # claiming a huge count, repeated in many moofs.
+        mfhd = full_atom(b"mfhd", struct.pack(">I", 1))
+        tfhd = full_atom(b"tfhd", struct.pack(">II", 1, 1),
+                         flags=0x10)  # default-sample-size = 1
+        trun = full_atom(b"trun", struct.pack(">I", 500_000), flags=0)
+        moof = atom(b"moof", mfhd + atom(b"traf", tfhd + trun))
+        head = one[: one.find(b"moof") - 4]
+        data = head + moof * 200 + atom(b"mdat", b"y" * 64)
+        t0 = _t.time()
+        try:
+            fmt = IsoMp4Reader(MediaSourceStream(data))
+            rows = sum(len(t.offsets) for t in fmt._tracks)
+            assert rows * 1 <= len(data)  # ledger: claims fit the file
+        except DecodeError:
+            pass  # over-budget trun rejected — equally fine
+        assert _t.time() - t0 < 5.0
+
+    def test_largesize_moof_base_offset(self):
+        """A 64-bit largesize moof header anchors default-base offsets at
+        the header start (16 bytes before the body, not 8)."""
+        frames = [b"AAAA" + bytes(8), b"BBBB" + bytes(4)]
+        data = build_fmp4_video(frames, largesize_moof=True)
+        fmt = IsoMp4Reader(MediaSourceStream(data))
+        got = []
+        while True:
+            p = fmt.next_packet()
+            if p is None:
+                break
+            got.append(bytes(p.data))
+        assert got == frames  # byte-shifted without the header fix
+
+    def test_pipe_backward_seek_raises(self):
+        from tests.conftest import ForwardPipe
+        from symphonia_tpu.core.formats import SeekTo
+        from symphonia_tpu.core.errors import SeekError
+        from symphonia_tpu.formats.isomp4 import Mp4StreamReader
+
+        rng = np.random.default_rng(5)
+        pcm = rng.integers(-3000, 3000, size=(1, 3200)).astype(np.int16)
+        data = build_av_mp4(pcm, [b"v" * 8] * 4)
+        fmt = Mp4StreamReader(MediaSourceStream(ForwardPipe(data)))
+        fmt.seek("coarse", SeekTo(ts=200, track_id=2))
+        for _ in range(6):
+            fmt.next_packet()
+        with pytest.raises(SeekError):
+            fmt.seek("coarse", SeekTo(ts=0, track_id=2))
+
     def test_seek_with_zero_timescale_track(self):
         """A malformed secondary track with mdhd timescale 0 must not be
         rewound to sample 0 by the cross-track seek rescale."""
@@ -1376,7 +1573,8 @@ class TestMalformedAtomBounds:
 
 def build_fmp4_video(vframes, v_dur=100, timescale=1000, sample_flags=None,
                      cts=None, first_flags=None, tfhd_flags=None,
-                     trex_flags=0, trun_version=1) -> bytes:
+                     trex_flags=0, trun_version=1,
+                     largesize_moof=False) -> bytes:
     """Fragmented MP4 with a single avc1 video track (one moof/mdat pair):
     trun carries per-sample sizes, plus optional per-sample flags (0x400),
     composition offsets (0x800) and first-sample-flags (0x4); sample-flag
@@ -1429,7 +1627,13 @@ def build_fmp4_video(vframes, v_dur=100, timescale=1000, sample_flags=None,
             payload += struct.pack(">i" if trun_version else ">I", cts[k])
     trun = full_atom(b"trun", payload, flags=tr_flags,
                      version=trun_version)
-    moof = bytearray(atom(b"moof", mfhd + atom(b"traf", tfhd + trun)))
+    body = mfhd + atom(b"traf", tfhd + trun)
+    if largesize_moof:
+        # 64-bit atom header: size==1 + largesize (16-byte header).
+        moof = bytearray(struct.pack(">I", 1) + b"moof"
+                         + struct.pack(">Q", 16 + len(body)) + body)
+    else:
+        moof = bytearray(atom(b"moof", body))
     data_offset = len(moof) + 8
     idx = moof.find(b"trun") + 4 + 4 + 4  # type + ver/flags + count
     struct.pack_into(">i", moof, idx, data_offset)
