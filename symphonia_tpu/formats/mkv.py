@@ -11,8 +11,9 @@ Batch-first: clusters are walked once into a packet table.
 
 from __future__ import annotations
 
+import math
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -24,7 +25,6 @@ from ..core.formats import (
     FormatOptions,
     FormatReader,
     PacketTable,
-    SeekMode,
     SeekTo,
     SeekedTo,
     Track,
@@ -106,10 +106,6 @@ ID_SEEK = 0x4DBB
 ID_SEEK_ID = 0x53AB
 ID_SEEK_POSITION = 0x53AC
 
-_MASTER_IDS = {ID_SEGMENT, ID_INFO, ID_TRACKS, ID_TRACK_ENTRY, ID_AUDIO,
-               ID_VIDEO,
-               ID_CLUSTER, ID_BLOCK_GROUP, ID_TAGS, ID_TAG, ID_SIMPLE_TAG}
-
 # Top-level segment children: an unknown-size cluster ends at the next one.
 _TOP_LEVEL_IDS = {ID_SEGMENT, ID_INFO, ID_TRACKS, ID_CLUSTER, ID_CUES,
                   ID_TAGS, ID_CHAPTERS, ID_ATTACHMENTS, ID_SEEK_HEAD}
@@ -170,12 +166,17 @@ def _uint(buf, b, e) -> int:
 
 
 def _float(buf, b, e) -> float:
+    """EBML float body -> value; 0.0 for invalid lengths AND non-finite
+    payloads (NaN/inf would raise raw ValueError/OverflowError out of the
+    int(round(...)) call sites — the CAF NaN-rate taxonomy class)."""
     n = e - b
     if n == 4:
-        return struct.unpack(">f", buf[b:e])[0]
-    if n == 8:
-        return struct.unpack(">d", buf[b:e])[0]
-    return 0.0
+        v = struct.unpack(">f", buf[b:e])[0]
+    elif n == 8:
+        v = struct.unpack(">d", buf[b:e])[0]
+    else:
+        return 0.0
+    return v if math.isfinite(v) else 0.0
 
 
 @dataclass
@@ -185,6 +186,7 @@ class MkvTrack:
     codec_id: str = ""
     codec_private: Optional[bytes] = None
     sample_rate: float = 8000.0
+    out_sample_rate: Optional[float] = None  # SBR OutputSamplingFrequency
     channels: int = 1
     bit_depth: Optional[int] = None
     default_duration_ns: Optional[int] = None
@@ -241,7 +243,15 @@ def _parse_track_entry(buf: bytes, b: int, e: int) -> Tuple["MkvTrack", int]:
         elif eid3 == ID_AUDIO:
             for eid4, b4, e4 in iter_elements(buf, b3, e3):
                 if eid4 == ID_SAMPLING_FREQ:
-                    t.sample_rate = _float(buf, b4, e4)
+                    f = _float(buf, b4, e4)
+                    if f > 0:  # garbage keeps the 8000 Hz spec default
+                        t.sample_rate = f
+                elif eid4 == ID_OUT_SAMPLING_FREQ:
+                    # SBR output rate; preferred over the internal rate
+                    # when present (audio.rs).
+                    f = _float(buf, b4, e4)
+                    if f > 0:
+                        t.out_sample_rate = f
                 elif eid4 == ID_CHANNELS:
                     t.channels = _uint(buf, b4, e4)
                 elif eid4 == ID_BIT_DEPTH:
@@ -273,7 +283,7 @@ _MKV_DESCRIBED_ONLY = {
 def _map_codec(t: MkvTrack) -> None:
     """Matroska codec id -> codec parameters (codecs.rs:392)."""
     cid = t.codec_id
-    rate = int(round(t.sample_rate))
+    rate = int(round(t.out_sample_rate or t.sample_rate))
     ch = Channels.from_count(t.channels)
     extra = t.codec_private
     c, bits = None, t.bit_depth
@@ -291,7 +301,10 @@ def _map_codec(t: MkvTrack) -> None:
         if not extra:
             from ..common.mpeg import AudioSpecificConfig
 
-            extra = AudioSpecificConfig.build(2, rate, t.channels)
+            try:
+                extra = AudioSpecificConfig.build(2, rate, t.channels)
+            except (ValueError, OverflowError):
+                extra = None  # non-ISO rate / absurd channel count
     elif cid == "A_MPEG/L3":
         c = "mp3"
     elif cid == "A_MPEG/L2":
@@ -673,7 +686,6 @@ class MkvReader(FormatReader):
         super().__init__(mss, options)
         self._metadata = MetadataLog()
         self._other_tracks: List[Track] = []
-        start = mss.pos()
         chunks = []
         while True:
             b = mss.read_upto(1 << 22)
@@ -894,14 +906,26 @@ class MkvReader(FormatReader):
             ts = int(to.time.to_seconds() * 1_000_000_000 / self._timescale_ns)
         else:
             raise SeekError("no seek target")
-        keys = [p[1] for p in self._packets]
+        first = self._track_objs or self._other_tracks
+        tid = first[0].id
+        if to.track_id is not None and any(
+                t.id == to.track_id for t in
+                list(self._track_objs) + list(self._other_tracks)):
+            tid = to.track_id
+        # Bisect over the SEEK TRACK's packets only: the merged list is
+        # cluster-ordered, and interleaved tracks (now including video)
+        # make its global ts sequence non-monotonic — a global bisect on
+        # an unsorted list lands arbitrarily.
+        idxs = [i for i, p in enumerate(self._packets) if p[0] == tid]
+        if not idxs:
+            self._cursor = 0
+            return SeekedTo(tid, ts, 0)
+        keys = [self._packets[i][1] for i in idxs]
         import bisect
 
-        i = max(0, bisect.bisect_right(keys, ts) - 1)
-        self._cursor = i
-        first = self._track_objs or self._other_tracks
-        return SeekedTo(first[0].id, ts,
-                        self._packets[i][1] if self._packets else 0)
+        j = max(0, bisect.bisect_right(keys, ts) - 1)
+        self._cursor = idxs[j]
+        return SeekedTo(tid, ts, keys[j])
 
     def cues(self) -> List[Tuple[int, int]]:
         """(time_ticks, cluster_pos) Cues entries (empty if none)."""
@@ -933,6 +957,17 @@ class MkvStreamReader(FormatReader):
     (segment.rs streamed / no-cues mode), O(window) memory, Cues-based seek
     when a SeekHead reveals them (demuxer.rs:345-462), forward cluster scan
     otherwise. Handles unknown-size segments/clusters (live streams)."""
+
+    # Any single buffered element is bounded: a mutated size vint must
+    # not make read_bytes buffer the whole remaining pipe (O(window)
+    # promise). Real header/metadata elements and blocks sit far below
+    # this; clusters/segments are walked, never buffered.
+    _ELEM_CAP = 64 << 20
+
+    def _read_body(self, size: int) -> bytes:
+        if size > self._ELEM_CAP:
+            raise DecodeError("mkv: element size exceeds stream bound")
+        return self.mss.read_bytes(size)
 
     def __init__(self, mss, options: Optional[FormatOptions] = None):
         super().__init__(mss, options)
@@ -973,6 +1008,7 @@ class MkvStreamReader(FormatReader):
         self._first_cluster_pos: Optional[int] = None
         self._chapter_uids: Dict[int, object] = {}
         header_tag_bodies: List[bytes] = []
+        info_title: Optional[str] = None
 
         # Header phase: walk top-level children until the first cluster.
         while True:
@@ -988,7 +1024,7 @@ class MkvStreamReader(FormatReader):
                 break
             if size is _UNKNOWN_SIZE:
                 raise Unsupported("unknown-size header element")
-            body = mss.read_bytes(size)
+            body = self._read_body(size)
             if eid == ID_INFO:
                 for eid2, b2, e2 in iter_elements(body, 0, len(body)):
                     if eid2 == ID_TIMESTAMP_SCALE:
@@ -998,6 +1034,8 @@ class MkvStreamReader(FormatReader):
                         d = _float(body, b2, e2)
                         if d and d > 0:
                             self._seg_duration = int(round(d))
+                    elif eid2 == ID_TITLE:
+                        info_title = body[b2:e2].decode("utf-8", "replace")
             elif eid == ID_TRACKS:
                 self._parse_tracks(body)
             elif eid == ID_SEEK_HEAD:
@@ -1029,8 +1067,10 @@ class MkvStreamReader(FormatReader):
                     self._attachments = att
         if not self._mkv_tracks and not self._other_mkv_tracks:
             raise Unsupported("no supported tracks in Matroska")
-        if header_tag_bodies:
+        if header_tag_bodies or info_title:
             rev = MetadataRevision()
+            if info_title:  # segment Title (bulk-reader parity)
+                rev.tags.append(RawTag("title", info_title, "track_title"))
             is_video, uid_map = mkv_tag_scope(
                 {**self._mkv_tracks, **self._other_mkv_tracks},
                 self._other_tracks)
@@ -1049,7 +1089,7 @@ class MkvStreamReader(FormatReader):
                 mss.seek(cues_pos)
                 eid, size = self._read_element()
                 if eid == ID_CUES and size is not _UNKNOWN_SIZE:
-                    self._parse_cues_body(mss.read_bytes(size))
+                    self._parse_cues_body(self._read_body(size))
             except Exception:
                 self._cues = []
             mss.seek(back)
@@ -1194,13 +1234,13 @@ class MkvStreamReader(FormatReader):
             if size is _UNKNOWN_SIZE:
                 return False
             if eid == ID_CLUSTER_TIMESTAMP:
-                self._cluster_ts = _uint(self.mss.read_bytes(size), 0, size)
+                self._cluster_ts = _uint(self._read_body(size), 0, size)
                 return True
             if eid == ID_SIMPLE_BLOCK:
-                self._absorb_block(self.mss.read_bytes(size), None)
+                self._absorb_block(self._read_body(size), None)
                 return True
             if eid == ID_BLOCK_GROUP:
-                body = self.mss.read_bytes(size)
+                body = self._read_body(size)
                 block = bdur = None
                 has_ref = False
                 for eid2, b2, e2 in iter_elements(body, 0, len(body)):
@@ -1216,7 +1256,7 @@ class MkvStreamReader(FormatReader):
             if eid in (ID_TAGS, ID_CHAPTERS, ID_ATTACHMENTS):
                 # Trailing metadata in streamed mode: parse in place (the
                 # bulk reader's element parsers only need a body buffer).
-                body = self.mss.read_bytes(size)
+                body = self._read_body(size)
                 if eid == ID_TAGS:
                     rev = MetadataRevision()
                     is_video, uid_map = mkv_tag_scope(

@@ -1183,3 +1183,141 @@ class TestNonAudioPacketDemux:
             assert len(r.other_tracks()) == 1
             p = r.next_packet()
             assert p is not None and p.data == b"vp8-frame" and p.keyframe
+
+
+class TestMalformedTrackValues:
+    """Non-finite floats and out-of-table values in track/info elements
+    must degrade (keep defaults), never raise raw ValueError/OverflowError
+    out of reader construction (the strict error taxonomy)."""
+
+    def _open_both(self, data):
+        from symphonia_tpu.formats.mkv import MkvReader, MkvStreamReader
+
+        return (MkvReader(MediaSourceStream(data)),
+                MkvStreamReader(MediaSourceStream(_Pipe(data))))
+
+    def test_nan_inf_sampling_frequency_keeps_default(self):
+        for bad in (float("nan"), float("inf"), -1.0):
+            data = build_mkv("A_PCM/INT/LIT", b"", [], rate=bad, ch=1,
+                             bit_depth=16)
+            for r in self._open_both(data):
+                assert r.tracks()[0].codec_params.sample_rate == 8000
+
+    def test_odd_length_float_keeps_default(self):
+        # A 3-byte SamplingFrequency body is invalid; it must not zero
+        # the rate (downstream math divides by it).
+        track_entry = (
+            uint_elem(0xD7, 1) + uint_elem(0x83, 2)
+            + elem(0x86, b"A_PCM/INT/LIT")
+            + elem(0xE1, elem(0xB5, b"\x01\x02\x03") + uint_elem(0x9F, 1)
+                   + uint_elem(0x6264, 16)))
+        ebml_hdr = elem(0x1A45DFA3,
+                        elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
+        seg = elem(0x18538067,
+                   elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+                   + elem(0x1654AE6B, elem(0xAE, track_entry)))
+        for r in self._open_both(ebml_hdr + seg):
+            assert r.tracks()[0].codec_params.sample_rate == 8000
+
+    def test_inf_duration_ignored(self):
+        data = build_mkv("A_PCM/INT/LIT", b"", [], rate=8000.0, ch=1,
+                         bit_depth=16,
+                         info_extra=float_elem(0x4489, float("inf")))
+        for r in self._open_both(data):
+            assert r.tracks()[0].duration is None
+
+    def test_aac_non_iso_rate_without_private(self):
+        """A_AAC with no CodecPrivate at a non-ISO rate: the synthesized
+        ASC is impossible — the track must still surface (extra None)."""
+        data = build_mkv("A_AAC", b"", [], rate=44099.0, ch=2)
+        for r in self._open_both(data):
+            p = r.tracks()[0].codec_params
+            assert p.codec == "aac" and p.extra_data is None
+
+    def test_output_sampling_frequency_preferred(self):
+        """SBR tracks report OutputSamplingFrequency (audio.rs)."""
+        track_entry = (
+            uint_elem(0xD7, 1) + uint_elem(0x83, 2)
+            + elem(0x86, b"A_PCM/INT/LIT")
+            + elem(0xE1, float_elem(0xB5, 22050.0)
+                   + float_elem(0x78B5, 44100.0)
+                   + uint_elem(0x9F, 1) + uint_elem(0x6264, 16)))
+        ebml_hdr = elem(0x1A45DFA3,
+                        elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
+        seg = elem(0x18538067,
+                   elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+                   + elem(0x1654AE6B, elem(0xAE, track_entry)))
+        for r in self._open_both(ebml_hdr + seg):
+            assert r.tracks()[0].codec_params.sample_rate == 44100
+
+
+class TestInterleavedSeek:
+    def test_bulk_seek_bisects_per_track(self):
+        """The merged packet list is cluster-ordered; a video packet with
+        a large ts in the middle must not derail an audio seek (a global
+        bisect on the unsorted ts list landed on audio@10 for ts=25)."""
+        ebml_hdr = elem(0x1A45DFA3,
+                        elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
+        audio_entry = (
+            uint_elem(0xD7, 1) + uint_elem(0x83, 2)
+            + elem(0x86, b"A_PCM/INT/LIT")
+            + elem(0xE1, float_elem(0xB5, 8000.0) + uint_elem(0x9F, 1)
+                   + uint_elem(0x6264, 16)))
+        video_entry = (uint_elem(0xD7, 2) + uint_elem(0x83, 1)
+                       + elem(0x86, b"V_VP9")
+                       + elem(0xE0, uint_elem(0xB0, 64)
+                              + uint_elem(0xBA, 64)))
+        tracks = elem(0x1654AE6B, elem(0xAE, audio_entry)
+                      + elem(0xAE, video_entry))
+        info = elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+        pcm = (np.arange(16, dtype="<i2") * 100).tobytes()
+        body = uint_elem(0xE7, 0)
+        body += _sb_flags(1, 0, pcm, 0x80)
+        body += _sb_flags(1, 10, pcm, 0x80)
+        body += _sb_flags(2, 1000, b"vframe", 0x80)  # mid-list large ts
+        body += _sb_flags(1, 20, pcm, 0x80)
+        body += _sb_flags(1, 30, pcm, 0x80)
+        data = ebml_hdr + elem(0x18538067,
+                               info + tracks + elem(0x1F43B675, body))
+        r = MkvReader(MediaSourceStream(data))
+        seeked = r.seek("accurate", sym.SeekTo(ts=25))
+        assert seeked.track_id == 1
+        assert seeked.actual_ts == 20  # global bisect landed on 10
+        p = r.next_packet()
+        assert p.track_id == 1 and p.ts == 20
+        # Seeking the video track targets its own timeline.
+        seeked = r.seek("accurate", sym.SeekTo(ts=1500, track_id=2))
+        assert seeked.track_id == 2 and seeked.actual_ts == 1000
+
+
+class TestStreamReaderBounds:
+    def test_segment_title_parity(self):
+        data = build_mkv("A_PCM/INT/LIT", b"", [], rate=8000.0, ch=1,
+                         bit_depth=16,
+                         info_extra=elem(0x7BA9, "My Album".encode()))
+        from symphonia_tpu.formats.mkv import MkvReader, MkvStreamReader
+
+        for r in (MkvReader(MediaSourceStream(data)),
+                  MkvStreamReader(MediaSourceStream(_Pipe(data)))):
+            rev = r.metadata().current()
+            assert rev is not None
+            assert any(t.key == "title" and t.value == "My Album"
+                       for t in rev.tags)
+
+    def test_giant_declared_element_size_bounded(self):
+        """A mutated size vint claiming ~2^49 bytes must fail fast with a
+        taxonomy error, not buffer the whole pipe into memory."""
+        import time as _t
+        from symphonia_tpu.formats.mkv import MkvStreamReader
+        from symphonia_tpu.core.errors import DecodeError, Unsupported
+
+        ebml_hdr = elem(0x1A45DFA3,
+                        elem(0x4282, b"matroska") + uint_elem(0x4287, 4))
+        giant = (0x1654AE6B).to_bytes(4, "big") + vint_size((1 << 49))
+        seg = elem(0x18538067,
+                   elem(0x1549A966, uint_elem(0x2AD7B1, 1_000_000))
+                   + giant + b"\x00" * 4096)
+        t0 = _t.time()
+        with pytest.raises((DecodeError, Unsupported, EOFError)):
+            MkvStreamReader(MediaSourceStream(_Pipe(ebml_hdr + seg)))
+        assert _t.time() - t0 < 5.0
