@@ -34,6 +34,20 @@ class DecodedAudio:
     md5_ok: Optional[bool] = None
 
 
+def _flac_md5_ok(samples: np.ndarray, si) -> Optional[bool]:
+    """STREAMINFO MD5 verification (validate.rs); None when the stream
+    carries no MD5 (the all-zero sentinel)."""
+    if si.md5 == b"\x00" * 16:
+        return None
+    import hashlib
+
+    from .codecs.flac import md5_bytes_of
+
+    return hashlib.md5(
+        md5_bytes_of(samples.astype(np.int64), si.bits_per_sample)
+    ).digest() == si.md5
+
+
 class FlacBatchDecoder:
     """Whole-file(s) FLAC decode through the batched device pipeline.
 
@@ -107,35 +121,29 @@ class FlacBatchDecoder:
             blocks = reader._frame_dur.astype(np.int64)
         return packed, blocks
 
-    def decode_bytes(self, data: bytes) -> DecodedAudio:
-        from .codecs.flac import md5_bytes_of, parse_frame
+    def decode_bytes(self, data: bytes, _reader=None,
+                     _extracted=None) -> DecodedAudio:
+        from .codecs.flac import parse_frame
         from .formats.flac import FlacReader
 
-        reader = FlacReader(MediaSourceStream(data))
+        reader = _reader if _reader is not None else \
+            FlacReader(MediaSourceStream(data))
         si = reader.stream_info
         if si.bits_per_sample > 25:
             # 32-bit streams carry 33-bit side channels, exceeding the
             # device path's int32 lanes; use the exact host decoder
             # (decoder.rs:195-227's i64 situation).
             out = _fallback_decode(data, gapless=True)
-            if self.verify and si.md5 != b"\x00" * 16:
-                import hashlib
-
-                from .codecs.flac import md5_bytes_of
-
-                out.md5_ok = (
-                    hashlib.md5(
-                        md5_bytes_of(out.samples.astype(np.int64),
-                                     si.bits_per_sample)
-                    ).digest() == si.md5
-                )
+            if self.verify:
+                out.md5_ok = _flac_md5_ok(out.samples, si)
             return out
         # Entropy stage (SURVEY.md §7 Phase A), fastest available path:
         # 1. AVX-512 sync scan + 8-lane SIMD extraction (no demux scan);
         # 2. scalar native extraction over the demuxer's scan;
         # 3. Python oracle. (DoS bounds + fast-scan desync checks live in
         # _extract_host, shared with decode_many's merged dispatch.)
-        packed, blocks = self._extract_host(reader)
+        packed, blocks = (_extracted if _extracted is not None
+                          else self._extract_host(reader))
         if packed is None and blocks is None:  # no frames found at all
             return DecodedAudio(
                 np.zeros((si.channels, 0), np.int32), si.sample_rate,
@@ -163,10 +171,21 @@ class FlacBatchDecoder:
                 )
             C = max(f.header.n_channels for f in frames)
             frames_per_chunk = max(1, self.lane_chunk // C)
+            n_max = max(si.block_len_max,
+                        max(f.header.block_size for f in frames))
             outs = []
             for i in range(0, len(frames), frames_per_chunk):
                 chunk = frames[i : i + frames_per_chunk]
-                pk = flac_dense.pack_parsed_frames(chunk)
+                # Same power-of-two bucketing as the packed path: pad the
+                # tail chunk with duplicate frames (outputs discarded) so
+                # device dispatch shapes are stable across files — a fresh
+                # (lanes, n_max) shape is a fresh multi-minute remote
+                # compile.
+                cnt = (1 << (len(chunk) - 1).bit_length()
+                       if len(chunk) > 1 else 1)
+                cnt = min(cnt, frames_per_chunk)
+                padded = chunk + [chunk[-1]] * (cnt - len(chunk))
+                pk = flac_dense.pack_parsed_frames(padded, n_max=n_max)
                 out = flac_dense.decode_packed(pk)
                 for j, f in enumerate(chunk):
                     outs.append(out[j, : f.header.n_channels, : f.header.block_size])
@@ -174,14 +193,7 @@ class FlacBatchDecoder:
         if si.n_samples:
             pcm = pcm[:, : si.n_samples]
 
-        md5_ok = None
-        if self.verify and si.md5 != b"\x00" * 16:
-            import hashlib
-
-            md5_ok = (
-                hashlib.md5(md5_bytes_of(pcm.astype(np.int64), si.bits_per_sample)).digest()
-                == si.md5
-            )
+        md5_ok = _flac_md5_ok(pcm, si) if self.verify else None
         return DecodedAudio(pcm, si.sample_rate, si.bits_per_sample, md5_ok)
 
     def _decode_packed_chunked(self, packed, blocks: np.ndarray) -> np.ndarray:
@@ -256,7 +268,11 @@ class FlacBatchDecoder:
                 continue
             packed, blocks = self._extract_host(reader)
             if packed is None:
-                results[i] = self.decode_bytes(data)
+                # Robust per-file path, reusing the scan/extraction just
+                # done (re-running it doubled the host stage for exactly
+                # the files where it is slowest).
+                results[i] = self.decode_bytes(
+                    data, _reader=reader, _extracted=(packed, blocks))
                 continue
             # The native extraction returns POOLED buffers (native.py
             # _pooled): the next file's extraction reuses them, so the
@@ -277,8 +293,6 @@ class FlacBatchDecoder:
         """One merged device pass over every stream with channel count C,
         then split/stitch/trim per stream (frames are independent lanes;
         stitching is per-file host work exactly as in decode_bytes)."""
-        from .codecs.flac import md5_bytes_of
-
         n_max = max(int(p["n_max"]) for _, _, p, _ in group)
         parts = {k: [] for k in ("res", "coefs", "order", "shift",
                                  "wasted", "assign")}
@@ -308,15 +322,7 @@ class FlacBatchDecoder:
             pos += n
             if si.n_samples:
                 pcm = pcm[:, : si.n_samples]
-            md5_ok = None
-            if self.verify and si.md5 != b"\x00" * 16:
-                import hashlib
-
-                md5_ok = (
-                    hashlib.md5(md5_bytes_of(pcm.astype(np.int64),
-                                             si.bits_per_sample)).digest()
-                    == si.md5
-                )
+            md5_ok = _flac_md5_ok(pcm, si) if self.verify else None
             results[idx] = DecodedAudio(pcm, si.sample_rate,
                                         si.bits_per_sample, md5_ok)
 
@@ -388,8 +394,8 @@ class Mp3BatchDecoder:
         track = reader.default_track()
         if self.gapless:
             total = pcm.shape[1]
-            start = track.delay
-            end = total - track.padding
+            start = min(track.delay, total)
+            end = max(start, total - track.padding)
             pcm = pcm[:, start:end]
         return DecodedAudio(pcm, h.sample_rate, 32)
 
@@ -435,8 +441,7 @@ class Mp3BatchDecoder:
         if not sb_frames:
             return _fallback_decode(data, self.gapless)
         sb = np.stack(sb_frames)  # [F, C, 32, T]
-        n = 32 * sb.shape[3]
-        chunk = 4096
+        chunk = self.granule_chunk  # same device-memory bound as Layer III
         pcm_parts = []
         st = None
         F = sb.shape[0]
@@ -452,7 +457,9 @@ class Mp3BatchDecoder:
         track = reader.default_track()
         if self.gapless:
             total = pcm.shape[1]
-            pcm = pcm[:, track.delay : total - track.padding]
+            start = min(track.delay, total)
+            end = max(start, total - track.padding)
+            pcm = pcm[:, start:end]
         return DecodedAudio(pcm, reader.header.sample_rate, 32)
 
     def decode_file(self, path: str) -> DecodedAudio:
@@ -548,7 +555,9 @@ class Mp3BatchDecoder:
             track = reader.default_track()
             if self.gapless:
                 total = pcm.shape[1]
-                pcm = pcm[:, track.delay : total - track.padding]
+                start = min(track.delay, total)
+                end = max(start, total - track.padding)
+                pcm = pcm[:, start:end]
             results[idx] = DecodedAudio(pcm, reader.header.sample_rate, 32)
 
 
@@ -583,10 +592,16 @@ def _fallback_decode(data: bytes, gapless: bool) -> DecodedAudio:
             break
         if pkt.track_id != track.id:
             continue
-        buf = dec.decode(pkt)
+        try:
+            buf = dec.decode(pkt)
+        except DecodeError:
+            continue  # skip the corrupt packet like the reference loop
         if buf.frames:
             outs.append(buf.planes().copy())
-    pcm = np.concatenate(outs, axis=1) if outs else np.zeros((1, 0), np.float32)
+    n_ch = (track.codec_params.channels.count
+            if track.codec_params.channels else 1)
+    pcm = (np.concatenate(outs, axis=1) if outs
+           else np.zeros((n_ch, 0), np.float32))
     return DecodedAudio(pcm, track.codec_params.sample_rate,
                         track.codec_params.bits_per_sample or 32)
 
@@ -709,7 +724,10 @@ def decode_bytes(data: bytes, verify: bool = False) -> DecodedAudio:
             break
         if pkt.track_id != track.id:
             continue
-        buf = dec.decode(pkt)
+        try:
+            buf = dec.decode(pkt)
+        except DecodeError:
+            continue  # skip the corrupt packet like the reference loop
         outs.append(buf.planes().copy())
     pcm = (
         np.concatenate(outs, axis=1)

@@ -184,8 +184,11 @@ class MpaReader(FormatReader):
             codec_params=params,
             time_base=TimeBase(1, first_hdr.sample_rate),
             num_frames=self._total_out,
-            delay=delay,
-            padding=padding,
+            delay=self._delay,
+            # Sanitized like the per-packet trims: an impossible
+            # delay+padding > total (truncated stream vs its LAME tag)
+            # zeroes the padding, so batch and packet paths agree.
+            padding=self._padding,
         )
 
     # -- sync ------------------------------------------------------------

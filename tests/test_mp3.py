@@ -792,3 +792,50 @@ class TestPerPacketNativeStream:
         assert got.shape == ref.shape
         scale = max(np.abs(ref).max(), 1e-3)
         assert np.abs(got - ref).max() <= 1e-4 * scale
+
+
+class TestImpossibleLamePadding:
+    """A LAME tag whose delay+padding exceeds the actual decoded total
+    (truncated stream vs its tag): the reader sanitizes padding to 0 for
+    the per-packet trims, and the batch path must agree (it used to trim
+    with the raw padding and return a different length)."""
+
+    def _with_xing(self, data: bytes, enc_delay_extra=0, padding_field=2529):
+        r = MpaReader(MediaSourceStream(data), FormatOptions())
+        fs = int(r._sizes[0])
+        hdr = data[int(r._offsets[0]) : int(r._offsets[0]) + 4]
+        trim = (enc_delay_extra << 12) | padding_field
+        tag = (b"Xing" + (1).to_bytes(4, "big")
+               + len(r._offsets).to_bytes(4, "big")
+               + b"LAME3.100" + bytes(12) + trim.to_bytes(3, "big"))
+        side = 17  # MPEG1 mono side-info length
+        body = bytearray(fs - 4)
+        body[side : side + len(tag)] = tag
+        assert side + len(tag) <= len(body)
+        return bytes(hdr) + bytes(body) + data
+
+    def test_batch_matches_packet_path(self):
+        from symphonia_tpu.batch import Mp3BatchDecoder
+
+        data = self._with_xing(build_mpeg1_l3_stream(2, n_ch=1, seed=9))
+        pkt, r = our_decode(data, gapless=True)
+        t = r.default_track()
+        assert t.delay == 529 and t.padding == 0  # sanitized: 2000 > total
+        batch = Mp3BatchDecoder(gapless=True).decode_bytes(data)
+        assert batch.samples.shape[1] == pkt.shape[1]
+
+
+class TestFallbackSkipsCorruptPackets:
+    def test_corrupt_mid_frame_does_not_abort(self):
+        """One recoverable corrupt packet must not abort _fallback_decode
+        (the reference loop and play.py skip per packet)."""
+        from symphonia_tpu.batch import _fallback_decode
+
+        data = bytearray(build_mpeg1_l3_stream(8, n_ch=1, seed=12))
+        r = MpaReader(MediaSourceStream(bytes(data)), FormatOptions())
+        # Corrupt frame 4's payload: force main_data_begin != 0 so the
+        # decoder raises 'bit reservoir underflow' for that packet.
+        off = int(r._offsets[4])
+        data[off + 4] = 0xFF  # first side-info byte: main_data_begin
+        out = _fallback_decode(bytes(data), gapless=False)
+        assert out.samples.shape[1] >= 7 * 1152
