@@ -141,7 +141,6 @@ class VorbisMapper(Mapper):
         self.ident = read_ident_header(id_packet)
         self.sample_rate = self.ident.sample_rate
         self._id = id_packet
-        self._comment: Optional[bytes] = None
         self._setup: Optional[bytes] = None
         self._mode_flags: Optional[List[bool]] = None
         self._prev_bs: Optional[int] = None
@@ -240,6 +239,8 @@ class FlacMapper(Mapper):
         self.sample_rate = self.stream_info.sample_rate
 
     def absorb_header(self, packet: bytes, meta: MetadataLog) -> bool:
+        if not packet:
+            return True  # zero-length header lace: skip, keep absorbing
         btype = packet[0] & 0x7F
         last = bool(packet[0] & 0x80)
         if btype == 4:
@@ -293,7 +294,7 @@ class OpusMapper(Mapper):
     sample_rate = 48000
 
     def __init__(self, id_packet: bytes):
-        if id_packet[:8] != b"OpusHead":
+        if id_packet[:8] != b"OpusHead" or len(id_packet) < 12:
             raise DecodeError("invalid OpusHead")
         self.n_channels = id_packet[9]
         self.pre_skip = int.from_bytes(id_packet[10:12], "little")
@@ -342,6 +343,16 @@ def make_mapper(id_packet: bytes) -> Optional[Mapper]:
     return None
 
 
+def _mappable_bos(id_packet: bytes) -> bool:
+    """True when the BOS id packet constructs a mapper. A matching magic
+    whose header is malformed is NOT mappable (and must not abort the
+    reader: the other logical streams still are, demuxer.rs:416-427)."""
+    try:
+        return make_mapper(id_packet) is not None
+    except DecodeError:
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Reader
 # ---------------------------------------------------------------------------
@@ -375,21 +386,24 @@ class OggReader(FormatReader):
         if not buf.startswith(OGG_MARKER):
             raise Unsupported("missing OggS capture pattern")
 
-        # Scan pages.
+        # Scan pages. Capture-pattern candidates are computed ONCE and
+        # advanced through by searchsorted: re-running the vectorized
+        # search over the whole tail after every failed candidate was
+        # quadratic (a dense-fake-marker file hung the probe for minutes).
         pages: List[OggPage] = []
         a = np.frombuffer(buf, dtype=np.uint8)
+        marks = (np.nonzero(
+            (a[:-3] == 0x4F) & (a[1:-2] == 0x67)
+            & (a[2:-1] == 0x67) & (a[3:] == 0x53))[0]
+            if len(buf) >= 4 else np.zeros(0, np.int64))
         pos = 0
         n = len(buf)
         while pos + 27 <= n:
             if buf[pos : pos + 4] != OGG_MARKER:
-                # Resync: vectorized capture-pattern search.
-                cand = np.nonzero(
-                    (a[pos:-3] == 0x4F) & (a[pos + 1 : -2] == 0x67)
-                    & (a[pos + 2 : -1] == 0x67) & (a[pos + 3 :] == 0x53)
-                )[0]
-                if len(cand) == 0:
+                mi = int(np.searchsorted(marks, pos))
+                if mi >= len(marks):
                     break
-                pos += int(cand[0])
+                pos = int(marks[mi])
             try:
                 page, pos = parse_page(buf, pos)
             except DecodeError:
@@ -435,8 +449,13 @@ class OggReader(FormatReader):
                     pkts = pkts[1:]
             for p in pkts:
                 if st["mapper"] is None:
-                    st["mapper"] = make_mapper(p)
-                    st["n_header_pkts"] = 1
+                    if not st.get("unmappable"):
+                        try:
+                            st["mapper"] = make_mapper(p)
+                        except DecodeError:
+                            # Matching magic, malformed header: this
+                            # stream is dead but its siblings are not.
+                            st["unmappable"] = True
                     continue
                 if not st["headers_done"] and st["mapper"] is not None:
                     more = st["mapper"].absorb_header(p, self._metadata)
@@ -462,6 +481,8 @@ class OggReader(FormatReader):
             entries, start_ts, total = self._build_entries(st)
             m: Mapper = st["mapper"]
             st["entries"] = entries
+            # Cached for seek bisection (rebuilding per call is O(packets)).
+            st["ts_keys"] = np.asarray([e.ts for e in entries], np.int64)
             st["cursor"] = 0
             st["track"] = Track(
                 id=len(self._streams),
@@ -588,7 +609,6 @@ class OggReader(FormatReader):
             ts = track.time_base.calc_timestamp(to.time)
         else:
             raise SeekError("no seek target")
-        import bisect
 
         # Reposition EVERY logical stream to the same wall-clock instant
         # (demuxer.rs:163-304 bisects the physical stream, which moves all
@@ -597,8 +617,8 @@ class OggReader(FormatReader):
         actual = 0
         for j, st in enumerate(self._streams):
             sts = ts if j == tid else st["track"].time_base.calc_timestamp(t)
-            keys = [e.ts for e in st["entries"]]
-            i = max(0, bisect.bisect_right(keys, sts) - 1)
+            i = max(0, int(np.searchsorted(st["ts_keys"], sts,
+                                           side="right")) - 1)
             # Back up one packet so the decoder regains its overlap state.
             if mode == SeekMode.ACCURATE:
                 i = max(0, i - 1)
@@ -711,14 +731,23 @@ class OggStreamReader(FormatReader):
             if self.mapper is None:
                 if not (page.header_type & 0x02) or not page.packets:
                     continue
-                m = make_mapper(page.packets[0])
+                try:
+                    m = make_mapper(page.packets[0])
+                except DecodeError:
+                    m = None  # malformed id header: stream unmappable
                 if m is None:
                     continue  # skip unmappable BOS streams
                 self.mapper = m
                 self._serial = page.serial
                 for p in page.packets[1:]:
-                    if not self.mapper.absorb_header(p, self._metadata):
-                        self._headers_done = True
+                    if not self._headers_done:
+                        if not self.mapper.absorb_header(p, self._metadata):
+                            self._headers_done = True
+                    else:
+                        # Non-spec packing: audio packets on the BOS page
+                        # are real packets, not headers (the bulk reader
+                        # enqueues them too).
+                        self._enqueue_packet(p)
                 self._pending = page.partial or b""
                 continue
             if page.serial != self._serial:
@@ -836,14 +865,9 @@ class OggStreamReader(FormatReader):
                 # chains): rebuild the logical stream from this BOS page and
                 # signal the caller to recreate its decoders
                 # (formats/mod.rs:644).
-                if self._eos and page.packets and make_mapper(page.packets[0]):
-                    self._queue.clear()
-                    self._pending = b""
-                    self._ts = 0
-                    self._anchored = False
-                    self._first_granule_pending = True
-                    self._eos = False
-                    self._read_headers(bos_page=page)
+                if self._eos and page.packets and \
+                        _mappable_bos(page.packets[0]):
+                    self._reset_logical(page)
                     raise ResetRequired("chained OGG physical stream")
                 continue
             if page.serial != self._serial:
@@ -852,6 +876,21 @@ class OggStreamReader(FormatReader):
                 self._enqueue_packet(p)
             self._after_page(page)
         return self._queue.pop(0)
+
+    def _reset_logical(self, bos_page: OggPage) -> None:
+        """Chained physical stream boundary: rebuild the logical stream
+        from this BOS page; the caller raises ResetRequired
+        (formats/mod.rs:644)."""
+        self._queue.clear()
+        self._pending = b""
+        self._ts = 0
+        self._anchored = False
+        self._first_granule_pending = True
+        self._eos = False
+        # A t>0 first chain's start trim must not leak into the next
+        # chain's track.
+        self._start_ts = 0
+        self._read_headers(bos_page=bos_page)
 
     def seek(self, mode: str, to: SeekTo) -> SeekedTo:
         if to.ts is not None:
@@ -874,14 +913,9 @@ class OggStreamReader(FormatReader):
                         # Chained physical stream boundary mid-seek: rebuild
                         # and tell the caller to recreate decoders (it can
                         # re-issue the seek afterwards).
-                        if self._eos and page.packets                                 and make_mapper(page.packets[0]):
-                            self._queue.clear()
-                            self._pending = b""
-                            self._ts = 0
-                            self._anchored = False
-                            self._first_granule_pending = True
-                            self._eos = False
-                            self._read_headers(bos_page=page)
+                        if self._eos and page.packets and \
+                                _mappable_bos(page.packets[0]):
+                            self._reset_logical(page)
                             raise ResetRequired(
                                 "chained OGG physical stream during seek")
                         continue
