@@ -21,8 +21,7 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -99,6 +98,14 @@ def sdl_decode(path: str, rate: int, channels: int) -> np.ndarray:
 
     pygame.mixer.quit()
     pygame.mixer.init(frequency=rate, size=-16, channels=channels)
+    got = pygame.mixer.get_init()
+    if got is None or got[0] != rate or abs(got[1]) != 16 or \
+            got[2] != channels:
+        # Sound.get_raw() is at the OPENED format; comparing against a
+        # silently-changed rate/layout would produce thousands of false
+        # failures.
+        raise RuntimeError(f"mixer opened at {got}, wanted "
+                           f"({rate}, +-16, {channels})")
     raw = np.frombuffer(pygame.mixer.Sound(path).get_raw(), dtype=np.int16)
     return (raw.astype(np.float32) / 32768.0).reshape(-1, channels).T
 
@@ -123,16 +130,31 @@ def run_check(path: str, tolerance: float = 1e-5, gapless: bool = False,
         print(f"  FLAC MD5 self-verification: {'PASS' if fin.verify_ok else 'FAIL'}")
         return 0 if fin.verify_ok else 2
 
-    sdl_ok = codec in ("mp1", "mp2", "mp3", "vorbis") or \
-        codec.startswith(("pcm", "adpcm"))
+    # SDL_mixer's MP3 backend here is drmp3 (Layer III ONLY) — mp1/mp2
+    # have no SDL reference and route to cross mode.
+    sdl_ok = (codec in ("mp3", "vorbis")
+              or codec.startswith(("pcm", "adpcm")))
+    sdl_ok = (sdl_ok and track.codec_params.sample_rate
+              and track.codec_params.channels is not None)
     if ref_name in ("auto", "sdl") and sdl_ok:
-        ref = sdl_decode(path, track.codec_params.sample_rate,
-                         track.codec_params.channels.count)
-        # Reference output is s16-quantized and clips at full scale.
-        clipped = np.clip(ours, -1.0, 32767.0 / 32768.0)
-        # No independent span table: SDL's decode has no packet structure.
-        return _compare(clipped, ref, spans, tolerance + S16_LSB, None,
-                        quiet, samples, first_fail)
+        try:
+            ref = sdl_decode(path, track.codec_params.sample_rate,
+                             track.codec_params.channels.count)
+        except Exception as e:
+            # SDL can't load this file (corrupt input, unsupported
+            # variant, mixer format rejected): fail THIS file gracefully
+            # in sdl mode, fall through to cross mode in auto.
+            if ref_name == "sdl":
+                print(f"  SDL reference unavailable: {e}")
+                return 1
+            ref = None
+        if ref is not None:
+            # Reference output is s16-quantized and clips at full scale.
+            clipped = np.clip(ours, -1.0, 32767.0 / 32768.0)
+            # No independent span table: SDL decode has no packet
+            # structure.
+            return _compare(clipped, ref, spans, tolerance + S16_LSB,
+                            None, quiet, samples, first_fail)
 
     if ref_name == "cross" or ref_name == "auto":
         # Cross-implementation check (no external binary oracle exists for

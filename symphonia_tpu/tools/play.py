@@ -84,7 +84,10 @@ def main(argv=None) -> int:
     fmt = probed.format
     track = fmt.default_track()
     if args.track is not None:
-        track = next((t for t in fmt.tracks() if t.id == args.track), track)
+        track = next((t for t in fmt.tracks() if t.id == args.track), None)
+        if track is None:
+            print(f"no audio track with id {args.track}", file=sys.stderr)
+            return 1
     if track is None:
         print("no audio tracks in input", file=sys.stderr)
         return 1
@@ -124,14 +127,23 @@ def main(argv=None) -> int:
     if args.probe_only:
         return 0
 
+    seeked = args.seek is not None or args.seek_ts is not None
     if args.seek is not None:
         fmt.seek(SeekMode.ACCURATE, SeekTo(time=sym.Time.from_seconds(args.seek)))
     elif args.seek_ts is not None:
         fmt.seek(SeekMode.ACCURATE, SeekTo(ts=args.seek_ts))
 
+    verify = args.verify or args.verify_only
+    if verify and seeked:
+        # The MD5 monitor would hash only the post-seek suffix and
+        # "FAIL" a pristine file (the decoder disables verification on
+        # reset/seek for the same reason, codecs/flac.py).
+        print("  verification skipped: whole-stream MD5 cannot be "
+              "checked after a seek", file=sys.stderr)
+        verify = False
     dec = sym.get_codecs().make_audio_decoder(
         track.codec_params,
-        AudioDecoderOptions(verify=args.verify or args.verify_only),
+        AudioDecoderOptions(verify=verify),
     )
     outs = []
     n_samples = 0
@@ -150,6 +162,7 @@ def main(argv=None) -> int:
         n_samples += buf.frames
         if not (args.decode_only or args.verify_only):
             outs.append(buf.planes().copy())
+            pcm_bits = buf.bits_per_sample
     elapsed = time.perf_counter() - t0
 
     fin = dec.finalize()
@@ -167,6 +180,12 @@ def main(argv=None) -> int:
         return 0
 
     pcm = np.concatenate(outs, axis=1)
+    if pcm.dtype.kind != "f":
+        # Integer planes are right-justified at the stream's bit depth
+        # (core/audio.py); scale to full-range float BEFORE export or
+        # playback (raw s16 clipping turned 24-bit audio into garbage and
+        # 8-bit audio into near-silence).
+        pcm = pcm.astype(np.float32) / float(1 << (int(pcm_bits) - 1))
     if args.output:
         _write_wav(args.output, pcm, rate)
         print(f"  wrote {args.output}")
@@ -195,9 +214,7 @@ def _write_wav(path: str, pcm: np.ndarray, rate: int) -> None:
 
     if pcm.dtype.kind == "f":
         s16 = (np.clip(pcm, -1, 32767 / 32768) * 32768.0).astype("<i2")
-    else:
-        from symphonia_tpu.core.audio import AudioBuffer
-
+    else:  # callers normalize to float; raw ints are assumed s16-range
         s16 = np.clip(pcm, -(1 << 15), (1 << 15) - 1).astype("<i2")
     inter = np.ascontiguousarray(s16.T)
     with wave.open(path, "wb") as w:
@@ -212,9 +229,17 @@ def _play_sdl(pcm: np.ndarray, rate: int, ui=None, progress=True) -> None:
         import pygame
 
         pygame.mixer.init(frequency=rate, size=-16, channels=pcm.shape[0])
-        # If the device opened at a different rate, convert (resampler.rs
-        # analog; tools/resample.py).
-        got_rate = pygame.mixer.get_init()[0]
+        total = pcm.shape[1] / rate  # before any device-rate resample
+        # If the device opened at a different rate/layout, convert
+        # (resampler.rs analog; tools/resample.py).
+        got = pygame.mixer.get_init()
+        got_rate, got_ch = got[0], got[2]
+        if got_ch and got_ch != pcm.shape[0]:
+            if pcm.dtype.kind != "f":
+                pcm = pcm.astype(np.float32) / 32768.0
+            # Downmix to mono then tile: crude but playback survives a
+            # device that refused the file's channel count.
+            pcm = np.tile(pcm.mean(axis=0, keepdims=True), (got_ch, 1))
         if got_rate and got_rate != rate:
             from .resample import resample
 
@@ -234,7 +259,6 @@ def _play_sdl(pcm: np.ndarray, rate: int, ui=None, progress=True) -> None:
                            "stop": pygame.mixer.stop}
             ui.run(ch.get_busy)
         else:
-            total = pcm.shape[1] / rate
             t0 = time.monotonic()
             while ch.get_busy():
                 if progress:

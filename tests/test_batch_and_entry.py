@@ -388,3 +388,49 @@ class TestDecodeMany:
         ref = decode_bytes(ogg)
         for out in merged:
             np.testing.assert_array_equal(out.samples, ref.samples)
+
+
+class TestPlayExportScaling:
+    def test_24bit_flac_wav_export_scaled(self, tmp_path):
+        """Integer planes are right-justified at the stream bit depth;
+        the export path must scale them (raw s16 clipping turned 24-bit
+        audio into full-scale garbage)."""
+        import subprocess
+        import sys as _sys
+        import wave
+
+        from flac_builder import build_flac_file, random_walk
+
+        ch = [(np.asarray(random_walk(8192, 16, seed=3, ch=1)[0],
+                          np.int64) * 256)]
+        src = tmp_path / "t24.flac"
+        dst = tmp_path / "t24.wav"
+        src.write_bytes(build_flac_file(ch, bps=24, kind="fixed", order=2))
+        r = subprocess.run(
+            [_sys.executable, "-m", "symphonia_tpu.tools.play",
+             "--output", str(dst), str(src)],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr
+        with wave.open(str(dst)) as w:
+            s16 = np.frombuffer(w.readframes(w.getnframes()),
+                                "<i2").astype(np.float64)
+        ideal = ch[0].astype(np.float64) / (1 << 23) * 32768
+        assert np.abs(s16 - ideal).max() <= 1.0
+
+    def test_verify_skipped_after_seek(self, tmp_path):
+        """--seek + --verify-only must not report a spurious MD5 FAIL
+        from hashing only the post-seek suffix."""
+        import subprocess
+        import sys as _sys
+
+        from flac_builder import build_flac_file, random_walk
+
+        src = tmp_path / "t.flac"
+        src.write_bytes(build_flac_file(
+            random_walk(16384, 16, seed=4, ch=1), kind="fixed", order=2))
+        r = subprocess.run(
+            [_sys.executable, "-m", "symphonia_tpu.tools.play",
+             "--seek", "0.1", "--verify-only", str(src)],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "FAILED" not in r.stdout
