@@ -97,11 +97,23 @@ class AiffReader(FormatReader):
                 chunks.align(ch)
                 self._parse_comm(payload, is_aifc)
             elif ch.id == b"SSND":
+                if ch.size < 8:
+                    chunks.skip_chunk(ch)
+                    continue
                 offset = mss.read_u32be()
                 _blk = mss.read_u32be()
+                # The alignment offset is attacker-controlled: bound it by
+                # the chunk body so a crafted value cannot drive a negative
+                # data length (or a silent seek past EOF on seekable
+                # sources — ignore_bytes does not validate the target).
+                offset = min(offset, ch.size - 8)
                 mss.ignore_bytes(offset)
                 self._data_start = mss.pos()
-                self._data_len = ch.size - 8 - offset
+                data_len = ch.size - 8 - offset
+                total = mss.byte_len()
+                if total is not None:
+                    data_len = min(data_len, max(0, total - self._data_start))
+                self._data_len = data_len
                 break  # audio data; stop walking
             elif ch.id == b"ID3 ":
                 payload = mss.read_bytes(ch.size)
@@ -223,7 +235,7 @@ class AiffReader(FormatReader):
             raise DecodeError("COMM chunk too small")
         n_ch, n_frames, bits = struct.unpack(">HIH", payload[:8])
         rate = int(round(parse_extended_f80(payload[8:18])))
-        if n_ch == 0 or rate == 0:
+        if n_ch == 0 or rate <= 0:
             raise DecodeError("invalid COMM parameters")
         self._n_frames = n_frames
         channels = Channels.from_count(n_ch)
@@ -316,11 +328,21 @@ class AiffReader(FormatReader):
         if self._next_block >= self._n_blocks:
             return None
         blocks = min(self.pinfo.blocks_per_packet, self._n_blocks - self._next_block)
+        nbytes = blocks * self.pinfo.block_size
         pos = self._data_start + self._next_block * self.pinfo.block_size
         if self.mss.pos() != pos:
             self.mss.seek(pos)
-        data = self.mss.read_bytes(blocks * self.pinfo.block_size)
+        data = self.mss.read_upto(nbytes)
         ts = self._next_block * self.pinfo.frames_per_block
+        if len(data) < nbytes:
+            # Truncated stream (a pipe whose SSND size lied): deliver the
+            # data that arrived and end the stream.
+            self._next_block = self._n_blocks
+            if not data:
+                return None
+            got = -(-len(data) // self.pinfo.block_size)
+            return Packet(track_id=0, ts=ts,
+                          dur=got * self.pinfo.frames_per_block, data=data)
         self._next_block += blocks
         return Packet(track_id=0, ts=ts, dur=blocks * self.pinfo.frames_per_block, data=data)
 

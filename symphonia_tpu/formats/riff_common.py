@@ -159,6 +159,8 @@ def parse_waveformat(data: bytes) -> FormatData:
     )
     if n_channels == 0:
         raise DecodeError("zero channels")
+    if rate == 0:
+        raise DecodeError("zero sample rate")
     channels = Channels.from_count(n_channels)
     coded_bits = bits
 

@@ -53,6 +53,7 @@ class WavReader(FormatReader):
         self._data_start = None
         self._data_len = None
         self._fact_frames = None
+        self._unbounded = False
 
         chunks = ChunksReader(mss, riff_len - 4 if riff_len >= 4 else None)
         while True:
@@ -71,7 +72,7 @@ class WavReader(FormatReader):
                 self.fd = parse_waveformat(mss.read_bytes(ch.size))
                 chunks.consume(ch.size)
                 chunks.align(ch)
-            elif ch.id == b"fact":
+            elif ch.id == b"fact" and ch.size >= 4:
                 self._fact_frames = mss.read_u32le()
                 if ch.size > 4:
                     mss.ignore_bytes(ch.size - 4)
@@ -90,7 +91,7 @@ class WavReader(FormatReader):
                         self._metadata.push(rev2)
                 except Exception:
                     pass
-            elif ch.id == b"LIST":
+            elif ch.id == b"LIST" and ch.size >= 4:
                 list_type = mss.read_bytes(4)
                 if list_type == b"INFO":
                     self._read_info(ch.size - 4)
@@ -104,10 +105,14 @@ class WavReader(FormatReader):
                 if size == 0xFFFFFFFF and self._ds64_data_len is not None:
                     size = self._ds64_data_len  # RF64 64-bit data size
                 # A streaming WAV may declare 0xFFFFFFFF / 0; fall back to
-                # the physical remainder when seekable.
+                # the physical remainder when seekable, or stream to EOF
+                # on a pipe (the declared length is untrustworthy there).
                 total = mss.byte_len()
                 if total is not None:
                     size = min(size, total - self._data_start) if size else total - self._data_start
+                elif size in (0, 0xFFFFFFFF):
+                    size = 1 << 62
+                    self._unbounded = True
                 self._data_len = size
                 break  # data is last parsed chunk; audio follows
             else:
@@ -140,7 +145,7 @@ class WavReader(FormatReader):
             id=0,
             codec_params=params,
             time_base=TimeBase(1, self.fd.sample_rate),
-            num_frames=self._total_frames,
+            num_frames=None if self._unbounded else self._total_frames,
         )
 
     # -- metadata ----------------------------------------------------------
@@ -176,8 +181,18 @@ class WavReader(FormatReader):
         pos = self._data_start + self._next_block * self.pinfo.block_size
         if self.mss.pos() != pos:
             self.mss.seek(pos)
-        data = self.mss.read_bytes(nbytes)
+        data = self.mss.read_upto(nbytes)
         ts = self._next_block * self.pinfo.frames_per_block
+        if len(data) < nbytes:
+            # Truncated stream (e.g. a pipe whose data-chunk size lied):
+            # deliver what arrived and end the stream; the PCM/ADPCM
+            # decoders clip partial trailing blocks themselves.
+            self._next_block = self._n_blocks
+            if not data:
+                return None
+            got = -(-len(data) // self.pinfo.block_size)
+            return Packet(track_id=0, ts=ts,
+                          dur=got * self.pinfo.frames_per_block, data=data)
         dur = blocks * self.pinfo.frames_per_block
         self._next_block += blocks
         return Packet(track_id=0, ts=ts, dur=dur, data=data)
@@ -200,6 +215,8 @@ class WavReader(FormatReader):
 
     def packet_table(self, track_id: Optional[int] = None) -> PacketTable:
         """O(1) table from byte math (no packet loop)."""
+        if self._unbounded:
+            raise Unsupported("packet_table requires a bounded data chunk")
         bpp = self.pinfo.blocks_per_packet
         n_pkts = (self._n_blocks + bpp - 1) // bpp
         idx = np.arange(n_pkts, dtype=np.int64)

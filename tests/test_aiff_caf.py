@@ -490,3 +490,42 @@ class TestAiffMarkers:
         assert any(t.value == "hello" for t in grp.items[0].tags)
         rev = r.metadata().current()
         assert rev is not None and any(t.value == "general" for t in rev.tags)
+
+
+class TestAiffMalformed:
+    """Crafted COMM/SSND fields must not produce negative geometry or
+    escape the error taxonomy."""
+
+    def test_negative_sample_rate_rejected(self):
+        from symphonia_tpu.core.errors import DecodeError
+
+        frames = np.zeros((16, 1), dtype=np.int32)
+        data = bytearray(make_aiff(frames, rate=44100))
+        at = data.find(b"COMM") + 8 + 8  # f80 rate field
+        data[at] |= 0x80  # set the sign bit
+        with pytest.raises(DecodeError):
+            AiffReader(MediaSourceStream(bytes(data)))
+
+    def test_huge_ssnd_offset_bounded(self):
+        # A 4 GiB alignment offset must not drive negative data length /
+        # negative num_frames (ignore_bytes seeks past EOF silently on
+        # seekable sources).
+        frames = np.zeros((16, 1), dtype=np.int32)
+        data = bytearray(make_aiff(frames, rate=8000))
+        at = data.find(b"SSND") + 8
+        struct.pack_into(">I", data, at, 0xFFFF0000)
+        r = AiffReader(MediaSourceStream(bytes(data)))
+        assert r._data_len == 0
+        assert r._track.num_frames == 0
+        assert r.next_packet() is None
+
+    def test_tiny_ssnd_chunk_skipped(self):
+        frames = np.zeros((16, 1), dtype=np.int32)
+        base = make_aiff(frames, rate=8000)
+        at = base.find(b"SSND")
+        # Insert a degenerate 4-byte SSND chunk before the real one.
+        extra = b"SSND" + struct.pack(">I", 4) + b"\x00" * 4
+        data = bytearray(base[:at] + extra + base[at:])
+        struct.pack_into(">I", data, 4, len(data) - 8)
+        out, track, _ = decode_all(bytes(data))
+        assert out.shape[1] == 16

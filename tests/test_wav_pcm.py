@@ -293,3 +293,85 @@ class TestWavExtensible:
         # Samples are MSB-aligned in the 24-bit container; the decoder
         # yields the 20-bit coded values.
         np.testing.assert_array_equal(out, frames.T >> 4)
+
+
+class TestWavMalformed:
+    """Crafted-header robustness: errors must stay in the taxonomy
+    (wave/chunks.rs validates fmt fields before building the track)."""
+
+    def test_zero_sample_rate_rejected(self):
+        from symphonia_tpu.core.errors import DecodeError
+        from symphonia_tpu.formats.wav import WavReader
+
+        frames = np.zeros((16, 1), dtype=np.int32)
+        data = bytearray(make_wav(frames, rate=44100))
+        at = data.find(b"fmt ") + 8 + 4  # tag(2)+ch(2) then rate
+        struct.pack_into("<I", data, at, 0)
+        with pytest.raises(DecodeError):
+            WavReader(MediaSourceStream(bytes(data)))
+
+    def test_undersized_fact_and_list_chunks_skipped(self):
+        # fact with size<4 and LIST with size<4 must not desync the walk.
+        frames = np.arange(32, dtype=np.int32).reshape(-1, 1)
+        base = make_wav(frames, rate=8000)
+        at = base.find(b"data")
+        extra = b"fact" + struct.pack("<I", 2) + b"\x00\x00"
+        extra += b"LIST" + struct.pack("<I", 2) + b"\x00\x00"
+        data = bytearray(base[:at] + extra + base[at:])
+        struct.pack_into("<I", data, 4, len(data) - 8)
+        out, track = decode_all(bytes(data))
+        np.testing.assert_array_equal(out, frames.T)
+
+
+class TestWavPipe:
+    """WAV over a non-seekable source: a lying/streaming data-chunk size
+    must stream to EOF, not raise mid-packet (wave streaming encoders
+    routinely write 0 or 0xFFFFFFFF)."""
+
+    class _Pipe(io.RawIOBase):
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+
+        def readable(self):
+            return True
+
+        def read(self, n=-1):
+            return self._b.read(n)
+
+        def seekable(self):
+            return False
+
+    def _stream(self, data: bytes):
+        mss = MediaSourceStream(self._Pipe(data))
+        fmt = sym.get_probe().probe(mss).format
+        track = fmt.default_track()
+        dec = sym.get_codecs().make_audio_decoder(track.codec_params)
+        outs = []
+        while True:
+            pkt = fmt.next_packet()
+            if pkt is None:
+                break
+            outs.append(dec.decode(pkt).planes().copy())
+        out = np.concatenate(outs, axis=1) if outs else np.zeros((1, 0))
+        return out, track
+
+    def test_lying_data_size_streams_to_eof(self):
+        frames = np.arange(-300, 300, dtype=np.int32).reshape(-1, 1)
+        data = bytearray(make_wav(frames, rate=8000))
+        struct.pack_into("<I", data, data.find(b"data") + 4, 0xFFFFFFFF)
+        out, track = self._stream(bytes(data))
+        assert track.num_frames is None  # unbounded: no fake total
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_zero_data_size_streams_to_eof(self):
+        frames = np.arange(128, dtype=np.int32).reshape(-1, 1)
+        data = bytearray(make_wav(frames, rate=8000))
+        struct.pack_into("<I", data, data.find(b"data") + 4, 0)
+        out, _ = self._stream(bytes(data))
+        np.testing.assert_array_equal(out, frames.T)
+
+    def test_truncated_seekable_final_packet(self):
+        frames = np.arange(5000, dtype=np.int32).reshape(-1, 1)
+        data = make_wav(frames, rate=8000)
+        out, _ = decode_all(data[:-6])  # cut mid-sample
+        np.testing.assert_array_equal(out[0], frames[: out.shape[1], 0])
