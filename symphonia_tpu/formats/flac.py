@@ -71,6 +71,22 @@ def scan_frames(buf: bytes, si: StreamInfo) -> np.ndarray:
     """
     if len(buf) < 2:  # matches the native scan: no room for a sync code
         return np.empty(0, dtype=np.int64)
+    try:
+        parse_frame_header(buf[:16], si)
+    except DecodeError:
+        # Junk between the metadata blocks and the first frame (or a
+        # corrupt first frame): re-anchor at the first parseable header,
+        # like parser.rs's incremental re-sync — a bad anchor would
+        # otherwise poison the whole table.
+        a0 = np.frombuffer(buf, dtype=np.uint8)
+        cands = np.nonzero((a0[:-1] == 0xFF) & ((a0[1:] & 0xFC) == 0xF8))[0]
+        for c in cands:
+            try:
+                parse_frame_header(buf[int(c) : int(c) + 16], si)
+            except DecodeError:
+                continue
+            return scan_frames(buf[int(c):], si) + int(c)
+        return np.empty(0, dtype=np.int64)
     native_result = _try_native_scan(buf, si)
     if native_result is not None:
         return native_result
@@ -420,7 +436,9 @@ class FlacStreamReader(FlacReader):
     PacketBuilder) instead of slurping the stream for a table scan."""
 
     MIN_WINDOW = 1 << 13
-    MAX_WINDOW = 1 << 21
+    # Must hold one whole frame: a verbatim 65535-sample 8-ch 32-bit frame
+    # is ~2.1 MiB, so 2^21 could split a legal frame mid-span.
+    MAX_WINDOW = 1 << 23
 
     def next_packet(self) -> Optional[Packet]:
         si = self.stream_info

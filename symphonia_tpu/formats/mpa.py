@@ -168,7 +168,9 @@ class MpaReader(FormatReader):
         total = len(offsets) * spf
         self._delay = delay
         self._padding = padding if delay + padding <= total else 0
-        self._total_out = total - self._delay - self._padding
+        # A stream holding only the Xing/LAME tag frame has total == 0 with
+        # a nonzero encoder delay; keep the playable count non-negative.
+        self._total_out = max(0, total - self._delay - self._padding)
 
         codec = {LAYER1: CODEC_ID_MP1, LAYER2: CODEC_ID_MP2, LAYER3: CODEC_ID_MP3}[
             first_hdr.layer

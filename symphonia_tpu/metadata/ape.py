@@ -31,8 +31,12 @@ class ApeReader(MetadataReader):
             raise DecodeError(f"unsupported APE version {version}")
         # tag_size covers items + footer (not the optional header).
         # Seek back to the first item.
+        if tag_size < 32:
+            raise DecodeError("APE tag size too small")
         pos = reader.pos() - 32
         items_start = pos + 32 - tag_size
+        if items_start < 0:
+            raise DecodeError("APE tag size exceeds stream")
         reader.seek(items_start)
         body = reader.read_bytes(tag_size - 32)
 

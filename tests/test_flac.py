@@ -447,3 +447,67 @@ class TestPerPacketNativeFrame:
         dec = FlacDecoder(r.default_track().codec_params)
         out = dec.decode(p)
         np.testing.assert_array_equal(out.planes()[0], chans[0][:out.frames])
+
+
+class TestJunkBeforeFirstFrame:
+    """Junk between the last metadata block and the first frame must not
+    poison the frame table (parser.rs re-syncs; the whole-stream scan's
+    anchor at offset 0 previously failed every packet)."""
+
+    def _junked(self, sig):
+        data = build_flac_file(sig, block_size=4096, kind="fixed", order=2,
+                               partition_order=0)
+        pos = 4
+        while True:
+            hdr = data[pos]
+            length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+            pos += 4 + length
+            if hdr & 0x80:
+                break
+        return data[:pos] + b"\x12\x34\x56\x78JUNKJUNK" + data[pos:]
+
+    def test_bulk_reader_reanchors(self):
+        sig = random_walk(8192, 16, seed=11, ch=1)
+        corrupt = self._junked(sig)
+        r = FlacReader(MediaSourceStream(corrupt))
+        dec = FlacDecoder(r.default_track().codec_params)
+        outs = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        out = np.concatenate(outs, axis=1)
+        np.testing.assert_array_equal(out[0], sig[0])
+
+    def test_stream_reader_reanchors(self):
+        import io
+
+        sig = random_walk(8192, 16, seed=12, ch=1)
+        corrupt = self._junked(sig)
+
+        class Pipe(io.RawIOBase):
+            def __init__(self, b):
+                self._b = io.BytesIO(b)
+
+            def readable(self):
+                return True
+
+            def read(self, n=-1):
+                return self._b.read(n)
+
+            def seekable(self):
+                return False
+
+        from symphonia_tpu.formats.flac import FlacStreamReader
+
+        r = FlacStreamReader(MediaSourceStream(Pipe(corrupt)))
+        dec = FlacDecoder(r.default_track().codec_params)
+        outs = []
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            outs.append(dec.decode(p).planes().copy())
+        out = np.concatenate(outs, axis=1)
+        np.testing.assert_array_equal(out[0], sig[0])

@@ -495,3 +495,22 @@ class TestExternalFormatData:
         probed = sym.get_probe().probe(MediaSourceStream(tag + mp3))
         grp = probed.format.chapters()
         assert grp is not None and grp.items[0].title == "Intro"
+
+
+class TestApeMalformed:
+    def test_crafted_tag_size_rejected_in_taxonomy(self):
+        # tag_size exceeding the stream drove a negative seek (raw
+        # ValueError); undersized tag_size walked backwards. Both must
+        # stay DecodeError.
+        import struct as _s
+
+        from symphonia_tpu.core.errors import DecodeError
+
+        for ts in (16, 0x7FFFFFFF):
+            footer = (b"APETAGEX" + _s.pack("<IIII", 2000, ts, 1, 0)
+                      + b"\x00" * 8)
+            data = b"\x00" * 100 + footer
+            mss = MediaSourceStream(data)
+            mss.seek(len(data) - 32)
+            with pytest.raises(DecodeError):
+                ApeReader().read_all(mss)
