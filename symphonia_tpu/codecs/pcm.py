@@ -52,7 +52,7 @@ class PcmDecoder(AudioDecoder):
         if params.codec in ("pcm_alaw", "pcm_mulaw"):
             self._bits = 16
         elif self._is_float:
-            self._bits = 32
+            self._bits = 64 if "64" in params.codec else 32
         else:
             container = int("".join(c for c in params.codec if c.isdigit())[:2])
             coded = params.bits_per_coded_sample

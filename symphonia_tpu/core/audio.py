@@ -328,6 +328,17 @@ class AudioBuffer:
             return d.astype(np.float32, copy=False)
         return int_to_float(d, self.bits_per_sample)
 
+    def _to_float_as(self, dtype) -> np.ndarray:
+        """Float export in the target precision: f64 content exported to
+        F64 must not round-trip through f32 (conv.rs converts directly)."""
+        d = self.planes()
+        if d.dtype.kind == "f":
+            return d.astype(dtype, copy=False)
+        if np.dtype(dtype) == np.float64:
+            scale = 1.0 / (1 << (self.bits_per_sample - 1))
+            return d.astype(np.float64) * scale
+        return int_to_float(d, self.bits_per_sample).astype(dtype, copy=False)
+
     def to_int(self, bits: int, dither=None,
                dither_mode: str = "triangular") -> np.ndarray:
         """Planar signed integer export at the requested width.
@@ -347,7 +358,7 @@ class AudioBuffer:
         ([frames * ch] flat, frame-major)."""
         ch = self.num_channels
         if fmt.is_float:
-            out = self.to_float().astype(fmt.np_dtype)
+            out = self._to_float_as(fmt.np_dtype)
         else:
             bits = fmt.bits
             vals = self.to_int(bits, dither=dither, dither_mode=dither_mode)
@@ -359,7 +370,7 @@ class AudioBuffer:
     def copy_to_planar(self, fmt: SampleFormat, dither=None,
                        dither_mode: str = "triangular") -> np.ndarray:
         if fmt.is_float:
-            return self.to_float().astype(fmt.np_dtype)
+            return self._to_float_as(fmt.np_dtype)
         vals = self.to_int(fmt.bits, dither=dither, dither_mode=dither_mode)
         if fmt.is_unsigned:
             vals = vals + (1 << (fmt.bits - 1))

@@ -182,6 +182,10 @@ class MediaSourceStream(_ReadBytesMixin):
     # -- ReadBytes ---------------------------------------------------------
 
     def read_bytes(self, n: int) -> bytes:
+        if n < 0:
+            # A negative count (from a corrupt size field a caller failed
+            # to validate) must never walk the cursor backwards.
+            raise EndOfStream(f"negative read of {n} bytes at pos {self.pos()}")
         if self._fill(n) < n:
             raise EndOfStream(f"needed {n} bytes at pos {self.pos()}")
         out = bytes(self._buf[self._pos : self._pos + n])
@@ -189,6 +193,8 @@ class MediaSourceStream(_ReadBytesMixin):
         return out
 
     def read_upto(self, n: int) -> bytes:
+        if n <= 0:
+            return b""
         avail = min(self._fill(n), n)
         out = bytes(self._buf[self._pos : self._pos + avail])
         self._pos += avail
@@ -258,14 +264,14 @@ class BufReader(_ReadBytesMixin):
         self._pos = start
 
     def read_bytes(self, n: int) -> bytes:
-        if self._pos + n > len(self._data):
+        if n < 0 or self._pos + n > len(self._data):
             raise EndOfStream(f"needed {n} bytes at pos {self._pos}")
         out = bytes(self._data[self._pos : self._pos + n])
         self._pos += n
         return out
 
     def read_upto(self, n: int) -> bytes:
-        n = min(n, len(self._data) - self._pos)
+        n = max(0, min(n, len(self._data) - self._pos))
         out = bytes(self._data[self._pos : self._pos + n])
         self._pos += n
         return out

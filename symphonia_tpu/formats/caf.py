@@ -59,6 +59,11 @@ class CafReader(FormatReader):
             except Exception:
                 break
             size = struct.unpack(">q", mss.read_bytes(8))[0]
+            if size < 0 and ctype != b"data":
+                # Only the final data chunk may use the -1 "rest of file"
+                # sentinel; a negative size elsewhere is corruption (and
+                # read_bytes(negative) must never be reached).
+                raise DecodeError("negative CAF chunk size")
             if ctype == b"desc":
                 payload = mss.read_bytes(size)
                 self._parse_desc(payload)

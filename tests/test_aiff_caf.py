@@ -529,3 +529,16 @@ class TestAiffMalformed:
         struct.pack_into(">I", data, 4, len(data) - 8)
         out, track, _ = decode_all(bytes(data))
         assert out.shape[1] == 16
+
+
+class TestCafNegativeChunkSize:
+    def test_negative_nondata_size_rejected(self):
+        import struct as _s
+
+        from symphonia_tpu.core.errors import DecodeError
+        from symphonia_tpu.formats.caf import CafReader
+
+        data = (b"caff" + _s.pack(">HH", 1, 0)
+                + b"desc" + _s.pack(">q", -5) + b"\x00" * 16)
+        with pytest.raises(DecodeError):
+            CafReader(MediaSourceStream(data))

@@ -197,3 +197,23 @@ class TestDitherModes:
                                       dither=np.random.default_rng(3),
                                       dither_mode="rectangular")
         assert set(np.unique(out)) == {100, 101}
+
+
+class TestF64ExportPrecision:
+    def test_f64_planes_export_exactly(self):
+        # F64 content exported to F64 must not round-trip through f32.
+        rng = np.random.default_rng(3)
+        d = rng.standard_normal((1, 64)) * 1e-9 + 0.123456789012345
+        buf = AudioBuffer.from_array(d.copy(), AudioSpec(8000, Channels.from_count(1)))
+        out = buf.copy_to_planar(SampleFormat.F64)
+        np.testing.assert_array_equal(out, d)
+        inter = buf.copy_to_interleaved(SampleFormat.F64)
+        np.testing.assert_array_equal(inter, d[0])
+
+    def test_int_to_f64_keeps_precision(self):
+        x = np.array([[12345678]], dtype=np.int32)  # 24-bit content
+        buf = AudioBuffer.from_array(x, AudioSpec(8000, Channels.from_count(1)),
+                                     bits_per_sample=24)
+        out = buf.copy_to_planar(SampleFormat.F64)
+        assert out.dtype == np.float64
+        assert out[0, 0] == 12345678 / (1 << 23)

@@ -294,3 +294,31 @@ class TestCodebook:
                 else:
                     raise AssertionError("invalid prefix in LUT")
         assert lut_syms == tree_syms
+
+
+class TestNegativeReads:
+    """A corrupt size field reaching read_bytes/read_upto as a negative
+    count must never walk the cursor backwards (it previously did:
+    buf[pos:pos-5] is b'' and pos += -5)."""
+
+    def test_mss_negative_read_bytes(self):
+        from symphonia_tpu.core.errors import EndOfStream
+
+        mss = MediaSourceStream(b"0123456789")
+        mss.read_bytes(4)
+        with pytest.raises(EndOfStream):
+            mss.read_bytes(-5)
+        assert mss.pos() == 4
+        assert mss.read_upto(-3) == b""
+        assert mss.pos() == 4
+
+    def test_bufreader_negative_reads(self):
+        from symphonia_tpu.core.errors import EndOfStream
+        from symphonia_tpu.core.io.media_source import BufReader
+
+        br = BufReader(b"0123456789")
+        br.read_bytes(4)
+        with pytest.raises(EndOfStream):
+            br.read_bytes(-5)
+        assert br.read_upto(-3) == b""
+        assert br.read_bytes(2) == b"45"
