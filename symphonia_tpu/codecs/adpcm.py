@@ -129,8 +129,13 @@ def decode_ima_qt_packet(data: bytes, n_ch: int, frames: int = 64) -> np.ndarray
     for c in range(n_ch):
         hdr = int.from_bytes(data[pos : pos + 2], "big")
         pos += 2
-        # Upper 9 bits: predictor (left-justified); lower 7: step index.
-        pred = np.int16(hdr & 0xFF80)
+        # Upper 9 bits: predictor (left-justified, SIGNED); lower 7: step
+        # index. Reinterpret as int16 explicitly — numpy (NEP 50) raises
+        # OverflowError on np.int16(x) for x >= 0x8000, so a negative
+        # predictor (sign bit set, half of real content) must wrap by hand.
+        pred = hdr & 0xFF80
+        if pred >= 0x8000:
+            pred -= 0x10000
         idx = hdr & 0x7F
         if idx > 88:
             raise DecodeError("invalid IMA step index")
@@ -208,7 +213,8 @@ class AdpcmDecoder(AudioDecoder):
         super().__init__(params, options)
         if params.sample_rate is None or params.channels is None:
             raise DecodeError("ADPCM requires sample rate and channels")
-        if params.block_align is None and params.codec != CODEC_ID_ADPCM_IMA_QT:
+        if params.codec != CODEC_ID_ADPCM_IMA_QT and not (
+                params.block_align and params.block_align > 0):
             raise DecodeError("ADPCM requires block alignment")
         if params.channels.count < 1:
             raise DecodeError("ADPCM requires at least one channel")

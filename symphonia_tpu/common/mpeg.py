@@ -80,7 +80,12 @@ class AudioSpecificConfig:
             # Explicit SBR signaling: extension sample rate then real AOT.
             sbr = True
             ext_idx = br.read_bits(4)
-            rate = br.read_bits(24) if ext_idx == 15 else SAMPLE_RATES[ext_idx]
+            if ext_idx == 15:
+                rate = br.read_bits(24)
+            elif ext_idx >= len(SAMPLE_RATES):
+                raise DecodeError("invalid ASC extension sample rate index")
+            else:
+                rate = SAMPLE_RATES[ext_idx]
             aot = br.read_bits(5)
         if aot not in (AOT_AAC_MAIN, AOT_AAC_LC, AOT_AAC_LTP):
             raise Unsupported(f"AAC object type {aot}")
@@ -93,6 +98,8 @@ class AudioSpecificConfig:
         channels = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 8}.get(ch_config)
         if channels is None or channels == 0:
             raise Unsupported("AAC channel configuration")
+        if rate == 0:
+            raise DecodeError("ASC sample rate is zero")
         return AudioSpecificConfig(
             object_type=aot,
             sample_rate=rate,

@@ -247,3 +247,123 @@ class TestMisalignedImaBlock:
         hdr = bytes([0, 0, 40, 0, 0, 0, 40, 0])
         out = decode_ima_wav_block(hdr + bytes(11), 2)  # 11 % 8 != 0
         assert out.shape == (2, 1 + (11 // 8) * 8)
+
+
+# ---------------------------------------------------------------------------
+# IMA QT (ima4): the Apple 34-byte-per-channel chunk variant used by
+# AIFF-C `ima4` and CAF. Previously ZERO coverage — a sign bug in the
+# 9-bit left-justified packet predictor (negative values crashed with
+# OverflowError under NEP-50 numpy) survived every suite run.
+# ---------------------------------------------------------------------------
+
+
+def _ima_step(pred, idx, nib):
+    step = int(IMA_STEP_TABLE[idx])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(IMA_INDEX_TABLE[nib & 7])))
+    return pred, idx
+
+
+def ima_qt_encode(sig: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode one channel as ima4 34-byte chunks; returns (payload, the
+    exact PCM a conforming decoder reproduces)."""
+    n = len(sig) - (len(sig) % 64)
+    sig = sig[:n]
+    pred, idx = 0, 0
+    out = bytearray()
+    ref = np.empty(n, dtype=np.int32)
+    for base in range(0, n, 64):
+        # Header: current predictor's top 9 bits (signed) + step index.
+        pred &= ~0x7F  # the header truncates; decoder resumes from this
+        out += struct.pack(">H", (pred & 0xFF80) | idx)
+        nibbles = []
+        for i in range(64):
+            s = int(sig[base + i])
+            step = int(IMA_STEP_TABLE[idx])
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            if diff < 0:
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(pred, idx, nib)
+            ref[base + i] = pred
+            nibbles.append(nib)
+        for j in range(0, 64, 2):
+            out.append(nibbles[j] | (nibbles[j + 1] << 4))
+    return bytes(out), ref
+
+
+class TestImaQt:
+    def _signal(self, n, seed, offset=0):
+        rng = np.random.default_rng(seed)
+        return np.clip(np.cumsum(rng.integers(-800, 801, size=n)) + offset,
+                       -32768, 32767).astype(np.int64)
+
+    @pytest.mark.parametrize("offset", [0, -25000, 25000])
+    def test_decoder_matches_spec_recurrence(self, offset):
+        # Negative offsets drive the packet-header predictor sign bit —
+        # the case the old np.int16() cast crashed on.
+        from symphonia_tpu.codecs.adpcm import AdpcmDecoder
+        from symphonia_tpu.core.audio import Channels
+        from symphonia_tpu.core.codecs import AudioCodecParameters
+        from symphonia_tpu.core.packet import Packet
+
+        sig = self._signal(64 * 8, seed=1, offset=offset)
+        payload, ref = ima_qt_encode(sig)
+        params = AudioCodecParameters(
+            codec="adpcm_ima_qt", sample_rate=44100,
+            channels=Channels.from_count(1), bits_per_sample=16)
+        dec = AdpcmDecoder(params)
+        out = dec.decode(Packet(track_id=0, ts=0, dur=64 * 8, data=payload))
+        np.testing.assert_array_equal(out.planes()[0], ref)
+
+    def test_through_aiff_ima4(self):
+        from test_aiff_caf import decode_all
+
+        sig = self._signal(64 * 20, seed=2, offset=-20000)
+        payload, ref = ima_qt_encode(sig)
+        n_frames = len(ref)
+        comm = struct.pack(">HIH", 1, n_frames, 16) + _f80_for(44100)
+        comm += b"ima4" + b"\x00\x00"
+        chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+        ssnd = struct.pack(">II", 0, 0) + payload
+        chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        data = b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFC" + chunks
+        out, track, _ = decode_all(data)
+        np.testing.assert_array_equal(out[0][:n_frames], ref)
+
+    def test_through_caf_ima4(self):
+        from test_aiff_caf import decode_all
+
+        sig = self._signal(64 * 20, seed=3, offset=-20000)
+        payload, ref = ima_qt_encode(sig)
+        desc = struct.pack(">d", 44100.0) + b"ima4" + struct.pack(
+            ">IIIII", 0, 34, 64, 1, 0)
+        data = b"caff" + struct.pack(">HH", 1, 0)
+        data += b"desc" + struct.pack(">q", len(desc)) + desc
+        data += b"data" + struct.pack(">q", len(payload) + 4) + b"\x00" * 4 + payload
+        out, track, _ = decode_all(data)
+        np.testing.assert_array_equal(out[0][: len(ref)], ref)
+
+
+def _f80_for(rate: float) -> bytes:
+    import math
+
+    exp = int(math.floor(math.log2(rate)))
+    mantissa = int(rate / 2.0**exp * (1 << 63))
+    return struct.pack(">H", exp + 16383) + mantissa.to_bytes(8, "big")

@@ -380,3 +380,49 @@ class TestZeroChannelStreams:
                          rate=8000, ch=0, bit_depth=16)
         with pytest.raises((DecodeError, Unsupported)):
             batch.decode_bytes(data)
+
+
+class TestCodecParamsFuzz:
+    """Garbage extra_data / degenerate layout params straight into the
+    codec constructors (containers can deliver arbitrary codec-private
+    data). Everything must stay inside the error taxonomy; found the ASC
+    SBR-extension rate-index IndexError, the ADPCM block_align=0
+    ValueError, and the IMA-QT negative-predictor OverflowError."""
+
+    def test_constructor_and_decode_taxonomy(self):
+        import numpy as np
+
+        import symphonia_tpu as sym
+        from symphonia_tpu.core.audio import Channels
+        from symphonia_tpu.core.codecs import AudioCodecParameters
+        from symphonia_tpu.core.errors import Error
+        from symphonia_tpu.core.packet import Packet
+
+        rng = np.random.default_rng(12345)
+        reg = sym.get_codecs()
+        codecs = ["aac", "vorbis", "alac", "flac", "mp3", "mp2", "mp1",
+                  "adpcm_ms", "adpcm_ima_wav", "adpcm_ima_qt",
+                  "pcm_s16le", "pcm_alaw"]
+        for codec in codecs:
+            for _ in range(120):
+                extra = bytes(rng.integers(0, 256, size=int(rng.integers(0, 64)),
+                                           dtype=np.uint8))
+                kw = {}
+                if codec.startswith(("adpcm", "pcm")):
+                    kw = dict(block_align=int(rng.integers(0, 64)),
+                              frames_per_block=int(rng.integers(0, 64)),
+                              bits_per_coded_sample=int(rng.integers(0, 40)))
+                params = AudioCodecParameters(
+                    codec=codec, sample_rate=44100,
+                    channels=Channels.from_count(int(rng.integers(1, 3))),
+                    bits_per_sample=16, extra_data=extra, **kw)
+                try:
+                    dec = reg.make_audio_decoder(params)
+                except Error:
+                    continue
+                data = bytes(rng.integers(
+                    0, 256, size=int(rng.integers(0, 300)), dtype=np.uint8))
+                try:
+                    dec.decode(Packet(track_id=0, ts=0, dur=1024, data=data))
+                except Error:
+                    pass
