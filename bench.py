@@ -585,9 +585,9 @@ def main() -> None:
     # burst gets a second, time-separated shot at a quiet window. Best-of
     # merging means these passes can only improve the numbers (the tunnel's
     # background threads bias late passes down, which the min() ignores).
-    _sample_host(passes=6, min_passes=1, stale_cap=2, tag=" late")
+    _sample_host(passes=10, min_passes=2, stale_cap=3, tag=" late")
     _host_stage_results()
-    for _pass in range(2):
+    for _pass in range(3):
         for name, fn in breadth:
             try:
                 audio, wall = fn()

@@ -172,15 +172,17 @@ def parse_frame_header(
 
     if sr_code == 0b0000:
         sample_rate = None
-    elif sr_code == 0b1100:
-        sample_rate = data[pos] * 1000
-        pos += 1
-    elif sr_code == 0b1101:
-        sample_rate = data[pos] << 8 | data[pos + 1]
-        pos += 2
-    elif sr_code == 0b1110:
-        sample_rate = (data[pos] << 8 | data[pos + 1]) * 10
-        pos += 2
+    elif sr_code in (0b1100, 0b1101, 0b1110):
+        need = 1 if sr_code == 0b1100 else 2
+        if pos + need > len(data):
+            raise DecodeError("frame header truncated")
+        if sr_code == 0b1100:
+            sample_rate = data[pos] * 1000
+        elif sr_code == 0b1101:
+            sample_rate = data[pos] << 8 | data[pos + 1]
+        else:
+            sample_rate = (data[pos] << 8 | data[pos + 1]) * 10
+        pos += need
     else:
         sample_rate = _SAMPLE_RATES[sr_code]
 

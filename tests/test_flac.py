@@ -511,3 +511,16 @@ class TestJunkBeforeFirstFrame:
             outs.append(dec.decode(p).planes().copy())
         out = np.concatenate(outs, axis=1)
         np.testing.assert_array_equal(out[0], sig[0])
+
+
+class TestFrameHeaderTruncation:
+    def test_truncated_variable_rate_fields_stay_decode_error(self):
+        # sr codes 0b1100-0b1110 read 1-2 trailing bytes; a candidate near
+        # the end of the scan window previously escaped as IndexError.
+        from symphonia_tpu.common.flac import parse_frame_header
+        from symphonia_tpu.core.errors import DecodeError
+
+        for byte2 in (0x6C, 0x6D, 0x6E):  # bs=0110, sr in {1100,1101,1110}
+            data = bytes([0xFF, 0xF8, byte2, 0x08, 0x00, 0x01])
+            with pytest.raises(DecodeError):
+                parse_frame_header(data)
