@@ -646,6 +646,39 @@ class OggReader(FormatReader):
         )
 
 
+class _SecondaryStream:
+    """Per-serial state for an additional mappable logical stream of a
+    grouped (multiplexed) physical stream read over a pipe. Shares the
+    primary's packet/trim machinery (the ``st`` parameter of
+    OggStreamReader._page_packets/_enqueue_packet/_after_page)."""
+
+    def __init__(self, mapper: "Mapper", serial: int, track_id: int):
+        self.mapper = mapper
+        self.serial = serial
+        self._track_id = track_id
+        self._pending = b""
+        self._ts = 0
+        self._queue: List[Packet] = []
+        self._anchored = False
+        self._first_granule_pending = True
+        self._eos = False
+        self._start_ts = 0
+        self.headers_done = False
+        self.dead = False  # headers never completed: drop the stream
+        self._track: Optional[Track] = None
+
+    def finish_headers(self) -> None:
+        self.headers_done = True
+        self._track = Track(
+            id=self._track_id,
+            codec_params=self.mapper.codec_params(),
+            time_base=TimeBase(1, self.mapper.sample_rate),
+            num_frames=None,
+            start_ts=self._start_ts,
+            delay=self.mapper.delay,
+        )
+
+
 class OggStreamReader(FormatReader):
     """Incremental OGG reader: O(window) memory over the MSS, one page at a
     time (demuxer.rs:134 + logical.rs packet reassembly), with byte-bisection
@@ -668,6 +701,9 @@ class OggStreamReader(FormatReader):
         self._eos = False
         self.mapper: Optional[Mapper] = None
         self._serial: Optional[int] = None
+        self._track_id = 0
+        self._order: List[object] = []  # states, in packet-enqueue order
+        self._secondary: dict = {}  # serial -> _SecondaryStream
         self._read_headers()
 
     # -- page IO -------------------------------------------------------------
@@ -718,16 +754,29 @@ class OggStreamReader(FormatReader):
         self._serial = None
         self._headers_done = False
         hdr_pages = 0
-        while self.mapper is None or not self._headers_done:
+
+        def secondaries_pending() -> bool:
+            return any(not st.headers_done and not st.dead
+                       for st in self._secondary.values())
+
+        while (self.mapper is None or not self._headers_done
+               or secondaries_pending()):
             if bos_page is not None:
                 page, bos_page = bos_page, None
             else:
                 page = self._next_page()
-            if page is None:
-                raise Unsupported("no mappable codec in OGG stream")
+            if page is None or hdr_pages >= 1024:
+                if self.mapper is not None and self._headers_done:
+                    # Primary is complete: a sibling whose headers never
+                    # finish is dropped, not fatal.
+                    for st in self._secondary.values():
+                        if not st.headers_done:
+                            st.dead = True
+                    break
+                raise Unsupported(
+                    "no mappable codec in OGG stream" if page is None
+                    else "OGG header phase too long")
             hdr_pages += 1
-            if hdr_pages > 1024:
-                raise Unsupported("OGG header phase too long")
             if self.mapper is None:
                 if not (page.header_type & 0x02) or not page.packets:
                     continue
@@ -751,6 +800,7 @@ class OggStreamReader(FormatReader):
                 self._pending = page.partial or b""
                 continue
             if page.serial != self._serial:
+                self._route_secondary(page)
                 continue
             pkts = self._page_packets(page)
             for p in pkts:
@@ -770,15 +820,16 @@ class OggStreamReader(FormatReader):
             delay=self.mapper.delay,
         )
 
-    def _page_packets(self, page: OggPage) -> List[bytes]:
+    def _page_packets(self, page: OggPage, st=None) -> List[bytes]:
+        st = self if st is None else st
         pkts = list(page.packets)
         if page.continued:
-            if self._pending:
+            if st._pending:
                 if pkts:
-                    pkts[0] = self._pending + pkts[0]
-                    self._pending = page.partial or b""
+                    pkts[0] = st._pending + pkts[0]
+                    st._pending = page.partial or b""
                     return pkts
-                self._pending += page.partial or b""
+                st._pending += page.partial or b""
                 return []
             # Continuation with no pending data (post-seek): drop the
             # headless span. A page that is entirely the middle of a
@@ -787,75 +838,148 @@ class OggStreamReader(FormatReader):
             if not pkts:
                 return []
             pkts = pkts[1:]
-        self._pending = page.partial or b""
+        st._pending = page.partial or b""
         return pkts
 
-    def _enqueue_packet(self, data: bytes) -> None:
-        dur = self.mapper.packet_dur(data)
-        self._queue.append(Packet(track_id=0, ts=self._ts, dur=dur,
-                                  data=data))
-        self._ts += dur
+    def _enqueue_packet(self, data: bytes, st=None) -> None:
+        st = self if st is None else st
+        dur = st.mapper.packet_dur(data)
+        st._queue.append(Packet(track_id=st._track_id, ts=st._ts, dur=dur,
+                                data=data))
+        st._ts += dur
+        self._order.append(st)
 
-    def _after_page(self, page: OggPage) -> None:
+    def _after_page(self, page: OggPage, st=None) -> None:
         """Granule anchoring + first/last page trims (logical.rs:330-556)."""
+        st = self if st is None else st
         if page.header_type & 0x04:
-            self._eos = True
+            st._eos = True
         g = page.granule
         if g < 0:
             return
-        if self._first_granule_pending:
-            if g == 0 and self._ts == 0 and not self._queue:
+        if st._first_granule_pending:
+            if g == 0 and st._ts == 0 and not st._queue:
                 return  # pre-audio header page (granule 0, no packets yet)
-            self._first_granule_pending = False
+            st._first_granule_pending = False
             # Leading trim: decoded duration up to here exceeding the first
             # granule is pre-roll that the encoder expects dropped.
-            if 0 <= g < self._ts:
-                trim = self._ts - g
+            if 0 <= g < st._ts:
+                trim = st._ts - g
                 delta = trim
-                for pkt in self._queue:
+                for pkt in st._queue:
                     t = min(delta, pkt.dur)
                     pkt.trim_start += t
                     pkt.dur -= t
                     delta -= t
                     if delta <= 0:
                         break
-                ts = self._queue[0].ts if self._queue else 0
-                for pkt in self._queue:
+                ts = st._queue[0].ts if st._queue else 0
+                for pkt in st._queue:
                     pkt.ts = ts
                     ts += pkt.dur
-                self._ts = g if not self._queue else ts
-            elif g > self._ts:
+                st._ts = g if not st._queue else ts
+            elif g > st._ts:
                 # Stream starts at t > 0 (logical.rs:230: start_ts =
                 # granule_end - total_dur): Opus granules include pre-skip;
                 # mid-stream captures begin late. Shift onto granule time.
-                shift = g - self._ts
-                for pkt in self._queue:
+                shift = g - st._ts
+                for pkt in st._queue:
                     pkt.ts += shift
-                self._ts = g
-                self._start_ts = shift
-                if getattr(self, "_track", None) is not None:
-                    self._track.start_ts = shift
-        if self._eos and 0 < g < self._ts:
-            trim = self._ts - g
-            for pkt in reversed(self._queue):
+                st._ts = g
+                st._start_ts = shift
+                if getattr(st, "_track", None) is not None:
+                    st._track.start_ts = shift
+        if st._eos and 0 < g < st._ts:
+            trim = st._ts - g
+            for pkt in reversed(st._queue):
                 t = min(trim, pkt.dur)
                 pkt.trim_end += t
                 pkt.dur -= t
                 trim -= t
                 if trim <= 0:
                     break
-            self._ts = g
-        elif self._anchored or not self._first_granule_pending:
-            self._ts = g  # re-anchor on every completed-granule page
-        self._anchored = True
+            st._ts = g
+        elif st._anchored or not st._first_granule_pending:
+            st._ts = g  # re-anchor on every completed-granule page
+        st._anchored = True
+
+    def _route_secondary(self, page: OggPage) -> None:
+        """A page of a serial other than the primary's: register/feed the
+        sibling logical stream of a grouped physical stream
+        (demuxer.rs:416-427 exposes every logical stream; the bulk reader
+        already does — this is the pipe-side counterpart)."""
+        st = self._secondary.get(page.serial)
+        if st is None:
+            if not (page.header_type & 0x02) or not page.packets:
+                return
+            try:
+                m = make_mapper(page.packets[0])
+            except DecodeError:
+                m = None
+            if m is None:
+                return  # unmappable sibling: no track (bulk reader parity)
+            st = _SecondaryStream(m, page.serial, 1 + len(self._secondary))
+            self._secondary[page.serial] = st
+            for p in page.packets[1:]:
+                if not st.headers_done:
+                    if not m.absorb_header(p, self._metadata):
+                        st.finish_headers()
+                else:
+                    self._enqueue_packet(p, st)
+            st._pending = page.partial or b""
+            return
+        if st.dead:
+            return
+        pkts = self._page_packets(page, st)
+        for p in pkts:
+            if not st.headers_done:
+                if not st.mapper.absorb_header(p, self._metadata):
+                    st.finish_headers()
+            else:
+                self._enqueue_packet(p, st)
+        if st.headers_done:
+            self._after_page(page, st)
+
+    def _reset_secondaries_after_seek(self) -> None:
+        """A seek invalidates sibling streams' packet spans: drop queued
+        packets and re-anchor each on its next completed-granule page."""
+        for st in self._secondary.values():
+            st._queue.clear()
+            st._pending = b""
+            st.mapper.reset()
+        self._order = [s for s in self._order if s is self]
 
     # -- FormatReader ----------------------------------------------------------
 
     def tracks(self) -> List[Track]:
-        return [self._track]
+        out = [self._track]
+        for serial in self._secondary:
+            st = self._secondary[serial]
+            if st._track is not None and not st.dead:
+                out.append(st._track)
+        return out
+
+    def _pop_ready(self) -> Optional[Packet]:
+        while self._order:
+            st = self._order.pop(0)
+            q = st._queue
+            if q:
+                return q.pop(0)
+            # Stale entry (queue cleared by a seek): skip.
+        # Fallback: order exhausted but a queue still holds packets (the
+        # seek path pops the primary queue without consuming order tokens).
+        if self._queue:
+            return self._queue.pop(0)
+        for st in self._secondary.values():
+            if st._queue:
+                return st._queue.pop(0)
+        return None
 
     def next_packet(self) -> Optional[Packet]:
-        while not self._queue:
+        while True:
+            pkt = self._pop_ready()
+            if pkt is not None:
+                return pkt
             page = self._next_page()
             if page is None:
                 return None
@@ -864,18 +988,20 @@ class OggStreamReader(FormatReader):
                 # New physical stream (chained; the serial may repeat across
                 # chains): rebuild the logical stream from this BOS page and
                 # signal the caller to recreate its decoders
-                # (formats/mod.rs:644).
+                # (formats/mod.rs:644). A grouped sibling's BOS was consumed
+                # in the header phase, so mid-stream BOS of an unseen serial
+                # during primary EOS is a chain boundary.
                 if self._eos and page.packets and \
                         _mappable_bos(page.packets[0]):
                     self._reset_logical(page)
                     raise ResetRequired("chained OGG physical stream")
                 continue
             if page.serial != self._serial:
+                self._route_secondary(page)
                 continue
             for p in self._page_packets(page):
                 self._enqueue_packet(p)
             self._after_page(page)
-        return self._queue.pop(0)
 
     def _reset_logical(self, bos_page: OggPage) -> None:
         """Chained physical stream boundary: rebuild the logical stream
@@ -890,6 +1016,9 @@ class OggStreamReader(FormatReader):
         # A t>0 first chain's start trim must not leak into the next
         # chain's track.
         self._start_ts = 0
+        # A new physical stream has its own logical-stream group.
+        self._secondary.clear()
+        self._order.clear()
         self._read_headers(bos_page=bos_page)
 
     def seek(self, mode: str, to: SeekTo) -> SeekedTo:
@@ -902,6 +1031,7 @@ class OggStreamReader(FormatReader):
         if not self.mss.is_seekable():
             # Forward-only source: seek ahead by reading (the reference can
             # consume pages forward on a pipe); backward is impossible.
+            self._reset_secondaries_after_seek()
             first = True
             while True:
                 while not self._queue:
@@ -994,7 +1124,9 @@ class OggStreamReader(FormatReader):
             # No anchoring page before the window: restart from the top.
             start_pos, anchor, prime_pkt = self._data_start, 0, None
         self.mss.seek(start_pos)
+        self._reset_secondaries_after_seek()
         self._queue.clear()
+        self._order.clear()
         self._pending = b""
         self._ts = anchor
         self._anchored = True

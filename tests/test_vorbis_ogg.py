@@ -1,6 +1,7 @@
 """OGG demux + Vorbis decode tests: differential vs SDL (stb_vorbis), page
 parsing, mapper behavior, metadata, and seek."""
 
+import io
 import os
 import pathlib
 
@@ -1414,3 +1415,69 @@ class TestOggRobustness:
         while r.next_packet() is not None:
             n += 1
         assert n > 10
+
+
+class TestMultiplexedPipe:
+    """The streaming (pipe) reader exposes every mappable logical stream of
+    a grouped physical stream too — previously only the first (a documented
+    divergence, now closed). Packets of all serials demux with exact
+    ts/trims; a seek on the default track re-anchors siblings."""
+
+    class _Pipe(io.RawIOBase):
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+
+        def readable(self):
+            return True
+
+        def read(self, n=-1):
+            return self._b.read(n)
+
+        def seekable(self):
+            return False
+
+    def test_two_tracks_decode_bit_exact_on_pipe(self):
+        from symphonia_tpu.formats.ogg import OggStreamReader
+
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        single, _, strack = our_decode(data)
+        muxed = TestOggMultiplexed._remux_two_streams(data)
+        r = OggStreamReader(MediaSourceStream(self._Pipe(muxed)))
+        tracks = r.tracks()
+        assert [t.id for t in tracks] == [0, 1]
+        decs = [VorbisDecoder(t.codec_params) for t in tracks]
+        outs = [[], []]
+        seen = set()
+        while True:
+            p = r.next_packet()
+            if p is None:
+                break
+            seen.add(p.track_id)
+            buf = decs[p.track_id].decode(p)
+            if len(buf):
+                outs[p.track_id].append(buf.planes().copy())
+        assert seen == {0, 1}
+        for tid in (0, 1):
+            got = np.concatenate(outs[tid], axis=1)
+            np.testing.assert_array_equal(got, single)
+
+    def test_forward_seek_on_pipe_keeps_primary_exact(self):
+        from symphonia_tpu.core.formats import SeekMode, SeekTo
+        from symphonia_tpu.formats.ogg import OggStreamReader
+
+        with open(HOUSE_OGG, "rb") as f:
+            data = f.read()
+        muxed = TestOggMultiplexed._remux_two_streams(data)
+        r = OggStreamReader(MediaSourceStream(self._Pipe(muxed)))
+        res = r.seek(SeekMode.ACCURATE, SeekTo(ts=30000))
+        assert res.actual_ts <= 30000 + 8192
+        # Primary packets still decode; siblings re-anchor on their next
+        # granule page and keep flowing.
+        seen = set()
+        for _ in range(64):
+            p = r.next_packet()
+            if p is None:
+                break
+            seen.add(p.track_id)
+        assert 0 in seen and 1 in seen
