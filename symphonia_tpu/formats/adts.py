@@ -70,6 +70,9 @@ class AdtsReader(FormatReader):
         first = None
         pos = 0
         a = np.frombuffer(buf, dtype=np.uint8)
+        # Precomputed sync candidates: re-running nonzero over the remaining
+        # buffer per candidate is quadratic on 0xFF-rich garbage.
+        sync0 = np.nonzero(a == 0xFF)[0]
         while pos + 7 <= len(buf):
             hdr = parse_adts_header(buf, pos)
             if hdr is not None:
@@ -78,10 +81,10 @@ class AdtsReader(FormatReader):
                 if nxt + 7 > len(buf) or parse_adts_header(buf, nxt) is not None:
                     first = hdr
                     break
-            cand = np.nonzero(a[pos + 1 : -1] == 0xFF)[0]
-            if len(cand) == 0:
+            j = int(np.searchsorted(sync0, pos + 1))
+            if j >= len(sync0) or int(sync0[j]) + 1 >= len(buf):
                 break
-            pos += 1 + int(cand[0])
+            pos = int(sync0[j])
         if first is None:
             raise Unsupported("no ADTS frames found")
 
@@ -91,10 +94,25 @@ class AdtsReader(FormatReader):
             raise Unsupported("ADTS PCE channel config")
 
         offsets, sizes, hdr_lens = [], [], []
+        # Precomputed sync candidates: a byte-at-a-time (or nonzero-per-step)
+        # re-sync walk is quadratic over corrupt spans.
+        sync = np.nonzero(a == 0xFF)[0]
+        expected = pos  # in-sync predictor: end of the last accepted frame
         while pos + 7 <= len(buf):
             hdr = parse_adts_header(buf, pos)
-            if hdr is None:
-                pos += 1
+            ok = hdr is not None
+            if ok and pos != expected:
+                # Re-synced position: random bytes form plausible headers,
+                # so require the successor to parse too (or run off the
+                # buffer) before trusting this one — a fake frame_len would
+                # otherwise skip past real frames.
+                nxt = pos + hdr[0]
+                ok = nxt + 7 > len(buf) or parse_adts_header(buf, nxt) is not None
+            if not ok:
+                j = int(np.searchsorted(sync, pos + 1))
+                if j >= len(sync):
+                    break
+                pos = int(sync[j])
                 continue
             fl, hl = hdr[0], hdr[1]
             if pos + fl > len(buf):
@@ -102,6 +120,7 @@ class AdtsReader(FormatReader):
             offsets.append(pos + hl)
             sizes.append(fl - hl)
             pos += fl
+            expected = pos
         self._buf = buf
         self._start = start
         self._offsets = np.asarray(offsets, dtype=np.int64)

@@ -131,6 +131,34 @@ class TestAdts:
         assert seeked.actual_ts == 2048
         assert r.next_packet().ts == 2048
 
+    def test_resync_past_mid_stream_garbage(self):
+        """A corrupt span between frames must not drop the rest of the
+        stream, and the re-sync walk must stay sub-quadratic (it hops
+        between precomputed 0xFF candidates)."""
+        import time
+
+        rng = np.random.default_rng(6)
+        frames = [
+            build_raw_block([random_quant_spectrum(rng, MAX_SFB, RATE)], [0],
+                            MAX_SFB, GAIN, RATE)
+            for _ in range(6)
+        ]
+        clean = build_adts(frames, RATE, 1)
+        r = AdtsReader(MediaSourceStream(clean))
+        n_clean = len(r.packet_table().sizes)
+        # Split at a frame boundary (2nd frame header) and inject garbage
+        # rich in 0xFF bytes (worst case for the candidate walk).
+        hdr2 = clean.index(b"\xff\xf1", 2)
+        garbage = bytes(rng.choice([0xFF, 0x00, 0xAA], size=200_000,
+                                   p=[0.5, 0.25, 0.25]).astype(np.uint8))
+        dirty = clean[:hdr2] + garbage + clean[hdr2:]
+        t0 = time.monotonic()
+        r2 = AdtsReader(MediaSourceStream(dirty))
+        elapsed = time.monotonic() - t0
+        n_dirty = len(r2.packet_table().sizes)
+        assert n_dirty >= n_clean - 1  # at most the boundary frame lost
+        assert elapsed < 5.0
+
 
 class TestAscParsing:
     def test_basic_lc(self):
