@@ -409,6 +409,11 @@ def unlace(buf: bytes) -> List[bytes]:
             delta = raw - ((1 << (7 * length - 1)) - 1)
             pos = pos2
             prev += delta
+            if prev < 0:
+                # A negative frame size is malformed (lacing.rs rejects it);
+                # accepting it would walk the split offset backwards and
+                # emit overlapping garbage frames.
+                raise DecodeError("mkv: negative EBML lace size")
             sizes.append(prev)
     out = []
     body = data[pos:]

@@ -241,6 +241,18 @@ class TestEbml:
         _, p2 = read_vint(blk, p, False)
         assert unlace(blk[p2 + 2 :]) == frames
 
+    def test_unlace_ebml_rejects_negative_size(self):
+        """An EBML lace delta driving the running size negative is
+        malformed (lacing.rs rejects it) and must raise, not emit
+        overlapping frames from a backwards-walking offset."""
+        from symphonia_tpu.core.errors import DecodeError
+
+        # flags: EBML lacing (0x06), 3 frames, first size = 2 (vint 0x82),
+        # delta = -5 via signed 1-byte vint (bias 63): raw 58 -> 0xBA.
+        payload = bytes([0x06, 2, 0x82, 0xBA]) + b"abcdefgh"
+        with pytest.raises(DecodeError):
+            unlace(payload)
+
 
 class TestMkvPcm:
     def test_pcm_track(self):
