@@ -72,7 +72,7 @@ class AdtsReader(FormatReader):
         a = np.frombuffer(buf, dtype=np.uint8)
         # Precomputed sync candidates: re-running nonzero over the remaining
         # buffer per candidate is quadratic on 0xFF-rich garbage.
-        sync0 = np.nonzero(a == 0xFF)[0]
+        sync = np.nonzero(a == 0xFF)[0]
         while pos + 7 <= len(buf):
             hdr = parse_adts_header(buf, pos)
             if hdr is not None:
@@ -81,10 +81,10 @@ class AdtsReader(FormatReader):
                 if nxt + 7 > len(buf) or parse_adts_header(buf, nxt) is not None:
                     first = hdr
                     break
-            j = int(np.searchsorted(sync0, pos + 1))
-            if j >= len(sync0) or int(sync0[j]) + 1 >= len(buf):
+            j = int(np.searchsorted(sync, pos + 1))
+            if j >= len(sync):
                 break
-            pos = int(sync0[j])
+            pos = int(sync[j])
         if first is None:
             raise Unsupported("no ADTS frames found")
 
@@ -94,9 +94,6 @@ class AdtsReader(FormatReader):
             raise Unsupported("ADTS PCE channel config")
 
         offsets, sizes, hdr_lens = [], [], []
-        # Precomputed sync candidates: a byte-at-a-time (or nonzero-per-step)
-        # re-sync walk is quadratic over corrupt spans.
-        sync = np.nonzero(a == 0xFF)[0]
         expected = pos  # in-sync predictor: end of the last accepted frame
         while pos + 7 <= len(buf):
             hdr = parse_adts_header(buf, pos)
